@@ -1,0 +1,159 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Batch relational analytics over the driver's TPC-H-ish tables — the
+  * north-star batch surface (SURVEY.md §2.10 consequence + §7 step 7).
+  *
+  * Design notes for 100 TB scale, applied throughout:
+  *  - dimension tables (region/nation/customer/supplier/part) are
+  *    `broadcast()` so the fact tables (lineitem/orders) never shuffle
+  *    for the join;
+  *  - every query projects only needed columns before the join/agg, so
+  *    parquet scans prune columns and push filters (verify with
+  *    `.explain("formatted")` -> PushedFilters / ReadSchema);
+  *  - double-typed outputs are `round(...)`ed so results are stable
+  *    across summation orders (oracle hash parity).
+  */
+object Relational {
+
+  /** TPC-H Q1 analog: pricing summary by returnflag/linestatus.
+    * Pure scan + partial agg; no shuffle beyond one row per group. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q6 analog: predicate-pushdown revenue filter. The three
+    * filters all reach the parquet scan. */
+  def revenueFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  /** TPC-H Q3 analog: top unshipped-revenue orders for one segment.
+    * customer is broadcast; lineitem joins orders on the shuffle. */
+  def topRevenueOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey", "o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 analog: revenue by nation (6-way join). All dims broadcast;
+    * only lineitem⋈orders shuffles. */
+  def nationRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Top-k customers by total order value; broadcast-joined to names. */
+  def topCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir).select("o_custkey", "o_totalprice")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_name")
+    ord.groupBy("o_custkey")
+      .agg(round(sum("o_totalprice"), 2).as("total_spend"), count(lit(1)).as("n_orders"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select("c_custkey", "c_name", "total_spend", "n_orders")
+      .orderBy(col("total_spend").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  /** Anti join: customers with no large (>400k) orders. The filter on the
+    * orders side is pushed to the scan; the anti join hashes on keys only. */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_name")
+    val bigOrd = Tables.orders(spark, dir)
+      .where(col("o_totalprice") > 400000).select("o_custkey")
+    cust.join(bigOrd, col("c_custkey") === col("o_custkey"), "left_anti")
+      .orderBy("c_custkey")
+  }
+
+  /** Semi join + conditional count: order-priority counts for orders with
+    * at least one lineitem shipped after the order date (TPC-H Q4 analog). */
+  def orderPriorityCheck(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    ord.join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** ROLLUP aggregate (grouping-sets family). */
+  def returnsRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_returnflag", "l_linestatus", "l_quantity")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Ranking window: top-3 orders per customer by value. One shuffle on
+    * o_custkey; rank computed in-partition. */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("rk"))
+  }
+
+  /** Running (cumulative) sum per customer ordered by date — the
+    * analytic-window counterpart of the reference's expanding aggregates. */
+  def runningCustomerSpend(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      .withColumn("running_spend", round(sum("o_totalprice").over(w), 2))
+      .select("o_custkey", "o_orderkey", "running_spend")
+  }
+
+  /** Distinct aggregates: exact distinct parts+suppliers per return flag. */
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_returnflag", "l_partkey", "l_suppkey")
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("n_parts"),
+        countDistinct("l_suppkey").as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+}

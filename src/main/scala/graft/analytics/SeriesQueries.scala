@@ -1,0 +1,151 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{AlignJoin, Metrics, SeqWindows, TickOps}
+
+/** The reference pipeline's operator surface (SURVEY.md §2) exercised as
+  * deterministic batch queries over the driver's `events` table — the
+  * oracle-checkable face of [[graft.operators]].
+  *
+  * `events.value` plays the price series, `user_id` the ticker key (the
+  * generalization SURVEY §4 calls for), `(ts_ns, event_id)` the arrival
+  * order. Everything partitions by user — one hash shuffle, then per-key
+  * window passes; scales linearly in keys on a cluster.
+  */
+object SeriesQueries {
+
+  private val keys = Seq("user_id")
+  private val order = Seq("ts_us", "event_id")
+
+  /** TR-1 — consecutive-change filter per user. */
+  def changeFilter(spark: SparkSession, dir: String): DataFrame =
+    TickOps.changeFilter(
+        Tables.events(spark, dir).select("user_id", "ts_us", "event_id", "value"),
+        keys, order, "value")
+      .select("user_id", "event_id", "value")
+
+  /** TR-2 — anchored return per user (variation vs first-ever value). */
+  def anchoredReturn(spark: SparkSession, dir: String): DataFrame =
+    TickOps.anchoredReturn(
+        Tables.events(spark, dir).select("user_id", "ts_us", "event_id", "value"),
+        keys, order, "value")
+      .select(col("user_id"), col("event_id"), round(col("variation"), 6).as("variation"))
+
+  /** NRM-1 — global min-max scaling of the value column. */
+  def minMaxScale(spark: SparkSession, dir: String): DataFrame =
+    TickOps.minMaxScale(
+        Tables.events(spark, dir).select("event_id", "value"), "value")
+      .select(col("event_id"), round(col("scaled"), 6).as("scaled"))
+
+  /** WIN-1 — sliding 10-lag/5-label feature extraction per user,
+    * flattened to scalar columns (f01..f10, l1..l5) for oracle parity. */
+  def slidingFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val samples = SeqWindows.slidingSamples(
+      Tables.events(spark, dir).select("user_id", "ts_us", "event_id", "value"),
+      keys, order, "value", seqLen = 10, horizon = 5)
+    val fcols = (1 to 10).map(i => element_at(col("features"), i).as(f"f$i%02d"))
+    val lcols = (1 to 5).map(i => element_at(col("labels"), i).as(s"l$i"))
+    samples.select(Seq(col("user_id"), col("event_id")) ++ fcols ++ lcols: _*)
+  }
+
+  /** WIN-2 — the last 10 events per user, tagged with window position. */
+  def latestWindow(spark: SparkSession, dir: String): DataFrame =
+    SeqWindows.latestRows(
+        Tables.events(spark, dir).select("user_id", "ts_us", "event_id", "value"),
+        keys, order, seqLen = 10)
+      .select("user_id", "pos", "event_id", "value")
+
+  /** JN-1 — FIFO rank join: k-th purchase pairs with k-th view per user
+    * (the reference's queue-order forecast/actual alignment). */
+  def fifoRankJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "ts_us", "event_id", "event_type", "value")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id").as("f_event_id"),
+        col("value").as("f_value"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"), col("event_id").as("a_event_id"),
+        col("value").as("a_value"))
+    AlignJoin.rankJoin(purchases, views, keys,
+        Seq("ts_us", "f_event_id"), Seq("ts_us", "a_event_id"))
+      .select("user_id", "f_event_id", "f_value", "a_event_id", "a_value")
+  }
+
+  /** As-of join — each purchase picks up the latest prior-or-equal view
+    * value for the same user (the principled JN-1 variant, SURVEY §2.6). */
+  def asOfJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "ts_us", "event_id", "event_type", "value")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("user_id", "ts_us", "event_id", "value")
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us").as("v_ts_us"), col("value").as("v_value"))
+    AlignJoin.asOfJoin(purchases, views, keys, "ts_us", "v_ts_us", Seq("v_value"))
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("asof_v_value").as("last_view_value"))
+  }
+
+  /** AGG-2 — RMSE of the one-step persistence forecast (prev value) per
+    * user + a global row, demonstrating the cumulative error aggregate. */
+  def persistenceRmse(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(col): _*)
+    val withPrev = Tables.events(spark, dir)
+      .select("user_id", "ts_us", "event_id", "value")
+      .withColumn("prev", lag(col("value"), 1).over(w))
+    Metrics.rmse(withPrev, "value", "prev", keys)
+      .select(col("user_id"), round(col("rmse"), 4).as("rmse"))
+  }
+
+  /** AGG-3/5 — min/max/avg summary of the value series per event type. */
+  def valueSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select("event_type", "value")
+      .groupBy("event_type")
+      .agg(min("value").as("min_value"), max("value").as("max_value"),
+        round(avg("value"), 4).as("avg_value"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** SRC-2 — JSON path extraction from the events `props` payload (the
+    * Yahoo-chart-payload analog), aggregated per extracted key bucket. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"), col("value"))
+      .withColumn("k_bucket", col("k") % 10)
+      .groupBy("k_bucket")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("k_bucket")
+
+  /** Event-time tumbling window aggregate (hourly) per event type —
+    * the time-window operator the reference lacks (processing-time only)
+    * but a Spark-native engine must expose. */
+  def hourlyRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("value"))
+      .groupBy("hour", "event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  /** Gap-based sessionization (30-min inactivity) via windows — session
+    * count/extent per user. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(col): _*)
+    val gapUs = 30L * 60 * 1000 * 1000 // 30 min in µs (µs parity with the oracle)
+    Tables.events(spark, dir)
+      .select("user_id", "ts_us", "event_id", "value")
+      .withColumn("new_session",
+        when(col("ts_us") - lag("ts_us", 1).over(w) > gapUs, 1)
+          .otherwise(when(lag("ts_us", 1).over(w).isNull, 1).otherwise(0)))
+      .withColumn("session_id", sum("new_session").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        // integer div: µs diffs stay exact; matches DuckDB's µs timestamps
+        expr("(max(ts_us) - min(ts_us)) div 1000000").as("duration_sec"))
+      .orderBy("user_id", "session_id")
+  }
+}

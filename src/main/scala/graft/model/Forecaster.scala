@@ -1,0 +1,119 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** ML-1/2/3 — the model stage as a dataflow operator (SURVEY.md §2.5).
+  *
+  * The reference trains a 2×LSTM(50)+Dense(5) Keras network
+  * (`lvmh_forecaster2.py:62-71`) on sliding windows of 10 scaled prices to
+  * predict the next 5. Spark has no LSTM; per SURVEY §7.3 the engine
+  * contract is `fit(windowedSamples) -> Model` with identical I/O shape
+  * (seqLen lags in, horizon steps out), pluggable behind this trait.
+  * Correctness is by contract (output length, finiteness, envelope), not
+  * bit-parity with TensorFlow — see SURVEY §5.3.
+  */
+trait Forecaster extends Serializable {
+  def seqLen: Int
+  def horizon: Int
+  /** Train on WIN-1 output: rows of (features: array<double>[seqLen],
+    * labels: array<double>[horizon]). */
+  def fit(samples: DataFrame): ForecastModel
+}
+
+trait ForecastModel extends Serializable {
+  /** Predict the next `horizon` values from one window of `seqLen` values. */
+  def predict(window: Array[Double]): Array[Double]
+}
+
+/** Multi-output linear autoregression fit in closed form (ridge / normal
+  * equations): one model per horizon step over the seqLen lag features plus
+  * intercept.
+  *
+  * Distribution story: the Gram matrix X'X ((p+1)×(p+1), p = seqLen) and
+  * the cross-products X'Y ((p+1)×horizon) are SUMS over samples, so they
+  * are computed with a single `mapPartitions`-free aggregation: we expand
+  * each sample's contribution with built-in array expressions and
+  * `sum`-aggregate — a map-side partial aggregate with a one-row shuffle,
+  * identical in shape to AGG-2. The tiny dense solve ((p+1) ≤ ~64) happens
+  * on the driver. For 100 TB of samples this is one pass, no iteration,
+  * no collect of data rows — only the (p+1)² summary ever moves.
+  */
+final class RidgeForecaster(val seqLen: Int = 10, val horizon: Int = 5,
+                            lambda: Double = 1e-6) extends Forecaster {
+
+  def fit(samples: DataFrame): ForecastModel = {
+    val p = seqLen + 1 // +1 intercept
+    // x = [1.0, features...]; flat outer products xx' and x*y per row
+    val x = concat(array(lit(1.0)), col("features"))
+    val xxFlat = flatten(transform(x, xi => transform(x, xj => xi * xj)))
+    val xyFlat = flatten(transform(x, xi => transform(col("labels"), yj => xi * yj)))
+    val agg = samples.select(xxFlat.as("xx"), xyFlat.as("xy"))
+      .agg(
+        array((0 until p * p).map(i => sum(element_at(col("xx"), i + 1))): _*).as("sxx"),
+        array((0 until p * horizon).map(i => sum(element_at(col("xy"), i + 1))): _*).as("sxy"),
+        count(lit(1)).as("n"))
+      .head()
+    val n = agg.getLong(2)
+    if (n == 0) return new LinearModel(seqLen, horizon, Array.fill(horizon)(Array.fill(p)(0.0)))
+    val sxx = agg.getSeq[Double](0).toArray
+    val sxy = agg.getSeq[Double](1).toArray
+    // A = X'X + lambda*I (no penalty on intercept), B = X'Y
+    val a = Array.tabulate(p, p)((i, j) => sxx(i * p + j) + (if (i == j && i > 0) lambda else 0.0))
+    // solve A * W = B for each horizon column via Gaussian elimination w/ partial pivoting
+    val weights = Array.tabulate(horizon) { h =>
+      val b = Array.tabulate(p)(i => sxy(i * horizon + h))
+      solve(a.map(_.clone()), b)
+    }
+    new LinearModel(seqLen, horizon, weights)
+  }
+
+  private def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+    val p = b.length
+    for (k <- 0 until p) {
+      var piv = k
+      for (i <- k + 1 until p) if (math.abs(a(i)(k)) > math.abs(a(piv)(k))) piv = i
+      val tmp = a(k); a(k) = a(piv); a(piv) = tmp
+      val tb = b(k); b(k) = b(piv); b(piv) = tb
+      val d = if (a(k)(k) == 0.0) 1e-12 else a(k)(k)
+      for (i <- k + 1 until p) {
+        val f = a(i)(k) / d
+        if (f != 0.0) {
+          for (j <- k until p) a(i)(j) -= f * a(k)(j)
+          b(i) -= f * b(k)
+        }
+      }
+    }
+    val xOut = new Array[Double](p)
+    for (i <- p - 1 to 0 by -1) {
+      var s = b(i)
+      for (j <- i + 1 until p) s -= a(i)(j) * xOut(j)
+      val d = if (a(i)(i) == 0.0) 1e-12 else a(i)(i)
+      xOut(i) = s / d
+    }
+    xOut
+  }
+}
+
+final class LinearModel(seqLen: Int, horizon: Int,
+                        /** weights(h)(0)=intercept, weights(h)(1..seqLen)=lag coefs */
+                        val weights: Array[Array[Double]]) extends ForecastModel {
+  def predict(window: Array[Double]): Array[Double] = {
+    require(window.length == seqLen, s"window must have $seqLen values")
+    Array.tabulate(horizon) { h =>
+      val w = weights(h)
+      var s = w(0)
+      var i = 0
+      while (i < seqLen) { s += w(i + 1) * window(i); i += 1 }
+      s
+    }
+  }
+}
+
+/** Naive persistence baseline (predicts the last value for every step) —
+  * the fallback the pipeline uses below the training threshold
+  * (`lvmh_forecaster2.py:75-76` returns no samples for < seqLen+horizon rows). */
+final class PersistenceModel(seqLen: Int, horizon: Int) extends ForecastModel {
+  def predict(window: Array[Double]): Array[Double] =
+    Array.fill(horizon)(if (window.nonEmpty) window.last else 0.0)
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** JN-1 — stream-stream alignment joins (SURVEY.md §2.6;
+  * `lvmh_forecaster2.py:150-185`).
+  *
+  * The reference pairs each arriving actual with the OLDEST forecast row
+  * whose `actual_price` is still NULL — i.e. a FIFO pairing by queue order,
+  * not by timestamp. Batch form: rank both sides with `row_number` and
+  * equi-join on (key, rank) — a hash join after two window passes, O(n log n)
+  * per key partition instead of the reference's O(n) scan per row (O(n²)
+  * total). The principled variant ([[asOfJoin]]) matches on event time.
+  */
+object AlignJoin {
+
+  /** FIFO rank join: left row i pairs with right row i (per key, each side
+    * ordered by its own `order` columns). `"left"` join keeps unmatched left
+    * rows with NULL right columns (the never-filled forecast tail).
+    * Both sides shuffle once on (keys) for the window, then join on
+    * (keys, __rn) — with AQE this is a local join when partitioning aligns.
+    */
+  def rankJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftOrder: Seq[String], rightOrder: Seq[String],
+               joinType: String = "left"): DataFrame = {
+    def rank(df: DataFrame, order: Seq[String]) = df.withColumn("__rn",
+      row_number().over(
+        Window.partitionBy(keys.map(col): _*).orderBy(order.map(col): _*)))
+    rank(left, leftOrder)
+      .join(rank(right, rightOrder), keys :+ "__rn", joinType)
+      .drop("__rn")
+  }
+
+  /** As-of join (documented improvement over the reference's FIFO pairing):
+    * for each left row, the latest right row with `rightTime <= leftTime`
+    * (per key). Composed from built-ins — union both sides, one window pass
+    * carrying the last-seen right values forward, then filter back to left
+    * rows. One shuffle on keys, no range join explosion, skew-safe per key.
+    *
+    * `rightCols` are the right-side columns to carry (must exist in right).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String,
+               rightCols: Seq[String]): DataFrame = {
+    val lTagged = left.withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .withColumns(rightCols.map(c => s"__r_$c" -> lit(null)).toMap)
+    val rTagged = right.select((keys.map(col) :+ col(rightTime).as("__t")) ++
+        rightCols.map(c => col(c).as(s"__r_$c")): _*)
+      .withColumn("__side", lit(0))
+    val unioned = lTagged.select(
+        (keys.map(col) :+ col("__t") :+ col("__side")) ++
+        left.columns.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")) ++
+        rightCols.map(c => col(s"__r_$c")): _*)
+      .unionByName(rTagged.withColumns(
+        left.columns.filterNot(keys.contains).map(c => s"__l_$c" -> lit(null)).toMap),
+        allowMissingColumns = false)
+    // right rows sort before left rows at equal time => "<=" semantics
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    carried.where(col("__side") === 1)
+      .select(keys.map(col) ++
+        left.columns.filterNot(keys.contains).map(c => col(s"__l_$c").as(c)) ++
+        rightCols.map(c => col(s"__r_$c").as(s"asof_$c")): _*)
+  }
+}
