@@ -1,0 +1,164 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Hashes
+
+/** Deduplication operators for the training-data pipeline track: exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash. All hashing is md5-derived
+  * ([[Hashes]]) so every stage is deterministic and oracle-checkable.
+  *
+  * Scale design (the whole point of these ops at 100 TB):
+  *  - exact dedup: one hash-shuffle on a 16-byte digest, not the text;
+  *  - n-gram Jaccard: the shingle⋈shingle self-join is the classic
+  *    blow-up — [[ngramJaccardPairs]] first drops shingles whose document
+  *    frequency exceeds `maxDf` (stop-shingles contribute candidates but
+  *    never high Jaccard), which bounds the per-shingle pair fan-out;
+  *  - MinHash LSH: fixed 16-hash signature, 4 bands × 4 rows; candidate
+  *    generation joins on (band, bandHash) buckets — the only quadratic
+  *    step is within-bucket, and bucket size is bounded by collision
+  *    probability, not corpus size;
+  *  - SimHash: banded Hamming join (4 × 8-bit bands; pigeonhole: any pair
+  *    within Hamming ≤ 3 of 32 bits shares at least one exact band).
+  */
+object Dedup {
+
+  /** Word n-gram shingles (distinct per doc) of the raw text. */
+  def shingles(docs: DataFrame, n: Int = 5): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ws) - ${n - 1}), i -> array_join(slice(ws, i, $n), ' '))"))
+        .as("shingle"))
+      .distinct()
+
+  /** Exact dedup: group on the md5 of normalized text; keeper = min doc_id.
+    * The shuffle key is the digest, so payload size is constant. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(TextAnalysis.normalized(col("text"))).as("h"))
+      .groupBy("h")
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** N-gram Jaccard near-dup pairs: candidates share ≥1 shingle (with
+    * document frequency ≤ maxDf), verified by exact Jaccard ≥ threshold. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.8,
+                        maxDf: Long = 1000): DataFrame = {
+    val sh = shingles(docs, n)
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf && col("df") >= 2) // df=1 can't pair
+      .select("shingle")
+    val shF = sh.join(rare, "shingle") // stop-shingle guard (scale)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = shF.as("a").join(shF.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 4))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "inter", "jaccard")
+  }
+
+  /** MinHash signatures: numHashes md5-seeded min-hashes over the shingle
+    * set, as flat columns mh0..mh{k-1}. Computed as conditional min
+    * aggregates — one shuffle on doc_id, no explode of the hash index. */
+  def minhashSignatures(docs: DataFrame, n: Int = 5, numHashes: Int = 16): DataFrame = {
+    val sh = shingles(docs, n)
+    val aggs = (0 until numHashes).map(j =>
+      min(Hashes.md5Long60Seeded(j, col("shingle"))).as(s"mh$j"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash-LSH near-dup pairs: band the signature (bands × rowsPerBand =
+    * numHashes), bucket-join on (band, md5(band rows)), then verify
+    * candidates with exact Jaccard ≥ threshold. */
+  def minhashLshPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.8,
+                      bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val sig = minhashSignatures(docs, n, bands * rowsPerBand)
+    val banded = sig.select(col("doc_id"), explode(array((0 until bands).map { b =>
+      val rowCols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}").cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws(",", rowCols: _*)).as("bh"))
+    }: _*)).as("bb")).select(col("doc_id"), col("bb.band"), col("bb.bh"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sh = shingles(docs, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.toDF("doc_a", "shingle"), "doc_a")
+      .join(sh.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 4))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 32-bit SimHash per document: token-frequency-weighted sign sum over
+    * the bits of each token's 32-bit md5 hash. One explode over tokens,
+    * one shuffle on doc_id with 32 conditional sums. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", Hashes.md5Long32(col("w")))
+    val bitSums = (0 until 32).map(b =>
+      sum((shiftright(col("h"), b).bitwiseAND(1) * 2 - 1) * col("cnt")).as(s"s$b"))
+    val perDoc = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val hashCol = (0 until 32).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    perDoc.select(col("doc_id"), hashCol.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found via
+    * banded join (4 bands of 8 bits; pigeonhole guarantees recall for
+    * maxHamming ≤ 3). The quadratic step is within (band, bandValue)
+    * buckets only. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(p =>
+        struct(lit(p).as("band"),
+          shiftright(col("simhash"), p * 8).bitwiseAND(0xFF).as("bv"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bv"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  // -- query entry points --
+
+  def exactQuery(spark: SparkSession, dir: String): DataFrame =
+    exact(Tables.documents(spark, dir)).orderBy("h")
+
+  def ngramQuery(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(Tables.documents(spark, dir), threshold = 0.8)
+      .orderBy("doc_a", "doc_b")
+
+  def minhashQuery(spark: SparkSession, dir: String): DataFrame =
+    minhashSignatures(Tables.documents(spark, dir))
+
+  def minhashLshQuery(spark: SparkSession, dir: String): DataFrame =
+    minhashLshPairs(Tables.documents(spark, dir), threshold = 0.8)
+      .orderBy("doc_a", "doc_b")
+
+  def simhashQuery(spark: SparkSession, dir: String): DataFrame =
+    simhash(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  def simhashPairsQuery(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(Tables.documents(spark, dir)).orderBy("doc_a", "doc_b")
+}

