@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place to build the engine's local SparkSession so that required
+  * session-level config is set exactly once, at construction — never
+  * mutated mid-flight by loaders (racy under concurrent query execution).
+  *
+  * Config notes:
+  *  - `spark.sql.shuffle.partitions` = cores: the driver runs local[32] on
+  *    one JVM; 200 default partitions would just add scheduling overhead at
+  *    these SFs. On a real cluster this is tuned to ~2-3× total cores (or
+  *    left to AQE coalescing, which is enabled by default in Spark 4).
+  *  - `nanosAsLong`: the driver's `events.parquet` carries INT64
+  *    TIMESTAMP(NANOS), which Spark's reader rejects by default;
+  *    [[Tables.events]] relies on this being set at construction.
+  */
+object Sessions {
+  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Relational, SeriesQueries}
+import graft.analytics.{Dedup, Multimodal, Relational, SeriesQueries, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -52,7 +52,85 @@ object SparkEntry {
     "src2_json_extract" -> (SeriesQueries.jsonExtract _),
     "q_events_hourly" -> (SeriesQueries.hourlyRollup _),
     "q_sessionize" -> (SeriesQueries.sessionize _),
+    // --- LLM-data-pipeline track: dedup over documents ---
+    "dedup_exact" -> (Dedup.exactQuery _),
+    "dedup_ngram_jaccard" -> (Dedup.ngramQuery _),
+    "dedup_minhash_sig" -> (Dedup.minhashQuery _),
+    "dedup_minhash_lsh" -> (Dedup.minhashLshQuery _),
+    "dedup_simhash" -> (Dedup.simhashQuery _),
+    "dedup_simhash_pairs" -> (Dedup.simhashPairsQuery _),
+    // --- text analysis over documents ---
+    "txt_token_stats" -> (TextAnalysis.tokenStatsQuery _),
+    "txt_quality" -> (TextAnalysis.qualityQuery _),
+    "txt_lang_id" -> (TextAnalysis.langIdQuery _),
+    "txt_fingerprint" -> (TextAnalysis.fingerprintQuery _),
+    // --- similarity search over embeddings ---
+    "knn_exact" -> (Similarity.knnExactQuery _),
+    "knn_ann_lsh" -> (Similarity.annLshQuery _), // no oracle: recall vs knn_exact asserted in SimilaritySpec
+    // --- multimodal binary-column plumbing ---
+    "mm_payload_stats" -> (Multimodal.payloadStatsQuery _),
+    "mm_decode_features" -> (Multimodal.decodeFeaturesQuery _),
   )
+
+  // ---- DuckDB oracle SQL building blocks (documents track) ----
+
+  /** Normalized text (mirror of TextAnalysis.normalized). */
+  private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  /** Whitespace tokens (mirror of TextAnalysis.tokens). */
+  private val toksSql = "string_split_regex(trim(text), '\\s+')"
+  /** 60-bit / 32-bit md5-derived ints (mirror of graft.functions.Hashes). */
+  private def md5L60(x: String) = s"('0x'||substr(md5($x),1,15))::UBIGINT::BIGINT"
+  private def md5L32(x: String) = s"('0x'||substr(md5($x),1,8))::UBIGINT::BIGINT"
+
+  /** Distinct word 5-gram shingles per doc (mirror of Dedup.shingles n=5). */
+  private val shinglesCte =
+    """ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+              FROM ws, LATERAL (SELECT unnest(range(1, len(w)-3)) AS i) r
+              WHERE len(w) >= 5)"""
+
+  /** Candidate-pair verification by exact Jaccard over the FULL shingle
+    * sets (mirror of the verification stage shared by ngramJaccardPairs and
+    * minhashLshPairs); expects a CTE `cand(doc_a, doc_b)`. */
+  private def jaccardVerifySql(selectCols: String, threshold: Double) =
+    s"""sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (SELECT doc_a, doc_b, count(*) AS inter
+                  FROM cand
+                  JOIN sh sa ON sa.doc_id = cand.doc_a
+                  JOIN sh sb ON sb.doc_id = cand.doc_b AND sb.shingle = sa.shingle
+                  GROUP BY doc_a, doc_b)
+        SELECT $selectCols FROM (
+          SELECT doc_a, doc_b, inter,
+                 round(inter / (na.n_sh + nb.n_sh - inter), 4) AS jaccard
+          FROM inter
+          JOIN sizes na ON na.doc_id = doc_a
+          JOIN sizes nb ON nb.doc_id = doc_b) v
+        WHERE jaccard >= $threshold"""
+
+  /** MinHash signature CTE `sig(doc_id, mh0..mh15)` (mirror of
+    * Dedup.minhashSignatures: 16 conditional-min md5-seeded hashes). */
+  private val minhashSigCte = {
+    val cols = (0 until 16)
+      .map(j => s"min(${md5L60(s"'$j:'||shingle")}) AS mh$j").mkString(",\n               ")
+    s"sig AS (SELECT doc_id,\n               $cols\n             FROM sh GROUP BY doc_id)"
+  }
+
+  /** SimHash CTE `sim(doc_id, simhash)` (mirror of Dedup.simhash: 32
+    * frequency-weighted sign sums over the bits of each token's md5-32). */
+  private val simhashCte = {
+    val sums = (0 until 32)
+      .map(b => s"sum((((h >> $b) & 1)*2 - 1) * cnt) AS s$b").mkString(",\n               ")
+    val bits = (0 until 32)
+      .map(b => s"(CASE WHEN s$b > 0 THEN (1::BIGINT << $b) ELSE 0 END)").mkString(" + ")
+    s"""toks AS (SELECT doc_id, w, count(*) AS cnt
+               FROM (SELECT doc_id, unnest($toksSql) AS w FROM documents) t
+               GROUP BY doc_id, w),
+        th AS (SELECT doc_id, cnt, ${md5L32("w")} AS h FROM toks),
+        bits AS (SELECT doc_id,
+               $sums
+             FROM th GROUP BY doc_id),
+        sim AS (SELECT doc_id, ($bits)::BIGINT AS simhash FROM bits)"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -160,14 +238,21 @@ object SparkEntry {
          SELECT user_id, f_event_id, f_value, a_event_id, a_value
          FROM f LEFT JOIN a USING (user_id, rn)""",
     "jn2_asof_join" ->
-      """SELECT user_id, event_id, value, last_view_value FROM (
-         SELECT user_id, event_id, value, event_type,
-           last_value(CASE WHEN event_type='view' THEN value END IGNORE NULLS)
-             OVER (PARTITION BY user_id
-                   ORDER BY ts, CASE WHEN event_type='view' THEN 0 ELSE 1 END
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_value
-         FROM events WHERE event_type IN ('view','purchase')) t
-         WHERE event_type='purchase'""",
+      """WITH v AS (SELECT user_id, ts, value FROM (
+             SELECT user_id, ts, value,
+                    row_number() OVER (PARTITION BY user_id, ts
+                                       ORDER BY event_id DESC) AS rn
+             FROM events WHERE event_type='view') WHERE rn = 1),
+           u AS (SELECT user_id, ts, event_id, value, 1 AS side, NULL AS v_value
+                 FROM events WHERE event_type='purchase'
+                 UNION ALL
+                 SELECT user_id, ts, NULL, NULL, 0, value FROM v)
+         SELECT user_id, event_id, value, last_view_value FROM (
+           SELECT user_id, event_id, value, side,
+             last_value(v_value IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, side
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_value
+           FROM u) t WHERE side = 1""",
     "agg2_persistence_rmse" ->
       """SELECT user_id, round(sqrt(avg(pow(value - prev, 2))), 4) AS rmse FROM (
          SELECT user_id, value,
@@ -202,5 +287,118 @@ object SparkEntry {
          SELECT user_id, session_id, count(*) AS n_events,
                 ((max(ts_us) - min(ts_us)) // 1000000)::BIGINT AS duration_sec
          FROM s GROUP BY user_id, session_id""",
+    // --- dedup track (documents) ---
+    "dedup_exact" ->
+      s"""SELECT md5($normSql) AS h, min(doc_id) AS keep_doc_id,
+          count(*) AS n_copies FROM documents GROUP BY 1""",
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shinglesCte,
+          rare AS (SELECT shingle FROM sh GROUP BY shingle
+                   HAVING count(*) BETWEEN 2 AND 1000),
+          shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM shf a JOIN shf b
+                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+          ${jaccardVerifySql("doc_a, doc_b, inter, jaccard", 0.8)}""",
+    "dedup_minhash_sig" ->
+      s"""WITH $shinglesCte,
+          $minhashSigCte
+          SELECT * FROM sig""",
+    "dedup_minhash_lsh" -> {
+      val bandSelects = (0 until 4).map { b =>
+        val rowCols = (0 until 4).map(r => s"mh${b * 4 + r}::VARCHAR").mkString("||','||")
+        s"SELECT doc_id, $b AS band, md5($rowCols) AS bh FROM sig"
+      }.mkString("\n                      UNION ALL ")
+      s"""WITH $shinglesCte,
+          $minhashSigCte,
+          banded AS ($bandSelects),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM banded a JOIN banded b
+                   ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+          ${jaccardVerifySql("doc_a, doc_b, jaccard", 0.8)}"""
+    },
+    "dedup_simhash" ->
+      s"""WITH $simhashCte
+          SELECT doc_id, simhash FROM sim""",
+    "dedup_simhash_pairs" ->
+      s"""WITH $simhashCte,
+          banded AS (SELECT doc_id, simhash, p AS band, (simhash >> (p*8)) & 255 AS bv
+                     FROM sim, LATERAL (SELECT unnest(range(4)) AS p) g)
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+          FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+    // --- text analysis track (documents) ---
+    "txt_token_stats" ->
+      s"""SELECT doc_id, len($toksSql)::BIGINT AS n_tokens,
+          length(text)::BIGINT AS n_text_chars,
+          ceil(length(text)/4.0)::BIGINT AS n_bpe_est,
+          round(length(text) / len($toksSql), 4) AS chars_per_token
+          FROM documents""",
+    "txt_quality" ->
+      s"""SELECT doc_id, n_tokens, n_punct, n_stop, punct_ratio, stop_ratio,
+          round(stop_ratio*2.0 - punct_ratio, 4) AS quality FROM (
+            SELECT doc_id, len($toksSql)::BIGINT AS n_tokens,
+              len(regexp_extract_all(text, '[.!?,;:]'))::BIGINT AS n_punct,
+              len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is)\\b'))::BIGINT AS n_stop,
+              round(len(regexp_extract_all(text, '[.!?,;:]')) / length(text), 4) AS punct_ratio,
+              round(len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is)\\b'))
+                    / len($toksSql), 4) AS stop_ratio
+            FROM documents) t""",
+    "txt_lang_id" ->
+      """SELECT doc_id,
+         CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+              WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+              WHEN c_es >= c_fr THEN 'es' ELSE 'fr' END AS lang_pred,
+         c_en::BIGINT AS c_en, c_de::BIGINT AS c_de,
+         c_es::BIGINT AS c_es, c_fr::BIGINT AS c_fr FROM (
+           SELECT doc_id,
+             len(regexp_extract_all(text, '\b(the|order|fast|scan)\b')) AS c_en,
+             len(regexp_extract_all(text, '\b(stream|merge|window)\b')) AS c_de,
+             len(regexp_extract_all(text, '\b(table|query|group)\b')) AS c_es,
+             len(regexp_extract_all(text, '\b(join|filter|sort)\b')) AS c_fr
+           FROM documents) t""",
+    "txt_fingerprint" ->
+      s"""SELECT doc_id, md5($normSql) AS fp_md5,
+          ${md5L60(normSql)} AS fp60 FROM documents""",
+    // --- similarity search (embeddings) ---
+    "knn_exact" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
+                    FROM embeddings WHERE vec_id < 10),
+          c AS (SELECT q_id, vec_id AS n_id,
+                  round(list_cosine_similarity(qe, embedding::DOUBLE[]), 4) AS cos
+                FROM q, embeddings WHERE vec_id <> q_id)
+         SELECT q_id, n_id, rank, cos FROM (
+           SELECT q_id, n_id, cos,
+                  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+           FROM c) t
+         WHERE rank <= 5""",
+    // --- multimodal payload plumbing (documents; payload = UTF-8 bytes) ---
+    "mm_payload_stats" ->
+      """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+         ('0x'||substr(md5(text),1,4))::UBIGINT::BIGINT % 1920 AS width,
+         ('0x'||substr(md5(text),5,4))::UBIGINT::BIGINT % 1080 AS height,
+         md5(text) AS payload_md5,
+         md5(substr(text, 1, 64)) AS head_md5
+         FROM documents""",
+    "mm_decode_features" -> {
+      val fcols = (1 to 8).map(i => s"round(f$i, 6) AS f$i").mkString(", ")
+      val pivots = (0 until 8).map(i => s"avg(CASE WHEN slice = $i THEN bv END)/255.0 AS f${i + 1}")
+        .mkString(",\n                 ")
+      s"""WITH d AS (SELECT doc_id, text, length(text)::BIGINT AS n FROM documents),
+          sl AS (SELECT doc_id, n, i, (n*i)//8 AS lo, (n*(i+1))//8 AS hi
+                 FROM d, LATERAL (SELECT unnest(range(8)) AS i) r),
+          bytes AS (SELECT doc_id, p, ascii(substr(text, (p+1)::INT, 1)) AS bv
+                    FROM d, LATERAL (SELECT unnest(range(0, n)) AS p) r),
+          tagged AS (SELECT b.doc_id, sl.i AS slice, b.bv
+                     FROM bytes b JOIN sl ON sl.doc_id = b.doc_id
+                                        AND b.p >= sl.lo AND b.p < sl.hi),
+          f AS (SELECT doc_id,
+                 $pivots
+               FROM tagged GROUP BY doc_id)
+          SELECT d.doc_id, d.n AS n_bytes, $fcols
+          FROM d JOIN f ON f.doc_id = d.doc_id"""
+    },
   )
 }

@@ -26,12 +26,16 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
   /** `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects by default. We read nanos as long (legacy conf) and
-    * expose both the raw nanos (`ts_ns`), microseconds (`ts_us`, matches
+    * reader rejects by default. The session must be built with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` ([[Sessions.local]] sets
+    * it at construction — not here: conf mutation inside a loader is a
+    * hidden global side effect and racy under concurrent queries). We
+    * expose the raw nanos (`ts_ns`), microseconds (`ts_us`, matches
     * DuckDB's `epoch_us(ts::TIMESTAMP)`) and a proper TimestampType `ts`.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "build the session via graft.Sessions.local (needs nanosAsLong=true for events.parquet)")
     load(spark, dir, "events")
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts_us", expr("ts_ns div 1000")) // integer div: ns exceeds double's 2^53

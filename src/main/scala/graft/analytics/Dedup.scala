@@ -41,8 +41,12 @@ object Dedup {
       .groupBy("h")
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
-  /** N-gram Jaccard near-dup pairs: candidates share ≥1 shingle (with
-    * document frequency ≤ maxDf), verified by exact Jaccard ≥ threshold. */
+  /** N-gram Jaccard near-dup pairs: candidates share ≥1 shingle with
+    * document frequency in [2, maxDf] (the stop-shingle guard bounds the
+    * self-join fan-out and applies to CANDIDACY only), then each candidate
+    * pair is verified by exact Jaccard over the FULL shingle sets — the same
+    * candidate-driven verification [[minhashLshPairs]] uses, so the metric
+    * is never distorted by the guard. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.8,
                         maxDf: Long = 1000): DataFrame = {
     val sh = shingles(docs, n)
@@ -50,11 +54,15 @@ object Dedup {
       .where(col("df") <= maxDf && col("df") >= 2) // df=1 can't pair
       .select("shingle")
     val shF = sh.join(rare, "shingle") // stop-shingle guard (scale)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = shF.as("a").join(shF.as("b"),
+    val cand = shF.as("a").join(shF.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.toDF("doc_a", "shingle"), "doc_a")
+      .join(sh.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")

@@ -83,8 +83,10 @@ object SeriesQueries {
     val purchases = ev.where(col("event_type") === "purchase")
       .select("user_id", "ts_us", "event_id", "value")
     val views = ev.where(col("event_type") === "view")
-      .select(col("user_id"), col("ts_us").as("v_ts_us"), col("value").as("v_value"))
-    AlignJoin.asOfJoin(purchases, views, keys, "ts_us", "v_ts_us", Seq("v_value"))
+      .select(col("user_id"), col("ts_us").as("v_ts_us"),
+        col("event_id").as("v_event_id"), col("value").as("v_value"))
+    AlignJoin.asOfJoin(purchases, views, keys, "ts_us", "v_ts_us", Seq("v_value"),
+        rightTiebreak = Seq("v_event_id"))
       .select(col("user_id"), col("event_id"), col("value"),
         col("asof_v_value").as("last_view_value"))
   }

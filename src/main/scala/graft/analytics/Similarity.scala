@@ -1,0 +1,118 @@
+package graft.analytics
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (north star: ANN over an
+  * `Array[Float]` embedding column).
+  *
+  * Two paths:
+  *  - [[knnExact]] — brute-force cosine top-k: the correctness baseline,
+  *    exact and DuckDB-oracle-checkable. The query side is broadcast
+  *    (top-k queries are always small relative to the corpus), so the big
+  *    side streams through a single scan — no shuffle of the corpus; the
+  *    final rank is a per-query-key window over candidate rows.
+  *  - [[annLshCosine]] — random-hyperplane LSH: the 100 TB path. Each
+  *    vector gets a sign-bit signature from md5-seeded hyperplanes; banded
+  *    buckets make candidate generation a bucket equi-join (quadratic only
+  *    within buckets), then exact cosine re-ranks candidates. Recall vs
+  *    [[knnExact]] is asserted in `SimilaritySpec`.
+  *
+  * All arithmetic is done in double after casting the float embeddings,
+  * and cosines are rounded to 4 digits BEFORE ranking so engine-level ULP
+  * drift can neither flip the hash nor reorder ranks (ties broken by id).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<double> columns (matches the
+    * oracle's left-to-right summation order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def embeddingsD(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+
+  /** Exact cosine top-k: for each query vector (`vec_id < nQueries`), the
+    * `k` nearest other vectors. Output: (q_id, n_id, rank, cos). */
+  def knnExact(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val emb = embeddingsD(spark, dir)
+    val q = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val scored = emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(cosine(col("qe"), col("e")), 4).as("cos"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))).cast("long"))
+      .where(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cos")
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1): md5 of
+    * "plane:dim", first 8 hex chars as a 32-bit uniform. Driver-side only
+    * (the planes are tiny constants baked into the plan as literals). */
+  private def planeComponent(plane: Int, dim: Int): Double = {
+    val d = MessageDigest.getInstance("MD5")
+      .digest(s"$plane:$dim".getBytes(StandardCharsets.UTF_8))
+    val u = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) | ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+    u / 2147483648.0 - 1.0
+  }
+
+  /** ANN top-k via random-hyperplane (SimHash-style) LSH.
+    *
+    * `bands` × `rowsPerBand` sign bits per vector; a candidate pair must
+    * share one full band (pigeonhole — same pattern as `Dedup.simhashPairs`).
+    * Candidates are re-ranked by exact cosine, so precision is 1; only
+    * recall is approximate. At scale: signatures are one projection pass,
+    * the bucket join shuffles (band, bucket) keys only, and the corpus is
+    * never all-pairs joined.
+    */
+  def annLshCosine(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+                   dims: Int = 64, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val emb = embeddingsD(spark, dir)
+    // bucket_b = packed sign bits of the band's hyperplane dots
+    val bucketCols = (0 until bands).map { b =>
+      val bits = (0 until rowsPerBand).map { r =>
+        val p = b * rowsPerBand + r
+        val plane = array((0 until dims).map(d => lit(planeComponent(p, d))): _*)
+        when(dot(col("e"), plane) > 0, lit(1 << r)).otherwise(lit(0))
+      }
+      struct(lit(b).as("band"), bits.reduce(_ + _).as("bucket"))
+    }
+    val banded = emb.select(col("vec_id"), col("e"),
+      explode(array(bucketCols: _*)).as("bb"))
+      .select(col("vec_id"), col("e"), col("bb.band"), col("bb.bucket"))
+    val q = banded.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("band"), col("bucket"))
+    val cand = banded.join(broadcast(q),
+        Seq("band", "bucket"), "inner")
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("qe"), col("vec_id").as("n_id"), col("e"))
+      .dropDuplicates("q_id", "n_id")
+    cand.select(col("q_id"), col("n_id"),
+        round(cosine(col("qe"), col("e")), 4).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))).cast("long"))
+      .where(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cos")
+  }
+
+  // -- query entry points --
+
+  def knnExactQuery(spark: SparkSession, dir: String): DataFrame =
+    knnExact(spark, dir).orderBy("q_id", "rank")
+
+  def annLshQuery(spark: SparkSession, dir: String): DataFrame =
+    annLshCosine(spark, dir).orderBy("q_id", "rank")
+}

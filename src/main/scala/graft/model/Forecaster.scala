@@ -58,26 +58,41 @@ final class RidgeForecaster(val seqLen: Int = 10, val horizon: Int = 5,
     if (n == 0) return new LinearModel(seqLen, horizon, Array.fill(horizon)(Array.fill(p)(0.0)))
     val sxx = agg.getSeq[Double](0).toArray
     val sxy = agg.getSeq[Double](1).toArray
-    // A = X'X + lambda*I (no penalty on intercept), B = X'Y
-    val a = Array.tabulate(p, p)((i, j) => sxx(i * p + j) + (if (i == j && i > 0) lambda else 0.0))
-    // solve A * W = B for each horizon column via Gaussian elimination w/ partial pivoting
-    val weights = Array.tabulate(horizon) { h =>
-      val b = Array.tabulate(p)(i => sxy(i * horizon + h))
-      solve(a.map(_.clone()), b)
+    // A = X'X + lambda*I (no penalty on intercept), B = X'Y. The unpenalized
+    // intercept row makes A singular for a constant-value window series
+    // (the `ticks_const` fixture): rather than masking a zero pivot with an
+    // epsilon (garbage coefficients), detect it and re-solve with ridge on
+    // the FULL diagonal — a defined, deterministic regularized solution.
+    def gram(interceptPenalty: Double) = Array.tabulate(p, p)((i, j) =>
+      sxx(i * p + j) + (if (i == j) (if (i == 0) interceptPenalty else lambda) else 0.0))
+    def trySolve(a: => Array[Array[Double]]): Option[Array[Array[Double]]] = {
+      val cols = (0 until horizon).map { h =>
+        solve(a.map(_.clone()), Array.tabulate(p)(i => sxy(i * horizon + h)))
+      }
+      if (cols.forall(_.isDefined)) Some(cols.map(_.get).toArray) else None
     }
+    val fullRidge = math.max(lambda, 1e-8) * math.max(1.0, sxx(0) / n) // scale-aware
+    val weights = trySolve(gram(0.0)).getOrElse(
+      trySolve(gram(fullRidge)).getOrElse(
+        throw new IllegalStateException(
+          s"RidgeForecaster: normal equations singular even with ridge=$fullRidge (n=$n)")))
     new LinearModel(seqLen, horizon, weights)
   }
 
-  private def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+  /** Gaussian elimination with partial pivoting; None when the system is
+    * numerically singular (pivot below tolerance relative to matrix scale). */
+  private def solve(a: Array[Array[Double]], b: Array[Double]): Option[Array[Double]] = {
     val p = b.length
+    val scale = math.max(a.map(_.map(math.abs).max).max, 1.0)
+    val tol = scale * 1e-12
     for (k <- 0 until p) {
       var piv = k
       for (i <- k + 1 until p) if (math.abs(a(i)(k)) > math.abs(a(piv)(k))) piv = i
+      if (math.abs(a(piv)(k)) < tol) return None
       val tmp = a(k); a(k) = a(piv); a(piv) = tmp
       val tb = b(k); b(k) = b(piv); b(piv) = tb
-      val d = if (a(k)(k) == 0.0) 1e-12 else a(k)(k)
       for (i <- k + 1 until p) {
-        val f = a(i)(k) / d
+        val f = a(i)(k) / a(k)(k)
         if (f != 0.0) {
           for (j <- k until p) a(i)(j) -= f * a(k)(j)
           b(i) -= f * b(k)
@@ -88,10 +103,9 @@ final class RidgeForecaster(val seqLen: Int = 10, val horizon: Int = 5,
     for (i <- p - 1 to 0 by -1) {
       var s = b(i)
       for (j <- i + 1 until p) s -= a(i)(j) * xOut(j)
-      val d = if (a(i)(i) == 0.0) 1e-12 else a(i)(i)
-      xOut(i) = s / d
+      xOut(i) = s / a(i)(i)
     }
-    xOut
+    Some(xOut)
   }
 }
 

@@ -40,14 +40,28 @@ object AlignJoin {
     * rows. One shuffle on keys, no range join explosion, skew-safe per key.
     *
     * `rightCols` are the right-side columns to carry (must exist in right).
+    *
+    * Determinism at equal `rightTime`: "latest" is ambiguous when several
+    * right rows share (keys, rightTime). `rightTiebreak` fixes the
+    * convention — the row with the LARGEST tiebreak tuple wins; the others
+    * are dropped before the union (a `row_number` pass on the same shuffle
+    * key, so no extra exchange). Without it, `last(..., ignoreNulls)` would
+    * pick an engine/run-dependent row and break hash-stable results.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String,
-               rightCols: Seq[String]): DataFrame = {
+               rightCols: Seq[String],
+               rightTiebreak: Seq[String] = Nil): DataFrame = {
+    val rightDedup =
+      if (rightTiebreak.isEmpty) right
+      else right.withColumn("__dup_rn", row_number().over(
+          Window.partitionBy((keys :+ rightTime).map(col): _*)
+            .orderBy(rightTiebreak.map(c => col(c).desc): _*)))
+        .where(col("__dup_rn") === 1).drop("__dup_rn")
     val lTagged = left.withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
       .withColumns(rightCols.map(c => s"__r_$c" -> lit(null)).toMap)
-    val rTagged = right.select((keys.map(col) :+ col(rightTime).as("__t")) ++
+    val rTagged = rightDedup.select((keys.map(col) :+ col(rightTime).as("__t")) ++
         rightCols.map(c => col(c).as(s"__r_$c")): _*)
       .withColumn("__side", lit(0))
     val unioned = lTagged.select(

@@ -35,9 +35,12 @@ final case class WindowedSample(
     features: Array[Double], // len = sequenceLength (10)
     labels: Array[Double])   // len = forecastHorizon (5)
 
-/** Min/max scaling parameters (NRM-1..3, `lvmh_forecaster2.py:26,79-80`). */
+/** Min/max scaling parameters (NRM-1..3, `lvmh_forecaster2.py:26,79-80`).
+  *
+  * Degenerate min==max convention (shared with [[graft.operators.TickOps]]):
+  * scale maps everything to 0.0, and invert maps everything back to the
+  * constant `min` — the faithful inverse of the scale-to-0.0 guard. */
 final case class ScalerParams(min: Double, max: Double) {
-  private val range = if (max > min) max - min else 1.0 // min==max guard
-  def scale(x: Double): Double = (x - min) / range
-  def invert(y: Double): Double = y * range + min
+  def scale(x: Double): Double = if (max > min) (x - min) / (max - min) else 0.0
+  def invert(y: Double): Double = if (max > min) y * (max - min) + min else min
 }

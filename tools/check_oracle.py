@@ -39,7 +39,11 @@ def main():
                 n_fail += 1
                 continue
             if list(got.dtypes) != list(want.dtypes):
-                print(f"WARN {name}: dtypes {list(got.dtypes)} vs {list(want.dtypes)}")
+                # strict, matching the driver's schema_match gate (the
+                # int32-vs-int64 row_number class of failure)
+                print(f"FAIL {name}: dtypes {list(got.dtypes)} vs {list(want.dtypes)}")
+                n_fail += 1
+                continue
             got = got.sort_values(by=list(got.columns), na_position="first").reset_index(drop=True)
             want = want.sort_values(by=list(want.columns), na_position="first").reset_index(drop=True)
             if len(got) != len(want):
