@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Dedup, Multimodal, Relational, SeriesQueries, Similarity, TextAnalysis}
+import graft.analytics.{Dedup, ForecastQueries, Multimodal, Relational, SeriesQueries, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -52,6 +52,11 @@ object SparkEntry {
     "src2_json_extract" -> (SeriesQueries.jsonExtract _),
     "q_events_hourly" -> (SeriesQueries.hourlyRollup _),
     "q_sessionize" -> (SeriesQueries.sessionize _),
+    // --- model-in-the-loop surface (SURVEY §2.3/2.5/2.7) ---
+    "ml3_persistence_backtest" -> (ForecastQueries.persistenceBacktest(_, _)),
+    "nrm2_frozen_scale" -> (ForecastQueries.frozenScale _),
+    "agg4_rmse_history_mean" -> (ForecastQueries.rmseHistoryMean _),
+    "ml1_ridge_forecast" -> (ForecastQueries.ridgeForecast(_, _)), // no oracle: closed-form fit sums doubles in partition order; contract-tested in ForecasterSpec
     // --- LLM-data-pipeline track: dedup over documents ---
     "dedup_exact" -> (Dedup.exactQuery _),
     "dedup_ngram_jaccard" -> (Dedup.ngramQuery _),
@@ -287,6 +292,36 @@ object SparkEntry {
          SELECT user_id, session_id, count(*) AS n_events,
                 ((max(ts_us) - min(ts_us)) // 1000000)::BIGINT AS duration_sec
          FROM s GROUP BY user_id, session_id""",
+    // --- model-in-the-loop surface (events) ---
+    "ml3_persistence_backtest" ->
+      """WITH t AS (SELECT user_id, value,
+             lead(value,1) OVER w AS l1, lead(value,2) OVER w AS l2,
+             lead(value,3) OVER w AS l3, lead(value,4) OVER w AS l4,
+             lead(value,5) OVER w AS l5
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         u AS (SELECT 1::BIGINT AS h, value, l1 AS actual FROM t
+               UNION ALL SELECT 2, value, l2 FROM t
+               UNION ALL SELECT 3, value, l3 FROM t
+               UNION ALL SELECT 4, value, l4 FROM t
+               UNION ALL SELECT 5, value, l5 FROM t)
+         SELECT h, round(sqrt(avg(pow(actual - value, 2))), 4) AS rmse, count(*) AS n
+         FROM u WHERE actual IS NOT NULL GROUP BY h""",
+    "nrm2_frozen_scale" ->
+      """SELECT event_id,
+         round(CASE WHEN mx > mn THEN (value - mn)/(mx - mn) ELSE 0.0 END, 6) AS scaled_frozen
+         FROM events, (SELECT min(value) AS mn, max(value) AS mx
+                       FROM events WHERE event_id % 2 = 0) s""",
+    "agg4_rmse_history_mean" ->
+      """WITH t AS (SELECT user_id, ts, event_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         c AS (SELECT user_id,
+                 sqrt(avg(pow(value - prev, 2))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cum_rmse
+               FROM t WHERE prev IS NOT NULL)
+         SELECT user_id, round(avg(cum_rmse), 4) AS avg_rmse, count(*) AS n_history
+         FROM c GROUP BY user_id""",
     // --- dedup track (documents) ---
     "dedup_exact" ->
       s"""SELECT md5($normSql) AS h, min(doc_id) AS keep_doc_id,

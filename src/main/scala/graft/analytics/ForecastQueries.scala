@@ -1,0 +1,112 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.model.{LinearModel, RidgeForecaster}
+import graft.operators.SeqWindows
+
+/** The model-in-the-loop operator surface (SURVEY §2.3/2.5/2.7) as batch
+  * queries over `events` — NRM-2 frozen-params transform, ML-1/3 ridge
+  * fit+predict, the ML-3+JN-1+AGG-2 backtest composition, and AGG-4's
+  * mean-of-RMSE-history.
+  *
+  * `events.value` plays the price series per `user_id` key. Deterministic
+  * parts (persistence backtest, frozen scaling, RMSE history) are
+  * DuckDB-oracle-checked; the ridge model's numeric output is checked by
+  * contract in `ForecasterSpec` (closed-form fit sums doubles in partition
+  * order, so exact values are not cross-engine stable).
+  */
+object ForecastQueries {
+
+  private val keys = Seq("user_id")
+  private val order = Seq("ts_us", "event_id")
+  private def w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(col): _*)
+
+  private def ev(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select("user_id", "ts_us", "event_id", "value")
+
+  /** ML-3 + JN-1 + AGG-2 — multi-step persistence backtest: forecast h
+    * steps ahead with the current value (the persistence baseline the
+    * pipeline uses below the training threshold), align with the realized
+    * value h rows later (the rank-join semantics: position i pairs with
+    * position i+h), and score RMSE per horizon step. */
+  def persistenceBacktest(spark: SparkSession, dir: String, horizon: Int = 5): DataFrame = {
+    val withLeads = ev(spark, dir).select(
+      Seq(col("user_id"), col("value")) ++
+        (1 to horizon).map(h => lead("value", h).over(w).as(s"l$h")): _*)
+    val stackArgs = (1 to horizon).map(h => s"${h}L, l$h").mkString(", ")
+    withLeads
+      .select(col("value"), expr(s"stack($horizon, $stackArgs) AS (h, actual)"))
+      .where(col("actual").isNotNull)
+      .groupBy("h")
+      .agg(round(sqrt(avg(pow(col("actual") - col("value"), 2))), 4).as("rmse"),
+        count(lit(1)).as("n"))
+      .orderBy("h")
+  }
+
+  /** NRM-2 — transform with FROZEN params: min/max fit on a train subset
+    * only (even event_ids), then applied unchanged to every row — the
+    * "apply stored scaler between refits" semantics. Values outside the
+    * train range fall outside [0,1], exactly as a frozen scaler behaves. */
+  def frozenScale(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    val stats = e.where(col("event_id") % 2 === 0)
+      .agg(min("value").as("__mn"), max("value").as("__mx"))
+    e.crossJoin(broadcast(stats))
+      .select(col("event_id"),
+        round(when(col("__mx") > col("__mn"),
+            (col("value") - col("__mn")) / (col("__mx") - col("__mn")))
+          .otherwise(lit(0.0)), 6).as("scaled_frozen"))
+  }
+
+  /** AGG-4 — the reference's `avg_rmse = mean(rmse_history)`
+    * (`lvmh_forecaster2.py:273`): cumulative RMSE of the one-step
+    * persistence forecast recomputed after every tick (the history), then
+    * the running mean over that history, per user. */
+  def rmseHistoryMean(spark: SparkSession, dir: String): DataFrame = {
+    val withPrev = ev(spark, dir).withColumn("prev", lag("value", 1).over(w))
+    val cum = withPrev.where(col("prev").isNotNull)
+      .withColumn("cum_rmse", sqrt(avg(pow(col("value") - col("prev"), 2))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    cum.groupBy("user_id")
+      .agg(round(avg("cum_rmse"), 4).as("avg_rmse"), count(lit(1)).as("n_history"))
+  }
+
+  /** Inverse-scaled prediction columns from a fitted [[LinearModel]]: the
+    * weights become plan literals, so prediction is a pure codegen'd
+    * projection — no UDF, no per-row model object. */
+  private def predictCols(model: LinearModel, window: Column, mn: Double, mx: Double,
+                          horizon: Int): Seq[Column] =
+    (0 until horizon).map { h =>
+      val wts = model.weights(h)
+      val scaledPred = wts.indices.drop(1).foldLeft(lit(wts(0)): Column) { (acc, i) =>
+        acc + lit(wts(i)) * element_at(window, i)
+      }
+      val priced = if (mx > mn) scaledPred * lit(mx - mn) + lit(mn) else lit(mn)
+      round(priced, 4).as(s"p${h + 1}")
+    }
+
+  /** ML-1 + ML-3 + NRM-1/2/3 end-to-end — fit one ridge forecaster on all
+    * users' sliding windows of the min-max-scaled series, then emit each
+    * user's next-5 forecast from their latest window, inverse-scaled back
+    * to value space. (Rows-only driver check; contract-tested in
+    * ForecasterSpec — see class doc.) */
+  def ridgeForecast(spark: SparkSession, dir: String,
+                    seqLen: Int = 10, horizon: Int = 5): DataFrame = {
+    val e = ev(spark, dir)
+    val Array(mn, mx) = e.agg(min("value"), max("value")).head() match {
+      case r => Array(r.getDouble(0), r.getDouble(1))
+    }
+    val scaled = e.withColumn("scaled",
+      if (mx > mn) (col("value") - lit(mn)) / lit(mx - mn) else lit(0.0))
+    val samples = SeqWindows.slidingSamples(scaled, keys, order, "scaled", seqLen, horizon)
+    val model = new RidgeForecaster(seqLen, horizon).fit(samples).asInstanceOf[LinearModel]
+    val latest = SeqWindows.latestWindow(scaled, keys, order, "scaled", seqLen)
+      .where(size(col("window")) === seqLen)
+    latest.select(col("user_id") +: predictCols(model, col("window"), mn, mx, horizon): _*)
+      .orderBy("user_id")
+  }
+}

@@ -56,8 +56,38 @@ final class RidgeForecaster(val seqLen: Int = 10, val horizon: Int = 5,
       .head()
     val n = agg.getLong(2)
     if (n == 0) return new LinearModel(seqLen, horizon, Array.fill(horizon)(Array.fill(p)(0.0)))
-    val sxx = agg.getSeq[Double](0).toArray
-    val sxy = agg.getSeq[Double](1).toArray
+    solveFromSums(agg.getSeq[Double](0).toArray, agg.getSeq[Double](1).toArray, n)
+  }
+
+  /** Executor-local fit over an in-memory sample buffer — the same normal
+    * equations as [[fit]], used by the streaming state machine
+    * ([[graft.streaming]]) where each key's history lives in group state
+    * and a distributed aggregate per retrain would be absurd. */
+  def fitLocal(samples: Iterable[(Array[Double], Array[Double])]): ForecastModel = {
+    val p = seqLen + 1
+    val sxx = new Array[Double](p * p)
+    val sxy = new Array[Double](p * horizon)
+    var n = 0L
+    samples.foreach { case (f, y) =>
+      require(f.length == seqLen && y.length == horizon, "bad sample shape")
+      val x = new Array[Double](p)
+      x(0) = 1.0; System.arraycopy(f, 0, x, 1, seqLen)
+      var i = 0
+      while (i < p) {
+        var j = 0
+        while (j < p) { sxx(i * p + j) += x(i) * x(j); j += 1 }
+        var h = 0
+        while (h < horizon) { sxy(i * horizon + h) += x(i) * y(h); h += 1 }
+        i += 1
+      }
+      n += 1
+    }
+    if (n == 0) new LinearModel(seqLen, horizon, Array.fill(horizon)(Array.fill(p)(0.0)))
+    else solveFromSums(sxx, sxy, n)
+  }
+
+  private def solveFromSums(sxx: Array[Double], sxy: Array[Double], n: Long): LinearModel = {
+    val p = seqLen + 1
     // A = X'X + lambda*I (no penalty on intercept), B = X'Y. The unpenalized
     // intercept row makes A singular for a constant-value window series
     // (the `ticks_const` fixture): rather than masking a zero pivot with an
@@ -127,7 +157,7 @@ final class LinearModel(seqLen: Int, horizon: Int,
 /** Naive persistence baseline (predicts the last value for every step) —
   * the fallback the pipeline uses below the training threshold
   * (`lvmh_forecaster2.py:75-76` returns no samples for < seqLen+horizon rows). */
-final class PersistenceModel(seqLen: Int, horizon: Int) extends ForecastModel {
+final class PersistenceModel(horizon: Int) extends ForecastModel {
   def predict(window: Array[Double]): Array[Double] =
     Array.fill(horizon)(if (window.nonEmpty) window.last else 0.0)
 }
