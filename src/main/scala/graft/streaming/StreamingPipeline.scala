@@ -1,0 +1,275 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.model.RidgeForecaster
+import graft.schema.{RawTick, ScalerParams}
+import graft.sink.CsvSinks
+
+/** One pending (not yet actual-matched) forecast row — the reference's
+  * `actual_price IS NULL` rows of T3 (`lvmh_forecaster2.py:164,174`).
+  * `labelTsMs` = issue time + step minutes (`lvmh_forecaster2.py:162,181`). */
+final case class PendingForecast(step: Int, labelTsMs: Long, forecasted: Double)
+
+/** Per-ticker pipeline state for [[StreamingPipeline]] — exactly the
+  * scalar state the reference keeps between cycles (SURVEY §7.1 step 6):
+  * firstPrice (TR-2), lastPrice (TR-1), full price history (refit-on-all-
+  * history semantics, `lvmh_forecaster2.py:102`), ticks-since-fit counter
+  * (ML-2), frozen scaler params (NRM-2), model weights (ML-1), the FIFO
+  * buffer of unmatched forecasts (JN-1), and the running squared-error
+  * sums (AGG-2). */
+final case class TickState(
+    firstPrice: Option[Double],
+    lastPrice: Option[Double],
+    history: Vector[Double],
+    ticksSinceFit: Int,
+    bootstrapped: Boolean,
+    scaler: Option[ScalerParams],
+    weights: Option[Seq[Seq[Double]]],
+    pending: Vector[PendingForecast],
+    sumSqErr: Double,
+    nMatched: Long,
+    nEnqueued: Long)
+
+object TickState {
+  val empty: TickState =
+    TickState(None, None, Vector.empty, 0, bootstrapped = false, None, None,
+      Vector.empty, 0.0, 0L, 0L)
+}
+
+/** Tagged union of everything the pipeline emits per micro-batch; the
+  * single output stream that [[StreamingPipeline.start]] fans out to the
+  * four sinks (CTL-3: one DAG, several sinks — replacing the reference's
+  * process-spawn + monkey-patch tee, `lvmh_forecaster2.py:280-311`).
+  *
+  * kinds: `tick` (T1 row), `forecast` (T3 pending row), `match` (T3 row
+  * resolved with its actual), `rmse` (T4 row). `seq` is the per-ticker
+  * FIFO index — the k-th match resolves the k-th forecast (the rank-join
+  * law), independent of how label timestamps interleave. */
+final case class PipelineEvent(
+    ticker: String,
+    kind: String,
+    ts: Timestamp,
+    step: Int,
+    seq: Long,
+    price: Option[Double],
+    variation: Option[Double],
+    forecasted: Option[Double],
+    actual: Option[Double],
+    rmse: Option[Double])
+
+/** The reference's real-time loop (`lvmh_forecaster2.py:338-390`) as one
+  * Structured Streaming operator: `flatMapGroupsWithState` keyed by
+  * ticker. Each micro-batch is the queue drain (SRC-4 — Structured
+  * Streaming's delivery IS the "all rows since last trigger" semantic);
+  * each accepted tick advances the state machine one reference cycle:
+  *
+  *   TR-1 drop unchanged → TR-2 variation vs firstPrice → history append →
+  *   ML-2 refit every `updateInterval` accepted ticks (NRM-1 full-history
+  *   scaler + ridge on WIN-1 windows, computed locally in state — the
+  *   history lives with the key, a distributed aggregate per retrain would
+  *   shuffle the world) → ML-3 forecast from the latest `seqLen` window
+  *   (NRM-2 frozen transform, predict, NRM-3 invert) → JN-1 fill the
+  *   OLDEST pending forecast with this tick's price (FIFO, not time;
+  *   `lvmh_forecaster2.py:168-177`), bootstrap enqueues all `horizon`
+  *   steps, later cycles enqueue only the last step (`:158-166,180-185`)
+  *   → AGG-2 cumulative RMSE over all matched pairs (`:126-148`).
+  *
+  * Scale: state is per-ticker and the stream partitions by ticker hash —
+  * 10k tickers spread over the cluster with no cross-key traffic. The
+  * only unbounded piece is `history` (the reference's own refit-on-all
+  * semantics); `maxHistory` caps it for production (sliding refit) while
+  * the default preserves reference parity.
+  */
+object StreamingPipeline {
+
+  final case class Config(
+      seqLen: Int = 10,
+      horizon: Int = 5,
+      updateInterval: Int = 10,
+      labelIntervalMs: Long = 60000L, // reference: timedelta(minutes=step)
+      maxHistory: Int = Int.MaxValue)
+
+  /** One reference cycle for one accepted (post-TR-1) tick. Returns the
+    * updated state and the events to emit. */
+  private[streaming] def cycle(cfg: Config, st: TickState, ticker: String,
+                               ts: Timestamp, price: Double): (TickState, List[PipelineEvent]) = {
+    val out = List.newBuilder[PipelineEvent]
+    val first = st.firstPrice.getOrElse(price)
+    val variation = price / first - 1.0
+    out += PipelineEvent(ticker, "tick", ts, 0, 0L, Some(price), Some(variation), None, None, None)
+
+    var history = st.history :+ price
+    if (history.size > cfg.maxHistory) history = history.takeRight(cfg.maxHistory)
+    var ticksSinceFit = st.ticksSinceFit + 1
+    var scaler = st.scaler
+    var weights = st.weights
+
+    // ML-2 retrain trigger (`lvmh_forecaster2.py:355-357`): every
+    // updateInterval accepted ticks, given enough history for one window.
+    if (ticksSinceFit >= cfg.updateInterval && history.size >= cfg.seqLen + cfg.horizon) {
+      val s = ScalerParams(history.min, history.max) // NRM-1 full-history fit
+      val scaled = history.map(s.scale)
+      val samples = (0 to scaled.size - cfg.seqLen - cfg.horizon).map { i =>
+        (scaled.slice(i, i + cfg.seqLen).toArray,
+          scaled.slice(i + cfg.seqLen, i + cfg.seqLen + cfg.horizon).toArray)
+      }
+      val model = new RidgeForecaster(cfg.seqLen, cfg.horizon).fitLocal(samples)
+      scaler = Some(s)
+      weights = Some(model.asInstanceOf[graft.model.LinearModel].weights
+        .map(_.toSeq).toSeq)
+      ticksSinceFit = 0
+    }
+
+    // JN-1 FIFO fill BEFORE appending this cycle's forecast
+    // (`lvmh_forecaster2.py:168-185` fills, then appends).
+    var pending = st.pending
+    var sumSq = st.sumSqErr
+    var n = st.nMatched
+    if (pending.nonEmpty) {
+      val oldest = pending.head
+      pending = pending.tail
+      sumSq += (price - oldest.forecasted) * (price - oldest.forecasted)
+      n += 1
+      // reference overwrites the row's ts with the actual's ts (`:176`)
+      out += PipelineEvent(ticker, "match", ts, oldest.step, n, None, None,
+        Some(oldest.forecasted), Some(price), None)
+      out += PipelineEvent(ticker, "rmse", ts, 0, n, None, None, None, None,
+        Some(math.sqrt(sumSq / n)))
+    }
+
+    // ML-3 forecast + enqueue (bootstrap: all steps; after: last step only)
+    (weights, scaler) match {
+      case (Some(w), Some(s)) if history.size >= cfg.seqLen =>
+        val window = history.takeRight(cfg.seqLen).map(s.scale).toArray
+        val preds = w.map { wh =>
+          var acc = wh.head
+          var i = 0
+          while (i < cfg.seqLen) { acc += wh(i + 1) * window(i); i += 1 }
+          s.invert(acc) // NRM-3
+        }
+        val steps = if (st.bootstrapped) Seq(cfg.horizon) else 1 to cfg.horizon
+        var enq = st.nEnqueued
+        steps.foreach { k =>
+          val labelTs = ts.getTime + k * cfg.labelIntervalMs
+          pending = pending :+ PendingForecast(k, labelTs, preds(k - 1))
+          enq += 1
+          out += PipelineEvent(ticker, "forecast", new Timestamp(labelTs), k, enq,
+            None, None, Some(preds(k - 1)), None, None)
+        }
+        val newState = TickState(Some(first), Some(price), history, ticksSinceFit,
+          bootstrapped = true, scaler, weights, pending, sumSq, n, enq)
+        (newState, out.result())
+      case _ =>
+        val newState = TickState(Some(first), Some(price), history, ticksSinceFit,
+          st.bootstrapped, scaler, weights, pending, sumSq, n, st.nEnqueued)
+        (newState, out.result())
+    }
+  }
+
+  private def stateFunc(cfg: Config)(ticker: String, ticks: Iterator[RawTick],
+                                     state: GroupState[TickState]): Iterator[PipelineEvent] = {
+    var st = state.getOption.getOrElse(TickState.empty)
+    val out = List.newBuilder[PipelineEvent]
+    // micro-batch iterators are unordered; restore arrival order (TR-3:
+    // timestamps are assigned at the source, injected in replay)
+    ticks.toSeq.sortBy(t => (t.timestamp.getTime, t.price)).foreach { t =>
+      if (!st.lastPrice.contains(t.price)) { // TR-1
+        val (next, events) = cycle(cfg, st, ticker, t.timestamp, t.price)
+        st = next
+        out ++= events
+      }
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
+  /** The single-operator streaming DAG: ticks → state machine → events. */
+  def events(ticks: Dataset[RawTick], cfg: Config = Config()): Dataset[PipelineEvent] = {
+    import ticks.sparkSession.implicits._
+    ticks.groupByKey(_.ticker)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(stateFunc(cfg))
+  }
+
+  /** Start the full pipeline with foreachBatch fan-out (CTL-3): per
+    * micro-batch, append tick/forecast+match/rmse slices under `outDir`
+    * (parquet append — the scalable streaming sink; single-file CSV
+    * exports are end-of-run, [[exportCsv]]) and print SNK-5 progress
+    * lines. `trigger` = ProcessingTime for live (CTL-2 cadence),
+    * AvailableNow for replay/drain. */
+  def start(ticks: Dataset[RawTick], cfg: Config, outDir: String,
+            checkpointDir: String, trigger: Trigger,
+            console: Boolean = true): StreamingQuery =
+    events(ticks, cfg).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[PipelineEvent], batchId: Long) =>
+        val df = batch.toDF().cache()
+        try {
+          df.where(col("kind") === "tick")
+            .select("ticker", "ts", "price", "variation")
+            .write.mode("append").parquet(s"$outDir/t1_ticks")
+          df.where(col("kind").isin("forecast", "match"))
+            .select("ticker", "kind", "ts", "step", "seq", "forecasted", "actual")
+            .write.mode("append").parquet(s"$outDir/t3_events")
+          df.where(col("kind") === "rmse")
+            .select("ticker", "ts", "rmse")
+            .write.mode("append").parquet(s"$outDir/t4_rmse")
+          if (console) // SNK-5 (`asyncio scraping.py:62`)
+            df.where(col("kind") === "tick").orderBy("ts").collect().foreach { r =>
+              println(CsvSinks.progressLine(r.getAs[Double]("price"),
+                r.getAs[Double]("variation"), r.getAs[Timestamp]("ts")))
+            }
+        } finally df.unpersist()
+        ()
+      }
+      .start()
+
+  /** T3 as the reference exports it: every forecast row, matched ones
+    * carrying their actual (the k-th match resolves the k-th forecast —
+    * JN-1's rank-join law, joined on the state machine's FIFO `seq`),
+    * unmatched tail keeping NULL actuals. */
+  def composeComparison(t3Events: DataFrame): DataFrame = {
+    val f = t3Events.where(col("kind") === "forecast")
+      .select(col("ticker"), col("ts"), col("seq"), col("forecasted"))
+    val m = t3Events.where(col("kind") === "match")
+      .select(col("ticker"), col("ts").as("actual_ts"), col("seq"), col("actual"))
+    f.join(m, Seq("ticker", "seq"), "left")
+      .select(col("ticker"),
+        coalesce(col("actual_ts"), col("ts")).as("timestamp"), // `:176`
+        col("actual").as("actual_price"),
+        col("forecasted").as("forecasted_price"))
+  }
+
+  /** CTL-1 — graceful shutdown: drain what's available, stop, then export
+    * the T1/T3/T4 CSVs with the reference's timestamped names (SNK-1..4). */
+  def stopAndExport(query: StreamingQuery, spark: SparkSession, outDir: String,
+                    exportAt: java.time.Instant): Seq[String] = {
+    query.processAllAvailable()
+    query.stop()
+    exportCsv(spark, outDir, exportAt)
+  }
+
+  def exportCsv(spark: SparkSession, outDir: String,
+                at: java.time.Instant): Seq[String] = {
+    // total orders on every export => byte-stable files across replays
+    val t1 = spark.read.parquet(s"$outDir/t1_ticks")
+      .orderBy("ticker", "ts", "price")
+    val t3e = spark.read.parquet(s"$outDir/t3_events")
+    val t3 = composeComparison(t3e)
+      .orderBy("ticker", "timestamp", "forecasted_price", "actual_price")
+    val t4 = spark.read.parquet(s"$outDir/t4_rmse")
+      .orderBy("ticker", "ts", "rmse")
+    Seq(
+      CsvSinks.writeTimestampedCsv(t1, outDir, "price_data", at),      // SNK-1
+      CsvSinks.writeTimestampedCsv(
+        t1.select(col("ticker"), col("ts"), col("price")), outDir, "actual_data", at), // SNK-2
+      CsvSinks.writeTimestampedCsv(t3, outDir, "forecast_comparison", at), // SNK-3
+      CsvSinks.writeTimestampedCsv(t4, outDir, "rmse_history", at))    // SNK-4
+  }
+}

@@ -1,0 +1,69 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // docs 1/2: near-identical (one word differs); doc 3: unrelated; doc 4:
+  // exact copy of 1 (modulo case/whitespace — exercises normalization);
+  // docs 5/6: share ONLY a high-frequency shingle run
+  private val common = "alpha beta gamma delta epsilon zeta eta theta"
+  private val docs = Seq(
+    (1L, s"$common iota kappa"),
+    (2L, s"$common iota lambda"),
+    (3L, "one two three four five six seven eight nine ten"),
+    (4L, s"  ${common.toUpperCase} IOTA   KAPPA "),
+    (5L, s"$common x1 y1 z1 w1 v1"),
+    (6L, s"$common x2 y2 z2 w2 v2")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups case/whitespace-normalized copies") {
+    val got = Dedup.exact(docs).where($"n_copies" > 1)
+      .select("keep_doc_id", "n_copies").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L))) // docs 1 and 4
+  }
+
+  test("ngram Jaccard is EXACT even when the stop-shingle guard prunes candidacy") {
+    // with maxDf=2 the shingles of `common` (df up to 4) are stop-shingles;
+    // docs 1/2 still become candidates via rarer shingles, and their
+    // jaccard must use the FULL shingle sets (the r1 bug divided filtered
+    // intersections by unfiltered sizes)
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5, maxDf = 2)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    // hand-computed: doc1/doc2 trigram shingles: 8 each, 7 shared -> 7/9
+    assert(pairs.contains((1L, 2L)))
+    assert(math.abs(pairs((1L, 2L)) - math.floor(7.0 / 9.0 * 10000) / 10000) < 1.01e-4)
+    // guard-only pairs (5,6) share just the common run, below threshold
+    assert(!pairs.contains((5L, 6L)))
+  }
+
+  test("ngram guard-exactness: verified jaccard equals unguarded jaccard for surviving pairs") {
+    val guarded = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5, maxDf = 2)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val unguarded = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5, maxDf = 1000)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(guarded.subsetOf(unguarded)) // guard may drop pairs, never distort
+    guarded.foreach { case (a, b, j) =>
+      assert(unguarded.contains((a, b, j)), s"pair ($a,$b) jaccard drifted")
+    }
+  }
+
+  test("minhash LSH finds the high-jaccard pair with exact verification") {
+    val got = Dedup.minhashLshPairs(docs, n = 3, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)))
+  }
+
+  test("simhash: identical docs get identical hashes; near-dups land within small hamming") {
+    val hashes = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    assert(hashes(1L) != hashes(3L))
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 8)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
+    pairs.foreach { case (a, b, h) =>
+      assert(java.lang.Long.bitCount(hashes(a) ^ hashes(b)) == h)
+      assert(h <= 8)
+    }
+  }
+}

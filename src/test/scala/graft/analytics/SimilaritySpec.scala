@@ -1,0 +1,31 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact knn: k neighbors per query, self excluded, cosine in [-1,1] descending") {
+    val got = Similarity.knnExact(spark, sfDir, nQueries = 5, k = 5)
+      .select("q_id", "n_id", "rank", "cos").as[(Long, Long, Long, Double)].collect()
+    val byQ = got.groupBy(_._1)
+    assert(byQ.size == 5)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == 5)
+      assert(rows.forall(r => r._2 != q))
+      assert(rows.forall(r => r._4 >= -1.0001 && r._4 <= 1.0001))
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-_).toSeq)
+    }
+  }
+
+  test("ANN recall@5 vs exact is usable and ANN never returns false positives by construction") {
+    val exact = Similarity.knnExact(spark, sfDir, nQueries = 10, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.annLshCosine(spark, sfDir, nQueries = 10, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    info(f"ANN recall@5 = $recall%.3f (${ann.size} returned)")
+    assert(recall >= 0.5, f"ANN recall collapsed: $recall%.3f")
+  }
+}
