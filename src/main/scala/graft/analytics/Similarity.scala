@@ -90,9 +90,13 @@ object Similarity {
       }
       struct(lit(b).as("band"), bits.reduce(_ + _).as("bucket"))
     }
+    // read as corpus side AND query side: hash signatures once (cache is
+    // materialized eagerly — a lazy cache would be populated by racing
+    // concurrent stages, see Dedup.materialized)
     val banded = emb.select(col("vec_id"), col("e"),
       explode(array(bucketCols: _*)).as("bb"))
       .select(col("vec_id"), col("e"), col("bb.band"), col("bb.bucket"))
+    banded.cache().count()
     val q = banded.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("band"), col("bucket"))
     val cand = banded.join(broadcast(q),

@@ -25,4 +25,15 @@ object Hashes {
   /** Seeded variant: the j-th independent hash function, h_j(x) = md5(j ++ ":" ++ x). */
   def md5Long60Seeded(j: Int, c: Column): Column =
     md5Long60(concat(lit(s"$j:"), c))
+
+  /** j-th hash via Kirsch–Mitzenmacher: h_j(x) = h1(x) + j·h2(x), with h1/h2
+    * the two 32-bit halves of ONE md5 — 16 hash functions for the price of
+    * one digest (the per-row md5 is the dominant cost of MinHash
+    * signatures at corpus scale; codegen's subexpression elimination
+    * computes `md5(c)` once per row). Max value < 2^36, so BIGINT-exact in
+    * every engine (DuckDB mirror:
+    * `('0x'||substr(md5(x),1,8))::UBIGINT::BIGINT + j*('0x'||substr(md5(x),9,8))::UBIGINT::BIGINT`). */
+  def md5KmSeeded(j: Int, c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long") +
+      lit(j.toLong) * conv(substring(md5(c), 9, 8), 16, 10).cast("long")
 }

@@ -44,19 +44,24 @@ final class RidgeForecaster(val seqLen: Int = 10, val horizon: Int = 5,
 
   def fit(samples: DataFrame): ForecastModel = {
     val p = seqLen + 1 // +1 intercept
-    // x = [1.0, features...]; flat outer products xx' and x*y per row
+    // x = [1.0, features...]; flat outer products xx' and x*y per row,
+    // summed with MLlib's Summarizer — ONE imperative vector aggregate
+    // (map-side partial, one (p²+p·horizon)-double row shuffled) instead
+    // of p²+p·horizon scalar sum() columns, which would blow past
+    // codegen's field limit and fall back to interpreted aggregation.
     val x = concat(array(lit(1.0)), col("features"))
     val xxFlat = flatten(transform(x, xi => transform(x, xj => xi * xj)))
     val xyFlat = flatten(transform(x, xi => transform(col("labels"), yj => xi * yj)))
-    val agg = samples.select(xxFlat.as("xx"), xyFlat.as("xy"))
-      .agg(
-        array((0 until p * p).map(i => sum(element_at(col("xx"), i + 1))): _*).as("sxx"),
-        array((0 until p * horizon).map(i => sum(element_at(col("xy"), i + 1))): _*).as("sxy"),
+    val agg = samples
+      .select(org.apache.spark.ml.functions.array_to_vector(
+        concat(xxFlat, xyFlat)).as("v"))
+      .agg(org.apache.spark.ml.stat.Summarizer.sum(col("v")).as("s"),
         count(lit(1)).as("n"))
       .head()
-    val n = agg.getLong(2)
+    val n = agg.getLong(1)
     if (n == 0) return new LinearModel(seqLen, horizon, Array.fill(horizon)(Array.fill(p)(0.0)))
-    solveFromSums(agg.getSeq[Double](0).toArray, agg.getSeq[Double](1).toArray, n)
+    val s = agg.getAs[org.apache.spark.ml.linalg.Vector](0).toArray
+    solveFromSums(s.slice(0, p * p), s.slice(p * p, p * p + p * horizon), n)
   }
 
   /** Executor-local fit over an in-memory sample buffer — the same normal
