@@ -69,9 +69,12 @@ object SparkEntry {
     "txt_quality" -> (TextAnalysis.qualityQuery _),
     "txt_lang_id" -> (TextAnalysis.langIdQuery _),
     "txt_fingerprint" -> (TextAnalysis.fingerprintQuery _),
+    "txt_top_bigrams" -> (TextAnalysis.topBigramsQuery _),
     // --- similarity search over embeddings ---
     "knn_exact" -> (Similarity.knnExactQuery _),
     "knn_ann_lsh" -> (Similarity.annLshQuery _), // no oracle: recall vs knn_exact asserted in SimilaritySpec
+    "dedup_embedding_exact" -> (Similarity.embeddingDupExactQuery _),
+    "dedup_embedding_lsh" -> (Similarity.embeddingDupLshQuery _), // no oracle: recall vs exact asserted in SimilaritySpec
     // --- multimodal binary-column plumbing ---
     "mm_payload_stats" -> (Multimodal.payloadStatsQuery _),
     "mm_decode_features" -> (Multimodal.decodeFeaturesQuery _),
@@ -405,6 +408,21 @@ object SparkEntry {
     "txt_fingerprint" ->
       s"""SELECT doc_id, md5($normSql) AS fp_md5,
           ${md5L60(normSql)} AS fp60 FROM documents""",
+    "txt_top_bigrams" ->
+      """SELECT bigram, n, rank FROM (
+           SELECT bigram, count(*) AS n,
+                  row_number() OVER (ORDER BY count(*) DESC, bigram) AS rank
+           FROM (SELECT array_to_string(w[i:i+1], ' ') AS bigram
+                 FROM (SELECT string_split(text, ' ') AS w FROM documents) ws,
+                      LATERAL (SELECT unnest(range(1, len(w))) AS i) r
+                 WHERE len(w) >= 2) b
+           GROUP BY bigram) t
+         WHERE rank <= 50""",
+    "dedup_embedding_exact" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4""",
     // --- similarity search (embeddings) ---
     "knn_exact" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe

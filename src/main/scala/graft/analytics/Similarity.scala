@@ -69,6 +69,63 @@ object Similarity {
     u / 2147483648.0 - 1.0
   }
 
+  /** Banded random-hyperplane signatures: `bands` buckets per vector,
+    * each packing `rowsPerBand` sign bits. Shared by the ANN search and
+    * the embedding near-dup join. Eagerly cached when `materialize` (the
+    * relation is read from both sides of a self-join). */
+  private def bandedSignatures(emb: DataFrame, dims: Int, bands: Int, rowsPerBand: Int,
+                               materialize: Boolean): DataFrame = {
+    val bucketCols = (0 until bands).map { b =>
+      val bits = (0 until rowsPerBand).map { r =>
+        val p = b * rowsPerBand + r
+        val plane = array((0 until dims).map(d => lit(planeComponent(p, d))): _*)
+        when(dot(col("e"), plane) > 0, lit(1 << r)).otherwise(lit(0))
+      }
+      struct(lit(b).as("band"), bits.reduce(_ + _).as("bucket"))
+    }
+    val banded = emb.select(col("vec_id"), col("e"),
+      explode(array(bucketCols: _*)).as("bb"))
+      .select(col("vec_id"), col("e"), col("bb.band"), col("bb.bucket"))
+    if (materialize) { banded.cache().count(); banded } else banded
+  }
+
+  /** Embedding-cosine near-duplicate pairs, EXACT: upper-triangle
+    * all-pairs cosine ≥ threshold. The corpus streams once against a
+    * broadcast copy — correct at any parallelism but inherently quadratic:
+    * this is the oracle baseline; [[embeddingDupLsh]] is the scale path. */
+  def embeddingDupExact(spark: SparkSession, dir: String,
+                        threshold: Double = 0.4): DataFrame = {
+    val emb = embeddingsD(spark, dir)
+    emb.select(col("vec_id").as("vec_a"), col("e").as("ea"))
+      .join(broadcast(emb.select(col("vec_id").as("vec_b"), col("e").as("eb"))),
+        col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("ea"), col("eb")), 4).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** Embedding-cosine near-dup pairs via hyperplane LSH: candidates share
+    * a full band bucket (quadratic only within buckets), verified by exact
+    * cosine — precision 1, recall tested vs [[embeddingDupExact]] in
+    * SimilaritySpec. Recall depends on the threshold's angle: at the
+    * synthetic corpus's cos≈0.4 pairs, 8 bands × 4 bits give ~0.75; for a
+    * real near-dup corpus (cos ≥ 0.9, p_bit≈0.86) the same shape gives
+    * ~0.998. */
+  def embeddingDupLsh(spark: SparkSession, dir: String, threshold: Double = 0.4,
+                      dims: Int = 64, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val banded = bandedSignatures(embeddingsD(spark, dir), dims, bands, rowsPerBand,
+      materialize = true)
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("a.e").as("ea"),
+        col("b.vec_id").as("vec_b"), col("b.e").as("eb"))
+      .dropDuplicates("vec_a", "vec_b")
+    cand.select(col("vec_a"), col("vec_b"),
+        round(cosine(col("ea"), col("eb")), 4).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   /** ANN top-k via random-hyperplane (SimHash-style) LSH.
     *
     * `bands` × `rowsPerBand` sign bits per vector; a candidate pair must
@@ -80,23 +137,11 @@ object Similarity {
     */
   def annLshCosine(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
                    dims: Int = 64, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
-    val emb = embeddingsD(spark, dir)
-    // bucket_b = packed sign bits of the band's hyperplane dots
-    val bucketCols = (0 until bands).map { b =>
-      val bits = (0 until rowsPerBand).map { r =>
-        val p = b * rowsPerBand + r
-        val plane = array((0 until dims).map(d => lit(planeComponent(p, d))): _*)
-        when(dot(col("e"), plane) > 0, lit(1 << r)).otherwise(lit(0))
-      }
-      struct(lit(b).as("band"), bits.reduce(_ + _).as("bucket"))
-    }
-    // read as corpus side AND query side: hash signatures once (cache is
-    // materialized eagerly — a lazy cache would be populated by racing
-    // concurrent stages, see Dedup.materialized)
-    val banded = emb.select(col("vec_id"), col("e"),
-      explode(array(bucketCols: _*)).as("bb"))
-      .select(col("vec_id"), col("e"), col("bb.band"), col("bb.bucket"))
-    banded.cache().count()
+    // read as corpus side AND query side: hash signatures once (eager
+    // cache — a lazy one would be populated by racing concurrent stages,
+    // see Dedup.materialized)
+    val banded = bandedSignatures(embeddingsD(spark, dir), dims, bands, rowsPerBand,
+      materialize = true)
     val q = banded.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("band"), col("bucket"))
     val cand = banded.join(broadcast(q),
@@ -119,4 +164,10 @@ object Similarity {
 
   def annLshQuery(spark: SparkSession, dir: String): DataFrame =
     annLshCosine(spark, dir).orderBy("q_id", "rank")
+
+  def embeddingDupExactQuery(spark: SparkSession, dir: String): DataFrame =
+    embeddingDupExact(spark, dir)
+
+  def embeddingDupLshQuery(spark: SparkSession, dir: String): DataFrame =
+    embeddingDupLsh(spark, dir)
 }

@@ -77,6 +77,23 @@ object TextAnalysis {
         es.cast("long").as("c_es"), fr.cast("long").as("c_fr"))
   }
 
+  /** Corpus bigram frequency profile: top-k word bigrams (within-doc
+    * repeats counted) with deterministic (count desc, bigram asc) order.
+    * Map-side partial counts, one tiny shuffle, TakeOrdered top-k — no
+    * global sort of the full bigram vocabulary. */
+  def topBigrams(docs: DataFrame, k: Int = 50): DataFrame = {
+    val ranked = docs.select(split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> array_join(slice(ws, i, 2), ' '))"))
+        .as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram")).limit(k)
+    ranked.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("bigram"))).cast("long"))
+  }
+
   /** Document fingerprinting: md5 of the normalized text (exact-dup key)
     * plus a 60-bit integer form for compact storage/joins. */
   def fingerprint(docs: DataFrame): DataFrame =
@@ -97,4 +114,7 @@ object TextAnalysis {
 
   def fingerprintQuery(spark: SparkSession, dir: String): DataFrame =
     fingerprint(Tables.documents(spark, dir))
+
+  def topBigramsQuery(spark: SparkSession, dir: String): DataFrame =
+    topBigrams(Tables.documents(spark, dir))
 }

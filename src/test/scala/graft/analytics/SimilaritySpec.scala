@@ -19,6 +19,18 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embedding near-dup: LSH pairs are a subset of exact pairs with usable recall") {
+    val exact = Similarity.embeddingDupExact(spark, sfDir, threshold = 0.3)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.embeddingDupLsh(spark, sfDir, threshold = 0.3)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH verification must make precision exact")
+    assert(exact.nonEmpty)
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    info(f"near-dup LSH recall = $recall%.3f (${exact.size} exact pairs)")
+    assert(recall >= 0.5, f"near-dup recall collapsed: $recall%.3f")
+  }
+
   test("ANN recall@5 vs exact is usable and ANN never returns false positives by construction") {
     val exact = Similarity.knnExact(spark, sfDir, nQueries = 10, k = 5)
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
