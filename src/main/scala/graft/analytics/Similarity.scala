@@ -31,14 +31,23 @@ import graft.Tables
 object Similarity {
 
   /** Sequential-fold dot product of two array<double> columns (matches the
-    * oracle's left-to-right summation order). */
+    * oracle's left-to-right summation order). Used for the tiny per-row
+    * hyperplane projections; the hot all-pairs cosine goes through the
+    * native codegen'd expression instead. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Composed-operator cosine — the reference formulation the native
+    * expression is bit-equality-tested against (SimilaritySpec). */
+  def cosineComposed(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine similarity via [[graft.functions.CosineSimilarity]] — a native
+    * Catalyst expression with `doGenCode` (single pass, no per-row array
+    * allocation), registered by [[graft.functions.GraftExtensions]]. */
+  def cosine(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 
   private def embeddingsD(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

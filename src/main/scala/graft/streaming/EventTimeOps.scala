@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.schema.RawTick
+
+/** Event-time operators for streams — the surface the reference cannot
+  * express at all (it is processing-time only; "late data" cannot exist
+  * because rows are stamped at ingest, SURVEY §2.10) but that a
+  * Spark-native engine must expose the moment ticks carry exchange
+  * timestamps: tumbling/sliding event-time windows with watermark-bounded
+  * state and late-data drop.
+  *
+  * Scale: state per (ticker, window) is bounded by the watermark horizon;
+  * the aggregate is a standard partial-agg shuffle keyed by (ticker,
+  * window) — no unbounded growth, no per-key serialization point.
+  */
+object EventTimeOps {
+
+  /** Tumbling event-time OHLC-style stats per ticker. Append mode emits a
+    * window only once its watermark passes — exactly-once finalized rows. */
+  def tumblingStats(ticks: Dataset[RawTick], windowLen: String = "1 minute",
+                    watermarkDelay: String = "2 minutes"): DataFrame =
+    ticks.withWatermark("timestamp", watermarkDelay)
+      .groupBy(window(col("timestamp"), windowLen).as("w"), col("ticker"))
+      .agg(count(lit(1)).as("n_ticks"),
+        min("price").as("low"), max("price").as("high"),
+        avg("price").as("mean_price"))
+      .select(col("ticker"), col("w.start").as("window_start"),
+        col("w.end").as("window_end"), col("n_ticks"),
+        col("low"), col("high"), col("mean_price"))
+
+  /** Sliding variant (windowLen every slide) — same watermark semantics. */
+  def slidingStats(ticks: Dataset[RawTick], windowLen: String = "5 minutes",
+                   slide: String = "1 minute",
+                   watermarkDelay: String = "2 minutes"): DataFrame =
+    ticks.withWatermark("timestamp", watermarkDelay)
+      .groupBy(window(col("timestamp"), windowLen, slide).as("w"), col("ticker"))
+      .agg(count(lit(1)).as("n_ticks"), avg("price").as("mean_price"))
+      .select(col("ticker"), col("w.start").as("window_start"),
+        col("n_ticks"), col("mean_price"))
+}

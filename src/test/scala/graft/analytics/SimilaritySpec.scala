@@ -5,6 +5,30 @@ import graft.SparkSpec
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("native cosine_sim expression: bit-equal to the composed fold, SQL-callable, null on length mismatch") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(5)
+    val df = (1 to 200).map { _ =>
+      (Seq.fill(64)(rnd.nextGaussian()), Seq.fill(64)(rnd.nextGaussian()))
+    }.toDF("a", "b")
+    val both = df.select(
+      Similarity.cosine(col("a"), col("b")).as("native"),
+      Similarity.cosineComposed(col("a"), col("b")).as("composed"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (n, c) =>
+      assert(java.lang.Double.doubleToLongBits(n) == java.lang.Double.doubleToLongBits(c),
+        s"native $n != composed $c (not bit-equal)")
+    }
+    // function registry: usable from SQL
+    val viaSql = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(0.6d, 0.8d))").as[Double].head()
+    assert(math.abs(viaSql - 0.6) < 1e-15)
+    // mismatched lengths -> NULL, not an exception
+    val nulls = spark.sql(
+      "SELECT cosine_sim(array(1.0d), array(1.0d, 2.0d))").collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("exact knn: k neighbors per query, self excluded, cosine in [-1,1] descending") {
     val got = Similarity.knnExact(spark, sfDir, nQueries = 5, k = 5)
       .select("q_id", "n_id", "rank", "cos").as[(Long, Long, Long, Double)].collect()

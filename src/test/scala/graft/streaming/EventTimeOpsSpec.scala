@@ -1,0 +1,46 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.schema.RawTick
+
+class EventTimeOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t0 = 1699999980000L // minute-aligned (windows align to wall-clock minutes)
+  private def tick(offsetSec: Long, price: Double) =
+    RawTick("A", new Timestamp(t0 + offsetSec * 1000), price)
+
+  test("tumbling window finalizes after watermark and drops too-late rows") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[RawTick]
+    val name = s"win_${System.nanoTime()}"
+    val q = EventTimeOps.tumblingStats(ms.toDS(), "1 minute", "2 minutes")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // window [0,60): three on-time rows
+      ms.addData(tick(0, 10), tick(10, 12), tick(50, 11))
+      q.processAllAvailable()
+      // advance event time to 5:00 => watermark 3:00, finalizing [0,60)
+      ms.addData(tick(300, 20))
+      q.processAllAvailable()
+      // a LATE row for [0,60) — behind the watermark, must be dropped
+      ms.addData(tick(30, 999))
+      q.processAllAvailable()
+      // advance to 10:00 to finalize the 5:00 window too
+      ms.addData(tick(600, 30))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name)
+      .select("window_start", "n_ticks", "low", "high")
+      .as[(Timestamp, Long, Double, Double)].collect().sortBy(_._1.getTime)
+    assert(rows.length == 2)
+    val (w0, w5) = (rows(0), rows(1))
+    assert(w0._1.getTime == t0 && w0._2 == 3, "late row must not reach the finalized window")
+    assert(w0._3 == 10.0 && w0._4 == 12.0)
+    assert(w5._1.getTime == t0 + 300000 && w5._2 == 1)
+  }
+}
