@@ -124,19 +124,40 @@ object Dedup {
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Cap LSH bucket sizes before a bucket self-join: a degenerate corpus
+    * (mass-duplicated boilerplate) can put thousands of docs in one
+    * bucket, and the within-bucket join is quadratic — one hot bucket at
+    * 100 TB is the job-killer. Buckets above `maxBucket` are dropped from
+    * CANDIDACY only (documented recall trade, same shape as the ngram
+    * stop-shingle guard); verification stays exact. Defaults are far
+    * above anything the test corpora produce, so oracle parity holds. */
+  private def capBuckets(banded: DataFrame, bucketCols: Seq[String],
+                         maxBucket: Long): DataFrame = {
+    if (maxBucket == Long.MaxValue) banded
+    else {
+      val ok = banded.groupBy(bucketCols.map(col): _*)
+        .agg(count(lit(1)).as("__bs")).where(col("__bs") <= maxBucket)
+        .select(bucketCols.map(col): _*)
+      banded.join(ok, bucketCols)
+    }
+  }
+
   /** MinHash-LSH near-dup pairs: band the signature (bands × rowsPerBand =
     * numHashes), bucket-join on (band, md5(band rows)), then verify
     * candidates with exact Jaccard ≥ threshold. */
   def minhashLshPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.8,
-                      bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+                      bands: Int = 4, rowsPerBand: Int = 4,
+                      maxBucket: Long = 100000L): DataFrame = {
     val sh = shinglesCached(docs, n)
     // the banded self-join reads the signature relation from both sides,
     // and the 16-way min-hash aggregate is the expensive stage
     val sig = materialized(signaturesFrom(sh, bands * rowsPerBand))
-    val banded = sig.select(col("doc_id"), explode(array((0 until bands).map { b =>
-      val rowCols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}").cast("string"))
-      struct(lit(b).as("band"), md5(concat_ws(",", rowCols: _*)).as("bh"))
-    }: _*)).as("bb")).select(col("doc_id"), col("bb.band"), col("bb.bh"))
+    val banded = capBuckets(
+      sig.select(col("doc_id"), explode(array((0 until bands).map { b =>
+        val rowCols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}").cast("string"))
+        struct(lit(b).as("band"), md5(concat_ws(",", rowCols: _*)).as("bh"))
+      }: _*)).as("bb")).select(col("doc_id"), col("bb.band"), col("bb.bh")),
+      Seq("band", "bh"), maxBucket)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -176,13 +197,16 @@ object Dedup {
     * banded join (4 bands of 8 bits; pigeonhole guarantees recall for
     * maxHamming ≤ 3). The quadratic step is within (band, bandValue)
     * buckets only. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   maxBucket: Long = 100000L): DataFrame = {
     val sh = materialized(simhash(docs)) // self-joined below: hash once, read twice
-    val banded = sh.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(p =>
-        struct(lit(p).as("band"),
-          shiftright(col("simhash"), p * 8).bitwiseAND(0xFF).as("bv"))): _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bv"))
+    val banded = capBuckets(
+      sh.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(p =>
+          struct(lit(p).as("band"),
+            shiftright(col("simhash"), p * 8).bitwiseAND(0xFF).as("bv"))): _*)).as("bb"))
+        .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bv")),
+      Seq("band", "bv"), maxBucket)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))

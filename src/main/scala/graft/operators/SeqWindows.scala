@@ -56,6 +56,18 @@ object SeqWindows {
       .drop("__s")
   }
 
+  /** WIN-1 in typed form ([[graft.schema.WindowedSample]]) — the A1/A2
+    * training-tensor contract of SURVEY §1.1, keyed by a single ticker
+    * column. */
+  def typedSamples(df: DataFrame, tickerCol: String, order: Seq[String],
+                   value: String, seqLen: Int = 10, horizon: Int = 5)
+      : org.apache.spark.sql.Dataset[graft.schema.WindowedSample] = {
+    import df.sparkSession.implicits._
+    slidingSamples(df, Seq(tickerCol), order, value, seqLen, horizon)
+      .select(col(tickerCol).as("ticker"), col("features"), col("labels"))
+      .as[graft.schema.WindowedSample]
+  }
+
   /** WIN-2 flat form: the last `seqLen` rows per key (all columns kept),
     * tagged with their position `pos` (1 = oldest of the window). */
   def latestRows(df: DataFrame, keys: Seq[String], order: Seq[String],

@@ -59,12 +59,14 @@ object BatchReplay {
       else lit(0.0))
 
     // WIN-1 + ML-1 (persistence fallback below the training threshold,
-    // `lvmh_forecaster2.py:75-76`)
+    // `lvmh_forecaster2.py:75-76`); samples carry the typed A1/A2 contract
+    val typed = SeqWindows.typedSamples(scaled, "ticker", order, "scaled",
+      cfg.seqLen, cfg.horizon)
     val samples = SeqWindows.slidingSamples(scaled, keys, order, "scaled",
       cfg.seqLen, cfg.horizon)
     val model: ForecastModel =
-      if (samples.isEmpty) new PersistenceModel(cfg.horizon)
-      else new RidgeForecaster(cfg.seqLen, cfg.horizon).fit(samples)
+      if (typed.isEmpty) new PersistenceModel(cfg.horizon)
+      else new RidgeForecaster(cfg.seqLen, cfg.horizon).fit(typed.toDF())
 
     // Backtest: each anchor's window predicts steps 1..horizon; the
     // step-h forecast aligns with the actual value h rows later (JN-1 by

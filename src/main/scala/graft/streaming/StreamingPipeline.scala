@@ -230,11 +230,13 @@ object StreamingPipeline {
       }
       .start()
 
-  /** T3 as the reference exports it: every forecast row, matched ones
-    * carrying their actual (the k-th match resolves the k-th forecast —
-    * JN-1's rank-join law, joined on the state machine's FIFO `seq`),
-    * unmatched tail keeping NULL actuals. */
-  def composeComparison(t3Events: DataFrame): DataFrame = {
+  /** T3 as the reference exports it ([[graft.schema.ForecastRow]] rows):
+    * every forecast row, matched ones carrying their actual (the k-th
+    * match resolves the k-th forecast — JN-1's rank-join law, joined on
+    * the state machine's FIFO `seq`), unmatched tail keeping NULL
+    * actuals. */
+  def composeComparison(t3Events: DataFrame): Dataset[graft.schema.ForecastRow] = {
+    import t3Events.sparkSession.implicits._
     val f = t3Events.where(col("kind") === "forecast")
       .select(col("ticker"), col("ts"), col("seq"), col("forecasted"))
     val m = t3Events.where(col("kind") === "match")
@@ -244,6 +246,21 @@ object StreamingPipeline {
         coalesce(col("actual_ts"), col("ts")).as("timestamp"), // `:176`
         col("actual").as("actual_price"),
         col("forecasted").as("forecasted_price"))
+      .as[graft.schema.ForecastRow]
+  }
+
+  /** T1 as typed [[graft.schema.Tick]] rows. */
+  def composeTicks(t1: DataFrame): Dataset[graft.schema.Tick] = {
+    import t1.sparkSession.implicits._
+    t1.select(col("ticker"), col("ts").as("timestamp"), col("price"), col("variation"))
+      .as[graft.schema.Tick]
+  }
+
+  /** T4 as typed [[graft.schema.RmsePoint]] rows. */
+  def composeRmse(t4: DataFrame): Dataset[graft.schema.RmsePoint] = {
+    import t4.sparkSession.implicits._
+    t4.select(col("ticker"), col("ts").as("timestamp"), col("rmse"))
+      .as[graft.schema.RmsePoint]
   }
 
   /** CTL-1 — graceful shutdown: drain what's available, stop, then export
@@ -258,18 +275,18 @@ object StreamingPipeline {
   def exportCsv(spark: SparkSession, outDir: String,
                 at: java.time.Instant): Seq[String] = {
     // total orders on every export => byte-stable files across replays
-    val t1 = spark.read.parquet(s"$outDir/t1_ticks")
-      .orderBy("ticker", "ts", "price")
-    val t3e = spark.read.parquet(s"$outDir/t3_events")
-    val t3 = composeComparison(t3e)
+    val t1 = composeTicks(spark.read.parquet(s"$outDir/t1_ticks"))
+      .orderBy("ticker", "timestamp", "price")
+    val t3 = composeComparison(spark.read.parquet(s"$outDir/t3_events"))
       .orderBy("ticker", "timestamp", "forecasted_price", "actual_price")
-    val t4 = spark.read.parquet(s"$outDir/t4_rmse")
-      .orderBy("ticker", "ts", "rmse")
+    val t4 = composeRmse(spark.read.parquet(s"$outDir/t4_rmse"))
+      .orderBy("ticker", "timestamp", "rmse")
     Seq(
-      CsvSinks.writeTimestampedCsv(t1, outDir, "price_data", at),      // SNK-1
+      CsvSinks.writeTimestampedCsv(t1.toDF(), outDir, "price_data", at), // SNK-1
       CsvSinks.writeTimestampedCsv(
-        t1.select(col("ticker"), col("ts"), col("price")), outDir, "actual_data", at), // SNK-2
-      CsvSinks.writeTimestampedCsv(t3, outDir, "forecast_comparison", at), // SNK-3
-      CsvSinks.writeTimestampedCsv(t4, outDir, "rmse_history", at))    // SNK-4
+        t1.select(col("ticker"), col("timestamp"), col("price")),
+        outDir, "actual_data", at),                                      // SNK-2
+      CsvSinks.writeTimestampedCsv(t3.toDF(), outDir, "forecast_comparison", at), // SNK-3
+      CsvSinks.writeTimestampedCsv(t4.toDF(), outDir, "rmse_history", at)) // SNK-4
   }
 }
