@@ -143,8 +143,10 @@ object Dedup {
   }
 
   /** MinHash-LSH near-dup pairs: band the signature (bands × rowsPerBand =
-    * numHashes), bucket-join on (band, md5(band rows)), then verify
-    * candidates with exact Jaccard ≥ threshold. */
+    * numHashes), bucket-join on (band, row values), then verify candidates
+    * with exact Jaccard ≥ threshold. The bucket key is the band's RAW
+    * minhash values — hashing them first (md5 of a concat) adds string
+    * codegen and loses nothing: equality on the tuple IS the band match. */
   def minhashLshPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.8,
                       bands: Int = 4, rowsPerBand: Int = 4,
                       maxBucket: Long = 100000L): DataFrame = {
@@ -152,15 +154,18 @@ object Dedup {
     // the banded self-join reads the signature relation from both sides,
     // and the 16-way min-hash aggregate is the expensive stage
     val sig = materialized(signaturesFrom(sh, bands * rowsPerBand))
+    val keyCols = (0 until rowsPerBand).map(r => s"k$r")
     val banded = capBuckets(
       sig.select(col("doc_id"), explode(array((0 until bands).map { b =>
-        val rowCols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}").cast("string"))
-        struct(lit(b).as("band"), md5(concat_ws(",", rowCols: _*)).as("bh"))
-      }: _*)).as("bb")).select(col("doc_id"), col("bb.band"), col("bb.bh")),
-      Seq("band", "bh"), maxBucket)
+        val fields = lit(b).as("band") +:
+          (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}").as(s"k$r"))
+        struct(fields: _*)
+      }: _*)).as("bb")).select(col("doc_id") +: ("band" +: keyCols).map(f => col(s"bb.$f")): _*),
+      "band" +: keyCols, maxBucket)
+    val bandEq = ("band" +: keyCols)
+      .map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
     val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
+        bandEq && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
