@@ -39,6 +39,11 @@ object SparkEntry {
     "q_top_orders_per_cust" -> (Relational.topOrdersPerCustomer _),
     "q_running_spend" -> (Relational.runningCustomerSpend _),
     "q_distinct_counts" -> (Relational.distinctCounts _),
+    "q_quantity_cube" -> (Relational.quantityCube _),
+    "q_revenue_pivot" -> (Relational.revenuePivot _),
+    "q_order_histogram" -> (Relational.orderValueHistogram _),
+    "q_parts_intersect" -> (Relational.returnedAndAcceptedParts _),
+    "q_approx_stats" -> (Relational.approxStats _), // no oracle: HLL++/t-digest sketches are engine-specific; error bounds vs exact asserted in RelationalSpec
     // --- reference operator surface over events (SURVEY §2.2-2.7) ---
     "tr1_change_filter" -> (SeriesQueries.changeFilter _),
     "tr2_anchored_return" -> (SeriesQueries.anchoredReturn _),
@@ -209,6 +214,21 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
          count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag""",
+    "q_quantity_cube" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+         count(*) AS n FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    "q_revenue_pivot" ->
+      """SELECT l_returnflag,
+         round(sum(CASE WHEN l_linestatus='F' THEN l_extendedprice*(1-l_discount) END),2) AS rev_f,
+         round(sum(CASE WHEN l_linestatus='O' THEN l_extendedprice*(1-l_discount) END),2) AS rev_o
+         FROM lineitem GROUP BY l_returnflag""",
+    "q_order_histogram" ->
+      """SELECT CAST(floor(o_totalprice/100000) AS BIGINT) AS bucket,
+         count(*) AS n_orders FROM orders GROUP BY 1""",
+    "q_parts_intersect" ->
+      """SELECT l_partkey FROM lineitem WHERE l_returnflag='R'
+         INTERSECT
+         SELECT l_partkey FROM lineitem WHERE l_returnflag='A'""",
     "tr1_change_filter" ->
       """SELECT user_id, event_id, value FROM (
          SELECT user_id, event_id, value,

@@ -156,4 +156,62 @@ object Relational {
         countDistinct("l_suppkey").as("n_supps"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
+
+  /** CUBE aggregate: all 4 grouping sets of (returnflag, linestatus) in
+    * one pass — same shuffle profile as the plain groupBy (grouping-set
+    * expansion happens map-side before the exchange). */
+  def quantityCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_returnflag", "l_linestatus", "l_quantity")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** PIVOT: revenue by return flag with linestatus spread across columns.
+    * Values are enumerated explicitly, so the plan is a single groupBy
+    * with conditional aggregates — no extra pass to discover pivot keys. */
+  def revenuePivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_returnflag", "l_linestatus", "l_extendedprice", "l_discount")
+      .withColumn("rev", col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum("rev"), 2))
+      .withColumnsRenamed(Map("F" -> "rev_f", "O" -> "rev_o"))
+      .orderBy("l_returnflag")
+
+  /** Histogram: order values bucketed into fixed 100k-wide bins. The
+    * bucket id is computed in the scan projection; one shuffle on ~6
+    * bucket keys. */
+  def orderValueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(floor(col("o_totalprice") / 100000).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_orders"))
+      .orderBy("bucket")
+
+  /** INTERSECT set-op: part keys that appear both in returned ('R') and
+    * accepted ('A') lineitems. Spark plans this as a distinct + hash
+    * semi-join on the 8-byte key — payload never shuffles. */
+  def returnedAndAcceptedParts(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_returnflag", "l_partkey")
+    li.where(col("l_returnflag") === "R").select("l_partkey")
+      .intersect(li.where(col("l_returnflag") === "A").select("l_partkey"))
+      .orderBy("l_partkey")
+  }
+
+  /** Approximate sketches — the 100 TB workhorses. HLL++ distinct and
+    * t-digest-style percentiles shuffle O(sketch) bytes per group instead
+    * of O(rows); exactness is traded for a bounded relative error that
+    * [[graft.analytics]]'s RelationalSpec asserts against the exact
+    * aggregates. Not DuckDB-oracle-able (sketch internals differ per
+    * engine), so the driver records the weaker rows-only check. */
+  def approxStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_returnflag", "l_partkey", "l_extendedprice")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct("l_partkey", 0.01).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
 }

@@ -1,0 +1,76 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** Grouping-set family, pivot, set-ops, and the approximate sketches
+  * (whose error bound vs the exact aggregates is the contract — they
+  * have no DuckDB oracle). */
+class RelationalSpec extends SparkSpec {
+
+  test("cube emits all four grouping sets and they sum consistently") {
+    val rows = Relational.quantityCube(spark, sfDir).collect()
+    val total = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(total.length == 1, "exactly one grand-total row")
+    val perFlag = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    val leaves = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    assert(perFlag.map(_.getLong(3)).sum == total.head.getLong(3))
+    assert(leaves.map(_.getLong(3)).sum == total.head.getLong(3))
+  }
+
+  test("pivot matches the conditional-aggregation formulation") {
+    import org.apache.spark.sql.functions._
+    val piv = Relational.revenuePivot(spark, sfDir)
+    val cond = graft.Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(sum(when(col("l_linestatus") === "F",
+          col("l_extendedprice") * (lit(1) - col("l_discount")))), 2).as("rev_f"),
+        round(sum(when(col("l_linestatus") === "O",
+          col("l_extendedprice") * (lit(1) - col("l_discount")))), 2).as("rev_o"))
+      .orderBy("l_returnflag")
+    assert(piv.collect().toSeq == cond.collect().toSeq)
+  }
+
+  test("histogram buckets partition all orders") {
+    val h = Relational.orderValueHistogram(spark, sfDir).collect()
+    val n = graft.Tables.orders(spark, sfDir).count()
+    assert(h.map(_.getLong(1)).sum == n)
+    assert(h.map(_.getLong(0)).distinct.length == h.length)
+  }
+
+  test("intersect is contained in both sides") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, sfDir)
+    val both = Relational.returnedAndAcceptedParts(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val r = li.where(col("l_returnflag") === "R")
+      .select("l_partkey").distinct().collect().map(_.getLong(0)).toSet
+    val a = li.where(col("l_returnflag") === "A")
+      .select("l_partkey").distinct().collect().map(_.getLong(0)).toSet
+    assert(both == (r intersect a))
+  }
+
+  test("approx sketches stay within error bounds of the exact aggregates") {
+    import org.apache.spark.sql.functions._
+    val approx = Relational.approxStats(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val exact = graft.Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("parts"),
+        expr("percentile(l_extendedprice, 0.5)").as("median"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (flag, e) =>
+      val parts = e.getLong(1).toDouble
+      val approxParts = approx(flag).getLong(1).toDouble
+      assert(math.abs(approxParts - parts) / parts <= 0.05,
+        s"$flag: HLL++ rsd 0.01 should land within 5% ($approxParts vs $parts)")
+      val median = e.getDouble(2)
+      val approxMedian = approx(flag).getDouble(2)
+      // percentile_approx with accuracy 10000 on ~2k rows/group is exact
+      // up to picking a neighbouring sample; allow 1% drift
+      assert(math.abs(approxMedian - median) / median <= 0.01,
+        s"$flag: approx median $approxMedian vs $median")
+    }
+  }
+}
