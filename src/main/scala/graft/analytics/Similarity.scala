@@ -1,8 +1,5 @@
 package graft.analytics
 
-import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -68,33 +65,22 @@ object Similarity {
       .select("q_id", "n_id", "rank", "cos")
   }
 
-  /** Deterministic pseudo-random hyperplane component in [-1, 1): md5 of
-    * "plane:dim", first 8 hex chars as a 32-bit uniform. Driver-side only
-    * (the planes are tiny constants baked into the plan as literals). */
-  private def planeComponent(plane: Int, dim: Int): Double = {
-    val d = MessageDigest.getInstance("MD5")
-      .digest(s"$plane:$dim".getBytes(StandardCharsets.UTF_8))
-    val u = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) | ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
-    u / 2147483648.0 - 1.0
-  }
-
   /** Banded random-hyperplane signatures: `bands` buckets per vector,
-    * each packing `rowsPerBand` sign bits. Shared by the ANN search and
-    * the embedding near-dup join. Eagerly cached when `materialize` (the
-    * relation is read from both sides of a self-join). */
+    * each packing `rowsPerBand` sign bits, computed by the native
+    * codegen'd [[graft.functions.HyperplaneSig]] expression in ONE pass
+    * per row (the composed `dot(e, plane_literal)` form evaluates
+    * bands×rowsPerBand interpreted lambda chains — ~8× slower on the
+    * signature scan, which at corpus scale is a full pass over every
+    * vector). Plane derivation is unchanged (md5("plane:dim")), so the
+    * bucketing — and SimilaritySpec's measured recall — is identical.
+    * Shared by the ANN search and the embedding near-dup join. Eagerly
+    * cached when `materialize` (the relation is read from both sides of
+    * a self-join). */
   private def bandedSignatures(emb: DataFrame, dims: Int, bands: Int, rowsPerBand: Int,
                                materialize: Boolean): DataFrame = {
-    val bucketCols = (0 until bands).map { b =>
-      val bits = (0 until rowsPerBand).map { r =>
-        val p = b * rowsPerBand + r
-        val plane = array((0 until dims).map(d => lit(planeComponent(p, d))): _*)
-        when(dot(col("e"), plane) > 0, lit(1 << r)).otherwise(lit(0))
-      }
-      struct(lit(b).as("band"), bits.reduce(_ + _).as("bucket"))
-    }
     val banded = emb.select(col("vec_id"), col("e"),
-      explode(array(bucketCols: _*)).as("bb"))
-      .select(col("vec_id"), col("e"), col("bb.band"), col("bb.bucket"))
+        posexplode(call_function("hyperplane_sig", col("e"),
+          lit(dims), lit(bands), lit(rowsPerBand))).as(Seq("band", "bucket")))
     if (materialize) { banded.cache().count(); banded } else banded
   }
 

@@ -88,5 +88,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSig].getCanonicalName, "hyperplane_sig"),
+      (children: Seq[Expression]) => {
+        def intArg(i: Int): Int = children(i) match {
+          case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+          case e => throw new IllegalArgumentException(
+            s"hyperplane_sig argument ${i + 1} must be a literal int, got $e")
+        }
+        HyperplaneSig(children(0), intArg(1), intArg(2), intArg(3))
+      }))
   }
 }

@@ -29,6 +29,28 @@ class SimilaritySpec extends SparkSpec {
     assert(nulls.head.isNullAt(0))
   }
 
+  test("native hyperplane_sig: equal to the composed per-plane dot products; null on dim mismatch") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(9)
+    val df = (1 to 100).map(_ => Tuple1(Seq.fill(16)(rnd.nextGaussian()))).toDF("e")
+    val (dims, bands, rowsPerBand) = (16, 4, 3)
+    val native = df.select(call_function("hyperplane_sig",
+      col("e"), lit(dims), lit(bands), lit(rowsPerBand)).as("sig"))
+      .as[Seq[Int]].collect()
+    // composed reference: per-plane interpreted dot products
+    val composed = df.select(array((0 until bands).map { b =>
+      (0 until rowsPerBand).map { r =>
+        val p = b * rowsPerBand + r
+        val plane = array((0 until dims).map(d =>
+          lit(graft.functions.HyperplaneSig.planeComponent(p, d))): _*)
+        when(Similarity.dot(col("e"), plane) > 0, lit(1 << r)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*).as("sig")).as[Seq[Int]].collect()
+    assert(native.toSeq == composed.toSeq)
+    val nulls = spark.sql("SELECT hyperplane_sig(array(1.0d, 2.0d), 3, 2, 2)").collect()
+    assert(nulls.head.isNullAt(0), "dim mismatch must be NULL, not garbage buckets")
+  }
+
   test("exact knn: k neighbors per query, self excluded, cosine in [-1,1] descending") {
     val got = Similarity.knnExact(spark, sfDir, nQueries = 5, k = 5)
       .select("q_id", "n_id", "rank", "cos").as[(Long, Long, Long, Double)].collect()
