@@ -31,6 +31,18 @@ object EventTimeOps {
         col("w.end").as("window_end"), col("n_ticks"),
         col("low"), col("high"), col("mean_price"))
 
+  /** Streaming exact dedup — the streaming counterpart of
+    * [[graft.analytics.Dedup.exact]] for at-least-once ingest (an HTTP
+    * poller redelivering a tick, an IPC replay overlapping a batch). Keyed
+    * on (ticker, timestamp, price); duplicate-tracking state is dropped
+    * once the watermark passes a key, so state is bounded by the watermark
+    * horizon × key arrival rate, not by stream length — the property that
+    * lets this run forever at corpus scale. */
+  def dedupTicks(ticks: Dataset[RawTick],
+                 watermarkDelay: String = "2 minutes"): Dataset[RawTick] =
+    ticks.withWatermark("timestamp", watermarkDelay)
+      .dropDuplicatesWithinWatermark("ticker", "timestamp", "price")
+
   /** Sliding variant (windowLen every slide) — same watermark semantics. */
   def slidingStats(ticks: Dataset[RawTick], windowLen: String = "5 minutes",
                    slide: String = "1 minute",

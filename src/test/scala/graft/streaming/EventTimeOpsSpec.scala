@@ -14,6 +14,27 @@ class EventTimeOpsSpec extends SparkSpec {
   private def tick(offsetSec: Long, price: Double) =
     RawTick("A", new Timestamp(t0 + offsetSec * 1000), price)
 
+  test("streaming dedup drops redelivered ticks within the watermark, keeps distinct ones") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[RawTick]
+    val name = s"dedup_${System.nanoTime()}"
+    val q = EventTimeOps.dedupTicks(ms.toDS(), "2 minutes")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      ms.addData(tick(0, 10), tick(10, 12))
+      q.processAllAvailable()
+      // redelivery of (A, t0+10, 12) in a later micro-batch, plus a new
+      // row at the same timestamp with a different price (NOT a dup)
+      ms.addData(tick(10, 12), tick(10, 13), tick(20, 14))
+      q.processAllAvailable()
+      ms.addData(tick(0, 10)) // second redelivery, still within watermark
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name).as[RawTick].collect()
+      .map(t => (t.timestamp.getTime - t0, t.price)).sorted.toSeq
+    assert(rows == Seq((0L, 10.0), (10000L, 12.0), (10000L, 13.0), (20000L, 14.0)))
+  }
+
   test("tumbling window finalizes after watermark and drops too-late rows") {
     implicit val sql = spark.sqlContext
     val ms = MemoryStream[RawTick]
