@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Dedup, ForecastQueries, Multimodal, Relational, SeriesQueries, Similarity, TextAnalysis}
+import graft.analytics.{Dedup, ForecastQueries, Multimodal, Relational, Sampling, SeriesQueries, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -81,6 +81,10 @@ object SparkEntry {
     "dedup_embedding_exact" -> (Similarity.embeddingDupExactQuery _),
     "dedup_embedding_lsh" -> (Similarity.embeddingDupLshQuery _), // no oracle: recall vs exact asserted in SimilaritySpec
     // --- multimodal binary-column plumbing ---
+    // --- dataset assembly: deterministic splits + sequence packing ---
+    "split_folds" -> (Sampling.splitQuery _),
+    "split_assign" -> (Sampling.splitAssignQuery _),
+    "pack_sequences" -> (Sampling.packQuery _),
     "mm_payload_stats" -> (Multimodal.payloadStatsQuery _),
     "mm_decode_features" -> (Multimodal.decodeFeaturesQuery _),
   )
@@ -91,6 +95,10 @@ object SparkEntry {
   private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
   /** Whitespace tokens (mirror of TextAnalysis.tokens). */
   private val toksSql = "string_split_regex(trim(text), '\\s+')"
+
+  /** [[graft.analytics.Sampling.hashBucket]] of doc_id over 1000 buckets. */
+  private val docBucketSql =
+    "(('0x'||substr(md5(doc_id::VARCHAR),1,15))::UBIGINT::BIGINT % 1000)"
   /** 60-bit / 32-bit md5-derived ints (mirror of graft.functions.Hashes). */
   private def md5L60(x: String) = s"('0x'||substr(md5($x),1,15))::UBIGINT::BIGINT"
   private def md5L32(x: String) = s"('0x'||substr(md5($x),1,8))::UBIGINT::BIGINT"
@@ -396,6 +404,25 @@ object SparkEntry {
           ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
     // --- text analysis track (documents) ---
+    "split_folds" ->
+      s"""SELECT fold, count(*) AS n_docs FROM (
+          SELECT CASE WHEN $docBucketSql < 800 THEN 'train'
+                      WHEN $docBucketSql < 900 THEN 'val'
+                      ELSE 'test' END AS fold FROM documents) t
+          GROUP BY fold""",
+    "split_assign" ->
+      s"""SELECT doc_id, CASE WHEN $docBucketSql < 800 THEN 'train'
+                              WHEN $docBucketSql < 900 THEN 'val'
+                              ELSE 'test' END AS fold FROM documents""",
+    "pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, len($toksSql)::BIGINT AS n_tokens,
+                 ('0x'||substr(md5(doc_id::VARCHAR),1,15))::UBIGINT::BIGINT % 8 AS shard
+          FROM documents)
+          SELECT shard, CAST(floor((sum(n_tokens) OVER (PARTITION BY shard
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens) / 512) AS BIGINT) AS bin,
+                 doc_id, n_tokens
+          FROM t""",
     "txt_token_stats" ->
       s"""SELECT doc_id, len($toksSql)::BIGINT AS n_tokens,
           length(text)::BIGINT AS n_text_chars,

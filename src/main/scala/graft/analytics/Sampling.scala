@@ -1,0 +1,79 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Hashes
+
+/** Dataset-assembly operators for a training-data pipeline: deterministic
+  * splits and sequence packing.
+  *
+  * Splits are HASH-based, not RNG-based: `md5(key) mod buckets` gives
+  * every engine (and every rerun, at any parallelism, after any
+  * repartition) the same assignment — the property that makes a 100 TB
+  * train/val/test split reproducible and incrementally extendable (new
+  * rows land in a fold without reshuffling old ones). An RNG sample
+  * (`df.sample`/`TABLESAMPLE`) is neither cross-engine checkable nor
+  * stable under partition changes.
+  *
+  * Scale: both operators are one projection + (for packing) one window
+  * over the shard key — no joins, no driver state.
+  */
+object Sampling {
+
+  /** Fold id in [0, buckets) from the md5 of the key column — the
+    * deterministic split primitive. Same recipe as [[Hashes.md5Long60]]
+    * so DuckDB can oracle it exactly. */
+  def hashBucket(key: Column, buckets: Int): Column =
+    pmod(Hashes.md5Long60(key.cast("string")), lit(buckets.toLong))
+
+  /** Train/val/test assignment by hashed key: `pTrain`/`pVal` in
+    * percent-of-1000 granularity via bucket 0..999. Keying by `doc_id`
+    * gives a row split; keying by an author/user column gives a
+    * group-aware split (no leakage of one group across folds). */
+  def split(docs: DataFrame, key: Column,
+            pTrain: Double = 0.8, pVal: Double = 0.1): DataFrame = {
+    val b = hashBucket(key, 1000)
+    docs.withColumn("fold",
+      when(b < (pTrain * 1000).toLong, "train")
+        .when(b < ((pTrain + pVal) * 1000).toLong, "val")
+        .otherwise("test"))
+  }
+
+  /** Greedy sequence packing: within each hash shard, documents (ordered
+    * by doc_id) are packed into bins of ~`binTokens` whitespace tokens —
+    * bin id = floor(exclusive-running-token-total / binTokens), the
+    * one-pass streaming approximation of bin packing (a document larger
+    * than `binTokens` gets a bin of its own). Shards bound the window
+    * state per task, so packing parallelizes: at corpus scale each shard
+    * packs independently and bins are globally unique via (shard, bin).
+    */
+  def packSequences(docs: DataFrame, binTokens: Long = 512,
+                    shards: Int = 8): DataFrame = {
+    val toks = size(TextAnalysis.tokens(col("text"))).cast("long")
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), toks.as("n_tokens"))
+      .withColumn("shard", hashBucket(col("doc_id"), shards))
+      .withColumn("bin",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / binTokens))
+      .select("shard", "bin", "doc_id", "n_tokens")
+  }
+
+  // -- query entry points --
+
+  def splitQuery(spark: SparkSession, dir: String): DataFrame =
+    split(Tables.documents(spark, dir), col("doc_id"))
+      .groupBy("fold").agg(count(lit(1)).as("n_docs"))
+      .orderBy("fold")
+
+  def splitAssignQuery(spark: SparkSession, dir: String): DataFrame =
+    split(Tables.documents(spark, dir), col("doc_id"))
+      .select("doc_id", "fold").orderBy("doc_id")
+
+  def packQuery(spark: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.documents(spark, dir))
+      .orderBy("shard", "bin", "doc_id")
+}
