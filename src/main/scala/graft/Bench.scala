@@ -35,6 +35,13 @@ object Bench {
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
+      // drop caches populated by the warm-up pass (Dedup/Similarity eagerly
+      // cache shared intermediates): without this, a "warm" timed pass
+      // measures InMemoryRelation reads instead of the operators' own work.
+      // JIT/codegen warm-up is retained — that is what PASSES isolates.
+      // Within a single pass, cross-query cache reuse is intentional (it
+      // matches how the driver's one-pass bench and a real session behave).
+      spark.sharedState.cacheManager.clearCache()
     }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -46,7 +53,18 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // full control-char escape: a multi-line AnalysisException message
+    // would otherwise break the one-JSON-line contract exactly when a
+    // query fails (same escaper as Verify's oracle_sql.json)
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum

@@ -80,11 +80,11 @@ object SparkEntry {
     "knn_ann_lsh" -> (Similarity.annLshQuery _), // no oracle: recall vs knn_exact asserted in SimilaritySpec
     "dedup_embedding_exact" -> (Similarity.embeddingDupExactQuery _),
     "dedup_embedding_lsh" -> (Similarity.embeddingDupLshQuery _), // no oracle: recall vs exact asserted in SimilaritySpec
-    // --- multimodal binary-column plumbing ---
     // --- dataset assembly: deterministic splits + sequence packing ---
     "split_folds" -> (Sampling.splitQuery _),
     "split_assign" -> (Sampling.splitAssignQuery _),
     "pack_sequences" -> (Sampling.packQuery _),
+    // --- multimodal binary-column plumbing ---
     "mm_payload_stats" -> (Multimodal.payloadStatsQuery _),
     "mm_decode_features" -> (Multimodal.decodeFeaturesQuery _),
   )
@@ -491,7 +491,11 @@ object SparkEntry {
          md5(substr(text, 1, 64)) AS head_md5
          FROM documents""",
     "mm_decode_features" -> {
-      val fcols = (1 to 8).map(i => s"round(f$i, 6) AS f$i").mkString(", ")
+      // COALESCE + LEFT JOIN mirror decodeStub's short-doc behavior: a
+      // slice with hi<=lo (doc shorter than 8 bytes) yields 0.0 and an
+      // empty doc keeps its row — without them a sub-8-char document
+      // would be a NULL/dropped-row parity break.
+      val fcols = (1 to 8).map(i => s"coalesce(round(f$i, 6), 0.0) AS f$i").mkString(", ")
       val pivots = (0 until 8).map(i => s"avg(CASE WHEN slice = $i THEN bv END)/255.0 AS f${i + 1}")
         .mkString(",\n                 ")
       s"""WITH d AS (SELECT doc_id, text, length(text)::BIGINT AS n FROM documents),
@@ -506,7 +510,7 @@ object SparkEntry {
                  $pivots
                FROM tagged GROUP BY doc_id)
           SELECT d.doc_id, d.n AS n_bytes, $fcols
-          FROM d JOIN f ON f.doc_id = d.doc_id"""
+          FROM d LEFT JOIN f ON f.doc_id = d.doc_id"""
     },
   )
 }

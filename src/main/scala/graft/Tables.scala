@@ -16,15 +16,33 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** The driver's parquet files each ship as ONE row group, so the scan
-    * delivers a single input partition no matter how it is split — every
-    * downstream narrow stage (regex, shingling, vector math, map-side
-    * join probes, partial aggregates) would run on one core of the
-    * cluster. Redistribute up to default parallelism first; the shuffle
-    * moves only the raw table bytes once. Guarded: a real corpus with
-    * many row groups/files already scans wide, and this becomes a no-op. */
+    * delivers a single POPULATED partition no matter how it is split —
+    * every downstream narrow stage (regex, shingling, vector math,
+    * map-side join probes, partial aggregates) would run on one core of
+    * the cluster. Redistribute up to default parallelism first; the
+    * shuffle moves only the raw table bytes once. Guarded on the ROW
+    * GROUP count from the parquet footers (not the scan's byte-range
+    * split count, which over-reports: a split is populated only if a row
+    * group starts inside it), so a real corpus with many row groups/files
+    * already scans wide and this is a no-op. Footers are read once per
+    * file on the driver and memoized. */
+  private val rowGroupCache = scala.collection.concurrent.TrieMap[String, Int]()
+
+  private def rowGroups(spark: SparkSession, df: DataFrame): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    df.inputFiles.map { f =>
+      rowGroupCache.getOrElseUpdate(f, {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.size finally r.close()
+      })
+    }.sum
+  }
+
   private def spread(spark: SparkSession, df: DataFrame): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+    if (rowGroups(spark, df) * 2 < target) df.repartition(target) else df
   }
 
   def region(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "region")

@@ -81,10 +81,8 @@ object ForecastQueries {
   private def predictCols(model: LinearModel, window: Column, mn: Double, mx: Double,
                           horizon: Int): Seq[Column] =
     (0 until horizon).map { h =>
-      val wts = model.weights(h)
-      val scaledPred = wts.indices.drop(1).foldLeft(lit(wts(0)): Column) { (acc, i) =>
-        acc + lit(wts(i)) * element_at(window, i)
-      }
+      val scaledPred =
+        graft.model.ModelColumns.scaledPrediction(model, window, model.weights(h).length - 1, h)
       val priced = if (mx > mn) scaledPred * lit(mx - mn) + lit(mn) else lit(mn)
       round(priced, 4).as(s"p${h + 1}")
     }

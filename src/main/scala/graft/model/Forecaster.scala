@@ -175,6 +175,25 @@ final class LinearModel(seqLen: Int, horizon: Int,
   }
 }
 
+/** Plan-literal prediction columns — the fitted weights become literals in
+  * a pure codegen'd projection (no UDF, no per-row model object). Shared
+  * by [[graft.pipeline.BatchReplay]] and `ForecastQueries` so the
+  * persistence fallback and the weight fold have exactly one definition. */
+object ModelColumns {
+  import org.apache.spark.sql.Column
+
+  /** Scaled step-`h` (0-based) prediction over a window-array column
+    * (1-indexed `element_at`, oldest first). */
+  def scaledPrediction(model: ForecastModel, window: Column, seqLen: Int, h: Int): Column =
+    model match {
+      case lm: LinearModel =>
+        lm.weights(h).indices.drop(1).foldLeft(lit(lm.weights(h)(0)): Column) {
+          (acc, i) => acc + lit(lm.weights(h)(i)) * element_at(window, i)
+        }
+      case _ => element_at(window, seqLen) // persistence: repeat the last value
+    }
+}
+
 /** Naive persistence baseline (predicts the last value for every step) —
   * the fallback the pipeline uses below the training threshold
   * (`lvmh_forecaster2.py:75-76` returns no samples for < seqLen+horizon rows). */

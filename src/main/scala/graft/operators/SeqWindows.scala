@@ -56,17 +56,22 @@ object SeqWindows {
       .drop("__s")
   }
 
-  /** WIN-1 in typed form ([[graft.schema.WindowedSample]]) — the A1/A2
-    * training-tensor contract of SURVEY §1.1, keyed by a single ticker
-    * column. */
-  def typedSamples(df: DataFrame, tickerCol: String, order: Seq[String],
-                   value: String, seqLen: Int = 10, horizon: Int = 5)
+  /** [[slidingSamples]] output in typed form
+    * ([[graft.schema.WindowedSample]]) — the A1/A2 training-tensor
+    * contract of SURVEY §1.1, keyed by a single ticker column. A view
+    * over an existing samples frame (no second window pass). */
+  def typed(samples: DataFrame, tickerCol: String)
       : org.apache.spark.sql.Dataset[graft.schema.WindowedSample] = {
-    import df.sparkSession.implicits._
-    slidingSamples(df, Seq(tickerCol), order, value, seqLen, horizon)
-      .select(col(tickerCol).as("ticker"), col("features"), col("labels"))
+    import samples.sparkSession.implicits._
+    samples.select(col(tickerCol).as("ticker"), col("features"), col("labels"))
       .as[graft.schema.WindowedSample]
   }
+
+  /** WIN-1 + [[typed]] in one call. */
+  def typedSamples(df: DataFrame, tickerCol: String, order: Seq[String],
+                   value: String, seqLen: Int = 10, horizon: Int = 5)
+      : org.apache.spark.sql.Dataset[graft.schema.WindowedSample] =
+    typed(slidingSamples(df, Seq(tickerCol), order, value, seqLen, horizon), tickerCol)
 
   /** WIN-2 flat form: the last `seqLen` rows per key (all columns kept),
     * tagged with their position `pos` (1 = oldest of the window). */

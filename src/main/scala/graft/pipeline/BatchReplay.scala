@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.model.{ForecastModel, LinearModel, PersistenceModel, RidgeForecaster}
+import graft.model.{ForecastModel, ModelColumns, PersistenceModel, RidgeForecaster}
 import graft.operators.{SeqWindows, TickOps}
 import graft.schema.ScalerParams
 
@@ -40,7 +40,11 @@ object BatchReplay {
       model: ForecastModel)
 
   private val keys = Seq("ticker")
-  private val order = Seq("ts")
+  // (ts, price): the price tiebreak makes same-timestamp ticks process in
+  // a defined order AND matches the streaming state machine's sort
+  // (StreamingPipeline.stateFunc) — the batch/stream unification law
+  // (UnificationSpec) holds even when timestamps collide.
+  private val order = Seq("ts", "price")
 
   def run(spark: SparkSession, rawTicks: DataFrame, cfg: Config = Config()): Outputs = {
     // TR-1 + TR-2
@@ -59,11 +63,12 @@ object BatchReplay {
       else lit(0.0))
 
     // WIN-1 + ML-1 (persistence fallback below the training threshold,
-    // `lvmh_forecaster2.py:75-76`); samples carry the typed A1/A2 contract
-    val typed = SeqWindows.typedSamples(scaled, "ticker", order, "scaled",
-      cfg.seqLen, cfg.horizon)
+    // `lvmh_forecaster2.py:75-76`). ONE window pass, cached: the typed
+    // A1/A2 view, the emptiness probe, the fit scan, and the backtest all
+    // read the same materialized samples instead of re-running the window.
     val samples = SeqWindows.slidingSamples(scaled, keys, order, "scaled",
-      cfg.seqLen, cfg.horizon)
+      cfg.seqLen, cfg.horizon).cache()
+    val typed = SeqWindows.typed(samples, "ticker")
     val model: ForecastModel =
       if (typed.isEmpty) new PersistenceModel(cfg.horizon)
       else new RidgeForecaster(cfg.seqLen, cfg.horizon).fit(typed.toDF())
@@ -73,15 +78,8 @@ object BatchReplay {
     // construction: both sides share the anchor's rank). labels are the
     // scaled actuals, inverted back alongside the predictions (NRM-3).
     val predCols = (0 until cfg.horizon).map { h =>
-      val scaledPred: org.apache.spark.sql.Column = model match {
-        case lm: LinearModel =>
-          lm.weights(h).indices.drop(1).foldLeft(lit(lm.weights(h)(0))
-              : org.apache.spark.sql.Column) {
-            (acc, i) => acc + lit(lm.weights(h)(i)) * element_at(col("features"), i)
-          }
-        case _ => element_at(col("features"), cfg.seqLen) // persistence
-      }
-      invert(scaledPred, scaler).as(s"__f${h + 1}")
+      invert(ModelColumns.scaledPrediction(model, col("features"), cfg.seqLen, h),
+        scaler).as(s"__f${h + 1}")
     }
     val actCols = (1 to cfg.horizon).map(h =>
       invert(element_at(col("labels"), h), scaler).as(s"__a$h"))

@@ -114,7 +114,21 @@ final class HttpPollMicroBatchStream(ticker: String, fetcherName: String,
   }
 
   override def initialOffset(): Offset = PollOffset(0L)
-  override def deserializeOffset(json: String): Offset = PollOffset(json.toLong)
+
+  /** Restart-from-checkpoint contract: the buffer is in-memory, so data
+    * fetched before a restart cannot be replayed (the same inherent
+    * limitation as Spark's socket source — a live poll is not a durable
+    * log; durable ingest = this source + a persistent sink, replayed from
+    * the sink). What MUST still hold is offset monotonicity: fast-forward
+    * `base` to any checkpointed offset we see, so `latestOffset` never
+    * goes backwards and fresh ticks never reuse offsets the commit log
+    * already maps to old data. The lost (uncommitted) range replays as an
+    * empty slice rather than as silently re-numbered new rows. */
+  override def deserializeOffset(json: String): Offset = synchronized {
+    val n = json.toLong
+    if (n > base + buf.size()) { buf.clear(); base = n }
+    PollOffset(n)
+  }
   override def commit(end: Offset): Unit = synchronized {
     val n = (end.asInstanceOf[PollOffset].n - base).toInt
     if (n > 0) { buf.subList(0, math.min(n, buf.size())).clear(); base += n }

@@ -175,8 +175,11 @@ object StreamingPipeline {
                                      state: GroupState[TickState]): Iterator[PipelineEvent] = {
     var st = state.getOption.getOrElse(TickState.empty)
     val out = List.newBuilder[PipelineEvent]
-    // micro-batch iterators are unordered; restore arrival order (TR-3:
-    // timestamps are assigned at the source, injected in replay)
+    // micro-batch iterators are unordered; impose the deterministic
+    // (ts, price) order — the SAME tiebreak the batch path uses
+    // (BatchReplay.order), so batch/stream unification holds even for
+    // same-timestamp ticks (TR-3: timestamps are assigned at the source,
+    // injected in replay)
     ticks.toSeq.sortBy(t => (t.timestamp.getTime, t.price)).foreach { t =>
       if (!st.lastPrice.contains(t.price)) { // TR-1
         val (next, events) = cycle(cfg, st, ticker, t.timestamp, t.price)

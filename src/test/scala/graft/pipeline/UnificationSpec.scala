@@ -17,7 +17,10 @@ import graft.streaming.{PipelineEvent, StreamingPipeline}
 class UnificationSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Two tickers interleaved, seeded walk, duplicate runs per ticker. */
+  /** Two tickers interleaved, seeded walk, duplicate runs per ticker, and
+    * colliding timestamps (every 13th tick reuses the previous stamp with
+    * a different price — the case where only a shared (ts, price)
+    * tiebreak keeps the two paths in agreement). */
   private def fixture: Vector[RawTick] = {
     val rnd = new scala.util.Random(77)
     val prices = collection.mutable.Map("AAA" -> 50.0, "BBB" -> 200.0)
@@ -25,8 +28,11 @@ class UnificationSpec extends SparkSpec {
       val t = if (i % 2 == 0) "AAA" else "BBB"
       if (i % 11 != 3) // every 11th tick repeats the ticker's prior price
         prices(t) = math.max(1.0, prices(t) + rnd.nextGaussian())
-      RawTick(t, new Timestamp(1700000000000L + i * 500L),
-        math.round(prices(t) * 100) / 100.0)
+      // collisions stay inside one grouped(7) micro-batch: a stream cannot
+      // reorder across batches it already processed, so the law is scoped
+      // to same-ts ticks that arrive within one trigger
+      val tsMs = 1700000000000L + (if (i % 13 == 5 && i < 49) (i - 2) * 500L else i * 500L)
+      RawTick(t, new Timestamp(tsMs), math.round(prices(t) * 100) / 100.0)
     }.toVector
   }
 

@@ -33,6 +33,24 @@ class HttpPollSourceSpec extends SparkSpec {
     assert(tail.rows.map(_._2).toSeq == Seq(12.0, 12.0))
   }
 
+  test("restart from checkpoint: offsets stay monotone, new ticks get fresh offsets") {
+    PriceFetchers.register("restart", () => Some(42.0))
+    // a NEW stream instance (restart) sees the checkpointed end offset 5
+    val s = new HttpPollMicroBatchStream("T", "restart", backoffMs = 0L,
+      dropUnchanged = false)
+    val restored = s.deserializeOffset("5")
+    assert(restored.asInstanceOf[PollOffset].n == 5)
+    // the uncommitted pre-restart range is unreplayable (in-memory poll):
+    // it must come back EMPTY, not silently filled with re-numbered rows
+    val lost = s.planInputPartitions(s.deserializeOffset("3"), restored)
+    assert(lost.head.asInstanceOf[PollPartition].rows.isEmpty)
+    // offsets never regress, and fresh ticks continue AFTER the checkpoint
+    val o = s.latestOffset()
+    assert(o.asInstanceOf[PollOffset].n == 6, "fresh tick must extend the checkpointed offset")
+    val fresh = s.planInputPartitions(restored, o).head.asInstanceOf[PollPartition]
+    assert(fresh.rows.map(_._2).toSeq == Seq(42.0))
+  }
+
   test("backoff: after a failure, polls are skipped until the window passes (CTL-2)") {
     PriceFetchers.register("fail_once",
       { val n = new AtomicInteger(0)
