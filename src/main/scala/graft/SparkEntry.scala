@@ -69,6 +69,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (Dedup.minhashLshQuery _),
     "dedup_simhash" -> (Dedup.simhashQuery _),
     "dedup_simhash_pairs" -> (Dedup.simhashPairsQuery _),
+    "dedup_clusters" -> (Dedup.clustersQuery _),
     // --- text analysis over documents ---
     "txt_token_stats" -> (TextAnalysis.tokenStatsQuery _),
     "txt_quality" -> (TextAnalysis.qualityQuery _),
@@ -95,6 +96,17 @@ object SparkEntry {
   private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
   /** Whitespace tokens (mirror of TextAnalysis.tokens). */
   private val toksSql = "string_split_regex(trim(text), '\\s+')"
+
+  /** Banded-Hamming simhash pairs (mirror of Dedup.simhashPairs; requires
+    * [[simhashCte]] in scope). */
+  private val simhashPairsCte =
+    """banded AS (SELECT doc_id, simhash, p AS band, (simhash >> (p*8)) & 255 AS bv
+                  FROM sim, LATERAL (SELECT unnest(range(4)) AS p) g),
+       shp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+               FROM banded a JOIN banded b
+               ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+               WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)"""
 
   /** [[graft.analytics.Sampling.hashBucket]] of doc_id over 1000 buckets. */
   private val docBucketSql =
@@ -396,13 +408,22 @@ object SparkEntry {
           SELECT doc_id, simhash FROM sim""",
     "dedup_simhash_pairs" ->
       s"""WITH $simhashCte,
-          banded AS (SELECT doc_id, simhash, p AS band, (simhash >> (p*8)) & 255 AS bv
-                     FROM sim, LATERAL (SELECT unnest(range(4)) AS p) g)
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
-          FROM banded a JOIN banded b
-          ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
-          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+          $simhashPairsCte
+          SELECT doc_a, doc_b, hamming FROM shp""",
+    "dedup_clusters" ->
+      // connected components as a recursive CTE: reach enumerates every
+      // (node, reachable node) pair over the bidirectional dup edges
+      // (UNION dedup terminates it); keeper = min reachable id — the same
+      // fixpoint Dedup.dupClusters converges to by label propagation
+      s"""WITH RECURSIVE $simhashCte,
+          $simhashPairsCte,
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM shp
+                    UNION ALL SELECT doc_b, doc_a FROM shp),
+          reach(id, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.id)
+          SELECT id AS doc_id, min(lbl) AS keeper FROM reach GROUP BY id""",
     // --- text analysis track (documents) ---
     "split_folds" ->
       s"""SELECT fold, count(*) AS n_docs FROM (

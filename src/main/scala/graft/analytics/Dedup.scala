@@ -221,6 +221,63 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a near-dup pair list: every document maps
+    * to its cluster KEEPER (the minimum doc_id reachable through dup
+    * edges; docs in no pair keep themselves). This is the resolution step
+    * a dedup pipeline runs after pair generation — "of these k mutual
+    * near-dups, keep one".
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min label among itself and its neighbors, until a round
+    * changes nothing. Rounds = component diameter, which for near-dup
+    * clusters is tiny (dups of one source document form near-cliques); the
+    * per-round work is one join + one aggregate on (node, label) pairs,
+    * the shape that scales — no component is ever collected to one task,
+    * let alone the driver. Each round's labels are eagerly materialized:
+    * the next round reads them twice (join + fallback), and the
+    * convergence check is a count on the same frame. */
+  def dupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    // localCheckpoint (eager), NOT cache: an iterative dataflow's logical
+    // plan grows exponentially round-over-round if each round's plan
+    // embeds the last (cache leaves lineage in place); checkpointing
+    // truncates it. On a cluster this is `checkpoint()` against reliable
+    // storage — same shape.
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    // propagate over the edge-touched subgraph only: in a real corpus the
+    // overwhelming majority of documents are in NO near-dup pair, and
+    // iterating their unchanging self-labels every round is pure waste —
+    // singletons are attached in one join after convergence.
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("keeper", col("doc_id"))
+      .localCheckpoint(true)
+    // labels only ever decrease, so the fixpoint test is one aggregate:
+    // the label sum is strictly monotone until convergence.
+    def labelSum(df: DataFrame): Long = // coalesce: sum of zero rows is NULL
+      df.agg(coalesce(sum("keeper"), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) { // 50 ≈ 2^50-node chain; see doc
+      val viaNeighbors = edges.join(labels, edges("dst") === labels("doc_id"))
+        .select(edges("src").as("doc_id"), col("keeper"))
+      // lazy checkpoint: the convergence aggregate right below is the
+      // action that materializes it — one job per round, not two
+      val next = labels.select(col("doc_id"), col("keeper")).union(viaNeighbors)
+        .groupBy("doc_id").agg(min("keeper").as("keeper"))
+        .localCheckpoint(false)
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+      rounds += 1
+    }
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("keeper", "__k"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__k"), col("doc_id")).as("keeper"))
+  }
+
   // -- query entry points --
 
   def exactQuery(spark: SparkSession, dir: String): DataFrame =
@@ -242,4 +299,10 @@ object Dedup {
 
   def simhashPairsQuery(spark: SparkSession, dir: String): DataFrame =
     simhashPairs(Tables.documents(spark, dir)).orderBy("doc_a", "doc_b")
+
+  /** Cluster resolution over the (deterministic, oracled) simhash pairs. */
+  def clustersQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    dupClusters(docs, simhashPairs(docs)).orderBy("doc_id")
+  }
 }

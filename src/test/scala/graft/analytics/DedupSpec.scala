@@ -3,6 +3,21 @@ package graft.analytics
 import graft.SparkSpec
 
 class DedupSpec extends SparkSpec {
+
+  test("dupClusters: min-label propagation reaches the per-component minimum, incl. a chain") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // components: {1,2,3,9} via chain 9-3-2-1 (diameter 3, forces >1 round),
+    // {5,6}, and singletons 4, 7
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 9L).toDF("doc_id")
+    val pairs = Seq((2L, 9L, 0L)).toDF("doc_a", "doc_b", "hamming")
+      .union(Seq((3L, 9L, 0L), (1L, 2L, 0L), (5L, 6L, 0L)).toDF("doc_a", "doc_b", "hamming"))
+      .select("doc_a", "doc_b")
+    val got = Dedup.dupClusters(docs, pairs)
+      .select("doc_id", "keeper").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L, 4L -> 4L, 7L -> 7L))
+  }
   import spark.implicits._
 
   // docs 1/2: near-identical (one word differs); doc 3: unrelated; doc 4:
