@@ -43,6 +43,7 @@ object SparkEntry {
     "q_revenue_pivot" -> (Relational.revenuePivot _),
     "q_order_histogram" -> (Relational.orderValueHistogram _),
     "q_parts_intersect" -> (Relational.returnedAndAcceptedParts _),
+    "q_parts_except" -> (Relational.returnedNeverAcceptedParts _),
     "q_approx_stats" -> (Relational.approxStats _), // no oracle: HLL++/t-digest sketches are engine-specific; error bounds vs exact asserted in RelationalSpec
     // --- reference operator surface over events (SURVEY §2.2-2.7) ---
     "tr1_change_filter" -> (SeriesQueries.changeFilter _),
@@ -249,6 +250,10 @@ object SparkEntry {
       """SELECT l_partkey FROM lineitem WHERE l_returnflag='R'
          INTERSECT
          SELECT l_partkey FROM lineitem WHERE l_returnflag='A'""",
+    "q_parts_except" ->
+      """SELECT l_partkey FROM lineitem WHERE l_returnflag='R' AND l_quantity >= 48
+         EXCEPT
+         SELECT l_partkey FROM lineitem WHERE l_returnflag='A' AND l_quantity >= 48""",
     "tr1_change_filter" ->
       """SELECT user_id, event_id, value FROM (
          SELECT user_id, event_id, value,

@@ -199,6 +199,17 @@ object Relational {
       .orderBy("l_partkey")
   }
 
+  /** EXCEPT set-op: parts with a high-quantity (>= 48) returned lineitem
+    * but no high-quantity accepted one — distinct + hash anti-join on the
+    * bare key; both quantity filters reach the parquet scan. */
+  def returnedNeverAcceptedParts(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .where(col("l_quantity") >= 48).select("l_returnflag", "l_partkey")
+    li.where(col("l_returnflag") === "R").select("l_partkey")
+      .except(li.where(col("l_returnflag") === "A").select("l_partkey"))
+      .orderBy("l_partkey")
+  }
+
   /** Approximate sketches — the 100 TB workhorses. HLL++ distinct and
     * t-digest-style percentiles shuffle O(sketch) bytes per group instead
     * of O(rows); exactness is traded for a bounded relative error that
