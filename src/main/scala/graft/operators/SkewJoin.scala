@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for skewed keys.
+  *
+  * A hash-shuffle join sends every row of a key to ONE reduce task; a
+  * dominant key (one ticker with half the ticks, one boilerplate document
+  * hash) serializes onto a single straggler. Salting splits each left key
+  * into `salts` sub-keys and replicates the right side across all salts,
+  * so the hot key's rows spread over `salts` tasks at the cost of
+  * `salts`× the (small) right side — the classic trade when AQE's skew
+  * handling can't apply (e.g. the build side is too big to split, or the
+  * join feeds an aggregation that must stay co-partitioned).
+  *
+  * The left salt is derived from xxhash64 of the whole row (via
+  * `struct(*)`), NOT `rand()`: deterministic across retries and replays —
+  * a failed task recomputes the same salts, so no row is lost or doubled
+  * (exactly-once under retry is non-negotiable; `rand()` salting breaks
+  * it). Rows identical in every column hash to the same salt, which is
+  * harmless: salting only needs to spread the key's rows approximately
+  * evenly, and duplicate full rows land together either way.
+  */
+object SkewJoin {
+
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 salts: Int = 8, joinType: String = "inner"): DataFrame = {
+    require(salts >= 1, "salts must be >= 1")
+    val leftSalted = left.withColumn("__salt",
+      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(salts.toLong)))
+    val rightExploded = right.withColumn("__salt",
+      explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
+    leftSalted.join(rightExploded,
+        leftSalted(key) === rightExploded(key) &&
+          leftSalted("__salt") === rightExploded("__salt"), joinType)
+      .drop(rightExploded(key)) // one key column out, like join(right, Seq(key))
+      .drop("__salt")
+  }
+}
