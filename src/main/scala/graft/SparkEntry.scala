@@ -72,6 +72,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> (Dedup.simhashPairsQuery _),
     "dedup_clusters" -> (Dedup.clustersQuery _),
     // --- text analysis over documents ---
+    "txt_redact" -> (TextAnalysis.redactQuery _),
     "txt_token_stats" -> (TextAnalysis.tokenStatsQuery _),
     "txt_quality" -> (TextAnalysis.qualityQuery _),
     "txt_lang_id" -> (TextAnalysis.langIdQuery _),
@@ -449,6 +450,19 @@ object SparkEntry {
                  - n_tokens) / 512) AS BIGINT) AS bin,
                  doc_id, n_tokens
           FROM t""",
+    "txt_redact" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val url = "https?://[^\\s]+"
+      val digits = "[0-9]{7,}"
+      s"""SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(text,
+            '$email', '<EMAIL>', 'g'), '$url', '<URL>', 'g'), '$digits', '<NUM>', 'g')
+            AS clean_text,
+          (len(string_split_regex(text, '$email')) - 1
+           + len(string_split_regex(text, '$url')) - 1
+           + len(string_split_regex(text, '$digits')) - 1)::BIGINT AS n_redactions
+          FROM documents"""
+    },
     "txt_token_stats" ->
       s"""SELECT doc_id, len($toksSql)::BIGINT AS n_tokens,
           length(text)::BIGINT AS n_text_chars,

@@ -103,6 +103,27 @@ object TextAnalysis {
 
   // -- query entry points over the driver tables --
 
+  /** PII-style scrubbing — the redaction pass a training corpus gets
+    * before anything else: emails, URLs, and long digit runs (phone/card/
+    * id numbers) replaced with stable tags. Three chained regex
+    * projections, scan-speed; `n_redactions` counts replacements so the
+    * scrub is auditable downstream. Patterns are deliberately simple,
+    * portable regex (no lookaround — DuckDB RE2 compatible). */
+  def redact(docs: DataFrame): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val urlRe = "https?://[^\\s]+"
+    val digitsRe = "[0-9]{7,}"
+    val redacted = regexp_replace(regexp_replace(regexp_replace(col("text"),
+      emailRe, "<EMAIL>"), urlRe, "<URL>"), digitsRe, "<NUM>")
+    docs.select(col("doc_id"), redacted.as("clean_text"),
+      (size(split(col("text"), emailRe, -1)) - 1 +
+        size(split(col("text"), urlRe, -1)) - 1 +
+        size(split(col("text"), digitsRe, -1)) - 1).cast("long").as("n_redactions"))
+  }
+
+  def redactQuery(spark: SparkSession, dir: String): DataFrame =
+    redact(Tables.documents(spark, dir)).orderBy("doc_id")
+
   def tokenStatsQuery(spark: SparkSession, dir: String): DataFrame =
     tokenStats(Tables.documents(spark, dir))
 
