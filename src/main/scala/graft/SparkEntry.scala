@@ -454,14 +454,18 @@ object SparkEntry {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val url = "https?://[^\\s]+"
       val digits = "[0-9]{7,}"
-      s"""SELECT doc_id,
-          regexp_replace(regexp_replace(regexp_replace(text,
-            '$email', '<EMAIL>', 'g'), '$url', '<URL>', 'g'), '$digits', '<NUM>', 'g')
-            AS clean_text,
+      s"""WITH r1 AS (SELECT doc_id, text,
+                 regexp_replace(text, '$email', '<EMAIL>', 'g') AS after_email
+               FROM documents),
+          r2 AS (SELECT doc_id, text, after_email,
+                 regexp_replace(after_email, '$url', '<URL>', 'g') AS after_url
+               FROM r1)
+          SELECT doc_id,
+          regexp_replace(after_url, '$digits', '<NUM>', 'g') AS clean_text,
           (len(string_split_regex(text, '$email')) - 1
-           + len(string_split_regex(text, '$url')) - 1
-           + len(string_split_regex(text, '$digits')) - 1)::BIGINT AS n_redactions
-          FROM documents"""
+           + len(string_split_regex(after_email, '$url')) - 1
+           + len(string_split_regex(after_url, '$digits')) - 1)::BIGINT AS n_redactions
+          FROM r2"""
     },
     "txt_token_stats" ->
       s"""SELECT doc_id, len($toksSql)::BIGINT AS n_tokens,

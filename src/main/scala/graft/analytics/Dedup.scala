@@ -259,7 +259,12 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 50) { // 50 ≈ 2^50-node chain; see doc
+    // propagation moves the min label ONE hop per round, so the cap bounds
+    // component DIAMETER at 50 — ample for near-dup clusters (dups of one
+    // source form near-cliques), but a pathological 50+-link drift chain
+    // must fail loudly rather than return silently split clusters
+    val maxRounds = 50
+    while (!converged && rounds < maxRounds) {
       val viaNeighbors = edges.join(labels, edges("dst") === labels("doc_id"))
         .select(edges("src").as("doc_id"), col("keeper"))
       // lazy checkpoint: the convergence aggregate right below is the
@@ -273,6 +278,9 @@ object Dedup {
       labels = next
       rounds += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"dupClusters did not converge in $maxRounds rounds — a component has " +
+        "diameter > 50; raise the cap or pre-split the pair graph")
     docs.select(col("doc_id"))
       .join(labels.withColumnRenamed("keeper", "__k"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("__k"), col("doc_id")).as("keeper"))

@@ -113,12 +113,17 @@ object TextAnalysis {
     val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val urlRe = "https?://[^\\s]+"
     val digitsRe = "[0-9]{7,}"
-    val redacted = regexp_replace(regexp_replace(regexp_replace(col("text"),
-      emailRe, "<EMAIL>"), urlRe, "<URL>"), digitsRe, "<NUM>")
-    docs.select(col("doc_id"), redacted.as("clean_text"),
+    // each pattern is COUNTED on the text the preceding replacements
+    // produced — the same chaining as the replacement itself, so
+    // n_redactions equals the number of tags actually inserted (an email
+    // inside a URL is one <URL>, not two counts)
+    val afterEmail = regexp_replace(col("text"), emailRe, "<EMAIL>")
+    val afterUrl = regexp_replace(afterEmail, urlRe, "<URL>")
+    val clean = regexp_replace(afterUrl, digitsRe, "<NUM>")
+    docs.select(col("doc_id"), clean.as("clean_text"),
       (size(split(col("text"), emailRe, -1)) - 1 +
-        size(split(col("text"), urlRe, -1)) - 1 +
-        size(split(col("text"), digitsRe, -1)) - 1).cast("long").as("n_redactions"))
+        size(split(afterEmail, urlRe, -1)) - 1 +
+        size(split(afterUrl, digitsRe, -1)) - 1).cast("long").as("n_redactions"))
   }
 
   def redactQuery(spark: SparkSession, dir: String): DataFrame =

@@ -24,9 +24,19 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Join types where replicating the right side is semantics-preserving:
+    * the right side never emits unmatched rows. right/full outer would
+    * fabricate one null-padded row per unmatched salt replica. */
+  private val SafeJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti")
+
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  salts: Int = 8, joinType: String = "inner"): DataFrame = {
     require(salts >= 1, "salts must be >= 1")
+    require(SafeJoinTypes(joinType.toLowerCase),
+      s"saltedJoin cannot preserve '$joinType' semantics: the replicated right " +
+        "side would emit one spurious unmatched row per salt (use inner/left/semi/anti)")
     val leftSalted = left.withColumn("__salt",
       pmod(xxhash64(struct(left.columns.map(col): _*)), lit(salts.toLong)))
     val rightExploded = right.withColumn("__salt",

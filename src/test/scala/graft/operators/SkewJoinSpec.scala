@@ -25,10 +25,25 @@ class SkewJoinSpec extends SparkSpec {
   }
 
   test("the hot key's rows actually spread across multiple tasks") {
-    val salted = SkewJoin.saltedJoin(skewed, dim, "k", salts = 8)
-    val hotPartitions = salted.where(col("name") === "name_1")
-      .select(spark_partition_id()).distinct().count()
-    assert(hotPartitions > 1,
-      s"hot key stayed on $hotPartitions task(s) — salting had no effect")
+    // disable broadcast so the join shuffles on (key, salt) — with the dim
+    // side broadcast there is no exchange and partition ids would reflect
+    // the input layout, making the assertion vacuous
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // AQE would coalesce this KB-sized shuffle into one partition; the
+    // assertion is about hash distribution, not size-based coalescing
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      def hotPartitions(salts: Int): Long =
+        SkewJoin.saltedJoin(skewed, dim, "k", salts = salts)
+          .where(col("name") === "name_1")
+          .select(spark_partition_id()).distinct().count()
+      // negative control: unsalted, the hot key hashes to exactly one task
+      assert(hotPartitions(1) == 1, "control: salts=1 must keep the hot key on one task")
+      val spread = hotPartitions(8)
+      assert(spread > 1, s"hot key stayed on $spread task(s) — salting had no effect")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    }
   }
 }
