@@ -212,26 +212,36 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[PipelineEvent], batchId: Long) =>
-        val df = batch.toDF().cache()
-        try {
-          df.where(col("kind") === "tick")
-            .select("ticker", "ts", "price", "variation")
-            .write.mode("append").parquet(s"$outDir/t1_ticks")
-          df.where(col("kind").isin("forecast", "match"))
-            .select("ticker", "kind", "ts", "step", "seq", "forecasted", "actual")
-            .write.mode("append").parquet(s"$outDir/t3_events")
-          df.where(col("kind") === "rmse")
-            .select("ticker", "ts", "rmse")
-            .write.mode("append").parquet(s"$outDir/t4_rmse")
-          if (console) // SNK-5 (`asyncio scraping.py:62`)
-            df.where(col("kind") === "tick").orderBy("ts").collect().foreach { r =>
-              println(CsvSinks.progressLine(r.getAs[Double]("price"),
-                r.getAs[Double]("variation"), r.getAs[Timestamp]("ts")))
-            }
-        } finally df.unpersist()
-        ()
+        writeBatch(batch, batchId, outDir, console)
       }
       .start()
+
+  /** One micro-batch's fan-out, IDEMPOTENT per batchId: each slice lands
+    * in `<table>/batch=<id>` with overwrite, so a batch replayed after a
+    * restart (foreachBatch's at-least-once contract) overwrites its own
+    * previous output instead of appending duplicates — the standard
+    * exactly-once foreachBatch idiom. Readers see `batch` as a partition
+    * column and project it away. */
+  private[streaming] def writeBatch(batch: Dataset[PipelineEvent], batchId: Long,
+                                    outDir: String, console: Boolean): Unit = {
+    val df = batch.toDF().cache()
+    try {
+      df.where(col("kind") === "tick")
+        .select("ticker", "ts", "price", "variation")
+        .write.mode("overwrite").parquet(s"$outDir/t1_ticks/batch=$batchId")
+      df.where(col("kind").isin("forecast", "match"))
+        .select("ticker", "kind", "ts", "step", "seq", "forecasted", "actual")
+        .write.mode("overwrite").parquet(s"$outDir/t3_events/batch=$batchId")
+      df.where(col("kind") === "rmse")
+        .select("ticker", "ts", "rmse")
+        .write.mode("overwrite").parquet(s"$outDir/t4_rmse/batch=$batchId")
+      if (console) // SNK-5 (`asyncio scraping.py:62`)
+        df.where(col("kind") === "tick").orderBy("ts").collect().foreach { r =>
+          println(CsvSinks.progressLine(r.getAs[Double]("price"),
+            r.getAs[Double]("variation"), r.getAs[Timestamp]("ts")))
+        }
+    } finally { df.unpersist(); () }
+  }
 
   /** T3 as the reference exports it ([[graft.schema.ForecastRow]] rows):
     * every forecast row, matched ones carrying their actual (the k-th

@@ -129,6 +129,19 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(nullTail == 5, "unmatched pending forecasts should keep NULL actuals")
   }
 
+  test("writeBatch is idempotent per batchId: a replayed batch leaves one copy") {
+    val out = Files.createTempDirectory("graft_idem").toString
+    val ev = Seq(
+      PipelineEvent("T", "tick", new Timestamp(1700000000000L), 0, 0L,
+        Some(10.0), Some(0.0), None, None, None),
+      PipelineEvent("T", "rmse", new Timestamp(1700000001000L), 0, 1L,
+        None, None, None, None, Some(0.5))).toDS()
+    StreamingPipeline.writeBatch(ev, batchId = 7L, out, console = false)
+    StreamingPipeline.writeBatch(ev, batchId = 7L, out, console = false) // replay
+    assert(spark.read.parquet(s"$out/t1_ticks").count() == 1)
+    assert(spark.read.parquet(s"$out/t4_rmse").count() == 1)
+  }
+
   test("console progress line matches the reference format") {
     val line = graft.sink.CsvSinks.progressLine(123.456, 0.0132,
       Timestamp.valueOf("2026-01-01 00:00:00"))
