@@ -43,6 +43,21 @@ object EventTimeOps {
     ticks.withWatermark("timestamp", watermarkDelay)
       .dropDuplicatesWithinWatermark("ticker", "timestamp", "price")
 
+  /** Streaming sessionization via the native `session_window` — the
+    * event-time counterpart of the batch gap-sessionize
+    * (`SeriesQueries.sessionize`): a session closes when no tick arrives
+    * within `gap`, and is emitted once the watermark passes its end.
+    * Session state is merged incrementally per (ticker, session) — at
+    * scale this is a standard keyed aggregate, not a sort-the-world. */
+  def sessionStats(ticks: Dataset[RawTick], gap: String = "30 seconds",
+                   watermarkDelay: String = "2 minutes"): DataFrame =
+    ticks.withWatermark("timestamp", watermarkDelay)
+      .groupBy(session_window(col("timestamp"), gap).as("w"), col("ticker"))
+      .agg(count(lit(1)).as("n_ticks"),
+        min("price").as("low"), max("price").as("high"))
+      .select(col("ticker"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_ticks"), col("low"), col("high"))
+
   /** Sliding variant (windowLen every slide) — same watermark semantics. */
   def slidingStats(ticks: Dataset[RawTick], windowLen: String = "5 minutes",
                    slide: String = "1 minute",

@@ -35,6 +35,30 @@ class EventTimeOpsSpec extends SparkSpec {
     assert(rows == Seq((0L, 10.0), (10000L, 12.0), (10000L, 13.0), (20000L, 14.0)))
   }
 
+  test("session window: gap splits sessions; finalized after watermark passes") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[RawTick]
+    val name = s"sess_${System.nanoTime()}"
+    val q = EventTimeOps.sessionStats(ms.toDS(), "30 seconds", "1 minute")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // session A: ticks at 0s,20s,35s (gaps < 30s); then 80s starts session B
+      ms.addData(tick(0, 10), tick(20, 12), tick(35, 11), tick(80, 20))
+      q.processAllAvailable()
+      // advance watermark far past both sessions to finalize them
+      ms.addData(tick(600, 30))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name)
+      .select("session_start", "session_end", "n_ticks", "low", "high")
+      .as[(Timestamp, Timestamp, Long, Double, Double)].collect().sortBy(_._1.getTime)
+    assert(rows.length == 2)
+    val (a, b) = (rows(0), rows(1))
+    assert(a._1.getTime == t0 && a._2.getTime == t0 + 65000 && a._3 == 3)
+    assert(a._4 == 10.0 && a._5 == 12.0)
+    assert(b._1.getTime == t0 + 80000 && b._3 == 1 && b._4 == 20.0)
+  }
+
   test("tumbling window finalizes after watermark and drops too-late rows") {
     implicit val sql = spark.sqlContext
     val ms = MemoryStream[RawTick]
