@@ -227,17 +227,13 @@ object Dedup {
     * a dedup pipeline runs after pair generation — "of these k mutual
     * near-dups, keep one".
     *
-    * Algorithm: iterative min-label propagation — each round every node
-    * takes the min label among itself and its neighbors, until a round
-    * changes nothing. With path halving, rounds = O(log diameter) — and
-    * near-dup
-    * cluster diameters are tiny anyway (dups of one source document form
-    * near-cliques); the
-    * per-round work is one join + one aggregate on (node, label) pairs,
-    * the shape that scales — no component is ever collected to one task,
-    * let alone the driver. Each round's labels are eagerly materialized:
-    * the next round reads them twice (join + fallback), and the
-    * convergence check is a count on the same frame. */
+    * Algorithm: iterative min-label propagation with path halving — each
+    * round every node takes the min label among itself, its neighbors,
+    * and its keeper's keeper, so rounds = O(log diameter) (near-dup
+    * cluster diameters are tiny anyway: dups of one source document form
+    * near-cliques). Per-round work is two joins + one aggregate on
+    * (node, label) pairs — the shape that scales: no component is ever
+    * collected to one task, let alone the driver. */
   def dupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
     // localCheckpoint (eager), NOT cache: an iterative dataflow's logical
     // plan grows exponentially round-over-round if each round's plan
@@ -275,11 +271,14 @@ object Dedup {
       // so labels cross 2^round hops instead of `round` hops — a
       // diameter-d chain converges in O(log d) rounds, not d (measured
       // 10 -> 7 on the sf0.01 corpus). Keepers are always subgraph node
-      // ids, so the self-join is total.
+      // ids, so the self-join is total. oneHop is read from BOTH sides of
+      // that join — eager-checkpoint it so the union+groupBy runs once
+      // per round, not twice (and the plan lineage stays truncated).
+      val oneHopM = oneHop.localCheckpoint(true)
+      val hop = oneHopM.withColumnRenamed("doc_id", "__via").withColumnRenamed("keeper", "__k2")
       // lazy checkpoint: the convergence aggregate right below is the
-      // action that materializes it — one job per round, not two
-      val hop = oneHop.withColumnRenamed("doc_id", "__via").withColumnRenamed("keeper", "__k2")
-      val next = oneHop.join(hop, oneHop("keeper") === hop("__via"))
+      // action that materializes it
+      val next = oneHopM.join(hop, oneHopM("keeper") === hop("__via"))
         .select(col("doc_id"), least(col("keeper"), col("__k2")).as("keeper"))
         .localCheckpoint(false)
       val s = labelSum(next)
@@ -291,7 +290,8 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"dupClusters did not converge in $maxRounds halving rounds " +
         "(diameter ~2^50) — this indicates a propagation logic error")
-    System.err.println(s"[dupClusters] converged in $rounds rounds")
+    if (sys.env.contains("GRAFT_DEBUG"))
+      System.err.println(s"[dupClusters] converged in $rounds rounds")
     docs.select(col("doc_id"))
       .join(labels.withColumnRenamed("keeper", "__k"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("__k"), col("doc_id")).as("keeper"))

@@ -221,20 +221,36 @@ object StreamingPipeline {
     * restart (foreachBatch's at-least-once contract) overwrites its own
     * previous output instead of appending duplicates — the standard
     * exactly-once foreachBatch idiom. Readers see `batch` as a partition
-    * column and project it away. */
+    * column and project it away.
+    *
+    * One refinement over plain overwrite: an EMPTY slice never replaces
+    * an existing batch directory. A source that cannot re-deliver a lost
+    * range (HttpPollSource replays it as an empty slice after a restart)
+    * would otherwise erase rows that already reached disk — data loss
+    * where append mode merely duplicated. Empty dirs are still created
+    * on FIRST write so the three table paths always exist for readers. */
   private[streaming] def writeBatch(batch: Dataset[PipelineEvent], batchId: Long,
                                     outDir: String, console: Boolean): Unit = {
     val df = batch.toDF().cache()
     try {
-      df.where(col("kind") === "tick")
-        .select("ticker", "ts", "price", "variation")
-        .write.mode("overwrite").parquet(s"$outDir/t1_ticks/batch=$batchId")
-      df.where(col("kind").isin("forecast", "match"))
-        .select("ticker", "kind", "ts", "step", "seq", "forecasted", "actual")
-        .write.mode("overwrite").parquet(s"$outDir/t3_events/batch=$batchId")
-      df.where(col("kind") === "rmse")
-        .select("ticker", "ts", "rmse")
-        .write.mode("overwrite").parquet(s"$outDir/t4_rmse/batch=$batchId")
+      val counts = df.groupBy("kind").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        df.sparkSession.sparkContext.hadoopConfiguration)
+      def writeSlice(slice: DataFrame, table: String, nonEmpty: Boolean): Unit = {
+        val path = s"$outDir/$table/batch=$batchId"
+        if (nonEmpty || !fs.exists(new org.apache.hadoop.fs.Path(path)))
+          slice.write.mode("overwrite").parquet(path)
+      }
+      writeSlice(df.where(col("kind") === "tick")
+          .select("ticker", "ts", "price", "variation"),
+        "t1_ticks", counts.getOrElse("tick", 0L) > 0)
+      writeSlice(df.where(col("kind").isin("forecast", "match"))
+          .select("ticker", "kind", "ts", "step", "seq", "forecasted", "actual"),
+        "t3_events", counts.getOrElse("forecast", 0L) + counts.getOrElse("match", 0L) > 0)
+      writeSlice(df.where(col("kind") === "rmse")
+          .select("ticker", "ts", "rmse"),
+        "t4_rmse", counts.getOrElse("rmse", 0L) > 0)
       if (console) // SNK-5 (`asyncio scraping.py:62`)
         df.where(col("kind") === "tick").orderBy("ts").collect().foreach { r =>
           println(CsvSinks.progressLine(r.getAs[Double]("price"),

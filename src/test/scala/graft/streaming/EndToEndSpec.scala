@@ -17,9 +17,11 @@ class EndToEndSpec extends SparkSpec {
   import spark.implicits._
 
   test("source -> state machine -> sinks: scripted poll drives the full pipeline") {
-    val rnd = new scala.util.Random(11)
-    val script: IndexedSeq[Double] =
-      (0 until 30).map(i => 100.0 + math.round(rnd.nextGaussian() * 100) / 100.0)
+    // strictly increasing prices: two polls stamped in the same millisecond
+    // get re-sorted by (ts, price) inside the state machine, and with all
+    // prices distinct no ordering can create a consecutive-duplicate run —
+    // the TR-1 acceptance count is ordering-independent (no flake)
+    val script: IndexedSeq[Double] = (0 until 30).map(i => 100.0 + i * 0.37)
     val calls = new AtomicInteger(0)
     PriceFetchers.register("e2e", () => {
       val i = calls.getAndIncrement()

@@ -140,6 +140,13 @@ class StreamingPipelineSpec extends SparkSpec {
     StreamingPipeline.writeBatch(ev, batchId = 7L, out, console = false) // replay
     assert(spark.read.parquet(s"$out/t1_ticks").count() == 1)
     assert(spark.read.parquet(s"$out/t4_rmse").count() == 1)
+    // a lost-range replay (source cannot re-deliver; empty slice) must
+    // NOT erase rows that already reached disk
+    StreamingPipeline.writeBatch(spark.emptyDataset[PipelineEvent],
+      batchId = 7L, out, console = false)
+    assert(spark.read.parquet(s"$out/t1_ticks").count() == 1,
+      "empty replay erased persisted tick rows")
+    assert(spark.read.parquet(s"$out/t4_rmse").count() == 1)
   }
 
   test("console progress line matches the reference format") {
