@@ -1,0 +1,41 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.schema.RawTick
+
+/** Throughput soak: the reference's ingest envelope is sub-1 tick/s (one
+  * HTTP poll per ~20 s loop, `asyncio scraping.py:86-92`); the engine
+  * must beat it by orders of magnitude. 50k ticks across 40 tickers
+  * stream through the complete state machine (TR-1/TR-2, periodic refit,
+  * forecast, FIFO match, RMSE) — wall-clocked end to end. */
+class ThroughputSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("state machine sustains >1000 ticks/s end-to-end (reference: <1)") {
+    implicit val sql = spark.sqlContext
+    val rnd = new scala.util.Random(21)
+    val n = 50000
+    val ticks = (0 until n).map { i =>
+      RawTick(s"T${i % 40}", new Timestamp(1700000000000L + (i / 40) * 1000L),
+        math.max(1.0, 100.0 + math.round(rnd.nextGaussian() * 100) / 100.0 * 10))
+    }
+    val ms = MemoryStream[RawTick]
+    val name = s"tp_${System.nanoTime()}"
+    val q = StreamingPipeline.events(ms.toDS(), StreamingPipeline.Config())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val t0 = System.nanoTime()
+    try {
+      ticks.grouped(10000).foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val processed = spark.table(name).where($"kind" === "tick").count()
+    val rate = n / secs
+    info(f"$n ticks in $secs%.1f s = $rate%.0f ticks/s (${processed} accepted)")
+    assert(processed > 0)
+    assert(rate > 1000, f"throughput collapsed: $rate%.0f ticks/s")
+  }
+}
