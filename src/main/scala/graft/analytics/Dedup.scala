@@ -135,10 +135,13 @@ object Dedup {
                          maxBucket: Long): DataFrame = {
     if (maxBucket == Long.MaxValue) banded
     else {
-      val ok = banded.groupBy(bucketCols.map(col): _*)
-        .agg(count(lit(1)).as("__bs")).where(col("__bs") <= maxBucket)
-        .select(bucketCols.map(col): _*)
-      banded.join(ok, bucketCols)
+      // window count over the bucket key: ONE shuffle on the same key the
+      // self-join needs anyway (vs groupBy + join back = two stages); no
+      // ordering, so no sort — just a per-partition count
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(bucketCols.map(col): _*)
+      banded.withColumn("__bs", count(lit(1)).over(w))
+        .where(col("__bs") <= maxBucket).drop("__bs")
     }
   }
 
