@@ -53,6 +53,7 @@ object SparkEntry {
     "win2_latest_window" -> (SeriesQueries.latestWindow _),
     "jn1_fifo_rank_join" -> (SeriesQueries.fifoRankJoin _),
     "jn2_asof_join" -> (SeriesQueries.asOfJoin _),
+    "jn3_asof_tolerance" -> (SeriesQueries.asOfJoinTolerance _),
     "agg2_persistence_rmse" -> (SeriesQueries.persistenceRmse _),
     "agg3_value_summary" -> (SeriesQueries.valueSummary _),
     "src2_json_extract" -> (SeriesQueries.jsonExtract _),
@@ -314,6 +315,28 @@ object SparkEntry {
              last_value(v_value IGNORE NULLS)
                OVER (PARTITION BY user_id ORDER BY ts, side
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_value
+           FROM u) t WHERE side = 1""",
+    "jn3_asof_tolerance" ->
+      """WITH v AS (SELECT user_id, ts, value FROM (
+             SELECT user_id, ts, value,
+                    row_number() OVER (PARTITION BY user_id, ts
+                                       ORDER BY event_id DESC) AS rn
+             FROM events WHERE event_type='view') WHERE rn = 1),
+           u AS (SELECT user_id, ts, event_id, value, 1 AS side,
+                        NULL AS v_value, NULL::TIMESTAMP_NS AS v_ts
+                 FROM events WHERE event_type='purchase'
+                 UNION ALL
+                 SELECT user_id, ts, NULL, NULL, 0, value, ts FROM v)
+         SELECT user_id, event_id, value,
+           CASE WHEN epoch_us(ts) - epoch_us(lt) <= 3600000000 THEN lv END AS view_value_1h
+         FROM (
+           SELECT user_id, ts, event_id, value, side,
+             last_value(v_value IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, side
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv,
+             last_value(v_ts IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, side
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt
            FROM u) t WHERE side = 1""",
     "agg2_persistence_rmse" ->
       """SELECT user_id, round(sqrt(avg(pow(value - prev, 2))), 4) AS rmse FROM (

@@ -91,6 +91,23 @@ object SeriesQueries {
         col("asof_v_value").as("last_view_value"))
   }
 
+  /** As-of join with a 1-hour tolerance (pandas merge_asof's `tolerance`):
+    * a matched view older than an hour before the purchase is nulled out —
+    * the staleness bound every real market-data as-of join needs. */
+  def asOfJoinTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "ts_us", "event_id", "event_type", "value")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("user_id", "ts_us", "event_id", "value")
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us").as("v_ts_us"),
+        col("event_id").as("v_event_id"), col("value").as("v_value"))
+    AlignJoin.asOfJoin(purchases, views, keys, "ts_us", "v_ts_us", Seq("v_value"),
+        rightTiebreak = Seq("v_event_id"), tolerance = Some(3600000000L)) // 1h in µs
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("asof_v_value").as("view_value_1h"))
+  }
+
   /** AGG-2 — RMSE of the one-step persistence forecast (prev value) per
     * user + a global row, demonstrating the cumulative error aggregate. */
   def persistenceRmse(spark: SparkSession, dir: String): DataFrame = {

@@ -51,23 +51,32 @@ object AlignJoin {
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String,
                rightCols: Seq[String],
-               rightTiebreak: Seq[String] = Nil): DataFrame = {
+               rightTiebreak: Seq[String] = Nil,
+               tolerance: Option[Long] = None): DataFrame = {
     val rightDedup =
       if (rightTiebreak.isEmpty) right
       else right.withColumn("__dup_rn", row_number().over(
           Window.partitionBy((keys :+ rightTime).map(col): _*)
             .orderBy(rightTiebreak.map(c => col(c).desc): _*)))
         .where(col("__dup_rn") === 1).drop("__dup_rn")
+    // `tolerance` (same numeric unit as the time columns) bounds staleness:
+    // a match older than leftTime - tolerance is nulled out, exactly like
+    // pandas merge_asof's tolerance. Implemented by carrying the matched
+    // right TIME through the same window and masking afterwards — no extra
+    // shuffle, the carry is just one more last() over the existing window.
+    val carry = rightCols ++ (if (tolerance.isDefined) Seq("__rt") else Nil)
+    val rightWithRt = tolerance.fold(rightDedup)(_ =>
+      rightDedup.withColumn("__rt", col(rightTime)))
     val lTagged = left.withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
-      .withColumns(rightCols.map(c => s"__r_$c" -> lit(null)).toMap)
-    val rTagged = rightDedup.select((keys.map(col) :+ col(rightTime).as("__t")) ++
-        rightCols.map(c => col(c).as(s"__r_$c")): _*)
+      .withColumns(carry.map(c => s"__r_$c" -> lit(null)).toMap)
+    val rTagged = rightWithRt.select((keys.map(col) :+ col(rightTime).as("__t")) ++
+        carry.map(c => col(c).as(s"__r_$c")): _*)
       .withColumn("__side", lit(0))
     val unioned = lTagged.select(
         (keys.map(col) :+ col("__t") :+ col("__side")) ++
         left.columns.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")) ++
-        rightCols.map(c => col(s"__r_$c")): _*)
+        carry.map(c => col(s"__r_$c")): _*)
       .unionByName(rTagged.withColumns(
         left.columns.filterNot(keys.contains).map(c => s"__l_$c" -> lit(null)).toMap),
         allowMissingColumns = false)
@@ -75,10 +84,16 @@ object AlignJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(unioned) { (df, c) =>
+    val carried = carry.foldLeft(unioned) { (df, c) =>
       df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
     }
-    carried.where(col("__side") === 1)
+    val masked = tolerance.fold(carried) { tol =>
+      rightCols.foldLeft(carried) { (df, c) =>
+        df.withColumn(s"__r_$c",
+          when(col("__t") - col("__r___rt") <= tol, col(s"__r_$c")))
+      }
+    }
+    masked.where(col("__side") === 1)
       .select(keys.map(col) ++
         left.columns.filterNot(keys.contains).map(c => col(s"__l_$c").as(c)) ++
         rightCols.map(c => col(s"__r_$c").as(s"asof_$c")): _*)

@@ -41,4 +41,17 @@ class AlignJoinSpec extends SparkSpec {
       .orderBy("t").select("t", "asof_vv").as[(Long, Option[Double])].collect()
     assert(got.toSeq == Seq((5L, None), (10L, Some(2.0)), (20L, Some(3.0))))
   }
+
+  test("as-of join tolerance: stale matches null out, in-window matches survive") {
+    val purchases = Seq(("U", 10L, 1L, 100.0), ("U", 30L, 2L, 200.0))
+      .toDF("user", "t", "id", "amount")
+    val views = Seq(("U", 8L, 7L, 1.0)).toDF("user", "vt", "vid", "vv")
+    def run(tol: Long) = AlignJoin.asOfJoin(purchases, views, Seq("user"), "t", "vt",
+        Seq("vv"), rightTiebreak = Seq("vid"), tolerance = Some(tol))
+      .orderBy("t").select("t", "asof_vv").as[(Long, Option[Double])].collect().toSeq
+    // tol=5: view@8 is within 5 of t=10 but 22 stale for t=30
+    assert(run(5L) == Seq((10L, Some(1.0)), (30L, None)))
+    // tol=25: both inside the window
+    assert(run(25L) == Seq((10L, Some(1.0)), (30L, Some(1.0))))
+  }
 }
