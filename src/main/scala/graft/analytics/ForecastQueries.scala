@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.model.{LinearModel, RidgeForecaster}
-import graft.operators.SeqWindows
+import graft.operators.{Metrics, SeqWindows, TickOps}
 
 /** The model-in-the-loop operator surface (SURVEY §2.3/2.5/2.7) as batch
   * queries over `events` — NRM-2 frozen-params transform, ML-1/3 ridge
@@ -42,7 +42,7 @@ object ForecastQueries {
       .select(col("value"), expr(s"stack($horizon, $stackArgs) AS (h, actual)"))
       .where(col("actual").isNotNull)
       .groupBy("h")
-      .agg(round(sqrt(avg(pow(col("actual") - col("value"), 2))), 4).as("rmse"),
+      .agg(round(Metrics.rmseCol(col("actual"), col("value")), 4).as("rmse"),
         count(lit(1)).as("n"))
       .orderBy("h")
   }
@@ -57,9 +57,8 @@ object ForecastQueries {
       .agg(min("value").as("__mn"), max("value").as("__mx"))
     e.crossJoin(broadcast(stats))
       .select(col("event_id"),
-        round(when(col("__mx") > col("__mn"),
-            (col("value") - col("__mn")) / (col("__mx") - col("__mn")))
-          .otherwise(lit(0.0)), 6).as("scaled_frozen"))
+        round(TickOps.minMaxScaleExpr(col("value"), col("__mn"), col("__mx")), 6)
+          .as("scaled_frozen"))
   }
 
   /** AGG-4 — the reference's `avg_rmse = mean(rmse_history)`
@@ -83,8 +82,7 @@ object ForecastQueries {
     (0 until horizon).map { h =>
       val scaledPred =
         graft.model.ModelColumns.scaledPrediction(model, window, model.weights(h).length - 1, h)
-      val priced = if (mx > mn) scaledPred * lit(mx - mn) + lit(mn) else lit(mn)
-      round(priced, 4).as(s"p${h + 1}")
+      round(TickOps.minMaxInvert(scaledPred, mn, mx), 4).as(s"p${h + 1}")
     }
 
   /** ML-1 + ML-3 + NRM-1/2/3 end-to-end — fit one ridge forecaster on all
@@ -95,11 +93,14 @@ object ForecastQueries {
   def ridgeForecast(spark: SparkSession, dir: String,
                     seqLen: Int = 10, horizon: Int = 5): DataFrame = {
     val e = ev(spark, dir)
-    val Array(mn, mx) = e.agg(min("value"), max("value")).head() match {
-      case r => Array(r.getDouble(0), r.getDouble(1))
-    }
+    val statsRow = e.agg(min("value"), max("value")).head()
+    // empty table: no min/max — degenerate to (0,0) so scaling hits the
+    // 0.0 guard and the (already empty) output is produced without an NPE
+    val (mn, mx) =
+      if (statsRow.isNullAt(0)) (0.0, 0.0)
+      else (statsRow.getDouble(0), statsRow.getDouble(1))
     val scaled = e.withColumn("scaled",
-      if (mx > mn) (col("value") - lit(mn)) / lit(mx - mn) else lit(0.0))
+      TickOps.minMaxScaleExpr(col("value"), lit(mn), lit(mx)))
     val samples = SeqWindows.slidingSamples(scaled, keys, order, "scaled", seqLen, horizon)
     val model = new RidgeForecaster(seqLen, horizon).fit(samples).asInstanceOf[LinearModel]
     val latest = SeqWindows.latestWindow(scaled, keys, order, "scaled", seqLen)

@@ -25,7 +25,7 @@ object Multimodal {
     * the shape a real corpus table would have (payload = the media bytes;
     * here the UTF-8 bytes of `text` stand in as a deterministic payload). */
   def withPayload(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), encode(col("text"), "UTF-8").cast("binary").as("payload"))
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .withColumn("meta", struct(
         octet_length(col("payload")).cast("long").as("n_bytes"),
         lit("application/octet-stream").as("mime"),
@@ -52,7 +52,8 @@ object Multimodal {
       // (real codec handle would be initialized once per partition here)
       it.map { r =>
         val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
+        // a null payload (null text row) decodes like an empty one
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
         val feats = Array.tabulate(nFeatures) { i =>
           val lo = (bytes.length.toLong * i / nFeatures).toInt
           val hi = (bytes.length.toLong * (i + 1) / nFeatures).toInt

@@ -108,8 +108,8 @@ object SeriesQueries {
         col("asof_v_value").as("view_value_1h"))
   }
 
-  /** AGG-2 — RMSE of the one-step persistence forecast (prev value) per
-    * user + a global row, demonstrating the cumulative error aggregate. */
+  /** AGG-2 — RMSE of the one-step persistence forecast (prev value),
+    * grouped per user, demonstrating the cumulative error aggregate. */
   def persistenceRmse(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(col): _*)
     val withPrev = Tables.events(spark, dir)

@@ -56,8 +56,7 @@ object TickOps {
     */
   def minMaxScale(df: DataFrame, value: String, as: String = "scaled",
                   keys: Seq[String] = Nil): DataFrame = {
-    val scaled = (mn: Column, mx: Column) =>
-      when(mx > mn, (col(value) - mn) / (mx - mn)).otherwise(lit(0.0))
+    val scaled = (mn: Column, mx: Column) => minMaxScaleExpr(col(value), mn, mx)
     if (keys.isEmpty) {
       val stats = df.agg(min(value).as("__mn"), max(value).as("__mx"))
       df.crossJoin(broadcast(stats))
@@ -71,6 +70,12 @@ object TickOps {
         .drop("__mn", "__mx")
     }
   }
+
+  /** The NRM-1 scale formula in Column form, the ONE definition of the
+    * min==max degenerate-to-0.0 guard (shared by [[minMaxScale]], the
+    * frozen-params transform, and the forecast queries). */
+  def minMaxScaleExpr(v: Column, mn: Column, mx: Column): Column =
+    when(mx > mn, (v - mn) / (mx - mn)).otherwise(lit(0.0))
 
   /** NRM-3 — inverse transform (`lvmh_forecaster2.py:122`): back to value
     * space given fit params. Pure projection, no shuffle. */

@@ -34,14 +34,24 @@ object CsvSinks {
                           at: Instant): String = {
     val spark = df.sparkSession
     val target = s"$dir/${prefix}_${stamp(at)}.csv"
-    val scratch = s"$dir/.${prefix}_tmp"
+    // stamp + nanos in the scratch name: concurrent exports with the same
+    // prefix must never share in-flight state
+    val scratch = s"$dir/.${prefix}_${stamp(at)}_${System.nanoTime()}_tmp"
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(scratch)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(dir).getFileSystem(conf)
-    val part = fs.globStatus(new Path(s"$scratch/part-*.csv"))(0).getPath
-    fs.delete(new Path(target), false)
-    fs.rename(part, new Path(target))
-    fs.delete(new Path(scratch), true)
+    try {
+      val parts = fs.globStatus(new Path(s"$scratch/part-*.csv"))
+      require(parts.nonEmpty, s"no part file produced under $scratch")
+      val tgt = new Path(target)
+      // delete/rename report failure via BOOLEANS — ignoring them would
+      // silently lose the only copy of the data (e.g. a leftover non-empty
+      // DIRECTORY at the target makes non-recursive delete return false)
+      if (fs.exists(tgt) && !fs.delete(tgt, false))
+        throw new java.io.IOException(s"cannot replace existing $target")
+      if (!fs.rename(parts(0).getPath, tgt))
+        throw new java.io.IOException(s"rename to $target failed")
+    } finally { fs.delete(new Path(scratch), true); () }
     target
   }
 
