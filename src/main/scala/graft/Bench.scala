@@ -39,10 +39,18 @@ object Bench {
       // cache shared intermediates): without this, a "warm" timed pass
       // measures InMemoryRelation reads instead of the operators' own work.
       // JIT/codegen warm-up is retained — that is what PASSES isolates.
-      // Within a single pass, cross-query cache reuse is intentional (it
-      // matches how the driver's one-pass bench and a real session behave).
       spark.sharedState.cacheManager.clearCache()
     }
+    // Per-query cache isolation (VERDICT r2 #1): queries that eagerly cache
+    // shared intermediates (Dedup/Similarity) would otherwise leave those
+    // blocks resident for every LATER query's measurement — memory pressure
+    // and GC from query k's caches land on query k+1's wall time (measured
+    // 3-6× inflation on the dedup queries in the 56-query run). Dropping
+    // caches AFTER the clock stops makes each number the query's own plan
+    // cost. SPARK_GRAFT_RETAIN_CACHE=1 restores cross-query retention for
+    // whole-session profiling (the "one warm session" view); the TOTAL is
+    // comparable either way since each query still pays its own build.
+    val retainCache = sys.env.get("SPARK_GRAFT_RETAIN_CACHE").contains("1")
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
@@ -51,7 +59,9 @@ object Bench {
           errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
           false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (!retainCache) spark.sharedState.cacheManager.clearCache()
+      name -> (if (ok) dt else -1.0)
     }
     // full control-char escape: a multi-line AnalysisException message
     // would otherwise break the one-JSON-line contract exactly when a

@@ -26,7 +26,11 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.pricingSummary(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** ListMap, not Map: Verify/Bench/Explain iterate this, and a HashMap's
+    * arbitrary (Scala/JDK-version-dependent) order would make per-query
+    * bench attribution and report ordering unstable run-to-run. Insertion
+    * order below IS the defined execution order. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = scala.collection.immutable.ListMap(
     // --- TPC-H-style relational surface (north star; SURVEY §2.10) ---
     "q1_pricing_summary" -> (Relational.pricingSummary _),
     "q6_revenue_filter" -> (Relational.revenueFilter _),
@@ -63,7 +67,8 @@ object SparkEntry {
     "ml3_persistence_backtest" -> (ForecastQueries.persistenceBacktest(_, _)),
     "nrm2_frozen_scale" -> (ForecastQueries.frozenScale _),
     "agg4_rmse_history_mean" -> (ForecastQueries.rmseHistoryMean _),
-    "ml1_ridge_forecast" -> (ForecastQueries.ridgeForecast(_, _)), // no oracle: closed-form fit sums doubles in partition order; contract-tested in ForecasterSpec
+    "ml1_ridge_forecast" -> (ForecastQueries.ridgeForecast(_, _)), // bit-stable fit (StableRidge) => full hash oracle
+    "ml1_ridge_forecast_per_key" -> (ForecastQueries.ridgeForecastPerKey(_, _)), // per-ticker mirror of the reference model
     // --- LLM-data-pipeline track: dedup over documents ---
     "dedup_exact" -> (Dedup.exactQuery _),
     "dedup_ngram_jaccard" -> (Dedup.ngramQuery _),
@@ -176,7 +181,86 @@ object SparkEntry {
         sim AS (SELECT doc_id, ($bits)::BIGINT AS simhash FROM bits)"""
   }
 
+  /** Generated DuckDB mirror of the [[graft.model.StableRidge]] fit+predict
+    * queries (`ml1_ridge_forecast`, `ml1_ridge_forecast_per_key`): exact
+    * HUGEINT Gram sums over the quantized WIN-1 windows, then the solve as
+    * a lateral-alias chain replaying [[graft.model.StableRidge.solve]]'s
+    * exact operation order — every double op is individually IEEE-
+    * deterministic, so the weights (and the rounded predictions) are
+    * bit-identical across engines. `perKey` fits one model per user on
+    * that user's own min/max scaling (the reference's per-ticker
+    * semantics); global fits one model on all users' windows under the
+    * global scaler. */
+  private def ml1OracleSql(perKey: Boolean): String = {
+    import graft.model.StableRidge
+    val seqLen = 10; val horizon = 5
+    val leads = (1 to seqLen + horizon - 1).map { k =>
+      val name = if (k < seqLen) f"f${k + 1}%02d" else s"l${k - seqLen + 1}"
+      s"lead(value,$k) OVER w AS $name"
+    }.mkString(",\n             ")
+    val fcols = (1 to seqLen).map(k => f"f$k%02d")
+    val lcols = (1 to horizon).map(h => s"l$h")
+    def scale(c: String) = s"(CASE WHEN mx > mn THEN ($c - mn)/(mx - mn) ELSE 0.0 END)"
+    def qexpr(c: String) = s"CAST(floor(${scale(c)} * 67108864 + 0.5) AS HUGEINT)"
+    val qxs = (s"CAST(67108864 AS HUGEINT) AS qx_0" +:
+      (fcols.zipWithIndex.map { case (c, i) => s"${qexpr(c)} AS qx_${i + 1}" } ++
+        lcols.zipWithIndex.map { case (c, h) => s"${qexpr(c)} AS qy_${h + 1}" }))
+      .mkString(",\n             ")
+    val gsums =
+      ((for { i <- 0 to seqLen; j <- i to seqLen } yield s"sum(qx_$i * qx_$j) AS g_${i}_$j") ++
+        (for { i <- 0 to seqLen; h <- 1 to horizon } yield s"sum(qx_$i * qy_$h) AS c_${i}_$h"))
+        .mkString(",\n             ")
+    val stats =
+      if (perKey) "SELECT user_id, min(value) AS mn, max(value) AS mx FROM events GROUP BY user_id"
+      else "SELECT min(value) AS mn, max(value) AS mx FROM events"
+    val winCols = (if (perKey) Seq("user_id") else Nil) ++ fcols ++ lcols
+    val qFrom = if (perKey) "FROM win w JOIN stats s ON s.user_id = w.user_id" else "FROM win, stats"
+    val qUid = if (perKey) "w.user_id,\n             " else ""
+    val gramSel = if (perKey) "user_id,\n             " else ""
+    val gramGroup = if (perKey) "\n           GROUP BY user_id" else ""
+    val us = (1 to seqLen).map { k =>
+      s"floor(${scale(s"max(CASE WHEN rn = ${seqLen + 1 - k} THEN value END)")} * 67108864 + 0.5)/67108864.0 AS u_$k"
+    }.mkString(",\n             ")
+    val lastFrom = if (perKey) "JOIN stats s ON s.user_id = t.user_id" else ", stats"
+    val finalFrom =
+      if (perKey) "FROM lastw l JOIN slv ON slv.user_id = l.user_id JOIN stats st ON st.user_id = l.user_id"
+      else "FROM lastw l, slv, stats st"
+    val preds = (1 to horizon).map { h =>
+      s"round(CASE WHEN mx > mn THEN ${StableRidge.sqlPredict(seqLen, h)} * (mx - mn) + mn ELSE mn END, 4) AS p$h"
+    }.mkString(",\n           ")
+    val (solveStages, slvName) = StableRidge.sqlSolveStages(seqLen, horizon, "gram")
+    s"""WITH stats AS ($stats),
+        win AS (
+          SELECT ${winCols.mkString(", ")} FROM (
+            SELECT user_id, value AS f01,
+             $leads
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+          WHERE l5 IS NOT NULL),
+        q AS (
+          SELECT $qUid$qxs
+          $qFrom),
+        gram AS (
+          SELECT $gramSel$gsums
+           FROM q$gramGroup),
+        ${solveStages.mkString(",\n        ")},
+        slv AS (SELECT * FROM $slvName),
+        lastw AS (
+          SELECT t.user_id,
+             $us
+          FROM (SELECT user_id, value,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) t $lastFrom
+          WHERE rn <= $seqLen
+          GROUP BY t.user_id, mn, mx
+          HAVING count(*) >= $seqLen)
+        SELECT l.user_id,
+           $preds
+        $finalFrom"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "ml1_ridge_forecast" -> ml1OracleSql(perKey = false),
+    "ml1_ridge_forecast_per_key" -> ml1OracleSql(perKey = true),
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
          round(sum(l_extendedprice),2) AS sum_base_price,

@@ -26,14 +26,20 @@ object Tables {
     * group starts inside it), so a real corpus with many row groups/files
     * already scans wide and this is a no-op. Footers are read once per
     * file on the driver and memoized. */
-  private val rowGroupCache = scala.collection.concurrent.TrieMap[String, Int]()
+  /** Memo key includes (modificationTime, length) so a file OVERWRITTEN at
+    * the same path (regenerated test data in a long-lived session) gets a
+    * fresh footer read instead of a stale row-group count; the status
+    * lookup is one driver-side RPC per file, far cheaper than the footer
+    * parse it guards. */
+  private val rowGroupCache = scala.collection.concurrent.TrieMap[(String, Long, Long), Int]()
 
   private def rowGroups(spark: SparkSession, df: DataFrame): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
     df.inputFiles.map { f =>
-      rowGroupCache.getOrElseUpdate(f, {
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      rowGroupCache.getOrElseUpdate((f, st.getModificationTime, st.getLen), {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try r.getFooter.getBlocks.size finally r.close()
       })

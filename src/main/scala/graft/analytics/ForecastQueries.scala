@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.model.{LinearModel, RidgeForecaster}
+import graft.model.StableRidge
 import graft.operators.{Metrics, SeqWindows, TickOps}
 
 /** The model-in-the-loop operator surface (SURVEY §2.3/2.5/2.7) as batch
@@ -74,22 +74,37 @@ object ForecastQueries {
       .agg(round(avg("cum_rmse"), 4).as("avg_rmse"), count(lit(1)).as("n_history"))
   }
 
-  /** Inverse-scaled prediction columns from a fitted [[LinearModel]]: the
+  /** Quantized window slot i (1-based) — the 2^-26 grid both engines
+    * agree on exactly ([[StableRidge.quantize]] in Column form; Spark's
+    * `floor` returns BIGINT, the divide by 2^26 is exact). */
+  private def uCol(window: Column, i: Int): Column =
+    floor(element_at(window, i) * StableRidge.Q + lit(0.5)) / lit(StableRidge.Q.toDouble)
+
+  /** Inverse-scaled prediction columns from bit-stable weights: the
     * weights become plan literals, so prediction is a pure codegen'd
-    * projection — no UDF, no per-row model object. */
-  private def predictCols(model: LinearModel, window: Column, mn: Double, mx: Double,
+    * projection — no UDF, no per-row model object. Accumulation shape
+    * `((w0 + w1·u1) + w2·u2)…` mirrors [[StableRidge.sqlPredict]]. */
+  private def predictCols(weights: Array[Array[Double]], window: Column,
+                          mn: Double, mx: Double, seqLen: Int,
                           horizon: Int): Seq[Column] =
     (0 until horizon).map { h =>
-      val scaledPred =
-        graft.model.ModelColumns.scaledPrediction(model, window, model.weights(h).length - 1, h)
+      val w = weights(h)
+      val scaledPred = (1 to seqLen).foldLeft(lit(w(0)): Column) { (acc, i) =>
+        acc + lit(w(i)) * uCol(window, i)
+      }
       round(TickOps.minMaxInvert(scaledPred, mn, mx), 4).as(s"p${h + 1}")
     }
 
   /** ML-1 + ML-3 + NRM-1/2/3 end-to-end — fit one ridge forecaster on all
     * users' sliding windows of the min-max-scaled series, then emit each
     * user's next-5 forecast from their latest window, inverse-scaled back
-    * to value space. (Rows-only driver check; contract-tested in
-    * ForecasterSpec — see class doc.) */
+    * to value space.
+    *
+    * The fit is [[StableRidge]] (exact integer Gram sums + canonical
+    * Cholesky): bit-reproducible regardless of partitioning, so the query
+    * hash-matches the generated DuckDB oracle — the plain
+    * [[RidgeForecaster]] (order-dependent double sums) stays the generic
+    * engine for ad-hoc frames and is contract-tested in ForecasterSpec. */
   def ridgeForecast(spark: SparkSession, dir: String,
                     seqLen: Int = 10, horizon: Int = 5): DataFrame = {
     val e = ev(spark, dir)
@@ -102,10 +117,62 @@ object ForecastQueries {
     val scaled = e.withColumn("scaled",
       TickOps.minMaxScaleExpr(col("value"), lit(mn), lit(mx)))
     val samples = SeqWindows.slidingSamples(scaled, keys, order, "scaled", seqLen, horizon)
-    val model = new RidgeForecaster(seqLen, horizon).fit(samples).asInstanceOf[LinearModel]
+    val aggs = StableRidge.gramAggs(seqLen, horizon)
+    val sumRow = samples.agg(aggs.head, aggs.tail: _*).head()
+    val sums = (0 until sumRow.length).map { i =>
+      require(!sumRow.isNullAt(i) || sumRow.isNullAt(0), // null with n>0 = decimal overflow
+        "StableRidge gram sum overflowed Decimal(38,0)")
+      if (sumRow.isNullAt(i)) BigInt(0) else BigInt(sumRow.getDecimal(i).toBigInteger)
+    }
+    val weights = StableRidge.solve(sums, seqLen, horizon)
     val latest = SeqWindows.latestWindow(scaled, keys, order, "scaled", seqLen)
       .where(size(col("window")) === seqLen)
-    latest.select(col("user_id") +: predictCols(model, col("window"), mn, mx, horizon): _*)
+    latest.select(col("user_id") +:
+        predictCols(weights, col("window"), mn, mx, seqLen, horizon): _*)
+      .orderBy("user_id")
+  }
+
+  /** Per-key ML-1 — one ridge model PER user, the honest batch mirror of
+    * the reference's per-ticker model (`lvmh_forecaster2.py:90-104`) and
+    * of the streaming state machine's per-key refit: each user's series is
+    * min-max scaled on its OWN history, windowed, fit with
+    * [[StableRidge.fitLocalExact]] (exact integer Gram — group iteration
+    * order cannot matter), and forecast from its latest window.
+    *
+    * Scale shape: `groupByKey(user).flatMapGroups` — one shuffle by key,
+    * then each key fits locally exactly like the streaming path; no
+    * per-key driver round-trips, no collect. Keys with fewer than
+    * seqLen+horizon points emit nothing (no fittable window — the
+    * reference returns no samples below this threshold too). */
+  def ridgeForecastPerKey(spark: SparkSession, dir: String,
+                          seqLen: Int = 10, horizon: Int = 5): DataFrame = {
+    require(horizon == 5, "per-key variant emits a fixed 5-step tuple row")
+    import spark.implicits._
+    val rows = ev(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
+    rows.groupByKey(_._1)
+      .flatMapGroups { (uid: Long, it: Iterator[(Long, Long, Long, Double)]) =>
+        val vals = it.toArray.sortBy(r => (r._2, r._3)).map(_._4)
+        if (vals.length < seqLen + horizon) Iterator.empty
+        else {
+          val mn = vals.min; val mx = vals.max
+          val scaled = vals.map(v => if (mx > mn) (v - mn) / (mx - mn) else 0.0)
+          val w = StableRidge.fitLocalExact(scaled.map(StableRidge.quantizeLong),
+            seqLen, horizon)
+          val u = scaled.takeRight(seqLen).map(StableRidge.quantize)
+          val preds = (0 until horizon).map { h =>
+            val s = StableRidge.predictScaled(w(h), u)
+            if (mx > mn) s * (mx - mn) + mn else mn // NRM-3, same op order as SQL
+          }
+          Iterator((uid, preds(0), preds(1), preds(2), preds(3), preds(4)))
+        }
+      }
+      .toDF("user_id", "p1", "p2", "p3", "p4", "p5")
+      // round via Spark's round (BigDecimal HALF_UP) — the same rounding
+      // the global variant and every other oracled query goes through
+      .select(col("user_id") +: (1 to horizon).map(h =>
+        round(col(s"p$h"), 4).as(s"p$h")): _*)
       .orderBy("user_id")
   }
 }

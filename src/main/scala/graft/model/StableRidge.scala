@@ -1,0 +1,260 @@
+package graft.model
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Bit-stable ridge fit (ML-1) — the cross-engine-reproducible variant of
+  * [[RidgeForecaster]] used by the oracled batch queries (VERDICT r2
+  * "what's missing" #2).
+  *
+  * The plain closed-form fit sums doubles in partition order, so its
+  * weights differ run-to-run (shuffle fetch order) and engine-to-engine —
+  * it can never hash-match a DuckDB oracle. This variant makes the whole
+  * fit a deterministic function of the INPUT SET:
+  *
+  *  1. Quantize each scaled feature/label to the 2^-26 grid:
+  *     `q = floor(x * 2^26 + 0.5)` — a pointwise, IEEE-exact op.
+  *  2. Accumulate the Gram matrix X'X and cross-products X'Y over the
+  *     quantized integers EXACTLY (decimal/int128 sums — products are
+  *     ≤ 2^52, so sums are exact integers and order-independent).
+  *  3. Convert each sum to double by an exact hi/lo split (both halves
+  *     < 2^53 convert exactly; one IEEE add + one exact power-of-two
+  *     divide), add a scale-aware full-diagonal ridge `1e-6·n`, and solve
+  *     by Cholesky in a FIXED operation order.
+  *
+  * Every double op in step 3 is individually IEEE-deterministic, so any
+  * engine that replays the same op sequence gets bit-identical weights —
+  * [[sqlGramdSelect]]/[[sqlCholSelect]]/[[sqlSolveSelect]] generate that
+  * exact sequence as DuckDB lateral-alias SQL for the oracle. Beyond
+  * oracle-ability this buys deterministic retrains at scale: the fit no
+  * longer depends on partitioning, speculative re-execution, or AQE
+  * re-plans. Quantization costs at most 2^-27 relative perturbation of
+  * scaled inputs — far below the fit's statistical noise.
+  *
+  * Scale shape is unchanged from [[RidgeForecaster.fit]]: one map-side
+  * partial aggregate over samples (the only thing shuffled is the
+  * (p·(p+1)/2 + p·horizon)-entry summary), tiny driver-side solve.
+  */
+object StableRidge {
+
+  val QBits = 26
+  val Q: Long = 1L << QBits // 67108864: quantization grid
+  val SplitPow = 52
+  val Split: Long = 1L << SplitPow // 4503599627370496: exact-conversion split
+  val Lambda = 1e-6
+
+  /** Packed layout of the aggregated sums: upper-triangle Gram entries
+    * g(i,j), i ≤ j (intercept is index 0), then cross entries c(i,h). */
+  def gramIdx(i: Int, j: Int, p: Int): Int = i * p - i * (i - 1) / 2 + (j - i)
+  def nGram(p: Int): Int = p * (p + 1) / 2
+  def nSums(p: Int, horizon: Int): Int = nGram(p) + p * horizon
+
+  // ---- Spark side ----
+
+  /** Quantized x-vector component (0 = intercept) over a scaled-features
+    * array column; Decimal(19,0) so products sum exactly. */
+  private def qx(features: Column, i: Int): Column =
+    if (i == 0) lit(Q).cast(DecimalType(19, 0))
+    else floor(element_at(features, i) * Q + 0.5).cast(DecimalType(19, 0))
+
+  private def qy(labels: Column, h: Int): Column =
+    floor(element_at(labels, h) * Q + 0.5).cast(DecimalType(19, 0))
+
+  /** The exact-integer sums as aggregate columns over a WIN-1 samples
+    * frame (`features`/`labels` arrays of scaled doubles), in packed
+    * order. Decimal sums are exact and order-independent; overflow (at
+    * ~2e22 samples) surfaces as null, caught in [[solve]]. */
+  def gramAggs(seqLen: Int, horizon: Int): Seq[Column] = {
+    val p = seqLen + 1
+    val f = col("features"); val l = col("labels")
+    (for { i <- 0 until p; j <- i until p } yield
+      sum(qx(f, i) * qx(f, j)).as(s"g_${i}_$j")) ++
+      (for { i <- 0 until p; h <- 1 to horizon } yield
+        sum(qx(f, i) * qy(l, h)).as(s"c_${i}_$h"))
+  }
+
+  /** Exact hi/lo conversion: sums are < n·2^52, so `hi = s >> 52` and
+    * `lo = s mod 2^52` both convert to double exactly; the reassembly is
+    * one exact divide + one IEEE add — deterministic everywhere. */
+  private def toD(s: BigInt): Double = {
+    val hi = (s >> SplitPow).toDouble
+    val lo = (s & BigInt(Split - 1)).toDouble
+    hi + lo / Split.toDouble
+  }
+
+  /** Solve weights(h)(i) (i=0 intercept) from the packed exact sums.
+    * Canonical operation order — [[sqlCholSelect]]/[[sqlSolveSelect]]
+    * replay it token-for-token, so DuckDB reproduces these doubles bit
+    * for bit. n == 0 (no samples) → all-zero weights. */
+  def solve(sums: IndexedSeq[BigInt], seqLen: Int, horizon: Int): Array[Array[Double]] = {
+    val p = seqLen + 1
+    require(sums.length == nSums(p, horizon), s"expected ${nSums(p, horizon)} sums")
+    val n = (sums(0) >> SplitPow).toLong // intercept² products are exactly 2^52 each
+    if (n == 0L) return Array.fill(horizon)(new Array[Double](p))
+    val lam = Lambda * n.toDouble // scale-aware full-diagonal ridge (SPD ⇒ pivot-free)
+    val a = Array.tabulate(p, p) { (i, j) =>
+      val g = toD(sums(gramIdx(math.min(i, j), math.max(i, j), p)))
+      if (i == j) g + lam else g
+    }
+    val b = Array.tabulate(p, horizon) { (i, h) => toD(sums(nGram(p) + i * horizon + h)) }
+    val lm = Array.ofDim[Double](p, p) // Cholesky factor, canonical order
+    var j = 0
+    while (j < p) {
+      var s = a(j)(j)
+      var k = 0
+      while (k < j) { s -= lm(j)(k) * lm(j)(k); k += 1 }
+      lm(j)(j) = math.sqrt(s)
+      var i = j + 1
+      while (i < p) {
+        var t = a(i)(j)
+        k = 0
+        while (k < j) { t -= lm(i)(k) * lm(j)(k); k += 1 }
+        lm(i)(j) = t / lm(j)(j)
+        i += 1
+      }
+      j += 1
+    }
+    Array.tabulate(horizon) { h =>
+      val z = new Array[Double](p) // forward substitution
+      var jj = 0
+      while (jj < p) {
+        var s = b(jj)(h)
+        var k = 0
+        while (k < jj) { s -= lm(jj)(k) * z(k); k += 1 }
+        z(jj) = s / lm(jj)(jj)
+        jj += 1
+      }
+      val w = new Array[Double](p) // back substitution
+      var i = p - 1
+      while (i >= 0) {
+        var s = z(i)
+        var k = i + 1
+        while (k < p) { s -= lm(k)(i) * w(k); k += 1 }
+        w(i) = s / lm(i)(i)
+        i -= 1
+      }
+      w
+    }
+  }
+
+  /** Quantize one scaled value to the grid as a double (for predictions):
+    * exact both engines (`floor(x·2^26 + 0.5) / 2^26`). */
+  def quantize(x: Double): Double = math.floor(x * Q + 0.5) / Q.toDouble
+
+  /** Long form for executor-local Gram accumulation (per-key fit). */
+  def quantizeLong(x: Double): Long = math.floor(x * Q + 0.5).toLong
+
+  /** Scaled prediction, same op order as the SQL chain:
+    * `((w0 + w1·u1) + w2·u2) + ...`. */
+  def predictScaled(w: Array[Double], u: Array[Double]): Double = {
+    var s = w(0)
+    var i = 0
+    while (i < u.length) { s += w(i + 1) * u(i); i += 1 }
+    s
+  }
+
+  /** Executor-local exact fit over one key's quantized series (the per-key
+    * batch variant, mirroring the reference's per-ticker model): windows
+    * of `q` (quantized longs) are Gram-accumulated exactly — Long partial
+    * sums folded into BigInt every 1024 samples (1024·2^52 < 2^63), so
+    * accumulation order never matters — then solved canonically. */
+  def fitLocalExact(q: Array[Long], seqLen: Int, horizon: Int): Array[Array[Double]] = {
+    val p = seqLen + 1
+    val len = nSums(p, horizon)
+    val acc = Array.fill(len)(BigInt(0))
+    val part = new Array[Long](len)
+    def fold(): Unit = {
+      var i = 0
+      while (i < len) { if (part(i) != 0L) { acc(i) += BigInt(part(i)); part(i) = 0L }; i += 1 }
+    }
+    val nSamples = q.length - seqLen - horizon + 1
+    var s = 0
+    var sinceFold = 0
+    val x = new Array[Long](p)
+    x(0) = Q
+    while (s < nSamples) {
+      var i = 0
+      while (i < seqLen) { x(i + 1) = q(s + i); i += 1 }
+      i = 0
+      while (i < p) {
+        var j = i
+        while (j < p) { part(gramIdx(i, j, p)) += x(i) * x(j); j += 1 }
+        var h = 0
+        while (h < horizon) { part(nGram(p) + i * horizon + h) += x(i) * q(s + seqLen + h); h += 1 }
+        i += 1
+      }
+      s += 1
+      sinceFold += 1
+      if (sinceFold == 1024) { fold(); sinceFold = 0 }
+    }
+    fold()
+    solve(scala.collection.immutable.ArraySeq.unsafeWrapArray(acc), seqLen, horizon)
+  }
+
+  // ---- DuckDB oracle mirrors (generated, same op order as solve()) ----
+
+  private val SplitLit = "4503599627370496"
+
+  /** CTE stages replaying [[solve]] token-for-token: sum→double conversion
+    * (+ ridge), then Cholesky, forward- and back-substitution — ONE
+    * MATERIALIZED CTE PER DEPENDENCY LEVEL. The staging is load-bearing:
+    * DuckDB expands lateral column aliases by textual substitution, so a
+    * whole Cholesky in one SELECT list makes each `l_i_j` inline every
+    * earlier column's expression — exponential expression blowup (measured:
+    * minutes of planning). A materialized stage boundary computes each
+    * level's columns exactly once; within a stage only same-level refs
+    * (e.g. `l_j_j` inside `l_i_j`) are expanded, an O(p) duplication.
+    *
+    * Returns (cteStages, finalCteName); weights are columns `w_i_h`
+    * (i = 0 intercept, h 1-based) of the final CTE. */
+  def sqlSolveStages(seqLen: Int, horizon: Int, from: String): (Seq[String], String) = {
+    val p = seqLen + 1
+    val stages = scala.collection.mutable.ArrayBuffer[String]()
+    def conv(c: String) =
+      s"(CAST($c // $SplitLit AS DOUBLE) + CAST($c % $SplitLit AS DOUBLE) / $SplitLit.0)"
+    val lam = s"1e-06 * CAST(g_0_0 // $SplitLit AS DOUBLE) AS lam"
+    val as = for { i <- 0 until p; j <- i until p } yield
+      if (i == j) s"(${conv(s"g_${i}_$j")} + lam) AS a_${i}_$j"
+      else s"${conv(s"g_${i}_$j")} AS a_${i}_$j"
+    val bs = for { i <- 0 until p; h <- 1 to horizon } yield
+      s"${conv(s"c_${i}_$h")} AS b_${i}_$h"
+    stages += s"gramd AS MATERIALIZED (SELECT *,\n       " +
+      (lam +: (as ++ bs)).mkString(",\n       ") + s"\n      FROM $from)"
+    var prev = "gramd"
+    for (j <- 0 until p) { // Cholesky column j (references columns < j from prior stages)
+      val diag = (0 until j).foldLeft(s"a_${j}_$j") { (e, k) => s"($e - l_${j}_$k * l_${j}_$k)" }
+      val cols = s"sqrt($diag) AS l_${j}_$j" +: (j + 1 until p).map { i =>
+        val num = (0 until j).foldLeft(s"a_${j}_$i") { (e, k) => s"($e - l_${i}_$k * l_${j}_$k)" }
+        s"$num / l_${j}_$j AS l_${i}_$j"
+      }
+      stages += s"chol_$j AS MATERIALIZED (SELECT *,\n       " +
+        cols.mkString(",\n       ") + s"\n      FROM $prev)"
+      prev = s"chol_$j"
+    }
+    for (j <- 0 until p) { // forward substitution level j, all horizons
+      val cols = (1 to horizon).map { h =>
+        val num = (0 until j).foldLeft(s"b_${j}_$h") { (e, k) => s"($e - l_${j}_$k * z_${k}_$h)" }
+        s"$num / l_${j}_$j AS z_${j}_$h"
+      }
+      stages += s"fwd_$j AS MATERIALIZED (SELECT *,\n       " +
+        cols.mkString(",\n       ") + s"\n      FROM $prev)"
+      prev = s"fwd_$j"
+    }
+    for (i <- p - 1 to 0 by -1) { // back substitution level i, all horizons
+      val cols = (1 to horizon).map { h =>
+        val num = (i + 1 until p).foldLeft(s"z_${i}_$h") { (e, k) => s"($e - l_${k}_$i * w_${k}_$h)" }
+        s"$num / l_${i}_$i AS w_${i}_$h"
+      }
+      stages += s"bwd_$i AS MATERIALIZED (SELECT *,\n       " +
+        cols.mkString(",\n       ") + s"\n      FROM $prev)"
+      prev = s"bwd_$i"
+    }
+    (stages.toSeq, prev)
+  }
+
+  /** Prediction chain for step h over pivoted quantized columns u_1..u_p-1
+    * (same shape as [[predictScaled]]). */
+  def sqlPredict(seqLen: Int, h: Int): String =
+    (1 to seqLen).foldLeft(s"w_0_$h") { (e, i) => s"($e + w_${i}_$h * u_$i)" }
+}

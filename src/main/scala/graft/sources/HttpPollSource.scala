@@ -26,11 +26,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * streaming `Dataset[RawTick]` boundary — exactly what
   * [[graft.streaming.StreamingPipeline]] consumes.
   *
-  * The fetch itself is PLUGGABLE via [[PriceFetchers]]: production
-  * registers an HTTP closure (this container has zero egress, so none is
-  * baked in — the reference's GET + JSON-path extraction maps to
-  * `java.net.http` + `get_json_object`, see SRC-2/`jsonExtract`); tests
-  * register deterministic sequences. Polling happens on the DRIVER
+  * The fetch itself is PLUGGABLE via [[PriceFetchers]]: the default name
+  * `"http"` resolves to the real [[HttpFetcher]] GET + JSON extraction
+  * (override the endpoint with `.option("url", ...)` — `{ticker}` is
+  * substituted); tests register deterministic sequences or point `url` at
+  * a local stub server (zero egress). Polling happens on the DRIVER
   * (`latestOffset` is the per-trigger hook), matching the reference's
   * single-endpoint poll loop; many tickers = many source instances, each a
   * trivial driver-side poll feeding an executor-parallel pipeline.
@@ -51,10 +51,13 @@ object HttpPollSource {
 }
 
 /** Named fetch functions: `() => Option[Double]` (None = fetch failure →
-  * backoff, mirroring `fetch_price`'s None returns on non-200/exception). */
+  * backoff, mirroring `fetch_price`'s None returns on non-200/exception).
+  * The name `"http"` needs no registration — it resolves to the real
+  * [[HttpFetcher]] GET unless a registration overrides it (tests do). */
 object PriceFetchers {
   private val registry = TrieMap[String, () => Option[Double]]()
   def register(name: String, f: () => Option[Double]): Unit = registry(name) = f
+  def get(name: String): Option[() => Option[Double]] = registry.get(name)
   def apply(name: String): () => Option[Double] =
     registry.getOrElse(name,
       throw new IllegalArgumentException(s"no fetcher registered as '$name'"))
@@ -75,7 +78,9 @@ final class HttpPollTable(options: CaseInsensitiveStringMap)
           Option(options.get("ticker")).getOrElse("MC.PA"),
           Option(options.get("fetcher")).getOrElse("http"),
           options.getLong("backoffMs", 20000L), // `asyncio scraping.py:92`
-          options.getBoolean("dropUnchanged", false))
+          options.getBoolean("dropUnchanged", false),
+          options.getLong("fetchTimeoutMs", 15000L),
+          Option(options.get("url")).getOrElse(HttpFetcher.DefaultUrlTemplate))
     }
 }
 
@@ -90,18 +95,51 @@ final case class PollOffset(n: Long) extends Offset {
   * appends only price CHANGES, `asyncio scraping.py:80-83`); the state
   * machine applies TR-1 anyway, so this is just an ingest-volume saver. */
 final class HttpPollMicroBatchStream(ticker: String, fetcherName: String,
-                                     backoffMs: Long, dropUnchanged: Boolean)
+                                     backoffMs: Long, dropUnchanged: Boolean,
+                                     fetchTimeoutMs: Long = 15000L,
+                                     urlTemplate: String = HttpFetcher.DefaultUrlTemplate)
     extends MicroBatchStream {
   private val buf = new java.util.ArrayList[(Long, Double)]() // (micros, price)
   private var base = 0L // offset of buf(0)
   private var backoffUntil = 0L
   private var lastPrice = Double.NaN
-  private val fetch = PriceFetchers(fetcherName)
+  private val fetch: () => Option[Double] =
+    PriceFetchers.get(fetcherName).getOrElse {
+      if (fetcherName == "http")
+        HttpFetcher.chartFetcher(urlTemplate.replace("{ticker}", ticker), fetchTimeoutMs)
+      else throw new IllegalArgumentException(s"no fetcher registered as '$fetcherName'")
+    }
+
+  /** Cached daemon pool for the timeout guard: a fetch that ignores
+    * interruption leaks its thread but never blocks the NEXT poll (a fresh
+    * thread is created on demand); threads are reused while fetches behave. */
+  private val fetchExec = java.util.concurrent.Executors.newCachedThreadPool(
+    (r: Runnable) => { val t = new Thread(r, s"graft-poll-$ticker"); t.setDaemon(true); t })
+
+  /** Fetch-timeout contract: `latestOffset` runs on the driver's trigger
+    * thread, so a HUNG fetch (vs a failed one) would stall the whole stream
+    * — the reference shares this flaw (blocking `session.get`,
+    * `asyncio scraping.py:24`); the engine must not. A fetch that exceeds
+    * `fetchTimeoutMs` is cancelled (interrupt), treated as failed, and
+    * routed to the same CTL-2 backoff as a None. `fetchTimeoutMs <= 0`
+    * disables the guard (trusted in-process fetchers). */
+  private def fetchBounded(): Option[Double] =
+    if (fetchTimeoutMs <= 0) fetch()
+    else {
+      val task = fetchExec.submit(new java.util.concurrent.Callable[Option[Double]] {
+        override def call(): Option[Double] = fetch()
+      })
+      try task.get(fetchTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+      catch {
+        case _: java.util.concurrent.TimeoutException => task.cancel(true); None
+        case _: Throwable => None // fetcher threw = failed fetch
+      }
+    }
 
   override def latestOffset(): Offset = synchronized {
     val now = System.currentTimeMillis()
     if (now >= backoffUntil) {
-      fetch() match {
+      fetchBounded() match {
         case Some(p) =>
           if (!(dropUnchanged && p == lastPrice)) {
             buf.add((now * 1000L, p)) // TR-3: single stamp, at the source
@@ -133,7 +171,7 @@ final class HttpPollMicroBatchStream(ticker: String, fetcherName: String,
     val n = (end.asInstanceOf[PollOffset].n - base).toInt
     if (n > 0) { buf.subList(0, math.min(n, buf.size())).clear(); base += n }
   }
-  override def stop(): Unit = ()
+  override def stop(): Unit = { fetchExec.shutdownNow(); () }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     synchronized {

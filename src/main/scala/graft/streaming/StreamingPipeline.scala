@@ -87,6 +87,9 @@ final case class PipelineEvent(
   */
 object StreamingPipeline {
 
+  /** Cap on SNK-5 console rows collected to the driver per micro-batch. */
+  private[streaming] val ConsoleMaxRows = 100
+
   final case class Config(
       seqLen: Int = 10,
       horizon: Int = 5,
@@ -155,7 +158,14 @@ object StreamingPipeline {
         val steps = if (st.bootstrapped) Seq(cfg.horizon) else 1 to cfg.horizon
         var enq = st.nEnqueued
         steps.foreach { k =>
-          val labelTs = ts.getTime + k * cfg.labelIntervalMs
+          // Reference stamping parity (`lvmh_forecaster2.py:162,181`): the
+          // bootstrap burst stamps timedelta(minutes=i) for i in
+          // 0..horizon-1 (step k → k-1 intervals), while steady-state
+          // stamps minutes=horizon for its single last-step row. Matching
+          // is FIFO-by-seq and the match overwrites ts, so this only
+          // affects the NULL-tail rows' displayed timestamps.
+          val intervals = if (st.bootstrapped) k else k - 1
+          val labelTs = ts.getTime + intervals * cfg.labelIntervalMs
           pending = pending :+ PendingForecast(k, labelTs, preds(k - 1))
           enq += 1
           out += PipelineEvent(ticker, "forecast", new Timestamp(labelTs), k, enq,
@@ -235,11 +245,16 @@ object StreamingPipeline {
     try {
       val counts = df.groupBy("kind").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        df.sparkSession.sparkContext.hadoopConfiguration)
+      val hadoopConf = df.sparkSession.sparkContext.hadoopConfiguration
       def writeSlice(slice: DataFrame, table: String, nonEmpty: Boolean): Unit = {
         val path = s"$outDir/$table/batch=$batchId"
-        if (nonEmpty || !fs.exists(new org.apache.hadoop.fs.Path(path)))
+        // resolve the filesystem FROM the path (not FileSystem.get's
+        // default FS): outDir may live on a different scheme (HDFS/S3)
+        // than fs.defaultFS, and probing the wrong FS would defeat the
+        // empty-slice guard exactly on the deployments it protects
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(hadoopConf)
+        if (nonEmpty || !fs.exists(p))
           slice.write.mode("overwrite").parquet(path)
       }
       writeSlice(df.where(col("kind") === "tick")
@@ -251,11 +266,21 @@ object StreamingPipeline {
       writeSlice(df.where(col("kind") === "rmse")
           .select("ticker", "ts", "rmse"),
         "t4_rmse", counts.getOrElse("rmse", 0L) > 0)
-      if (console) // SNK-5 (`asyncio scraping.py:62`)
-        df.where(col("kind") === "tick").orderBy("ts").collect().foreach { r =>
+      if (console) { // SNK-5 (`asyncio scraping.py:62`)
+        // Bounded driver materialization: at reference rates a batch holds
+        // ≤1 tick, but a 10k-ticker deployment would otherwise collect the
+        // whole slice to the driver every trigger. sort().limit(N) is a
+        // TakeOrdered — executors each keep N rows, the driver merges N.
+        val nTicks = counts.getOrElse("tick", 0L)
+        val shown = df.where(col("kind") === "tick").sort("ts")
+          .limit(ConsoleMaxRows).collect()
+        shown.foreach { r =>
           println(CsvSinks.progressLine(r.getAs[Double]("price"),
             r.getAs[Double]("variation"), r.getAs[Timestamp]("ts")))
         }
+        if (nTicks > shown.length)
+          println(s"... and ${nTicks - shown.length} more ticks in batch $batchId")
+      }
     } finally { df.unpersist(); () }
   }
 
@@ -292,11 +317,27 @@ object StreamingPipeline {
       .as[graft.schema.RmsePoint]
   }
 
-  /** CTL-1 — graceful shutdown: drain what's available, stop, then export
-    * the T1/T3/T4 CSVs with the reference's timestamped names (SNK-1..4). */
+  /** CTL-1 — graceful shutdown: drain what's available (bounded), stop,
+    * then export the T1/T3/T4 CSVs with the reference's timestamped names
+    * (SNK-1..4).
+    *
+    * The drain MUST be bounded: `processAllAvailable` only returns once no
+    * new data is available, and a LIVE poll source never reaches that
+    * state (every trigger fetches another tick — the stream is its own
+    * producer), so an unbounded drain would hang shutdown forever. Replay
+    * drains (MemoryStream fixtures, AvailableNow) complete well inside the
+    * default; a live query simply stops after the bounded grace period —
+    * exactly the reference's Ctrl-C semantics (export what you have,
+    * `lvmh_forecaster2.py:392-399`). */
   def stopAndExport(query: StreamingQuery, spark: SparkSession, outDir: String,
-                    exportAt: java.time.Instant): Seq[String] = {
-    query.processAllAvailable()
+                    exportAt: java.time.Instant,
+                    drainTimeoutMs: Long = 30000L): Seq[String] = {
+    val drain = new Thread(() =>
+      try query.processAllAvailable()
+      catch { case _: Throwable => () }) // stream already stopped/failed: nothing to drain
+    drain.setDaemon(true)
+    drain.start()
+    drain.join(drainTimeoutMs)
     query.stop()
     exportCsv(spark, outDir, exportAt)
   }

@@ -78,6 +78,37 @@ class HttpPollSourceSpec extends SparkSpec {
     assert(got == Seq(5.0, 6.0, 7.0))
   }
 
+  test("fetch-timeout contract: a hung fetch cannot stall the trigger thread") {
+    val calls = new AtomicInteger(0)
+    PriceFetchers.register("hang", () => {
+      calls.incrementAndGet()
+      Thread.sleep(60000) // simulated hang; interrupted by the guard
+      Some(1.0)
+    })
+    val s = new HttpPollMicroBatchStream("T", "hang",
+      backoffMs = 3600L * 1000, dropUnchanged = false, fetchTimeoutMs = 200L)
+    val t0 = System.nanoTime()
+    val o = s.latestOffset()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 10, f"latestOffset blocked $secs%.1f s on a hung fetch")
+    assert(o.asInstanceOf[PollOffset].n == 0, "timed-out fetch must not emit a tick")
+    s.latestOffset() // timeout routed to CTL-2 backoff → no second fetch
+    assert(calls.get == 1, "timeout must back off like a failed fetch")
+  }
+
+  test("fetch-timeout recovery: the poll after a hang runs on a fresh thread") {
+    val calls = new AtomicInteger(0)
+    PriceFetchers.register("hang_once", () => {
+      if (calls.getAndIncrement() == 0) Thread.sleep(60000)
+      Some(7.0)
+    })
+    val s = new HttpPollMicroBatchStream("T", "hang_once",
+      backoffMs = 0L, dropUnchanged = false, fetchTimeoutMs = 300L)
+    s.latestOffset() // hangs → timeout → None (backoff 0: next poll fetches)
+    val o = s.latestOffset()
+    assert(o.asInstanceOf[PollOffset].n == 1, "fetch after a timeout must succeed")
+  }
+
   test("engine integration: readStream through the V2 source delivers RawTick rows") {
     val calls = new AtomicInteger(0)
     PriceFetchers.register("engine", () => {

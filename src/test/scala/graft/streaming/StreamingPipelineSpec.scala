@@ -35,6 +35,27 @@ class StreamingPipelineSpec extends SparkSpec {
       if (acc.nonEmpty && acc.last.price == t.price) acc else acc :+ t
     }
 
+  test("console sink is bounded: a large micro-batch never materializes on the driver") {
+    val n = 5000
+    val events = (0 until n).map { i =>
+      PipelineEvent("T", "tick", new Timestamp(1700000000000L + i * 1000L), 0, 0L,
+        Some(100.0 + i), Some(0.0), None, None, None)
+    }
+    val out = Files.createTempDirectory("graft_console").toString
+    val baos = new java.io.ByteArrayOutputStream()
+    Console.withOut(baos) {
+      StreamingPipeline.writeBatch(events.toDS(), batchId = 0L, out, console = true)
+    }
+    val lines = baos.toString("UTF-8").linesIterator.toSeq
+    val progress = lines.count(_.startsWith("Price:"))
+    assert(progress == StreamingPipeline.ConsoleMaxRows,
+      s"progress lines must be capped, got $progress")
+    assert(lines.exists(_.contains(s"and ${n - StreamingPipeline.ConsoleMaxRows} more ticks")),
+      "overflow must be summarized, not printed")
+    // the parquet sink still carries the FULL batch — only the console view is capped
+    assert(spark.read.parquet(s"$out/t1_ticks").count() == n)
+  }
+
   private def runReplay(batchSize: Int): Seq[PipelineEvent] = {
     implicit val sql = spark.sqlContext
     val ms = MemoryStream[RawTick]
