@@ -243,16 +243,19 @@ object Dedup {
     // embeds the last (cache leaves lineage in place); checkpointing
     // truncates it. On a cluster this is `checkpoint()` against reliable
     // storage — same shape.
+    // lazy checkpoints: the init labelSum below materializes edges AND
+    // labels in ONE job (pair generation runs once); eager would pay a
+    // separate job per checkpoint before any propagation starts
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // propagate over the edge-touched subgraph only: in a real corpus the
     // overwhelming majority of documents are in NO near-dup pair, and
     // iterating their unchanging self-labels every round is pure waste —
     // singletons are attached in one join after convergence.
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("keeper", col("doc_id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // labels only ever decrease, so the fixpoint test is one aggregate:
     // the label sum is strictly monotone until convergence.
     def labelSum(df: DataFrame): Long = // coalesce: sum of zero rows is NULL
@@ -282,11 +285,20 @@ object Dedup {
       // 10 -> 7 on the sf0.01 corpus). Keepers are always subgraph node
       // ids, so the self-join is total.
       val hop = oneHop.withColumnRenamed("doc_id", "__via").withColumnRenamed("keeper", "__k2")
+      val hop2 = oneHop.withColumnRenamed("doc_id", "__via2").withColumnRenamed("keeper", "__k3")
+      // two pointer jumps per round (keeper -> keeper² -> keeper³): each
+      // extra jump is one more broadcast-sized join against the SAME
+      // persisted oneHop, and round coverage goes from 2^r to ~3^r hops —
+      // fewer round barriers (job launches dominate at small scale, and
+      // each barrier is a full cluster sync at large scale). Jump 2 keys
+      // on the min of jump 1, so the chain composes.
+      val j1 = oneHop.join(hop, oneHop("keeper") === hop("__via"))
+        .select(col("doc_id"), least(col("keeper"), col("__k2")).as("keeper"))
       // lazy checkpoint: the convergence aggregate right below is the ONE
       // action of the round — it materializes the checkpoint and computes
       // the fixpoint test in the same job
-      val next = oneHop.join(hop, oneHop("keeper") === hop("__via"))
-        .select(col("doc_id"), least(col("keeper"), col("__k2")).as("keeper"))
+      val next = j1.join(hop2, j1("keeper") === hop2("__via2"))
+        .select(col("doc_id"), least(col("keeper"), col("__k3")).as("keeper"))
         .localCheckpoint(false)
       val s = labelSum(next)
       oneHop.unpersist()

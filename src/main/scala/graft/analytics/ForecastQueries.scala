@@ -117,13 +117,7 @@ object ForecastQueries {
     val scaled = e.withColumn("scaled",
       TickOps.minMaxScaleExpr(col("value"), lit(mn), lit(mx)))
     val samples = SeqWindows.slidingSamples(scaled, keys, order, "scaled", seqLen, horizon)
-    val aggs = StableRidge.gramAggs(seqLen, horizon)
-    val sumRow = samples.agg(aggs.head, aggs.tail: _*).head()
-    val sums = (0 until sumRow.length).map { i =>
-      require(!sumRow.isNullAt(i) || sumRow.isNullAt(0), // null with n>0 = decimal overflow
-        "StableRidge gram sum overflowed Decimal(38,0)")
-      if (sumRow.isNullAt(i)) BigInt(0) else BigInt(sumRow.getDecimal(i).toBigInteger)
-    }
+    val sums = StableRidge.gramSums(samples, seqLen, horizon)
     val weights = StableRidge.solve(sums, seqLen, horizon)
     val latest = SeqWindows.latestWindow(scaled, keys, order, "scaled", seqLen)
       .where(size(col("window")) === seqLen)

@@ -28,12 +28,9 @@ class StableRidgeSpec extends SparkSpec {
 
   test("gram sums are exact integers, invariant under repartitioning; weights bit-identical") {
     val data = samples(400)
-    def sumsFor(parts: Int): IndexedSeq[BigInt] = {
-      val df = data.toDF("features", "labels").repartition(parts)
-      val aggs = StableRidge.gramAggs(seqLen, horizon)
-      val row = df.agg(aggs.head, aggs.tail: _*).head()
-      (0 until row.length).map(i => BigInt(row.getDecimal(i).toBigInteger))
-    }
+    def sumsFor(parts: Int): IndexedSeq[BigInt] =
+      StableRidge.gramSums(data.toDF("features", "labels").repartition(parts),
+        seqLen, horizon)
     val s1 = sumsFor(1)
     val s13 = sumsFor(13)
     assert(s1 == s13, "exact integer sums must not depend on partitioning")
@@ -44,10 +41,7 @@ class StableRidgeSpec extends SparkSpec {
 
   test("canonical solve agrees with the plain ridge fit on well-conditioned data") {
     val data = samples(500)
-    val df = data.toDF("features", "labels")
-    val aggs = StableRidge.gramAggs(seqLen, horizon)
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    val sums = (0 until row.length).map(i => BigInt(row.getDecimal(i).toBigInteger))
+    val sums = StableRidge.gramSums(data.toDF("features", "labels"), seqLen, horizon)
     val stable = StableRidge.solve(sums, seqLen, horizon)
     val plain = new RidgeForecaster(seqLen, horizon).fitLocal(data)
       .asInstanceOf[LinearModel].weights
@@ -69,10 +63,8 @@ class StableRidgeSpec extends SparkSpec {
     val wins = (0 to series.length - seqLen - horizon).map { i =>
       (series.slice(i, i + seqLen), series.slice(i + seqLen, i + seqLen + horizon))
     }
-    val df = wins.toDF("features", "labels").repartition(5)
-    val aggs = StableRidge.gramAggs(seqLen, horizon)
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    val sums = (0 until row.length).map(i => BigInt(row.getDecimal(i).toBigInteger))
+    val sums = StableRidge.gramSums(
+      wins.toDF("features", "labels").repartition(5), seqLen, horizon)
     val distributed = StableRidge.solve(sums, seqLen, horizon)
     val local = StableRidge.fitLocalExact(series.map(StableRidge.quantizeLong), seqLen, horizon)
     assert(distributed.flatten.toSeq == local.flatten.toSeq,
