@@ -77,6 +77,7 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.simhashQuery _),
     "dedup_simhash_pairs" -> (Dedup.simhashPairsQuery _),
     "dedup_clusters" -> (Dedup.clustersQuery _),
+    "dedup_fold_leakage" -> (Dedup.foldLeakageQuery _),
     // --- text analysis over documents ---
     "txt_redact" -> (TextAnalysis.redactQuery _),
     "txt_token_stats" -> (TextAnalysis.tokenStatsQuery _),
@@ -84,6 +85,7 @@ object SparkEntry {
     "txt_lang_id" -> (TextAnalysis.langIdQuery _),
     "txt_fingerprint" -> (TextAnalysis.fingerprintQuery _),
     "txt_top_bigrams" -> (TextAnalysis.topBigramsQuery _),
+    "txt_vocab" -> (TextAnalysis.vocabQuery _),
     // --- similarity search over embeddings ---
     "knn_exact" -> (Similarity.knnExactQuery _),
     "knn_ann_lsh" -> (Similarity.annLshQuery _), // no oracle: recall vs knn_exact asserted in SimilaritySpec
@@ -93,6 +95,7 @@ object SparkEntry {
     "split_folds" -> (Sampling.splitQuery _),
     "split_assign" -> (Sampling.splitAssignQuery _),
     "pack_sequences" -> (Sampling.packQuery _),
+    "sample_stratified" -> (Sampling.stratifiedSampleQuery _),
     // --- multimodal binary-column plumbing ---
     "mm_payload_stats" -> (Multimodal.payloadStatsQuery _),
     "mm_decode_features" -> (Multimodal.decodeFeaturesQuery _),
@@ -523,6 +526,17 @@ object SparkEntry {
       s"""WITH $simhashCte,
           $simhashPairsCte
           SELECT doc_a, doc_b, hamming FROM shp""",
+    "dedup_fold_leakage" ->
+      s"""WITH $simhashCte,
+          $simhashPairsCte,
+          folds AS (SELECT doc_id, CASE WHEN $docBucketSql < 800 THEN 'train'
+                                        WHEN $docBucketSql < 900 THEN 'val'
+                                        ELSE 'test' END AS fold FROM documents)
+          SELECT doc_a, doc_b, fa.fold AS fold_a, fb.fold AS fold_b, hamming
+          FROM shp
+          JOIN folds fa ON fa.doc_id = shp.doc_a
+          JOIN folds fb ON fb.doc_id = shp.doc_b
+          WHERE fa.fold <> fb.fold""",
     "dedup_clusters" ->
       // connected components as a recursive CTE: reach enumerates every
       // (node, reachable node) pair over the bidirectional dup edges
@@ -548,6 +562,16 @@ object SparkEntry {
       s"""SELECT doc_id, CASE WHEN $docBucketSql < 800 THEN 'train'
                               WHEN $docBucketSql < 900 THEN 'val'
                               ELSE 'test' END AS fold FROM documents""",
+    "sample_stratified" ->
+      """SELECT event_id, event_type, bucket AS keep_bucket FROM (
+           SELECT event_id, event_type,
+             ('0x'||substr(md5(event_id::VARCHAR),1,15))::UBIGINT::BIGINT % 1000 AS bucket
+           FROM events) t
+         WHERE bucket < CASE event_type WHEN 'purchase' THEN 1000
+                                        WHEN 'signup' THEN 500
+                                        WHEN 'view' THEN 200
+                                        WHEN 'click' THEN 100
+                                        ELSE 50 END""",
     "pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, len($toksSql)::BIGINT AS n_tokens,
                  ('0x'||substr(md5(doc_id::VARCHAR),1,15))::UBIGINT::BIGINT % 8 AS shard
@@ -616,6 +640,13 @@ object SparkEntry {
                  WHERE len(w) >= 2) b
            GROUP BY bigram) t
          WHERE rank <= 50""",
+    "txt_vocab" ->
+      s"""SELECT term, tf, df, rank FROM (
+            SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df,
+                   row_number() OVER (ORDER BY count(*) DESC, term) AS rank
+            FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents) t
+            GROUP BY term) r
+          WHERE rank <= 100""",
     "dedup_embedding_exact" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos

@@ -344,4 +344,22 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
     dupClusters(docs, simhashPairs(docs)).orderBy("doc_id")
   }
+
+  /** Train/test contamination check — the hygiene query every training
+    * corpus needs after splitting: near-dup pairs whose endpoints landed
+    * in DIFFERENT folds (a test document with a training near-twin
+    * silently inflates eval). Composes [[simhashPairs]] with the
+    * deterministic hash split; two broadcast-sized joins against the
+    * tiny (doc_id, fold) projection, so the pair list never reshuffles
+    * the corpus. Empty result = clean split. */
+  def foldLeakageQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val folds = Sampling.split(docs, col("doc_id")).select(col("doc_id"), col("fold"))
+    simhashPairs(docs)
+      .join(folds.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("fold", "fold_a"), "doc_a")
+      .join(folds.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("fold", "fold_b"), "doc_b")
+      .where(col("fold_a") =!= col("fold_b"))
+      .select("doc_a", "doc_b", "fold_a", "fold_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -62,6 +62,25 @@ object Sampling {
       .select("shard", "bin", "doc_id", "n_tokens")
   }
 
+  /** Deterministic stratified downsampling — class rebalancing for a
+    * training corpus (keep all of a rare, valuable stratum; thin the
+    * dominant ones): a row is kept iff its key's md5 bucket (of 1000)
+    * falls below its stratum's keep-rate in per-mille. Hash-based for the
+    * same reason as [[split]]: every engine, rerun, and repartition keeps
+    * exactly the same rows, and growing the corpus never resamples old
+    * ones — properties RNG sampling (`df.sample`) cannot give. Scan-speed
+    * shape: one projection + filter, rates are plan literals, no shuffle,
+    * no state. */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+                       ratesPerMille: Seq[(String, Int)],
+                       defaultPerMille: Int): DataFrame = {
+    val rate = ratesPerMille.foldRight(lit(defaultPerMille): Column) {
+      case ((s, r), els) => when(stratum === s, lit(r)).otherwise(els)
+    }
+    df.withColumn("keep_bucket", hashBucket(key, 1000))
+      .where(col("keep_bucket") < rate)
+  }
+
   // -- query entry points --
 
   def splitQuery(spark: SparkSession, dir: String): DataFrame =
@@ -76,4 +95,15 @@ object Sampling {
   def packQuery(spark: SparkSession, dir: String): DataFrame =
     packSequences(Tables.documents(spark, dir))
       .orderBy("shard", "bin", "doc_id")
+
+  /** Rebalance `events` by type: keep every purchase, half the signups,
+    * a fifth of the views, a tenth of the clicks, 5% of anything else. */
+  def stratifiedSampleQuery(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSample(
+      Tables.events(spark, dir).select("event_id", "event_type"),
+      col("event_id"), col("event_type"),
+      Seq("purchase" -> 1000, "signup" -> 500, "view" -> 200, "click" -> 100),
+      defaultPerMille = 50)
+      .select("event_id", "event_type", "keep_bucket")
+      .orderBy("event_id")
 }

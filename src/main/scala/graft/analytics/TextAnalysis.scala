@@ -94,6 +94,22 @@ object TextAnalysis {
         .orderBy(col("n").desc, col("bigram"))).cast("long"))
   }
 
+  /** Corpus vocabulary: top-k whitespace tokens by total term frequency
+    * with document frequency — the seed table for tokenizer/vocab
+    * construction and stopword discovery. Exact integer counts (no FP),
+    * and the top-k is a TakeOrdered, never a global sort: each partition
+    * keeps k candidates, the driver merges k. */
+  def vocab(docs: DataFrame, k: Int = 100): DataFrame = {
+    val ranked = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("term")).limit(k)
+    ranked.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("tf").desc, col("term"))).cast("long"))
+  }
+
   /** Document fingerprinting: md5 of the normalized text (exact-dup key)
     * plus a 60-bit integer form for compact storage/joins. */
   def fingerprint(docs: DataFrame): DataFrame =
@@ -143,4 +159,7 @@ object TextAnalysis {
 
   def topBigramsQuery(spark: SparkSession, dir: String): DataFrame =
     topBigrams(Tables.documents(spark, dir))
+
+  def vocabQuery(spark: SparkSession, dir: String): DataFrame =
+    vocab(Tables.documents(spark, dir))
 }

@@ -29,6 +29,27 @@ class SamplingSpec extends SparkSpec {
     assert(folds.length == 7, "each author must map to exactly one fold")
   }
 
+  test("stratified sample: deterministic under repartition, rates hit per stratum") {
+    val ev = graft.Tables.events(spark, sfDir).select("event_id", "event_type")
+    val rates = Seq("purchase" -> 1000, "signup" -> 500, "view" -> 200, "click" -> 100)
+    def kept(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      Sampling.stratifiedSample(df, col("event_id"), col("event_type"), rates, 50)
+        .select("event_id", "event_type").as[(Long, String)].collect().toMap
+    val a = kept(ev)
+    val b = kept(ev.repartition(11))
+    assert(a == b, "kept set must not depend on partitioning")
+    val total = ev.groupBy("event_type").count().as[(String, Long)].collect().toMap
+    val keptBy = a.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    assert(keptBy("purchase") == total("purchase").toDouble,
+      "rate 1000 per-mille must keep the whole stratum")
+    for ((s, r) <- Seq("signup" -> 0.5, "view" -> 0.2, "click" -> 0.1)) {
+      val f = keptBy.getOrElse(s, 0.0) / total(s)
+      assert(math.abs(f - r) < 0.1, s"stratum $s kept fraction $f, wanted ~$r")
+    }
+    assert(keptBy.getOrElse("error", 0.0) / total("error") < 0.12,
+      "default rate must apply to unlisted strata")
+  }
+
   test("pack_sequences matches the exclusive-running-total law, recomputed exactly") {
     val got = Sampling.packSequences(graft.Tables.documents(spark, sfDir))
       .select("shard", "bin", "doc_id", "n_tokens")
