@@ -89,6 +89,7 @@ object SparkEntry {
     // --- similarity search over embeddings ---
     "knn_exact" -> (Similarity.knnExactQuery _),
     "knn_ann_lsh" -> (Similarity.annLshQuery _), // no oracle: recall vs knn_exact asserted in SimilaritySpec
+    "knn_ann_ivf" -> (Similarity.annIvfQuery _), // deterministic IVF-Flat => full hash oracle
     "dedup_embedding_exact" -> (Similarity.embeddingDupExactQuery _),
     "dedup_embedding_lsh" -> (Similarity.embeddingDupLshQuery _), // no oracle: recall vs exact asserted in SimilaritySpec
     // --- dataset assembly: deterministic splits + sequence packing ---
@@ -664,6 +665,33 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
            FROM c) t
          WHERE rank <= 5""",
+    "knn_ann_ivf" -> {
+      // deterministic IVF-Flat: hash-sampled centroids -> nearest-list
+      // assignment -> probe 4 lists -> exact cosine rank (mirror of
+      // Similarity.annIvfCosine; cosines rounded to 4 before ranking on
+      // both sides, ties by id)
+      def nn(filter: String, keep: Int, idAs: String, eAs: String) =
+        s"""SELECT $idAs, $eAs, c_id AS list_id FROM (
+              SELECT v.vec_id AS $idAs, v.embedding::DOUBLE[] AS $eAs, c.c_id,
+                row_number() OVER (PARTITION BY v.vec_id
+                  ORDER BY round(list_cosine_similarity(v.embedding::DOUBLE[], c.ce), 4) DESC,
+                           c.c_id) AS rk
+              FROM embeddings v, cent c $filter) t WHERE rk <= $keep"""
+      s"""WITH cent AS (
+            SELECT vec_id AS c_id, embedding::DOUBLE[] AS ce FROM embeddings
+            ORDER BY ${md5L60("vec_id::VARCHAR")}, vec_id LIMIT 16),
+          lists AS (${nn("", 1, "vec_id", "e")}),
+          probes AS (${nn("WHERE v.vec_id < 10", 4, "q_id", "qe")}),
+          cand AS (SELECT DISTINCT p.q_id, p.qe, l.vec_id AS n_id, l.e
+                   FROM lists l JOIN probes p ON p.list_id = l.list_id
+                                             AND l.vec_id <> p.q_id)
+          SELECT q_id, n_id, rank, cos FROM (
+            SELECT q_id, n_id, round(list_cosine_similarity(qe, e), 4) AS cos,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY round(list_cosine_similarity(qe, e), 4) DESC, n_id)::BIGINT AS rank
+            FROM cand) t
+          WHERE rank <= 5"""
+    },
     // --- multimodal payload plumbing (documents; payload = UTF-8 bytes) ---
     "mm_payload_stats" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,

@@ -152,6 +152,55 @@ object Similarity {
       .select("q_id", "n_id", "rank", "cos")
   }
 
+  /** ANN top-k via IVF (inverted-file) partitioning — the second scale
+    * path beside [[annLshCosine]], the shape production vector stores
+    * (IVF-Flat indexes) use: `nLists` centroid vectors partition the
+    * corpus into nearest-centroid lists; a query probes only its
+    * `nProbe` nearest lists, scanning ~nProbe/nLists of the corpus with
+    * exact cosine. Precision 1; recall vs [[knnExact]] is spec-tested.
+    *
+    * Centroids are a deterministic hash-sample of the corpus (the
+    * md5-smallest vec_ids): data-dependent like k-means seeds but
+    * reproducible across engines, reruns, and partitionings, with no
+    * iterative training job. At scale: centroid selection is a TakeOrdered
+    * (nLists rows to the driver-side broadcast), assignment is ONE scan of
+    * the corpus against the broadcast centroids (nLists distance
+    * computations per vector — the same work FAISS does), and probing is
+    * a bucket equi-join on list id; the corpus is never all-pairs joined
+    * and never reshuffled by embedding. */
+  def annIvfCosine(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+                   nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val emb = embeddingsD(spark, dir)
+    val cent = emb
+      .withColumn("__h", graft.functions.Hashes.md5Long60(col("vec_id").cast("string")))
+      .orderBy("__h", "vec_id").limit(nLists)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    // nearest-centroid assignment: argmax cosine over the broadcast centroids
+    def nearest(df: DataFrame, idCol: String, eCol: String, keep: Int): DataFrame =
+      df.join(broadcast(cent), lit(true))
+        .select(col(idCol), col(eCol),
+          col("c_id"), round(cosine(col(eCol), col("ce")), 4).as("__cos"))
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy(idCol).orderBy(col("__cos").desc, col("c_id"))))
+        .where(col("__rk") <= keep)
+        .select(col(idCol), col(eCol), col("c_id").as("list_id"))
+    val lists = nearest(emb, "vec_id", "e", keep = 1)
+    val probes = nearest(
+      emb.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("e").as("qe")),
+      "q_id", "qe", keep = nProbe)
+    val cand = lists.join(broadcast(probes), Seq("list_id"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("qe"), col("vec_id").as("n_id"), col("e"))
+      .dropDuplicates("q_id", "n_id")
+    cand.select(col("q_id"), col("n_id"),
+        round(cosine(col("qe"), col("e")), 4).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))).cast("long"))
+      .where(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cos")
+  }
+
   // -- query entry points --
 
   def knnExactQuery(spark: SparkSession, dir: String): DataFrame =
@@ -159,6 +208,9 @@ object Similarity {
 
   def annLshQuery(spark: SparkSession, dir: String): DataFrame =
     annLshCosine(spark, dir).orderBy("q_id", "rank")
+
+  def annIvfQuery(spark: SparkSession, dir: String): DataFrame =
+    annIvfCosine(spark, dir).orderBy("q_id", "rank")
 
   def embeddingDupExactQuery(spark: SparkSession, dir: String): DataFrame =
     embeddingDupExact(spark, dir)

@@ -77,6 +77,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, f"near-dup recall collapsed: $recall%.3f")
   }
 
+  test("IVF ANN recall@5 vs exact is usable; probing more lists never hurts recall") {
+    val exact = Similarity.knnExact(spark, sfDir, nQueries = 10, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivf4 = Similarity.annIvfCosine(spark, sfDir, nQueries = 10, k = 5, nProbe = 4)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivfAll = Similarity.annIvfCosine(spark, sfDir, nQueries = 10, k = 5, nProbe = 16)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall4 = (exact intersect ivf4).size.toDouble / exact.size
+    val recallAll = (exact intersect ivfAll).size.toDouble / exact.size
+    info(f"IVF recall@5 nProbe=4: $recall4%.3f, nProbe=16: $recallAll%.3f")
+    assert(recall4 >= 0.3, f"IVF recall collapsed: $recall4%.3f")
+    assert(recallAll == 1.0, "probing every list must reproduce exact top-k")
+    assert(recallAll >= recall4, "more probes must never lose recall")
+  }
+
   test("ANN recall@5 vs exact is usable and ANN never returns false positives by construction") {
     val exact = Similarity.knnExact(spark, sfDir, nQueries = 10, k = 5)
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
