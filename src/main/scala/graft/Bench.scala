@@ -28,6 +28,11 @@ object Bench {
     // Query-specific codegen is still measured inside each query's time.
     spark.range(1000).selectExpr("id % 7 as k", "id as v")
       .groupBy("k").count().write.format("noop").mode("overwrite").save()
+    // parquet-reader init (footer parse, vectorized reader classes, FS
+    // setup) is likewise session-level, not query-specific: pay it on the
+    // smallest table so the first measured query's number is its plan
+    // cost, not reader bring-up
+    Tables.region(spark, sfDir).write.format("noop").mode("overwrite").save()
     // optional warm-up passes (profiling: separates JIT/codegen cost from
     // steady-state query cost; the driver's bench runs with 1 pass)
     (1 until sys.env.getOrElse("SPARK_GRAFT_PASSES", "1").toInt).foreach { _ =>

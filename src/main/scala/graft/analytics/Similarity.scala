@@ -171,24 +171,42 @@ object Similarity {
   def annIvfCosine(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
                    nLists: Int = 16, nProbe: Int = 4): DataFrame = {
     val emb = embeddingsD(spark, dir)
-    val cent = emb
+    // centroid sample to the driver: nLists × dims doubles — model-
+    // parameter-sized, embedded as plan literals exactly like fitted
+    // ridge weights, so nearest-list ASSIGNMENT is a pure projection:
+    // the corpus is scanned once and NEVER shuffled by embedding (a
+    // window-over-crossjoin formulation would shuffle N×nLists rows)
+    val centRows = emb
       .withColumn("__h", graft.functions.Hashes.md5Long60(col("vec_id").cast("string")))
       .orderBy("__h", "vec_id").limit(nLists)
       .select(col("vec_id").as("c_id"), col("e").as("ce"))
-    // nearest-centroid assignment: argmax cosine over the broadcast centroids
-    def nearest(df: DataFrame, idCol: String, eCol: String, keep: Int): DataFrame =
-      df.join(broadcast(cent), lit(true))
-        .select(col(idCol), col(eCol),
-          col("c_id"), round(cosine(col(eCol), col("ce")), 4).as("__cos"))
-        .withColumn("__rk", row_number().over(
-          Window.partitionBy(idCol).orderBy(col("__cos").desc, col("c_id"))))
-        .where(col("__rk") <= keep)
-        .select(col(idCol), col(eCol), col("c_id").as("list_id"))
-    val lists = nearest(emb, "vec_id", "e", keep = 1)
-    val probes = nearest(
-      emb.where(col("vec_id") < nQueries)
-        .select(col("vec_id").as("q_id"), col("e").as("qe")),
-      "q_id", "qe", keep = nProbe)
+      .collect()
+    // argmax over (rounded cos, then smaller c_id): struct-max with
+    // negated id gives exactly the (cos DESC, c_id ASC) tie-break the
+    // oracle replays
+    def listIdCol(e: Column): Column = {
+      val scored = centRows.toSeq.map { r =>
+        struct(round(cosine(e, typedLit(r.getSeq[Double](1))), 4).as("c"),
+          lit(-r.getLong(0)).as("n"))
+      }
+      -greatest(scored: _*).getField("n")
+    }
+    val lists = emb.withColumn("list_id", listIdCol(col("e")))
+    // queries probe their nProbe nearest lists: tiny side, window is fine
+    val cent = spark.createDataFrame(
+      spark.sparkContext.parallelize(centRows.toSeq, 1),
+      new org.apache.spark.sql.types.StructType()
+        .add("c_id", "long", nullable = false)
+        .add("ce", "array<double>"))
+    val probes = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+      .join(broadcast(cent), lit(true))
+      .select(col("q_id"), col("qe"), col("c_id"),
+        round(cosine(col("qe"), col("ce")), 4).as("__cos"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("__cos").desc, col("c_id"))))
+      .where(col("__rk") <= nProbe)
+      .select(col("q_id"), col("qe"), col("c_id").as("list_id"))
     val cand = lists.join(broadcast(probes), Seq("list_id"))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("qe"), col("vec_id").as("n_id"), col("e"))
