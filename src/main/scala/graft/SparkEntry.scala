@@ -88,10 +88,10 @@ object SparkEntry {
     "txt_vocab" -> (TextAnalysis.vocabQuery _),
     // --- similarity search over embeddings ---
     "knn_exact" -> (Similarity.knnExactQuery _),
-    "knn_ann_lsh" -> (Similarity.annLshQuery _), // no oracle: recall vs knn_exact asserted in SimilaritySpec
+    "knn_ann_lsh" -> (Similarity.annLshQuery _), // oracled: md5 planes + list_reduce replay the sign bits exactly (+ recall spec)
     "knn_ann_ivf" -> (Similarity.annIvfQuery _), // deterministic IVF-Flat => full hash oracle
     "dedup_embedding_exact" -> (Similarity.embeddingDupExactQuery _),
-    "dedup_embedding_lsh" -> (Similarity.embeddingDupLshQuery _), // no oracle: recall vs exact asserted in SimilaritySpec
+    "dedup_embedding_lsh" -> (Similarity.embeddingDupLshQuery _), // oracled (same sig CTEs) + recall spec
     // --- dataset assembly: deterministic splits + sequence packing ---
     "split_folds" -> (Sampling.splitQuery _),
     "split_assign" -> (Sampling.splitAssignQuery _),
@@ -262,9 +262,65 @@ object SparkEntry {
         $finalFrom"""
   }
 
+  /** Hyperplane-LSH banded-signature CTEs (mirror of
+    * `Similarity.bandedSignatures` / [[graft.functions.HyperplaneSig]]):
+    * the plane matrix is embedded as VALUES literals (md5-derived doubles
+    * — `Double.toString` round-trips exactly through DuckDB's parser),
+    * and each dot product is a `list_reduce` — DuckDB's sequential
+    * left-to-right fold, the same accumulation order as the native
+    * expression's loop, so every sign bit (and hence every bucket) is
+    * bit-identical. Yields CTEs `eb(vec_id, e)` and
+    * `sig(vec_id, band, bucket)`. */
+  private def lshSigCtes(dims: Int = 64, bands: Int = 8, rowsPerBand: Int = 4): String = {
+    val rows = (0 until bands * rowsPerBand).map { p =>
+      val comps = (0 until dims)
+        .map(d => graft.functions.HyperplaneSig.planeComponent(p, d))
+      s"($p, [${comps.mkString(", ")}])"
+    }.mkString(",\n             ")
+    s"""eb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        planes AS (SELECT * FROM (VALUES
+             $rows) pl(plane, pv)),
+        dots AS (SELECT v.vec_id, p.plane,
+               CASE WHEN list_reduce(list_transform(range(1, ${dims + 1}),
+                      d -> v.e[d] * p.pv[d]), (a, b) -> a + b) > 0
+                    THEN 1 << (p.plane % $rowsPerBand) ELSE 0 END AS bit
+             FROM eb v, planes p),
+        sig AS (SELECT vec_id, plane // $rowsPerBand AS band, sum(bit)::INT AS bucket
+             FROM dots GROUP BY vec_id, band)"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "ml1_ridge_forecast" -> ml1OracleSql(perKey = false),
     "ml1_ridge_forecast_per_key" -> ml1OracleSql(perKey = true),
+    "knn_ann_lsh" ->
+      s"""WITH ${lshSigCtes()},
+          q AS (SELECT vec_id AS q_id, band, bucket FROM sig WHERE vec_id < 10),
+          cand AS (SELECT DISTINCT q.q_id, s.vec_id AS n_id
+                   FROM sig s JOIN q ON s.band = q.band AND s.bucket = q.bucket
+                                     AND s.vec_id <> q.q_id),
+          scored AS (SELECT c.q_id, c.n_id,
+                       round(list_cosine_similarity(a.e, b.e), 4) AS cos
+                     FROM cand c
+                     JOIN eb a ON a.vec_id = c.q_id
+                     JOIN eb b ON b.vec_id = c.n_id)
+          SELECT q_id, n_id, rank, cos FROM (
+            SELECT q_id, n_id, cos,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, n_id)::BIGINT AS rank
+            FROM scored) t
+          WHERE rank <= 5""",
+    "dedup_embedding_lsh" ->
+      s"""WITH ${lshSigCtes()},
+          cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                   FROM sig a JOIN sig b ON a.band = b.band AND a.bucket = b.bucket
+                                         AND a.vec_id < b.vec_id)
+          SELECT vec_a, vec_b, cos FROM (
+            SELECT c.vec_a, c.vec_b,
+                   round(list_cosine_similarity(ea.e, eb2.e), 4) AS cos
+            FROM cand c
+            JOIN eb ea ON ea.vec_id = c.vec_a
+            JOIN eb eb2 ON eb2.vec_id = c.vec_b) t
+          WHERE cos >= 0.4""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
          round(sum(l_extendedprice),2) AS sum_base_price,
