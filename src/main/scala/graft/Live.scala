@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.schema.RawTick
@@ -7,7 +8,7 @@ import graft.streaming.StreamingPipeline
 
 /** The runnable live-ingest entry point — the engine's equivalent of
   * `python lvmh_forecaster2.py` (`lvmh_forecaster2.py:392-399`): poll the
-  * chart endpoint every 5 seconds, run the full state machine
+  * chart endpoint every `triggerMs`, run the full state machine
   * (TR-1→TR-2→refit→forecast→FIFO→RMSE), fan out to the parquet batch
   * sinks, and on shutdown export the reference's four timestamped CSVs
   * (CTL-1 + SNK-1..4).
@@ -17,47 +18,67 @@ import graft.streaming.StreamingPipeline
   *  - outDir      default `target/live`
   *  - durationSec run this long then export; omitted = run until
   *                terminated (Ctrl-C / SIGTERM triggers the export hook)
-  * Env overrides: `GRAFT_FETCHER` (a [[graft.sources.PriceFetchers]] name;
+  * Config (system property, then env — props let tests drive the real
+  * entry point): `GRAFT_FETCHER` (a [[graft.sources.PriceFetchers]] name;
   * default the real `"http"` GET), `GRAFT_URL` (endpoint template,
-  * `{ticker}` substituted — point it at a stub server for offline runs).
+  * `{ticker}` substituted — point it at a stub server for offline runs),
+  * `GRAFT_TRIGGER_MS` (poll cadence, default 5000 — the reference's 5 s
+  * loop, `asyncio scraping.py:86`).
   */
 object Live {
-  def main(args: Array[String]): Unit = {
-    val ticker = args.lift(0).getOrElse("MC.PA")
-    val outDir = args.lift(1).getOrElse("target/live")
-    val durationSec = args.lift(2).map(_.toLong)
-    val spark = Sessions.local()
-    import spark.implicits._
 
+  private def opt(key: String): Option[String] =
+    sys.props.get(key).orElse(sys.env.get(key))
+
+  /** The composed live pipeline against an existing session: start →
+    * (run for `durationSec` | until terminated) → bounded drain → export.
+    * Returns the exported CSV paths. Session lifecycle belongs to the
+    * caller ([[main]] owns it in production; specs pass the shared one). */
+  def run(spark: SparkSession, ticker: String, outDir: String,
+          durationSec: Option[Long]): Seq[String] = {
+    import spark.implicits._
     var reader = spark.readStream.format("graft.sources.HttpPollSource")
       .option("ticker", ticker)
-      .option("fetcher", sys.env.getOrElse("GRAFT_FETCHER", "http"))
+      .option("fetcher", opt("GRAFT_FETCHER").getOrElse("http"))
       .option("fetchTimeoutMs", "15000")
-    sys.env.get("GRAFT_URL").foreach(u => reader = reader.option("url", u))
+    opt("GRAFT_URL").foreach(u => reader = reader.option("url", u))
     val ticks = reader.load().as[RawTick]
 
+    val triggerMs = opt("GRAFT_TRIGGER_MS").map(_.toLong).getOrElse(5000L)
     val query = StreamingPipeline.start(ticks, StreamingPipeline.Config(),
       outDir, s"$outDir/_checkpoint",
-      Trigger.ProcessingTime("5 seconds")) // poll cadence = trigger cadence (CTL-2)
+      Trigger.ProcessingTime(triggerMs)) // poll cadence = trigger cadence (CTL-2)
 
     // CTL-1: exactly-once export on whichever exit path fires first. The
     // shutdown-hook path is best-effort (it races Spark's own shutdown
     // hooks); the duration path is the deterministic one and is what the
     // integration spec drives.
     val exported = new java.util.concurrent.atomic.AtomicBoolean(false)
+    var files: Seq[String] = Nil
     def finish(): Unit = if (exported.compareAndSet(false, true)) {
       // short drain: a live poll source never fully drains (see
       // stopAndExport doc) — give in-flight batches 5 s, then export
-      try StreamingPipeline.stopAndExport(query, spark, outDir,
-        java.time.Instant.now(), drainTimeoutMs = 5000L)
-        .foreach(f => println(s"exported: $f"))
-      catch { case e: Throwable => System.err.println(s"export failed: $e") }
+      try {
+        files = StreamingPipeline.stopAndExport(query, spark, outDir,
+          java.time.Instant.now(), drainTimeoutMs = 5000L)
+        files.foreach(f => println(s"exported: $f"))
+      } catch { case e: Throwable => System.err.println(s"export failed: $e") }
     }
-    sys.addShutdownHook(finish())
-
+    val hook = sys.addShutdownHook(finish())
     durationSec match {
-      case Some(d) => Thread.sleep(d * 1000); finish(); spark.stop()
-      case None    => query.awaitTermination(); finish(); spark.stop()
+      case Some(d) => Thread.sleep(d * 1000); finish()
+      case None    => query.awaitTermination(); finish()
     }
+    hook.remove()
+    files
+  }
+
+  def main(args: Array[String]): Unit = {
+    val ticker = args.lift(0).getOrElse("MC.PA")
+    val outDir = args.lift(1).getOrElse("target/live")
+    val durationSec = args.lift(2).map(_.toLong)
+    val spark = Sessions.local()
+    try run(spark, ticker, outDir, durationSec)
+    finally spark.stop()
   }
 }

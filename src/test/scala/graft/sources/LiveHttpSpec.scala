@@ -61,6 +61,28 @@ class LiveHttpSpec extends SparkSpec {
     assert(fetch().isEmpty)
   }
 
+  test("graft.Live entry point runs the whole live pipeline against a stub endpoint") {
+    val (server, url, calls) = startServer(i => (200, chartJson(100.0 + i)))
+    val out = java.nio.file.Files.createTempDirectory("graft_live_main").toString
+    try {
+      // props let the spec drive the REAL entry-point composition (the
+      // main only adds session ownership on top of Live.run)
+      sys.props("GRAFT_URL") = url
+      sys.props("GRAFT_TRIGGER_MS") = "100"
+      val files = graft.Live.run(spark, "TST", out, durationSec = Some(3L))
+      assert(calls.get() >= 2, "live run must have polled the endpoint repeatedly")
+      assert(files.length == 4, s"CTL-1 must export the four reference CSVs, got $files")
+      assert(files.exists(_.contains("price_data")) && files.exists(_.contains("rmse_history")))
+      val lines = scala.io.Source.fromFile(files.find(_.contains("price_data")).get)
+        .getLines().toSeq
+      assert(lines.length >= 2, "exported price CSV must carry fetched ticks")
+    } finally {
+      sys.props -= "GRAFT_URL"
+      sys.props -= "GRAFT_TRIGGER_MS"
+      server.stop(0)
+    }
+  }
+
   test("live path end-to-end: GET -> JSON -> tick -> backoff-on-500 -> CSV export") {
     import spark.implicits._
     val script: Int => (Int, String) = {
