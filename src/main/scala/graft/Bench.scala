@@ -13,6 +13,20 @@ package graft
   *    in the JSON, listed under "errors", and the process exits nonzero.
   */
 object Bench {
+  /** Full storage isolation between measured queries. `clearCache()` only
+    * covers Dataset-level caches (the cacheManager); `localCheckpoint`
+    * blocks (dupClusters' iterative rounds) are RDD-level persisted blocks
+    * the cacheManager never sees — they are normally reclaimed by the
+    * ContextCleaner only after their RDD object is GC'd, so query k's
+    * checkpoints could otherwise pressure query k+1's measurement.
+    * Unpersisting every registered persistent RDD frees them now. Safe
+    * here because nothing is shared across bench queries: each query
+    * rebuilds its plan from the parquet tables. */
+  private def dropPersisted(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
@@ -44,7 +58,7 @@ object Bench {
       // cache shared intermediates): without this, a "warm" timed pass
       // measures InMemoryRelation reads instead of the operators' own work.
       // JIT/codegen warm-up is retained — that is what PASSES isolates.
-      spark.sharedState.cacheManager.clearCache()
+      dropPersisted(spark)
     }
     // Per-query cache isolation (VERDICT r2 #1): queries that eagerly cache
     // shared intermediates (Dedup/Similarity) would otherwise leave those
@@ -65,7 +79,7 @@ object Bench {
           false
         }
       val dt = (System.nanoTime() - t0) / 1e9
-      if (!retainCache) spark.sharedState.cacheManager.clearCache()
+      if (!retainCache) dropPersisted(spark)
       name -> (if (ok) dt else -1.0)
     }
     // full control-char escape: a multi-line AnalysisException message
@@ -80,10 +94,21 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+    // ONE compact JSON line. The driver captures only the TAIL of the run's
+    // output (observed: 2000 chars) and parses the JSON line out of it —
+    // full-precision doubles across 60+ queries made the line ~2.8 KB and
+    // the truncated line unparseable (BENCH_r02/r03 "parsed": null). 3-dp
+    // rounding (millisecond resolution, far below run-to-run noise) keeps
+    // the whole line under ~1.8 KB; the empty errors object is elided too.
+    def r3(v: Double): String =
+      if (v < 0) "-1"
+      else java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"${q(k)}:${r3(v)}" }.mkString("{", ",", "}")
+    val errJson =
+      if (errors.isEmpty) ""
+      else "\"errors\":" + errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "},")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,$errJson"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

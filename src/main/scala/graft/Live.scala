@@ -65,11 +65,17 @@ object Live {
       } catch { case e: Throwable => System.err.println(s"export failed: $e") }
     }
     val hook = sys.addShutdownHook(finish())
-    durationSec match {
-      case Some(d) => Thread.sleep(d * 1000); finish()
-      case None    => query.awaitTermination(); finish()
+    // awaitTermination (not sleep) on the bounded path too: a query that
+    // FAILS mid-run returns immediately instead of idling out the clock,
+    // and the finally makes finish() run (exporting whatever landed) even
+    // when awaitTermination rethrows the StreamingQueryException.
+    try durationSec match {
+      case Some(d) => query.awaitTermination(d * 1000)
+      case None    => query.awaitTermination()
+    } finally {
+      finish()
+      hook.remove()
     }
-    hook.remove()
     files
   }
 

@@ -132,7 +132,16 @@ final class HttpPollMicroBatchStream(ticker: String, fetcherName: String,
       try task.get(fetchTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
       catch {
         case _: java.util.concurrent.TimeoutException => task.cancel(true); None
-        case _: Throwable => None // fetcher threw = failed fetch
+        case e: InterruptedException =>
+          // the DRIVER trigger thread was interrupted (stream stopping):
+          // don't swallow it into a backoff — restore the flag and bail
+          task.cancel(true); Thread.currentThread().interrupt()
+          throw e
+        case e: java.util.concurrent.ExecutionException =>
+          e.getCause match {
+            case scala.util.control.NonFatal(_) => None // fetcher threw = failed fetch
+            case fatal => throw fatal // OOM etc must not masquerade as backoff
+          }
       }
     }
 

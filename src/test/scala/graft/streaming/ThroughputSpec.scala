@@ -36,12 +36,14 @@ class ThroughputSpec extends SparkSpec {
     val rate = n / secs
     info(f"$n ticks in $secs%.1f s = $rate%.0f ticks/s (${processed} accepted)")
     assert(processed > 0)
-    // The wall-clock assertion is a PERF gate, not a correctness one: on a
-    // loaded/slow CI host it would turn an environment condition into a red
-    // build. Opt in with GRAFT_PERF_ASSERT=1 (local perf runs); the
-    // measured rate is ~6000/s on an idle 32-core box, so 1000 has margin
-    // there but none on a contended runner.
+    // Two-tier perf gate. The loose floor is ALWAYS on: at 50 ticks/s the
+    // state machine would be 100× below its measured ~6000/s — that is an
+    // order-of-magnitude collapse (a driver-side loop snuck in, a per-tick
+    // job), not CI noise, and it should go red everywhere. The tight
+    // 1000/s gate stays opt-in (GRAFT_PERF_ASSERT=1) because a contended
+    // shared runner can legitimately land between the two.
+    assert(rate > 50, f"throughput collapsed: $rate%.0f ticks/s (floor 50/s)")
     if (sys.env.contains("GRAFT_PERF_ASSERT"))
-      assert(rate > 1000, f"throughput collapsed: $rate%.0f ticks/s")
+      assert(rate > 1000, f"throughput below perf gate: $rate%.0f ticks/s")
   }
 }
