@@ -49,6 +49,10 @@ object SparkEntry {
     "q_parts_intersect" -> (Relational.returnedAndAcceptedParts _),
     "q_parts_except" -> (Relational.returnedNeverAcceptedParts _),
     "q_approx_stats" -> (Relational.approxStats _), // no oracle: HLL++/t-digest sketches are engine-specific; error bounds vs exact asserted in RelationalSpec
+    "q2_min_price_supp" -> (Relational.minPriceSupplier _),
+    "q7_nation_trade" -> (Relational.nationTrade _),
+    "q_exact_stats" -> (Relational.exactStats _),
+    "q_order_gaps" -> (Relational.orderGaps _),
     // --- reference operator surface over events (SURVEY §2.2-2.7) ---
     "tr1_change_filter" -> (SeriesQueries.changeFilter _),
     "tr2_anchored_return" -> (SeriesQueries.anchoredReturn _),
@@ -86,6 +90,7 @@ object SparkEntry {
     "txt_fingerprint" -> (TextAnalysis.fingerprintQuery _),
     "txt_top_bigrams" -> (TextAnalysis.topBigramsQuery _),
     "txt_vocab" -> (TextAnalysis.vocabQuery _),
+    "txt_tfidf" -> (TextAnalysis.tfidfQuery _),
     // --- similarity search over embeddings ---
     "knn_exact" -> (Similarity.knnExactQuery _),
     "knn_ann_lsh" -> (Similarity.annLshQuery _), // oracled: md5 planes + list_reduce replay the sign bits exactly (+ recall spec)
@@ -400,6 +405,39 @@ object SparkEntry {
       """SELECT l_partkey FROM lineitem WHERE l_returnflag='R' AND l_quantity >= 48
          EXCEPT
          SELECT l_partkey FROM lineitem WHERE l_returnflag='A' AND l_quantity >= 48""",
+    "q2_min_price_supp" ->
+      """SELECT l_partkey, l_suppkey, round(min_price,2) AS min_price FROM (
+           SELECT l_partkey, l_suppkey, min(l_extendedprice) AS min_price,
+                  row_number() OVER (PARTITION BY l_partkey
+                    ORDER BY min(l_extendedprice), l_suppkey) AS rk
+           FROM lineitem GROUP BY l_partkey, l_suppkey) t
+         WHERE rk = 1""",
+    "q7_nation_trade" ->
+      """SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+         sum(CAST(round(l_extendedprice*(1-l_discount)*100, 0) AS BIGINT)) / 100.0 AS volume,
+         count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+         JOIN customer ON o_custkey=c_custkey
+         JOIN supplier ON l_suppkey=s_suppkey
+         JOIN nation cn ON c_nationkey=cn.n_nationkey
+         JOIN nation sn ON s_nationkey=sn.n_nationkey
+         WHERE cn.n_name <> sn.n_name
+         GROUP BY cn.n_name, sn.n_name""",
+    "q_exact_stats" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+         round(quantile_cont(l_extendedprice, 0.5),2) AS median_price,
+         round(quantile_cont(l_extendedprice, 0.9),2) AS p90_price,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag""",
+    "q_order_gaps" ->
+      """SELECT o_custkey, round(avg(gap_days),4) AS avg_gap_days,
+         max(gap_days) AS max_gap_days, count(*) + 1 AS n_orders
+         FROM (SELECT o_custkey,
+                 (epoch_ms(o_orderdate) - epoch_ms(lag(o_orderdate) OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey))) // 86400000 AS gap_days
+               FROM orders) g
+         WHERE gap_days IS NOT NULL GROUP BY o_custkey""",
     "tr1_change_filter" ->
       """SELECT user_id, event_id, value FROM (
          SELECT user_id, event_id, value,
@@ -704,6 +742,16 @@ object SparkEntry {
             FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents) t
             GROUP BY term) r
           WHERE rank <= 100""",
+    "txt_tfidf" ->
+      s"""SELECT term, tf, df, idf, tfidf, rank FROM (
+            SELECT term, tf, df, idf, round(tf * idf, 4) AS tfidf,
+                   row_number() OVER (ORDER BY round(tf * idf, 4) DESC, term) AS rank
+            FROM (SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df,
+                    round(ln((SELECT count(*) FROM documents)::DOUBLE
+                             / count(DISTINCT doc_id)), 8) AS idf
+                  FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents) t
+                  GROUP BY term) g) r
+          WHERE rank <= 50""",
     "dedup_embedding_exact" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos

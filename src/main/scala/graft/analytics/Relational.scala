@@ -210,6 +210,102 @@ object Relational {
       .orderBy("l_partkey")
   }
 
+  /** TPC-H Q2 analog (no partsupp table in the driver set): for each part,
+    * the supplier quoting the lowest observed sale price. GroupBy on the
+    * composite key, then a rank window partitioned by the part key — the
+    * window exchange re-uses nothing from the group exchange but both hash
+    * on ≤16-byte keys, never payload. `min` (not `avg`) keys the rank:
+    * min is summation-order-independent, so the rank is bit-deterministic
+    * across partitionings (oracle hash parity without rounding games). */
+  def minPriceSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val perSupp = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min("l_extendedprice").as("min_price"))
+    val w = Window.partitionBy("l_partkey")
+      .orderBy(col("min_price"), col("l_suppkey"))
+    perSupp.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("min_price"), 2).as("min_price"))
+  }
+
+  /** TPC-H Q7 analog: trade matrix between customer and supplier nations.
+    * Both nation maps broadcast onto the one lineitem⋈orders shuffle; the
+    * cross-nation filter drops the diagonal before aggregation. At most
+    * |nations|² result rows regardless of fact size. */
+  def nationTrade(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .where(col("cust_nation") =!= col("supp_nation"))
+      // exact-cents accumulation: round(sum(double),2) is summation-order
+      // dependent and DID flip the last digit on 5/600 groups vs the
+      // oracle — rounding each item to integer cents first makes the sum
+      // a BIGINT (order-independent, exact), and cents/100 is exact in
+      // double far past any corpus size (sum < 2^53)
+      .groupBy("cust_nation", "supp_nation")
+      .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+          .cast("long")) / 100.0).as("volume"),
+        count(lit(1)).as("n_items"))
+      .orderBy("cust_nation", "supp_nation")
+  }
+
+  /** Exact counterpart of [[approxStats]]: true distinct counts and true
+    * interpolated percentiles. This is the query whose cost motivates the
+    * sketches — exact distinct shuffles every distinct key and exact
+    * percentiles sort each group — kept on the surface because at dim-table
+    * scale exactness is affordable and it gives the sketch query an
+    * in-engine ground truth (RelationalSpec asserts the error bounds). */
+  def exactStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_returnflag", "l_partkey", "l_extendedprice")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct("l_partkey").as("n_parts"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("median_price"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** Inter-order gaps: per customer, the mean/max whole-day gap between
+    * consecutive orders (lag window → integer day arithmetic → one agg).
+    * Gaps are exact BIGINT day counts (epoch-ms floor-div), so the mean is
+    * an exact-integer-sum ÷ count — deterministic under any partitioning,
+    * no floating-point accumulation to round away. */
+  def orderGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      // o_orderdate reads as TIMESTAMP_NTZ; the session TZ is pinned UTC
+      // (Sessions.local), so the NTZ->TZ cast is the identity wall-clock
+      // mapping and unix_millis agrees with DuckDB's epoch_ms on the
+      // naive value
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").as("o_orderdate"))
+      .withColumn("prev_ms", unix_millis(lag(col("o_orderdate"), 1).over(w)))
+      .where(col("prev_ms").isNotNull)
+      // `div`, not `/`: Spark's `/` is DOUBLE division even on longs, and a
+      // correctly-rounded quotient a hair under an integer can cast up —
+      // integral `div` matches DuckDB's `//` floor exactly (gaps are >= 0)
+      .select(col("o_custkey"),
+        expr("(unix_millis(o_orderdate) - prev_ms) div 86400000").as("gap_days"))
+      .groupBy("o_custkey")
+      .agg(round(avg("gap_days"), 4).as("avg_gap_days"),
+        max("gap_days").as("max_gap_days"),
+        (count(lit(1)) + 1).as("n_orders"))
+      .orderBy("o_custkey")
+  }
+
   /** Approximate sketches — the 100 TB workhorses. HLL++ distinct and
     * t-digest-style percentiles shuffle O(sketch) bytes per group instead
     * of O(rows); exactness is traded for a bounded relative error that

@@ -110,6 +110,29 @@ object TextAnalysis {
         .orderBy(col("tf").desc, col("term"))).cast("long"))
   }
 
+  /** Corpus tf-idf profile: top-k terms by total-tf × idf, the standard
+    * salience ranking for stopword/keyword discovery over a training
+    * corpus. Same shuffle profile as [[vocab]] (term-keyed partial agg +
+    * TakeOrdered top-k); the corpus size N joins in as a broadcast scalar.
+    * Bit-parity note: idf is quantized (round 8) BEFORE the multiply so a
+    * potential 1-ULP `ln` difference between engines cannot reach the
+    * score; the remaining ×/round ops are IEEE-deterministic. */
+  def tfidf(docs: DataFrame, k: Int = 50): DataFrame = {
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val ranked = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(n)) // 1-row scalar frame
+      .withColumn("idf", round(log(col("n_docs").cast("double") / col("df")), 8))
+      .withColumn("tfidf", round(col("tf") * col("idf"), 4))
+      .select("term", "tf", "df", "idf", "tfidf")
+      .orderBy(col("tfidf").desc, col("term")).limit(k)
+    ranked.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("tfidf").desc, col("term"))).cast("long"))
+  }
+
   /** Document fingerprinting: md5 of the normalized text (exact-dup key)
     * plus a 60-bit integer form for compact storage/joins. */
   def fingerprint(docs: DataFrame): DataFrame =
@@ -162,4 +185,7 @@ object TextAnalysis {
 
   def vocabQuery(spark: SparkSession, dir: String): DataFrame =
     vocab(Tables.documents(spark, dir))
+
+  def tfidfQuery(spark: SparkSession, dir: String): DataFrame =
+    tfidf(Tables.documents(spark, dir))
 }

@@ -50,6 +50,61 @@ class RelationalSpec extends SparkSpec {
     assert(both == (r intersect a))
   }
 
+  test("min-price supplier: one winner per part, and it really is the min") {
+    import org.apache.spark.sql.functions._
+    val win = Relational.minPriceSupplier(spark, sfDir)
+    val perPart = win.groupBy("l_partkey").count().where(col("count") > 1)
+    assert(perPart.count() == 0, "exactly one supplier per part")
+    // the winner's price must equal the part's global min (rounded alike)
+    val partMin = graft.Tables.lineitem(spark, sfDir)
+      .groupBy("l_partkey").agg(round(min("l_extendedprice"), 2).as("true_min"))
+    val mismatched = win.join(partMin, "l_partkey")
+      .where(col("min_price") =!= col("true_min"))
+    assert(mismatched.count() == 0)
+  }
+
+  test("nation trade matrix: no diagonal, and cents-sum equals item total") {
+    import org.apache.spark.sql.functions._
+    val m = Relational.nationTrade(spark, sfDir).collect()
+    assert(m.forall(r => r.getString(0) != r.getString(1)), "diagonal excluded")
+    val nItems = m.map(_.getLong(3)).sum
+    // recompute the cross-nation item count independently (same joins)
+    val nation = graft.Tables.nation(spark, sfDir)
+    val expected = graft.Tables.lineitem(spark, sfDir)
+      .join(graft.Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(graft.Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(graft.Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
+      .where(col("c_nationkey") =!= col("s_nationkey"))
+      .count()
+    assert(nItems == expected)
+  }
+
+  test("exact stats bracket the approx sketches") {
+    val exact = Relational.exactStats(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = Relational.approxStats(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (flag, e) =>
+      assert(e.getDouble(2) <= e.getDouble(3), s"$flag: median <= p90")
+      val err = math.abs(approx(flag).getLong(1) - e.getLong(1)).toDouble / e.getLong(1)
+      assert(err <= 0.05, s"$flag: HLL++ vs exact distinct drift $err")
+    }
+  }
+
+  test("order gaps are non-negative and n_orders matches the order counts") {
+    import org.apache.spark.sql.functions._
+    val gaps = Relational.orderGaps(spark, sfDir)
+    assert(gaps.where(col("max_gap_days") < 0).count() == 0)
+    assert(gaps.where(col("avg_gap_days") > col("max_gap_days")).count() == 0)
+    val counts = graft.Tables.orders(spark, sfDir)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+    val bad = gaps.join(counts, "o_custkey").where(col("n_orders") =!= col("n"))
+    assert(bad.count() == 0)
+    // customers with a single order have no gap and must be absent
+    assert(gaps.where(col("n_orders") < 2).count() == 0)
+  }
+
   test("approx sketches stay within error bounds of the exact aggregates") {
     import org.apache.spark.sql.functions._
     val approx = Relational.approxStats(spark, sfDir)

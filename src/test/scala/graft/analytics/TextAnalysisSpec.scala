@@ -22,4 +22,23 @@ class TextAnalysisSpec extends SparkSpec {
     // one visible tag => count 1, not url+digits double-counted
     assert(got(4)._2 == "ref <URL> done" && got(4)._3 == 1)
   }
+
+  test("tfidf: ubiquitous terms score zero, rare terms outrank common ones") {
+    val docs = Seq(
+      (1L, "the quick fox"),
+      (2L, "the lazy dog"),
+      (3L, "the rare unicorn unicorn unicorn")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.tfidf(docs, k = 10)
+      .as[(String, Long, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // df == N => idf = ln(1) = 0 => score 0
+    assert(rows("the")._5 == 0.0)
+    // "unicorn": tf 3, df 1 => 3*ln(3); beats every df>1 term
+    val unicorn = rows("unicorn")
+    assert(math.abs(unicorn._5 - 3 * math.round(math.log(3.0) * 1e8) / 1e8) < 5e-5)
+    assert(unicorn._6 == 1L, "rarest+most-frequent term ranks first")
+    // ranks are dense 1..k over the returned rows
+    assert(rows.values.map(_._6).toSeq.sorted == (1L to rows.size).toSeq)
+  }
 }
