@@ -100,15 +100,22 @@ object Bench {
     // the truncated line unparseable (BENCH_r02/r03 "parsed": null). 3-dp
     // rounding (millisecond resolution, far below run-to-run noise) keeps
     // the whole line under ~1.8 KB; the empty errors object is elided too.
-    def r3(v: Double): String =
+    def rN(v: Double, dp: Int): String =
       if (v < 0) "-1"
-      else java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"${q(k)}:${r3(v)}" }.mkString("{", ",", "}")
+      else java.lang.String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
     val errJson =
       if (errors.isEmpty) ""
       else "\"errors\":" + errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "},")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,$errJson"sf":"$sfDir"}""")
+    def line(dp: Int): String = {
+      val qs = results.map { case (k, v) => s"${q(k)}:${rN(v, dp)}" }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${rN(total, dp)},"unit":"sec","queries":$qs,$errJson"sf":"$sfDir"}"""
+    }
+    // precision fallback: should the surface grow past what 3-dp fits in
+    // the ~1.9 KB budget (tail window minus sbt's trailing lines), degrade
+    // to centisecond precision rather than overflow into unparseability
+    val out = Seq(3, 2, 1).map(line).find(_.length <= 1850).getOrElse(line(1))
+    println(out)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -15,20 +15,47 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val spark = Sessions.local()
+    // static-plan audit: with AQE on, codegen collapse and join demotion
+    // happen per query stage at MATERIALIZATION, so an unexecuted plan
+    // shows no WholeStageCodegen spans to count. Auditing the non-adaptive
+    // plan shows the full static shape (worst-case exchanges: AQE can only
+    // coalesce/convert at runtime, never add). Bench/Verify keep AQE on.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     new java.io.File(outDir).mkdirs()
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(q => f(q._1)))
     selected.foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, sfDir).queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode)
+        val qe = fn(spark, sfDir).queryExecution
+        val plan = qe.explainString(org.apache.spark.sql.execution.FormattedMode)
         Files.writeString(Paths.get(s"$outDir/$name.plan.txt"), plan)
-        val exchanges = plan.linesIterator.count(_.contains("Exchange"))
-        // codegen'd operators carry a `*` prefix (or `[codegen id : N]`)
-        val codegen = plan.linesIterator.count(l =>
-          l.contains("codegen id") || l.trim.startsWith("* ") || l.contains("+- * "))
-        val bhj = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
-        val smj = plan.linesIterator.count(_.contains("SortMergeJoin"))
+        // count operators from the executed-plan TREE, not the text:
+        // formatted mode prints each operator in both the tree and the
+        // details section (doubling text counts), and it carries no `*`
+        // codegen markers at all — the old text heuristic reported
+        // codegen=0 for fully codegen'd plans
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        // flatten the physical tree, stepping THROUGH the wrappers that
+        // hide their payload from collect(): AdaptiveSparkPlanExec (AQE
+        // root — its children list is empty) and materialized QueryStageExec
+        def nodes(p: SparkPlan): Seq[SparkPlan] = {
+          val hidden = p match {
+            // executedPlan, not inputPlan: inputPlan predates
+            // EnsureRequirements + CollapseCodegenStages, so it shows no
+            // inserted exchanges and no codegen spans; before execution
+            // executedPlan IS the initial (fully prepared) plan
+            case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+            case s: QueryStageExec => Seq(s.plan)
+            case _ => Nil
+          }
+          p +: (p.children ++ hidden ++ p.subqueries).flatMap(nodes)
+        }
+        val all = nodes(qe.executedPlan)
+        val exchanges = all.count(_.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+        val codegen = all.count(_.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+        val bhj = all.count(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+        val smj = all.count(_.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec])
         println(f"[explain] $name%-28s exchanges=$exchanges%-3d codegen=$codegen%-3d bhj=$bhj%-2d smj=$smj%-2d")
       } catch { case e: Throwable =>
         System.err.println(s"[explain] $name failed: ${e.getMessage}")

@@ -91,12 +91,14 @@ object SparkEntry {
     "txt_top_bigrams" -> (TextAnalysis.topBigramsQuery _),
     "txt_vocab" -> (TextAnalysis.vocabQuery _),
     "txt_tfidf" -> (TextAnalysis.tfidfQuery _),
+    "txt_lm_score" -> (TextAnalysis.lmScoreQuery _),
     // --- similarity search over embeddings ---
     "knn_exact" -> (Similarity.knnExactQuery _),
     "knn_ann_lsh" -> (Similarity.annLshQuery _), // oracled: md5 planes + list_reduce replay the sign bits exactly (+ recall spec)
     "knn_ann_ivf" -> (Similarity.annIvfQuery _), // deterministic IVF-Flat => full hash oracle
     "dedup_embedding_exact" -> (Similarity.embeddingDupExactQuery _),
     "dedup_embedding_lsh" -> (Similarity.embeddingDupLshQuery _), // oracled (same sig CTEs) + recall spec
+    "dedup_embedding_clusters" -> (Similarity.embeddingClustersQuery _),
     // --- dataset assembly: deterministic splits + sequence packing ---
     "split_folds" -> (Sampling.splitQuery _),
     "split_assign" -> (Sampling.splitAssignQuery _),
@@ -326,6 +328,28 @@ object SparkEntry {
             JOIN eb ea ON ea.vec_id = c.vec_a
             JOIN eb eb2 ON eb2.vec_id = c.vec_b) t
           WHERE cos >= 0.4""",
+    "dedup_embedding_clusters" ->
+      // same LSH pair generation as dedup_embedding_lsh, then connected
+      // components as a recursive CTE (the same fixpoint the path-halving
+      // propagation converges to — mirrors the dedup_clusters oracle)
+      s"""WITH RECURSIVE ${lshSigCtes()},
+          cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                   FROM sig a JOIN sig b ON a.band = b.band AND a.bucket = b.bucket
+                                         AND a.vec_id < b.vec_id),
+          pairs AS MATERIALIZED (SELECT vec_a, vec_b FROM (
+                     SELECT c.vec_a, c.vec_b,
+                            round(list_cosine_similarity(ea.e, eb2.e), 4) AS cos
+                     FROM cand c
+                     JOIN eb ea ON ea.vec_id = c.vec_a
+                     JOIN eb eb2 ON eb2.vec_id = c.vec_b) t
+                   WHERE cos >= 0.4),
+          edges AS MATERIALIZED (SELECT vec_a AS src, vec_b AS dst FROM pairs
+                    UNION ALL SELECT vec_b, vec_a FROM pairs),
+          reach(id, lbl) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.id)
+          SELECT id AS vec_id, min(lbl) AS keeper FROM reach GROUP BY id""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
          round(sum(l_extendedprice),2) AS sum_base_price,
@@ -752,6 +776,24 @@ object SparkEntry {
                   FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents) t
                   GROUP BY term) g) r
           WHERE rank <= 50""",
+    "txt_lm_score" ->
+      s"""WITH toks AS MATERIALIZED (SELECT doc_id, $toksSql AS ws FROM documents),
+          uni AS MATERIALIZED (SELECT t, count(*) AS ca
+                FROM (SELECT unnest(ws) AS t FROM toks) u GROUP BY t),
+          vocab AS (SELECT count(*) AS v FROM uni),
+          bg AS MATERIALIZED (SELECT doc_id, ws[i] AS a, ws[i+1] AS b
+                FROM toks, LATERAL (SELECT unnest(range(1, len(ws))) AS i) r
+                WHERE len(ws) >= 2),
+          bi AS MATERIALIZED (SELECT a, b, count(*) AS cab FROM bg GROUP BY a, b),
+          scored AS (SELECT g.doc_id,
+                CAST(round(ln((bi.cab + 1)::DOUBLE / (uni.ca + vocab.v)) * 1e8) AS BIGINT) AS lq
+              FROM bg g JOIN bi ON g.a = bi.a AND g.b = bi.b
+              JOIN uni ON uni.t = g.a, vocab),
+          per_doc AS (SELECT doc_id, count(*) AS n_bigrams,
+                round(sum(lq) / (1e8 * count(*)), 6) AS lm_score
+              FROM scored GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams, p.lm_score
+          FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""",
     "dedup_embedding_exact" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos

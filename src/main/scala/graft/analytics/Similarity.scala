@@ -235,4 +235,19 @@ object Similarity {
 
   def embeddingDupLshQuery(spark: SparkSession, dir: String): DataFrame =
     embeddingDupLsh(spark, dir)
+
+  /** Semantic cluster resolution: connected components over the embedding
+    * near-dup pairs — "of these k mutually-similar vectors, keep one".
+    * Reuses [[Dedup.dupClusters]]' path-halving propagation verbatim (the
+    * operator is graph-generic; only the edge generator differs), so the
+    * same O(log diameter) round bound and edge-touched-subgraph-only
+    * iteration apply. */
+  def embeddingClustersQuery(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = embeddingsD(spark, dir).select(col("vec_id").as("doc_id"))
+    val pairs = embeddingDupLsh(spark, dir)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    Dedup.dupClusters(vecs, pairs)
+      .select(col("doc_id").as("vec_id"), col("keeper"))
+      .orderBy("vec_id")
+  }
 }

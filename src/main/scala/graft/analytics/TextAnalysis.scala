@@ -133,6 +133,43 @@ object TextAnalysis {
         .orderBy(col("tfidf").desc, col("term"))).cast("long"))
   }
 
+  /** Bigram-LM quality score — the KenLM-style perplexity filter of a
+    * training-data pipeline: each document is scored by the mean add-one-
+    * smoothed log-probability of its word bigrams under the CORPUS bigram
+    * model, ln((C(a,b)+1)/(C(a)+V)). Low scores flag boilerplate-free
+    * gibberish; high scores flag repetitive boilerplate.
+    *
+    * Scale shape: two count aggregations (bigram, unigram) shuffled on
+    * term keys, then the per-doc join back — the corpus text itself never
+    * re-shuffles, only (term, count) pairs. Bit parity: each bigram's
+    * log-prob is quantized to an integer at 1e8 (one `ln` per DISTINCT
+    * model row, engine-identical after rounding), and the per-doc score is
+    * an exact BIGINT sum ÷ count — summation-order-free. */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("ws"))
+    val bg = toks.where(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS a, ws[i] AS b))")).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val uni = toks.select(explode(col("ws")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("ca"))
+    val vocabN = uni.select(count(lit(1)).as("v"))
+    val bi = bg.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    val scored = bg
+      .join(bi, Seq("a", "b"))
+      .join(uni, bg("a") === uni("t"))
+      .crossJoin(broadcast(vocabN)) // 1-row scalar frame
+      .select(col("doc_id"),
+        round(log((col("cab") + lit(1)).cast("double") / (col("ca") + col("v"))) * 1e8)
+          .cast("long").as("lq"))
+    val perDoc = scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum("lq") / (lit(1e8) * count(lit(1))), 6).as("lm_score"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("lm_score"))
+  }
+
   /** Document fingerprinting: md5 of the normalized text (exact-dup key)
     * plus a 60-bit integer form for compact storage/joins. */
   def fingerprint(docs: DataFrame): DataFrame =
@@ -188,4 +225,7 @@ object TextAnalysis {
 
   def tfidfQuery(spark: SparkSession, dir: String): DataFrame =
     tfidf(Tables.documents(spark, dir))
+
+  def lmScoreQuery(spark: SparkSession, dir: String): DataFrame =
+    lmScore(Tables.documents(spark, dir)).orderBy("doc_id")
 }

@@ -77,6 +77,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, f"near-dup recall collapsed: $recall%.3f")
   }
 
+  test("embedding clusters: pair endpoints share a keeper, keepers are component minima") {
+    val pairs = Similarity.embeddingDupLsh(spark, sfDir)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+    val keeper = Similarity.embeddingClustersQuery(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    // every near-dup pair must resolve into the same cluster
+    pairs.foreach { case (a, b) =>
+      assert(keeper(a) == keeper(b), s"pair ($a,$b) split across clusters")
+    }
+    // a keeper is a member of its own cluster and is its minimum id
+    keeper.values.toSet.foreach { (k: Long) => assert(keeper(k) == k) }
+    keeper.foreach { case (v, k) => assert(k <= v) }
+    // vectors touched by no pair keep themselves
+    val touched = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    keeper.filterNot(kv => touched(kv._1)).foreach { case (v, k) => assert(k == v) }
+  }
+
   test("IVF ANN recall@5 vs exact is usable; probing more lists never hurts recall") {
     val exact = Similarity.knnExact(spark, sfDir, nQueries = 10, k = 5)
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet

@@ -41,4 +41,28 @@ class TextAnalysisSpec extends SparkSpec {
     // ranks are dense 1..k over the returned rows
     assert(rows.values.map(_._6).toSeq.sorted == (1L to rows.size).toSeq)
   }
+
+  test("lmScore: seen bigrams outscore unseen; short docs get null") {
+    val docs = Seq(
+      (1L, "a b a b"),   // bigrams: (a,b) x2, (b,a) x1
+      (2L, "a b"),       // the most common bigram only
+      (3L, "b z"),       // (b,z) appears once in the corpus (here)
+      (4L, "solo"),      // 1 token: no bigrams
+      (5L, "a b")        // duplicate of doc 2
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(docs).orderBy("doc_id")
+      .as[(Long, Long, Option[Double])].collect()
+    assert(got.map(_._2).toSeq == Seq(3L, 1L, 1L, 0L, 1L))
+    assert(got(3)._3.isEmpty, "no-bigram doc scores null")
+    // doc 2 repeats the corpus's most frequent bigram => highest mean
+    // log-prob; doc 3's bigram is rarer and starts from a rarer unigram
+    assert(got(1)._3.get > got(2)._3.get)
+    // identical docs score identically
+    assert(got(1)._3 == got(4)._3)
+    // hand-check doc 2: V=4 (a,b,z,solo); C(a,b)=4 (2 in doc1 + doc2 +
+    // doc5), C(a)=4 => ln((4+1)/(4+4))
+    val expected = math.round(math.log(5.0 / 8.0) * 1e8) / 1e8
+    assert(math.abs(got(1)._3.get - BigDecimal(expected)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
 }
