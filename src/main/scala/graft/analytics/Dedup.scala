@@ -237,6 +237,15 @@ object Dedup {
     * near-cliques). Per-round work is two joins + one aggregate on
     * (node, label) pairs — the shape that scales: no component is ever
     * collected to one task, let alone the driver. */
+  /** The persisted RDD behind a `localCheckpoint`ed frame (its analyzed
+    * plan is a single LogicalRDD leaf) — the handle needed to free the
+    * checkpoint's blocks eagerly; `DataFrame.unpersist` cannot reach them
+    * (they live at the RDD layer, not in the cacheManager). */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
   def dupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
     // localCheckpoint (eager), NOT cache: an iterative dataflow's logical
     // plan grows exponentially round-over-round if each round's plan
@@ -304,7 +313,14 @@ object Dedup {
       oneHop.unpersist()
       converged = s == prevSum
       prevSum = s
+      // the superseded round's checkpoint blocks are dead the moment
+      // `next` is materialized (the labelSum action above) — free them
+      // NOW instead of waiting for the ContextCleaner's GC-driven sweep:
+      // over many rounds the un-collected checkpoints would otherwise
+      // stack up to O(rounds × subgraph) storage
+      val superseded = labels
       labels = next
+      checkpointRdd(superseded).foreach(_.unpersist(blocking = false))
       rounds += 1
     }
     if (!converged) throw new IllegalStateException(
