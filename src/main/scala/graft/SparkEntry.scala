@@ -53,6 +53,7 @@ object SparkEntry {
     "q7_nation_trade" -> (Relational.nationTrade _),
     "q_exact_stats" -> (Relational.exactStats _),
     "q_order_gaps" -> (Relational.orderGaps _),
+    "q_spend_quartiles" -> (Relational.spendQuartiles _),
     // --- reference operator surface over events (SURVEY §2.2-2.7) ---
     "tr1_change_filter" -> (SeriesQueries.changeFilter _),
     "tr2_anchored_return" -> (SeriesQueries.anchoredReturn _),
@@ -462,6 +463,15 @@ object SparkEntry {
                     ORDER BY o_orderdate, o_orderkey))) // 86400000 AS gap_days
                FROM orders) g
          WHERE gap_days IS NOT NULL GROUP BY o_custkey""",
+    "q_spend_quartiles" ->
+      """SELECT o_custkey, total_spend,
+         ntile(4) OVER w AS quartile,
+         round(percent_rank() OVER w, 6) AS pct_rank,
+         round(cume_dist() OVER w, 6) AS cume
+         FROM (SELECT o_custkey,
+                 sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) / 100.0 AS total_spend
+               FROM orders GROUP BY o_custkey) s
+         WINDOW w AS (ORDER BY total_spend DESC, o_custkey)""",
     "tr1_change_filter" ->
       """SELECT user_id, event_id, value FROM (
          SELECT user_id, event_id, value,

@@ -306,6 +306,28 @@ object Relational {
       .orderBy("o_custkey")
   }
 
+  /** Distribution windows: spend quartile, percent rank, and cumulative
+    * distribution per customer. One aggregation shuffle, then a single
+    * GLOBAL-order window — the one window family that genuinely needs a
+    * total order. At 100 TB this is the plan to avoid per-row (a single
+    * sorted partition); for dashboards over pre-aggregated customers
+    * (~millions of rows, 8-byte keys + one double) it stays cheap, and
+    * cross-partition alternatives (approx quantile cutoffs) live in
+    * [[approxStats]]. Deterministic: ordering tie-breaks on c_custkey and
+    * every rank-derived double is exactly representable (k/n ratios
+    * rounded alike both engines). */
+  def spendQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir).select("o_custkey", "o_totalprice")
+      .groupBy("o_custkey")
+      .agg((sum(round(col("o_totalprice") * 100, 0).cast("long")) / 100.0).as("total_spend"))
+    val w = Window.orderBy(col("total_spend").desc, col("o_custkey"))
+    spend.select(col("o_custkey"), col("total_spend"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("o_custkey")
+  }
+
   /** Approximate sketches — the 100 TB workhorses. HLL++ distinct and
     * t-digest-style percentiles shuffle O(sketch) bytes per group instead
     * of O(rows); exactness is traded for a bounded relative error that

@@ -105,6 +105,18 @@ class RelationalSpec extends SparkSpec {
     assert(gaps.where(col("n_orders") < 2).count() == 0)
   }
 
+  test("spend quartiles: balanced buckets, ranks in [0,1], monotone with spend") {
+    val rows = Relational.spendQuartiles(spark, sfDir).collect()
+      .map(r => (r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val sizes = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.keySet == Set(1L, 2L, 3L, 4L))
+    assert(sizes.values.max - sizes.values.min <= 1, s"ntile imbalance: $sizes")
+    assert(rows.forall(r => r._3 >= 0.0 && r._3 <= 1.0 && r._4 > 0.0 && r._4 <= 1.0))
+    // higher spend never lands in a later quartile / higher pct_rank
+    val bySpend = rows.sortBy(-_._1)
+    assert(bySpend.map(_._2).toSeq == bySpend.map(_._2).sorted.toSeq)
+  }
+
   test("approx sketches stay within error bounds of the exact aggregates") {
     import org.apache.spark.sql.functions._
     val approx = Relational.approxStats(spark, sfDir)
