@@ -300,7 +300,13 @@ object Dedup {
       // persisted oneHop, and round coverage goes from 2^r to ~3^r hops —
       // fewer round barriers (job launches dominate at small scale, and
       // each barrier is a full cluster sync at large scale). Jump 2 keys
-      // on the min of jump 1, so the chain composes.
+      // on the min of jump 1, so the chain composes. NOTE measured limit:
+      // do NOT add more jumps — every reference to the not-yet-materialized
+      // persisted oneHop races its own recomputation of the ENTIRE
+      // upstream (pair generation included) inside the round's one job;
+      // at 3 references the race is masked, at 5 it blew the embedding
+      // clusters query from 8 s to 240+ s. More jumps would first need an
+      // eager oneHop materialization (a second action per round).
       val j1 = oneHop.join(hop, oneHop("keeper") === hop("__via"))
         .select(col("doc_id"), least(col("keeper"), col("__k2")).as("keeper"))
       // lazy checkpoint: the convergence aggregate right below is the ONE
