@@ -108,6 +108,7 @@ object SparkEntry {
     // --- multimodal binary-column plumbing ---
     "mm_payload_stats" -> (Multimodal.payloadStatsQuery _),
     "mm_decode_features" -> (Multimodal.decodeFeaturesQuery _),
+    "mm_frame_sample" -> (Multimodal.frameSampleQuery _),
   )
 
   // ---- DuckDB oracle SQL building blocks (documents track) ----
@@ -878,5 +879,16 @@ object SparkEntry {
           SELECT d.doc_id, d.n AS n_bytes, $fcols
           FROM d LEFT JOIN f ON f.doc_id = d.doc_id"""
     },
+    "mm_frame_sample" ->
+      // the ASCII synthetic corpus makes byte-substring == char-substring,
+      // so DuckDB's text-side md5 replays the Spark binary-side digests
+      """WITH p AS (SELECT doc_id, text, strlen(text) // 32 AS n_frames
+                    FROM documents),
+          s AS (SELECT doc_id, text, n_frames,
+                  unnest(range(0, least(8, (n_frames + 3) // 4))) AS k
+                FROM p WHERE n_frames > 0)
+          SELECT doc_id, k*4 AS frame_idx, n_frames,
+            md5(substring(text, (k*128 + 1)::INT, 32)) AS frame_md5
+          FROM s""",
   )
 }

@@ -82,10 +82,42 @@ object Multimodal {
       md5(col("payload")).as("payload_md5"),
       md5(substring(col("payload"), 1, 64)).as("head_md5"))
 
+  /** Frame sampling — the video/audio counterpart of the decode stub: the
+    * payload is treated as `frameSize`-byte frames, every `stride`-th
+    * frame is sampled up to `maxFrames` per document, and each sampled
+    * frame is emitted with its index and digest. Pure projection +
+    * in-partition explode: payload bytes never shuffle, per-doc output is
+    * bounded by `maxFrames` regardless of payload size (the property that
+    * keeps a 100 TB video corpus's sample pass proportional to documents,
+    * not bytes). With a real codec the substring becomes a frame decode —
+    * the plumbing (offset arithmetic, bounded fan-out, digest/feature
+    * projection) is identical. */
+  def frameSample(docs: DataFrame, frameSize: Int = 32, stride: Int = 4,
+                  maxFrames: Int = 8): DataFrame =
+    withPayload(docs)
+      .select(col("doc_id"), col("payload"),
+        (col("meta.n_bytes") / frameSize).cast("long").as("n_frames"))
+      .where(col("n_frames") > 0)
+      // ceil(n_frames/stride) sample slots, capped at maxFrames; guard the
+      // upper bound with the where above — Spark's sequence(a, b) happily
+      // DESCENDS for b < a, which would fabricate negative frame indexes
+      .select(col("doc_id"), col("payload"), col("n_frames"),
+        explode(expr(
+          s"sequence(0L, least($maxFrames, (n_frames + ${stride - 1}) div $stride) - 1)"))
+          .as("k"))
+      .select(col("doc_id"),
+        (col("k") * stride).as("frame_idx"),
+        col("n_frames"),
+        md5(col("payload").substr(
+          (col("k") * (stride * frameSize) + 1).cast("int"), lit(frameSize))).as("frame_md5"))
+
   // -- query entry points --
 
   def payloadStatsQuery(spark: SparkSession, dir: String): DataFrame =
     payloadStats(Tables.documents(spark, dir))
+
+  def frameSampleQuery(spark: SparkSession, dir: String): DataFrame =
+    frameSample(Tables.documents(spark, dir)).orderBy("doc_id", "frame_idx")
 
   def decodeFeaturesQuery(spark: SparkSession, dir: String): DataFrame = {
     val feats = decodeStub(spark, withPayload(Tables.documents(spark, dir)))
