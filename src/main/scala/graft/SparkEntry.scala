@@ -93,6 +93,7 @@ object SparkEntry {
     "txt_vocab" -> (TextAnalysis.vocabQuery _),
     "txt_tfidf" -> (TextAnalysis.tfidfQuery _),
     "txt_lm_score" -> (TextAnalysis.lmScoreQuery _),
+    "txt_rolling_fp" -> (TextAnalysis.rollingFingerprintsQuery _),
     // --- similarity search over embeddings ---
     "knn_exact" -> (Similarity.knnExactQuery _),
     "knn_ann_lsh" -> (Similarity.annLshQuery _), // oracled: md5 planes + list_reduce replay the sign bits exactly (+ recall spec)
@@ -805,6 +806,23 @@ object SparkEntry {
               FROM scored GROUP BY doc_id)
           SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams, p.lm_score
           FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""",
+    "txt_rolling_fp" ->
+      // Horner-rule rolling hash: DuckDB's list_reduce has no seed, but
+      // starting from the first element equals seeding with 0 since
+      // (0*257+c) % M = c — the fold chains identically thereafter
+      s"""WITH d AS (SELECT doc_id, $normSql AS nt FROM documents
+                     WHERE length($normSql) >= 8),
+          g AS (SELECT doc_id, i::BIGINT AS pos,
+                  list_reduce(list_transform(range(i, i + 8),
+                                             j -> ascii(substring(nt, j::INT, 1))::BIGINT),
+                              (acc, c) -> (acc * 257 + c) % 2147483647) AS h
+                FROM d, LATERAL (SELECT unnest(range(1, length(nt) - 6)) AS i) r)
+          SELECT doc_id, pos, fp FROM (
+            SELECT doc_id, pos, h AS fp,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS wmin
+            FROM g) t
+          WHERE fp = wmin""",
     "dedup_embedding_exact" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos

@@ -170,6 +170,39 @@ object TextAnalysis {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("lm_score"))
   }
 
+  /** Rolling-hash fingerprints (winnowing-style local-minima sampling,
+    * after Schleimer et al.'s MOSS scheme): a Horner-rule polynomial hash
+    * over each `k`-char gram of the normalized text, keeping positions
+    * whose hash is the minimum of the `w`-window of grams ENDING there.
+    * Shared substrings yield shared fingerprints regardless of position —
+    * the content-defined sampling that diff/plagiarism/near-dup systems
+    * build on, and the brief's "rolling hash" fingerprint made concrete.
+    *
+    * Scale shape: per-doc array math (one `transform` for the gram
+    * hashes), one in-partition explode, one doc-keyed window — no corpus
+    * shuffle beyond the doc key. Parity: hash arithmetic is exact BIGINT
+    * mod 2^31-1 (Horner step stays < 2^40), identical in both engines. */
+  def rollingFingerprints(docs: DataFrame, k: Int = 8, w: Int = 16): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), normalized(col("text")).as("nt"))
+      .where(length(col("nt")) >= k)
+      // h[i] = Horner fold of the k chars starting at 1-based i, mod 2^31-1
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, length(nt) - ${k - 1}),
+            i -> struct(cast(i AS BIGINT) AS pos,
+                        aggregate(transform(sequence(i, i + ${k - 1}),
+                                            j -> ascii(substring(nt, j, 1))),
+                                  0L, (acc, c) -> (acc * 257 + c) % 2147483647) AS h))"""))
+        .as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(w - 1), org.apache.spark.sql.expressions.Window.currentRow)
+    grams.withColumn("wmin", min("h").over(win))
+      .where(col("h") === col("wmin"))
+      .select(col("doc_id"), col("pos"), col("h").as("fp"))
+  }
+
   /** Document fingerprinting: md5 of the normalized text (exact-dup key)
     * plus a 60-bit integer form for compact storage/joins. */
   def fingerprint(docs: DataFrame): DataFrame =
@@ -228,4 +261,7 @@ object TextAnalysis {
 
   def lmScoreQuery(spark: SparkSession, dir: String): DataFrame =
     lmScore(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  def rollingFingerprintsQuery(spark: SparkSession, dir: String): DataFrame =
+    rollingFingerprints(Tables.documents(spark, dir)).orderBy("doc_id", "pos")
 }

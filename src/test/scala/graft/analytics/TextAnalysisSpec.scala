@@ -42,6 +42,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.values.map(_._6).toSeq.sorted == (1L to rows.size).toSeq)
   }
 
+  test("rolling fingerprints: exact Horner hashes, shared substrings share fps") {
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, s"PREFIX ONE $shared SUFFIX A"),
+      (2L, s"totally different lead-in $shared trailing bits"),
+      (3L, "short")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.rollingFingerprints(docs)
+      .as[(Long, Long, Long)].collect()
+    assert(!got.exists(_._1 == 3L), "sub-k doc emits nothing")
+    // reference implementation of the same rule
+    def fps(text: String, k: Int = 8, w: Int = 16): Seq[(Long, Long)] = {
+      val nt = text.toLowerCase.trim.replaceAll("\\s+", " ")
+      val hs = (0 to nt.length - k).map { i =>
+        nt.substring(i, i + k).foldLeft(0L)((a, c) => (a * 257 + c) % 2147483647L)
+      }
+      hs.zipWithIndex.collect { case (h, i)
+        if h == hs.slice(math.max(0, i - w + 1), i + 1).min => ((i + 1).toLong, h)
+      }
+    }
+    for (id <- Seq(1L, 2L)) {
+      val txt = docs.where($"doc_id" === id).select("text").as[String].head()
+      val expect = fps(txt).toSet
+      val actual = got.filter(_._1 == id).map(r => (r._2, r._3)).toSet
+      assert(actual == expect, s"doc $id fingerprint mismatch")
+    }
+    // content-defined sampling: the shared substring contributes shared
+    // hash values to both docs despite different offsets
+    val h1 = got.filter(_._1 == 1L).map(_._3).toSet
+    val h2 = got.filter(_._1 == 2L).map(_._3).toSet
+    assert((h1 intersect h2).nonEmpty, "shared substring must share fingerprints")
+  }
+
   test("lmScore: seen bigrams outscore unseen; short docs get null") {
     val docs = Seq(
       (1L, "a b a b"),   // bigrams: (a,b) x2, (b,a) x1
