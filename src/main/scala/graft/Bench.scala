@@ -24,7 +24,10 @@ object Bench {
     * rebuilds its plan from the parquet tables. */
   private def dropPersisted(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sharedState.cacheManager.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    // blocking: this runs OUTSIDE any timed region, and an async removal
+    // would race into the next query's measured window — the exact
+    // cross-query contamination this cleanup exists to prevent
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
   }
 
   def main(args: Array[String]): Unit = {
@@ -103,19 +106,24 @@ object Bench {
     def rN(v: Double, dp: Int): String =
       if (v < 0) "-1"
       else java.lang.String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
-    val errJson =
-      if (errors.isEmpty) ""
-      else "\"errors\":" + errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "},")
     val total = results.values.filter(_ >= 0).sum
-    def line(dp: Int): String = {
+    def line(dp: Int, errChars: Int): String = {
+      val errJson =
+        if (errors.isEmpty || errChars == 0) ""
+        else "\"errors\":" + errors
+          .map { case (k, v) => s"${q(k)}:${q(v.take(errChars))}" }.mkString("{", ",", "},")
       val qs = results.map { case (k, v) => s"${q(k)}:${rN(v, dp)}" }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${rN(total, dp)},"unit":"sec","queries":$qs,$errJson"sf":"$sfDir"}"""
     }
-    // precision fallback: should the surface grow past what 3-dp fits in
-    // the ~1.9 KB budget (tail window minus sbt's trailing lines), degrade
-    // to centisecond precision rather than overflow into unparseability
-    val out = Seq(3, 2, 1).map(line).find(_.length <= 1850).getOrElse(line(1))
-    println(out)
+    // degradation ladder: should the surface grow past what 3-dp fits in
+    // the ~1.9 KB budget (tail window minus sbt's trailing lines), shed
+    // precision first, then error-message detail (the -1 markers in the
+    // queries map still name every failed query), rather than overflow
+    // into unparseability — error text must not resurrect the truncated-
+    // tail failure mode exactly when a run breaks
+    val candidates = Seq((3, 200), (2, 200), (2, 60), (1, 40), (1, 0))
+      .map { case (dp, ec) => line(dp, ec) }
+    println(candidates.find(_.length <= 1850).getOrElse(candidates.last))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -74,7 +74,11 @@ object Live {
       case None    => query.awaitTermination()
     } finally {
       finish()
-      hook.remove()
+      // on a signal-initiated exit the hook has already fired (it is what
+      // stopped the query and unblocked awaitTermination) and the JVM is
+      // mid-shutdown — removeShutdownHook then throws IllegalStateException;
+      // the export already happened (CAS), so swallow it
+      try hook.remove() catch { case _: IllegalStateException => () }
     }
     files
   }

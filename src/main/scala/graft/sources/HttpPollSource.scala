@@ -139,6 +139,7 @@ final class HttpPollMicroBatchStream(ticker: String, fetcherName: String,
           throw e
         case e: java.util.concurrent.ExecutionException =>
           e.getCause match {
+            case null => None // no cause recorded: treat as failed fetch
             case scala.util.control.NonFatal(_) => None // fetcher threw = failed fetch
             case fatal => throw fatal // OOM etc must not masquerade as backoff
           }
