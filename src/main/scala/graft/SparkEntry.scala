@@ -68,6 +68,18 @@ object SparkEntry {
     "src2_json_extract" -> (SeriesQueries.jsonExtract _),
     "q_events_hourly" -> (SeriesQueries.hourlyRollup _),
     "q_sessionize" -> (SeriesQueries.sessionize _),
+    // salted-join surface proof: the deterministic-salt equi-join must be
+    // RESULT-identical to the plain join the oracle runs — the salt is an
+    // execution detail (straggler spreading), never a semantics change
+    "q_skew_join" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      val ev = graft.Tables.events(s, dir).select("user_id", "event_type")
+      val dim = ev.groupBy("user_id").agg(count(lit(1)).as("n_user_events"))
+      graft.operators.SkewJoin.saltedJoin(ev, dim, "user_id", salts = 8)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("n_user_events").as("total_weight"))
+        .orderBy("event_type")
+    }),
     // --- model-in-the-loop surface (SURVEY §2.3/2.5/2.7) ---
     "ml3_persistence_backtest" -> (ForecastQueries.persistenceBacktest(_, _)),
     "nrm2_frozen_scale" -> (ForecastQueries.frozenScale _),
@@ -590,6 +602,13 @@ object SparkEntry {
          SELECT user_id, session_id, count(*) AS n_events,
                 ((max(ts_us) - min(ts_us)) // 1000000)::BIGINT AS duration_sec
          FROM s GROUP BY user_id, session_id""",
+    "q_skew_join" ->
+      // the PLAIN join: the salted execution must be result-identical
+      """SELECT event_type, count(*) AS n, sum(n_user_events)::BIGINT AS total_weight
+         FROM events e JOIN (SELECT user_id, count(*) AS n_user_events
+                             FROM events GROUP BY user_id) d
+         ON e.user_id = d.user_id
+         GROUP BY event_type""",
     // --- model-in-the-loop surface (events) ---
     "ml3_persistence_backtest" ->
       """WITH t AS (SELECT user_id, value,
