@@ -83,6 +83,40 @@ class LiveHttpSpec extends SparkSpec {
     }
   }
 
+  test("Live.run on a mid-run query failure: exits early AND still exports") {
+    val calls = new AtomicInteger(0)
+    PriceFetchers.register("live_fatal", () => {
+      val i = calls.getAndIncrement()
+      if (i < 3) Some(100.0 + i)
+      // fatal (non-NonFatal) error: the fetch guard must rethrow it, the
+      // query must fail, and the bounded run must NOT idle out its clock
+      else throw new LinkageError("codec blew up")
+    })
+    val out = java.nio.file.Files.createTempDirectory("graft_live_fail").toString
+    val t0 = System.currentTimeMillis()
+    try {
+      sys.props("GRAFT_FETCHER") = "live_fatal"
+      sys.props("GRAFT_TRIGGER_MS") = "50"
+      val thrown = intercept[Exception] {
+        graft.Live.run(spark, "TST", out, durationSec = Some(120L))
+      }
+      assert(thrown.isInstanceOf[org.apache.spark.sql.streaming.StreamingQueryException],
+        s"failure must surface, got $thrown")
+      val elapsed = System.currentTimeMillis() - t0
+      assert(elapsed < 60000, s"failed run must return early, took ${elapsed} ms")
+      // the finally-path export ran: the pre-failure ticks are on disk
+      val priceCsv = new java.io.File(out).listFiles()
+        .find(_.getName.startsWith("price_data"))
+      assert(priceCsv.isDefined, "finish() must export even when the query failed")
+      val lines = scala.io.Source.fromFile(priceCsv.get).getLines().toSeq
+      assert(lines.exists(_.contains("100.0")),
+        "pre-failure ticks must survive into the export")
+    } finally {
+      sys.props -= "GRAFT_FETCHER"
+      sys.props -= "GRAFT_TRIGGER_MS"
+    }
+  }
+
   test("live path end-to-end: GET -> JSON -> tick -> backoff-on-500 -> CSV export") {
     import spark.implicits._
     val script: Int => (Int, String) = {
