@@ -95,6 +95,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> (Dedup.simhashPairsQuery _),
     "dedup_clusters" -> (Dedup.clustersQuery _),
     "dedup_fold_leakage" -> (Dedup.foldLeakageQuery _),
+    "dedup_contam" -> (Dedup.contaminationQuery _),
     // --- text analysis over documents ---
     "txt_redact" -> (TextAnalysis.redactQuery _),
     "txt_token_stats" -> (TextAnalysis.tokenStatsQuery _),
@@ -106,6 +107,7 @@ object SparkEntry {
     "txt_tfidf" -> (TextAnalysis.tfidfQuery _),
     "txt_lm_score" -> (TextAnalysis.lmScoreQuery _),
     "txt_rolling_fp" -> (TextAnalysis.rollingFingerprintsQuery _),
+    "txt_c4_filter" -> (TextAnalysis.c4FilterQuery _),
     // --- similarity search over embeddings ---
     "knn_exact" -> (Similarity.knnExactQuery _),
     "knn_ann_lsh" -> (Similarity.annLshQuery _), // oracled: md5 planes + list_reduce replay the sign bits exactly (+ recall spec)
@@ -687,6 +689,23 @@ object SparkEntry {
           JOIN folds fa ON fa.doc_id = shp.doc_a
           JOIN folds fb ON fb.doc_id = shp.doc_b
           WHERE fa.fold <> fb.fold""",
+    "dedup_contam" ->
+      s"""WITH f AS (SELECT doc_id, CASE WHEN $docBucketSql < 800 THEN 'train'
+                                         WHEN $docBucketSql < 900 THEN 'val'
+                                         ELSE 'test' END AS fold FROM documents),
+          t AS (SELECT doc_id, $toksSql AS ws FROM documents),
+          g AS (SELECT DISTINCT doc_id, ${md5L60("gram")} AS gh FROM (
+                  SELECT doc_id, array_to_string(ws[i:i+12], ' ') AS gram
+                  FROM t, LATERAL (SELECT unnest(range(1, len(ws) - 11)) AS i) r
+                  WHERE len(ws) >= 13) x),
+          gf AS (SELECT g.doc_id, g.gh, f.fold FROM g JOIN f USING (doc_id)),
+          tr AS (SELECT gh, doc_id AS train_doc FROM gf WHERE fold = 'train'),
+          ev AS (SELECT gh, doc_id AS eval_doc, fold AS eval_fold
+                 FROM gf WHERE fold <> 'train')
+          SELECT eval_doc, eval_fold, count(DISTINCT ev.gh) AS n_shared_grams,
+                 min(train_doc) AS sample_train_doc
+          FROM ev JOIN tr ON ev.gh = tr.gh
+          GROUP BY eval_doc, eval_fold""",
     "dedup_clusters" ->
       // connected components as a recursive CTE: reach enumerates every
       // (node, reachable node) pair over the bidirectional dup edges
@@ -842,6 +861,29 @@ object SparkEntry {
                                 ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS wmin
             FROM g) t
           WHERE fp = wmin""",
+    "txt_c4_filter" ->
+      s"""SELECT doc_id, n_tokens, lang_pred,
+          reason = 'ok' AS keep, reason FROM (
+            SELECT doc_id, n_tokens, lang_pred,
+              CASE WHEN n_tokens < 20 THEN 'too_short'
+                   WHEN n_tokens > 1000 THEN 'too_long'
+                   WHEN n_punct * 10 > n_chars THEN 'too_much_punct'
+                   WHEN n_stop * 20 < n_tokens THEN 'too_few_stopwords'
+                   WHEN lang_pred <> 'en' THEN 'non_english'
+                   ELSE 'ok' END AS reason
+            FROM (
+              SELECT doc_id, len($toksSql)::BIGINT AS n_tokens,
+                length(text)::BIGINT AS n_chars,
+                len(regexp_extract_all(text, '[.!?,;:]'))::BIGINT AS n_punct,
+                len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is)\\b'))::BIGINT AS n_stop,
+                CASE WHEN len(regexp_extract_all(text, '\\b(the|order|fast|scan)\\b')) >= len(regexp_extract_all(text, '\\b(stream|merge|window)\\b'))
+                      AND len(regexp_extract_all(text, '\\b(the|order|fast|scan)\\b')) >= len(regexp_extract_all(text, '\\b(table|query|group)\\b'))
+                      AND len(regexp_extract_all(text, '\\b(the|order|fast|scan)\\b')) >= len(regexp_extract_all(text, '\\b(join|filter|sort)\\b')) THEN 'en'
+                     WHEN len(regexp_extract_all(text, '\\b(stream|merge|window)\\b')) >= len(regexp_extract_all(text, '\\b(table|query|group)\\b'))
+                      AND len(regexp_extract_all(text, '\\b(stream|merge|window)\\b')) >= len(regexp_extract_all(text, '\\b(join|filter|sort)\\b')) THEN 'de'
+                     WHEN len(regexp_extract_all(text, '\\b(table|query|group)\\b')) >= len(regexp_extract_all(text, '\\b(join|filter|sort)\\b')) THEN 'es'
+                     ELSE 'fr' END AS lang_pred
+              FROM documents) b) r""",
     "dedup_embedding_exact" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos

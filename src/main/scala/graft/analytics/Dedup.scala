@@ -339,6 +339,36 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("__k"), col("doc_id")).as("keeper"))
   }
 
+  /** Benchmark decontamination — the exact n-gram overlap check run
+    * before any evaluation: an eval document sharing ANY `n`-token gram
+    * with a training document is contaminated (the GPT-3-style 13-gram
+    * rule; near-dup leakage is the SOFTER check in [[foldLeakageQuery]]).
+    * Shape: one exploded (gram-hash, doc, fold) projection, grams
+    * de-duplicated per doc, then a hash-keyed self-join filtered to
+    * train × non-train — only 8-byte gram hashes shuffle, never text,
+    * and the train side can be a broadcast-able bloom/set at corpus
+    * scale. */
+  def ngramContamination(docs: DataFrame, folds: DataFrame, n: Int = 13): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .where(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ws) - ${n - 1}), i -> array_join(slice(ws, i, $n), ' '))"))
+        .as("gram"))
+      .select(col("doc_id"), Hashes.md5Long60(col("gram")).as("gh"))
+      .distinct()
+      .join(folds, "doc_id")
+    val train = grams.where(col("fold") === "train")
+      .select(col("gh"), col("doc_id").as("train_doc"))
+    val eval_ = grams.where(col("fold") =!= "train")
+      .select(col("gh"), col("doc_id").as("eval_doc"), col("fold").as("eval_fold"))
+    eval_.join(train, "gh")
+      .groupBy("eval_doc", "eval_fold")
+      .agg(countDistinct("gh").as("n_shared_grams"),
+        min("train_doc").as("sample_train_doc"))
+      .orderBy("eval_doc")
+  }
+
   // -- query entry points --
 
   def exactQuery(spark: SparkSession, dir: String): DataFrame =
@@ -365,6 +395,13 @@ object Dedup {
   def clustersQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     dupClusters(docs, simhashPairs(docs)).orderBy("doc_id")
+  }
+
+  /** Exact 13-gram decontamination over the standard hash split. */
+  def contaminationQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val folds = Sampling.split(docs, col("doc_id")).select(col("doc_id"), col("fold"))
+    ngramContamination(docs, folds)
   }
 
   /** Train/test contamination check — the hygiene query every training

@@ -217,6 +217,39 @@ object TextAnalysis {
       md5(normalized(col("text"))).as("fp_md5"),
       graft.functions.Hashes.md5Long60(normalized(col("text"))).as("fp60"))
 
+  /** C4-style composite keep/drop filter — the gate a web corpus passes
+    * before training: length window, punctuation cap, stopword floor,
+    * language check, with the FIRST failing rule recorded as the audit
+    * reason. All predicates are integer comparisons (count×k vs count),
+    * so there is no ratio rounding to diverge between engines; one
+    * projection, scan-speed. */
+  def c4Filter(docs: DataFrame, minTokens: Int = 20, maxTokens: Int = 1000): DataFrame = {
+    val nTok = size(tokens(col("text"))).cast("long")
+    val nPunct = regexp_count(col("text"), lit("[.!?,;:]")).cast("long")
+    val nStop = regexp_count(col("text"), lit("\\b(the|a|of|and|to|in|is)\\b")).cast("long")
+    val counted = langMarkers.foldLeft(docs.select(col("doc_id"), col("text"))) {
+      case (df, (l, re)) => df.withColumn(s"c_$l", regexp_count(col("text"), lit(re)))
+    }
+    val Seq(en, de, es, fr) = langMarkers.map { case (l, _) => col(s"c_$l") }
+    val lang = when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+    counted
+      .withColumn("n_tokens", nTok)
+      .withColumn("lang_pred", lang)
+      .withColumn("reason",
+        when(col("n_tokens") < minTokens, "too_short")
+          .when(col("n_tokens") > maxTokens, "too_long")
+          // punct_ratio > 0.1 and stop_ratio < 0.05, in exact integer form
+          .when(nPunct * 10 > length(col("text")), "too_much_punct")
+          .when(nStop * 20 < col("n_tokens"), "too_few_stopwords")
+          .when(col("lang_pred") =!= "en", "non_english")
+          .otherwise("ok"))
+      .withColumn("keep", col("reason") === "ok")
+      .select("doc_id", "n_tokens", "lang_pred", "keep", "reason")
+  }
+
   // -- query entry points over the driver tables --
 
   /** PII-style scrubbing — the redaction pass a training corpus gets
@@ -271,4 +304,7 @@ object TextAnalysis {
 
   def rollingFingerprintsQuery(spark: SparkSession, dir: String): DataFrame =
     rollingFingerprints(Tables.documents(spark, dir)).orderBy("doc_id", "pos")
+
+  def c4FilterQuery(spark: SparkSession, dir: String): DataFrame =
+    c4Filter(Tables.documents(spark, dir)).orderBy("doc_id")
 }

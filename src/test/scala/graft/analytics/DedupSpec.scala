@@ -81,4 +81,25 @@ class DedupSpec extends SparkSpec {
       assert(h <= 8)
     }
   }
+
+  test("ngramContamination: only cross-fold exact n-gram overlap is flagged") {
+    val shared13 = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    val docs = Seq(
+      (1L, s"train lead-in $shared13 and a tail"),
+      (2L, s"eval intro then $shared13 closing words"),   // contaminated vs doc 1
+      (3L, "an eval doc with entirely different content that shares no long gram with training data at all"),
+      (4L, s"another train doc also containing $shared13 verbatim")
+    ).toDF("doc_id", "text")
+    val folds = Seq((1L, "train"), (2L, "test"), (3L, "val"), (4L, "train"))
+      .toDF("doc_id", "fold")
+    val got = Dedup.ngramContamination(docs, folds)
+      .as[(Long, String, Long, Long)].collect()
+    assert(got.map(_._1).toSeq == Seq(2L), s"only doc 2 is contaminated, got ${got.toSeq}")
+    val row = got.head
+    assert(row._2 == "test")
+    assert(row._3 == 1L, "exactly one shared 13-gram")
+    assert(row._4 == 1L, "sample train doc is the min id sharing the gram")
+    // same-fold overlap (docs 1 and 4) must not be flagged
+    assert(!got.exists(_._1 == 3L) && !got.exists(_._1 == 4L))
+  }
 }

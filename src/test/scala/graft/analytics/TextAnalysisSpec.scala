@@ -75,6 +75,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert((h1 intersect h2).nonEmpty, "shared substring must share fingerprints")
   }
 
+  test("c4Filter: each gate fires in priority order; clean docs keep") {
+    val en20 = "the order is fast and the scan is in the table of the work we do here now for all good men"
+    val docs = Seq(
+      (1L, "tiny doc"),                                  // too_short
+      (2L, ("w " * 1500).trim),                          // too_long
+      (3L, en20.replace(" ", "!!! ") ),                  // too_much_punct
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lamda mu nu xi omicron pi rho sigma tau upsilon"), // no stopwords
+      (5L, "join filter sort the a of and to in is join filter sort zz yy xx ww vv uu tt"), // stopword-rich but French markers
+      (6L, en20)                                         // keeps
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.c4Filter(docs).orderBy("doc_id")
+      .as[(Long, Long, String, Boolean, String)].collect()
+    assert(got.map(_._5).toSeq == Seq("too_short", "too_long", "too_much_punct",
+      "too_few_stopwords", "non_english", "ok"))
+    assert(got.map(_._4).toSeq == Seq(false, false, false, false, false, true))
+  }
+
   test("lmScore: seen bigrams outscore unseen; short docs get null") {
     val docs = Seq(
       (1L, "a b a b"),   // bigrams: (a,b) x2, (b,a) x1
