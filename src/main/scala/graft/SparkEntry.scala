@@ -120,6 +120,7 @@ object SparkEntry {
     "split_assign" -> (Sampling.splitAssignQuery _),
     "pack_sequences" -> (Sampling.packQuery _),
     "sample_stratified" -> (Sampling.stratifiedSampleQuery _),
+    "sample_weighted" -> (Sampling.weightedSampleQuery _),
     // --- multimodal binary-column plumbing ---
     "mm_payload_stats" -> (Multimodal.payloadStatsQuery _),
     "mm_decode_features" -> (Multimodal.decodeFeaturesQuery _),
@@ -741,6 +742,18 @@ object SparkEntry {
                                         WHEN 'view' THEN 200
                                         WHEN 'click' THEN 100
                                         ELSE 50 END""",
+    // Efraimidis–Spirakis key: ln(u) quantized to the 1e-8 integer grid
+    // BEFORE the /weight division, so both engines rank identical IEEE
+    // doubles (integer numerator / integer weight) — recipe (c) of the
+    // bit-parity notes, same as txt_tfidf/txt_lm_score
+    "sample_weighted" ->
+      """SELECT doc_id, n_chars, rank FROM (
+           SELECT doc_id, n_chars, row_number() OVER (ORDER BY
+               CAST(round(ln((('0x'||substr(md5('ws:'||doc_id::VARCHAR),1,15))::UBIGINT::BIGINT + 1)
+                             / 1152921504606846976.0) * 1e8) AS BIGINT)::DOUBLE
+                 / greatest(n_chars, 1) DESC, doc_id) AS rank
+           FROM documents) t
+         WHERE rank <= 100""",
     "pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, len($toksSql)::BIGINT AS n_tokens,
                  ('0x'||substr(md5(doc_id::VARCHAR),1,15))::UBIGINT::BIGINT % 8 AS shard

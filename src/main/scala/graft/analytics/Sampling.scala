@@ -81,6 +81,36 @@ object Sampling {
       .where(col("keep_bucket") < rate)
   }
 
+  /** Deterministic weighted sampling without replacement (Efraimidis–
+    * Spirakis A-ES): each row gets a hash-uniform u ∈ (0, 1] and the
+    * top-k rows by u^(1/w) are the sample — over many corpora a row is
+    * selected with probability proportional to its weight `w`, yet the
+    * draw is fully reproducible (same rows on every engine, rerun, and
+    * partitioning), unlike RNG weighted sampling.
+    *
+    * Cross-engine bit parity (the part RNG can't give): u is derived
+    * from the md5 of the key, and the ranking key uses the monotone
+    * transform ln(u)/w with ln QUANTIZED to a 1e-8 integer grid before
+    * the division — both engines then order identical IEEE doubles
+    * (integer-valued numerator / integer weight), so the top-k set and
+    * its ranks hash-match exactly (same recipe as the tf-idf / LM-score
+    * oracles). Ties (quantized) break on the key column.
+    *
+    * Scale: the global row_number is a WindowGroupLimit in Spark 4 —
+    * each task keeps its local top-k and only k rows per partition reach
+    * the single merge task; the corpus itself is never globally sorted. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int): DataFrame = {
+    val u = (Hashes.md5Long60(concat(lit("ws:"), key.cast("string"))).cast("double") + 1d) /
+      1.152921504606846976e18 // 2^60: (h+1)/2^60 ∈ (0,1], never ln(0)
+    val lnq = round(log(u) * 1e8).cast("long")
+    val esKey = lnq.cast("double") / greatest(weight, lit(1L)).cast("double")
+    df.withColumn("__es", esKey)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("__es").desc, key)).cast("long"))
+      .where(col("rank") <= k)
+      .drop("__es")
+  }
+
   // -- query entry points --
 
   def splitQuery(spark: SparkSession, dir: String): DataFrame =
@@ -106,4 +136,13 @@ object Sampling {
       defaultPerMille = 50)
       .select("event_id", "event_type", "keep_bucket")
       .orderBy("event_id")
+
+  /** Length-weighted document sample: 100 docs drawn ∝ n_chars — the
+    * "sample training documents proportional to size/quality" primitive
+    * of corpus mixture construction. */
+  def weightedSampleQuery(spark: SparkSession, dir: String): DataFrame =
+    weightedSample(Tables.documents(spark, dir).select("doc_id", "n_chars"),
+      col("doc_id"), col("n_chars"), k = 100)
+      .select("doc_id", "n_chars", "rank")
+      .orderBy("rank")
 }

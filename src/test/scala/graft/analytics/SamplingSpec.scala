@@ -50,6 +50,31 @@ class SamplingSpec extends SparkSpec {
       "default rate must apply to unlisted strata")
   }
 
+  test("weighted sample: deterministic, weight-biased, and top-k-optimized") {
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "n_chars")
+    def draw(df: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedSample(df, col("doc_id"), col("n_chars"), k = 20)
+        .select("doc_id", "rank").as[(Long, Long)].collect().toMap
+    val a = draw(docs)
+    val b = draw(docs.repartition(9))
+    assert(a == b, "sample (ids AND ranks) must not depend on partitioning")
+    assert(a.size == 20 && a.values.toSeq.sorted == (1L to 20L))
+    // weighting law: a by-length draw must overrepresent long documents —
+    // deterministic on this fixed corpus, so assert the realized bias
+    val corpusMean = docs.agg(avg("n_chars")).head().getDouble(0)
+    val sampleMean = docs.where(col("doc_id").isin(a.keys.toSeq: _*))
+      .agg(avg("n_chars")).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"length-weighted sample mean $sampleMean must exceed corpus mean $corpusMean")
+    // scale shape: the rank<=k filter over the global row_number must
+    // compile to a WindowGroupLimit (per-partition top-k before the
+    // single merge task), not a full global sort of the corpus
+    val plan = Sampling.weightedSample(docs, col("doc_id"), col("n_chars"), k = 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in the physical plan:\n$plan")
+  }
+
   test("pack_sequences matches the exclusive-running-total law, recomputed exactly") {
     val got = Sampling.packSequences(graft.Tables.documents(spark, sfDir))
       .select("shard", "bin", "doc_id", "n_tokens")
