@@ -73,12 +73,18 @@ object Bench {
     // whole-session profiling (the "one warm session" view); the TOTAL is
     // comparable either way since each query still pays its own build.
     val retainCache = sys.env.get("SPARK_GRAFT_RETAIN_CACHE").contains("1")
+    // truncate on a code-point boundary: a plain take(n) can split a
+    // surrogate pair and emit an unpaired surrogate into the JSON string
+    def takeSafe(s: String, n: Int): String = {
+      val t = s.take(n)
+      if (t.nonEmpty && Character.isHighSurrogate(t.last)) t.dropRight(1) else t
+    }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
-          errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+          errors(name) = s"${e.getClass.getSimpleName}: ${takeSafe(String.valueOf(e.getMessage), 200)}"
           false
         }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -111,7 +117,7 @@ object Bench {
       val errJson =
         if (errors.isEmpty || errChars == 0) ""
         else "\"errors\":" + errors
-          .map { case (k, v) => s"${q(k)}:${q(v.take(errChars))}" }.mkString("{", ",", "},")
+          .map { case (k, v) => s"${q(k)}:${q(takeSafe(v, errChars))}" }.mkString("{", ",", "},")
       val qs = results.map { case (k, v) => s"${q(k)}:${rN(v, dp)}" }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${rN(total, dp)},"unit":"sec","queries":$qs,$errJson"sf":"$sfDir"}"""
     }
@@ -123,7 +129,23 @@ object Bench {
     // tail failure mode exactly when a run breaks
     val candidates = Seq((3, 200), (2, 200), (2, 60), (1, 40), (1, 0))
       .map { case (dp, ec) => line(dp, ec) }
-    println(candidates.find(_.length <= 1850).getOrElse(candidates.last))
+    // absolute floor: if even the minimal per-query line exceeds the
+    // budget (surface grew a lot), shed the per-query map entirely rather
+    // than print an over-budget line that truncates into unparseable JSON.
+    // The still-valid summary keeps the driver's total/error gates alive;
+    // the stderr warning tells the builder to shorten query names.
+    val floor = {
+      val nerr = errors.size
+      s"""{"metric":"total","value":${rN(total, 1)},"unit":"sec","queries":{},""" +
+        s""""nq":${results.size},"nerr":$nerr,"sf":"$sfDir"}"""
+    }
+    val chosen = candidates.find(_.length <= 1850).getOrElse {
+      System.err.println(s"[bench] WARNING: per-query JSON exceeds the ${1850}-char tail " +
+        s"budget even at minimum precision (${candidates.last.length} chars); " +
+        "emitting summary-only line — shorten query names or trim the surface")
+      floor
+    }
+    println(chosen)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -16,6 +16,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // free each query's caches/checkpoints once its parquet is written:
+      // the iterative queries (dupClusters et al.) leave localCheckpoint
+      // blocks registered at the RDD layer, which the ContextCleaner only
+      // reclaims on GC — across a 74-query dump they would otherwise
+      // accumulate and pressure later queries (same isolation Bench does)
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -332,6 +332,13 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"dupClusters did not converge in $maxRounds halving rounds " +
         "(diameter ~2^50) — this indicates a propagation logic error")
+    // the edge list is dead once propagation converges (the result below
+    // only joins labels back to docs) — free its checkpoint now. The FINAL
+    // labels checkpoint must outlive this method (the returned frame reads
+    // it lazily); callers that run many queries in one session (Verify,
+    // Bench) unpersist all registered RDDs after materializing each result,
+    // which reclaims it — the ContextCleaner's GC sweep is the fallback.
+    checkpointRdd(edges).foreach(_.unpersist(blocking = false))
     if (sys.env.contains("GRAFT_DEBUG"))
       System.err.println(s"[dupClusters] converged in $rounds rounds")
     docs.select(col("doc_id"))

@@ -113,14 +113,31 @@ object Multimodal {
 
   // -- query entry points --
 
+  /** The DuckDB oracles for these queries replay the BINARY-side digests
+    * with TEXT-side md5/substring — parity that holds only while every
+    * character is one UTF-8 byte. A non-ASCII document would silently skew
+    * byte-vs-char slicing in both engines, so fail loudly instead: one
+    * codegen'd per-row check (char length == byte length), zero cost on
+    * the happy path. The library operators above stay byte-semantics-only
+    * (a real media corpus is binary); only the oracle-facing query entry
+    * points carry the guard. */
+  private def asciiParityGuard(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(col("text").isNull || length(col("text")) === octet_length(col("text")),
+        col("text"))
+        .otherwise(raise_error(concat(
+          lit("multimodal oracle parity broken: non-ASCII text in doc_id="),
+          col("doc_id")))))
+
   def payloadStatsQuery(spark: SparkSession, dir: String): DataFrame =
-    payloadStats(Tables.documents(spark, dir))
+    payloadStats(asciiParityGuard(Tables.documents(spark, dir)))
 
   def frameSampleQuery(spark: SparkSession, dir: String): DataFrame =
-    frameSample(Tables.documents(spark, dir)).orderBy("doc_id", "frame_idx")
+    frameSample(asciiParityGuard(Tables.documents(spark, dir)))
+      .orderBy("doc_id", "frame_idx")
 
   def decodeFeaturesQuery(spark: SparkSession, dir: String): DataFrame = {
-    val feats = decodeStub(spark, withPayload(Tables.documents(spark, dir)))
+    val feats = decodeStub(spark, withPayload(asciiParityGuard(Tables.documents(spark, dir))))
     feats.select(Seq(col("doc_id"), col("n_bytes")) ++
       (1 to 8).map(i => round(element_at(col("features"), i), 6).as(s"f$i")): _*)
   }

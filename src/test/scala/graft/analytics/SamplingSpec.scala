@@ -59,20 +59,31 @@ class SamplingSpec extends SparkSpec {
     val b = draw(docs.repartition(9))
     assert(a == b, "sample (ids AND ranks) must not depend on partitioning")
     assert(a.size == 20 && a.values.toSeq.sorted == (1L to 20L))
-    // weighting law: a by-length draw must overrepresent long documents —
-    // deterministic on this fixed corpus, so assert the realized bias
+    // weighting law: a by-length draw must overrepresent long documents.
+    // Assert at k=100 (of 500 docs), NOT k=20: the draw is deterministic
+    // per corpus but the corpus is regenerated per round, and at k=20 the
+    // size-bias margin (~sigma^2/mu ~ 67 chars) is ~2 sampling-noise
+    // sigmas — an unlucky corpus once realized 303.9 vs mean 306.3. At
+    // k=100 the realized bias is ~44 chars against ~14-char noise. (Exact
+    // per-row correctness is carried by the sample_weighted DuckDB oracle,
+    // which recomputes the whole draw cross-engine at k=100.)
     val corpusMean = docs.agg(avg("n_chars")).head().getDouble(0)
-    val sampleMean = docs.where(col("doc_id").isin(a.keys.toSeq: _*))
+    val a100 = Sampling.weightedSample(docs, col("doc_id"), col("n_chars"), k = 100)
+      .select("doc_id").as[Long].collect().toSeq
+    val sampleMean = docs.where(col("doc_id").isin(a100: _*))
       .agg(avg("n_chars")).head().getDouble(0)
     assert(sampleMean > corpusMean,
       s"length-weighted sample mean $sampleMean must exceed corpus mean $corpusMean")
     // scale shape: the rank<=k filter over the global row_number must
-    // compile to a WindowGroupLimit (per-partition top-k before the
-    // single merge task), not a full global sort of the corpus
+    // compile to a top-k (per-partition limit before the single merge
+    // task), not a full global sort of the corpus. Spark expresses that
+    // either as WindowGroupLimit (InferWindowGroupLimit) or — because the
+    // window has no partitionBy — as TakeOrderedAndProject
+    // (LimitPushDownThroughWindow); both are the scalable plan.
     val plan = Sampling.weightedSample(docs, col("doc_id"), col("n_chars"), k = 20)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("WindowGroupLimit"),
-      s"expected WindowGroupLimit in the physical plan:\n$plan")
+    assert(plan.contains("WindowGroupLimit") || plan.contains("TakeOrderedAndProject"),
+      s"expected a top-k plan (WindowGroupLimit or TakeOrderedAndProject):\n$plan")
   }
 
   test("pack_sequences matches the exclusive-running-total law, recomputed exactly") {

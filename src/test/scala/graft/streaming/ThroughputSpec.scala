@@ -23,26 +23,37 @@ class ThroughputSpec extends SparkSpec {
       RawTick(s"T${i % 40}", new Timestamp(1700000000000L + (i / 40) * 1000L),
         math.max(1.0, 100.0 + math.round(rnd.nextGaussian() * 100) / 100.0 * 10))
     }
-    val ms = MemoryStream[RawTick]
-    val name = s"tp_${System.nanoTime()}"
-    val q = StreamingPipeline.events(ms.toDS(), StreamingPipeline.Config())
-      .writeStream.format("memory").queryName(name).outputMode("append").start()
-    val t0 = System.nanoTime()
-    try {
-      ticks.grouped(10000).foreach { b => ms.addData(b); q.processAllAvailable() }
-    } finally q.stop()
-    val secs = (System.nanoTime() - t0) / 1e9
-    val processed = spark.table(name).where($"kind" === "tick").count()
-    val rate = n / secs
-    info(f"$n ticks in $secs%.1f s = $rate%.0f ticks/s (${processed} accepted)")
-    assert(processed > 0)
+    def run(): Double = {
+      val ms = MemoryStream[RawTick]
+      val name = s"tp_${System.nanoTime()}"
+      val q = StreamingPipeline.events(ms.toDS(), StreamingPipeline.Config())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      val t0 = System.nanoTime()
+      try {
+        ticks.grouped(10000).foreach { b => ms.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val processed = spark.table(name).where($"kind" === "tick").count()
+      val rate = n / secs
+      info(f"$n ticks in $secs%.1f s = $rate%.0f ticks/s (${processed} accepted)")
+      assert(processed > 0)
+      rate
+    }
     // Two-tier perf gate. The loose floor is ALWAYS on: at 50 ticks/s the
     // state machine would be 100× below its measured ~6000/s — that is an
     // order-of-magnitude collapse (a driver-side loop snuck in, a per-tick
-    // job), not CI noise, and it should go red everywhere. The tight
-    // 1000/s gate stays opt-in (GRAFT_PERF_ASSERT=1) because a contended
-    // shared runner can legitimately land between the two.
-    assert(rate > 50, f"throughput collapsed: $rate%.0f ticks/s (floor 50/s)")
+    // job), not CI noise, and it should go red everywhere. One retry
+    // absorbs a one-off scheduler stall on a contended shared runner (the
+    // only way a wall-clock assertion can lie); a genuine collapse fails
+    // both attempts. The tight 1000/s gate stays opt-in
+    // (GRAFT_PERF_ASSERT=1) because a contended runner can legitimately
+    // land between the two.
+    val first = run()
+    val rate = if (first > 50) first else {
+      info(f"floor miss at $first%.0f ticks/s — retrying once (host contention?)")
+      run()
+    }
+    assert(rate > 50, f"throughput collapsed: $rate%.0f ticks/s (floor 50/s, both attempts)")
     if (sys.env.contains("GRAFT_PERF_ASSERT"))
       assert(rate > 1000, f"throughput below perf gate: $rate%.0f ticks/s")
   }
