@@ -272,12 +272,40 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
+    // Size the round shuffles to the SUBGRAPH, not the corpus: the
+    // edge-touched subgraph is usually orders of magnitude smaller than
+    // the input (near-dups are rare), yet every round's ~5 shuffle stages
+    // would otherwise launch spark.sql.shuffle.partitions tasks each —
+    // at small subgraphs the job is pure scheduling overhead (measured
+    // ~0.5 s/round at a few-hundred-node subgraph on local[32]). One
+    // partition per ~64k edges keeps partitions well under memory limits
+    // (an edge row is two longs) and restores the session default for
+    // corpus-scale subgraphs. edges is already materialized (the init
+    // labelSum above), so the count reads checkpointed blocks — no
+    // recompute. Conf is restored before the corpus-sized result join
+    // below is ever executed (it is lazy).
+    val spark = docs.sparkSession
+    val sessionPartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    val roundPartitions =
+      math.min(sessionPartitions.toLong, math.max(1L, edges.count() / 65536L))
     // with path halving each round covers ~2^round hops, so 50 rounds
     // bounds component diameter at ~2^50 — unreachable in practice; a
     // non-converged exit would mean a logic error and must fail loudly
     // rather than return silently split clusters
     val maxRounds = 50
+    val debug = sys.env.contains("GRAFT_DEBUG")
+    val sessionAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", roundPartitions.toString)
+    // AQE's per-shuffle re-planning barrier is pure latency on the tiny
+    // pre-sized round stages (the partition count above already encodes
+    // what AQE would discover); at corpus scale roundPartitions hits the
+    // session cap and skew handling matters again, so only bypass AQE
+    // when the subgraph is small enough to be latency- not data-bound
+    if (roundPartitions < sessionPartitions.toLong)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     while (!converged && rounds < maxRounds) {
+      val tRound = System.nanoTime()
       val viaNeighbors = edges.join(labels, edges("dst") === labels("doc_id"))
         .select(edges("src").as("doc_id"), col("keeper"))
       // oneHop is read from BOTH sides of the halving self-join: persist
@@ -328,6 +356,12 @@ object Dedup {
       labels = next
       checkpointRdd(superseded).foreach(_.unpersist(blocking = false))
       rounds += 1
+      if (debug) System.err.println(
+        f"[dupClusters] round $rounds: ${(System.nanoTime() - tRound) / 1e9}%.2f s")
+    }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", sessionPartitions)
+      spark.conf.set("spark.sql.adaptive.enabled", sessionAqe)
     }
     if (!converged) throw new IllegalStateException(
       s"dupClusters did not converge in $maxRounds halving rounds " +

@@ -267,16 +267,28 @@ object Relational {
     * percentiles sort each group — kept on the surface because at dim-table
     * scale exactness is affordable and it gives the sketch query an
     * in-engine ground truth (RelationalSpec asserts the error bounds). */
-  def exactStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .select("l_returnflag", "l_partkey", "l_extendedprice")
+  def exactStats(spark: SparkSession, dir: String): DataFrame = {
+    // Two branches joined on the 3-row group key, NOT one agg: mixing
+    // countDistinct with percentile makes Catalyst's two-level distinct
+    // rewrite carry the percentile buffers through the (flag, partkey)
+    // stage — one growable double-array buffer PER DISTINCT PART (~200k
+    // at sf0.1, measured 5.1 s solo), all merged into 3 groups. Split,
+    // each branch is its natural shape: a two-level hash agg over pruned
+    // (flag, partkey), and 3 percentile buffers fed straight from the
+    // scan (2.1 s solo). The join is 3x3 broadcast — free.
+    val li = Tables.lineitem(spark, dir)
+    val distinctCounts = li.select("l_returnflag", "l_partkey")
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("n_parts"), count(lit(1)).as("n_rows"))
+    val pctiles = li.select("l_returnflag", "l_extendedprice")
       .groupBy("l_returnflag")
       .agg(
-        countDistinct("l_partkey").as("n_parts"),
         round(expr("percentile(l_extendedprice, 0.5)"), 2).as("median_price"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"),
-        count(lit(1)).as("n_rows"))
+        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"))
+    distinctCounts.join(broadcast(pctiles), "l_returnflag")
+      .select("l_returnflag", "n_parts", "median_price", "p90_price", "n_rows")
       .orderBy("l_returnflag")
+  }
 
   /** Inter-order gaps: per customer, the mean/max whole-day gap between
     * consecutive orders (lag window → integer day arithmetic → one agg).
