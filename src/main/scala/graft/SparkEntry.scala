@@ -68,6 +68,7 @@ object SparkEntry {
     "src2_json_extract" -> (SeriesQueries.jsonExtract _),
     "q_events_hourly" -> (SeriesQueries.hourlyRollup _),
     "q_sessionize" -> (SeriesQueries.sessionize _),
+    "rj_sessions" -> (SeriesQueries.activeSessions _), // bucketed point-in-interval join (RangeJoin)
     // salted-join surface proof: the deterministic-salt equi-join must be
     // RESULT-identical to the plain join the oracle runs — the salt is an
     // execution detail (straggler spreading), never a semantics change
@@ -605,6 +606,31 @@ object SparkEntry {
          SELECT user_id, session_id, count(*) AS n_events,
                 ((max(ts_us) - min(ts_us)) // 1000000)::BIGINT AS duration_sec
          FROM s GROUP BY user_id, session_id""",
+    "rj_sessions" ->
+      // the NAIVE inequality join — DuckDB's IEJoin runs it exactly; the
+      // Spark side must produce the identical result through the bucketed
+      // equi-join path (RangeJoin.pointInInterval)
+      """WITH t AS MATERIALIZED (
+           SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN epoch_us(ts::TIMESTAMP)
+                       - lag(epoch_us(ts::TIMESTAMP)) OVER w > 1800000000 THEN 1
+                  ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS MATERIALIZED (
+           SELECT user_id, ts_us,
+             (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
+           FROM t),
+         b AS MATERIALIZED (
+           SELECT user_id, session_id, min(ts_us) AS start_us, max(ts_us) AS end_us
+           FROM s GROUP BY user_id, session_id)
+         SELECT e.event_id, count(*) AS n_active
+         FROM (SELECT event_id, epoch_us(ts::TIMESTAMP) AS ts_us
+               FROM events WHERE event_type = 'purchase') e
+         JOIN b ON e.ts_us >= b.start_us AND e.ts_us <= b.end_us
+         GROUP BY e.event_id""",
     "q_skew_join" ->
       // the PLAIN join: the salted execution must be result-identical
       """SELECT event_type, count(*) AS n, sum(n_user_events)::BIGINT AS total_weight

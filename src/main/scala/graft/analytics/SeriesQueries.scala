@@ -149,9 +149,11 @@ object SeriesQueries {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       .orderBy("hour", "event_type")
 
-  /** Gap-based sessionization (30-min inactivity) via windows — session
-    * count/extent per user. */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+  /** Gap-based sessionization (30-min inactivity) via windows, reduced to
+    * one row per session with its event count and inclusive µs extent —
+    * the shared base of [[sessionize]] and the interval side of
+    * [[activeSessions]]. */
+  def sessionBounds(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(col): _*)
     val gapUs = 30L * 60 * 1000 * 1000 // 30 min in µs (µs parity with the oracle)
     Tables.events(spark, dir)
@@ -163,8 +165,37 @@ object SeriesQueries {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"),
+        min("ts_us").as("start_us"), max("ts_us").as("end_us"))
+  }
+
+  /** Gap-based sessionization (30-min inactivity) via windows — session
+    * count/extent per user. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionBounds(spark, dir)
+      .select(col("user_id"), col("session_id"), col("n_events"),
         // integer div: µs diffs stay exact; matches DuckDB's µs timestamps
-        expr("(max(ts_us) - min(ts_us)) div 1000000").as("duration_sec"))
+        expr("(end_us - start_us) div 1000000").as("duration_sec"))
       .orderBy("user_id", "session_id")
+
+  /** Concurrency join: for each purchase event, how many sessions (across
+    * ALL users) were active at its instant — a point-in-interval join that
+    * a naive `BETWEEN` predicate would plan as an all-pairs nested loop.
+    * Runs through [[graft.operators.RangeJoin.pointInInterval]]: sessions
+    * explode to the 30-min time buckets they overlap, purchases hash-join
+    * on their single bucket, and the exact containment filter runs on the
+    * joined pairs only. */
+  def activeSessions(spark: SparkSession, dir: String): DataFrame = {
+    val purchases = Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .select("event_id", "ts_us")
+    val sessions = sessionBounds(spark, dir).select("start_us", "end_us")
+    // bucket width = the session gap: sessions are gap-bounded, so the
+    // typical extent is a small multiple of it — O(1) fan-out per session
+    graft.operators.RangeJoin
+      .pointInInterval(purchases, sessions, "ts_us", "start_us", "end_us",
+        bucketWidth = 30L * 60 * 1000 * 1000)
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("event_id")
   }
 }

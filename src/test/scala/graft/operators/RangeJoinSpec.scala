@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val points = Seq(
+    (1L, 0L), (2L, 99L), (3L, 100L), (4L, 150L), (5L, 250L), (6L, 1000L))
+    .toDF("p_id", "ts")
+  private val intervals = Seq(
+    (10L, 0L, 0L),      // degenerate single-instant interval
+    (11L, 50L, 149L),   // spans a bucket boundary (width 100)
+    (12L, 100L, 300L),  // multi-bucket
+    (13L, 400L, 500L))  // matches nothing
+    .toDF("i_id", "lo", "hi")
+
+  test("bucketed result equals the naive inequality join, pairs exactly once") {
+    val got = RangeJoin.pointInInterval(points, intervals, "ts", "lo", "hi", 100L)
+      .select("p_id", "i_id").as[(Long, Long)].collect().toSeq.sorted
+    val naive = points.join(intervals, $"ts" >= $"lo" && $"ts" <= $"hi")
+      .select("p_id", "i_id").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == naive, s"bucketed != naive:\n got=$got\n want=$naive")
+    // inclusive bounds, boundary-crossing interval, degenerate interval
+    assert(naive.contains((1L, 10L)) && naive.contains((2L, 11L)) &&
+      naive.contains((3L, 11L)) && naive.contains((4L, 12L)))
+    // exactly-once: no bucket-replica duplicates survive
+    assert(got.distinct == got)
+  }
+
+  test("plans as a hash equi-join on the bucket, never a nested loop") {
+    val plan = RangeJoin.pointInInterval(points, intervals, "ts", "lo", "hi", 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join degenerated to all-pairs:\n$plan")
+    // the naive predicate join IS the nested loop — the thing we avoid
+    val naivePlan = points.join(intervals, $"ts" >= $"lo" && $"ts" <= $"hi")
+      .queryExecution.executedPlan.toString
+    assert(naivePlan.contains("BroadcastNestedLoopJoin") ||
+      naivePlan.contains("CartesianProduct"))
+  }
+
+  test("rj_sessions query matches a naive recomputation at sf0.001") {
+    val got = graft.analytics.SeriesQueries.activeSessions(spark, sfDir)
+      .as[(Long, Long)].collect().toSeq
+    val sessions = graft.analytics.SeriesQueries.sessionBounds(spark, sfDir)
+      .select("start_us", "end_us")
+    val naive = graft.Tables.events(spark, sfDir)
+      .where($"event_type" === "purchase").select($"event_id", $"ts_us")
+      .join(sessions, $"ts_us" >= $"start_us" && $"ts_us" <= $"end_us")
+      .groupBy("event_id").agg(count(lit(1)).as("n_active"))
+      .orderBy("event_id").as[(Long, Long)].collect().toSeq
+    assert(got.nonEmpty && got == naive)
+  }
+}
