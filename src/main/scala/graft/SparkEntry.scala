@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Dedup, ForecastQueries, Multimodal, Relational, Sampling, SeriesQueries, Similarity, TextAnalysis}
+import graft.analytics.{Dedup, ForecastQueries, Layout, Multimodal, Relational, Sampling, SeriesQueries, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -52,6 +52,7 @@ object SparkEntry {
     "q2_min_price_supp" -> (Relational.minPriceSupplier _),
     "q7_nation_trade" -> (Relational.nationTrade _),
     "q_exact_stats" -> (Relational.exactStats _),
+    "bloom_semi" -> (Relational.bloomSemi _), // bloom-pruned exact semi-join (manual runtime filter)
     "q_order_gaps" -> (Relational.orderGaps _),
     "q_spend_quartiles" -> (Relational.spendQuartiles _),
     // --- reference operator surface over events (SURVEY §2.2-2.7) ---
@@ -69,6 +70,7 @@ object SparkEntry {
     "q_events_hourly" -> (SeriesQueries.hourlyRollup _),
     "q_sessionize" -> (SeriesQueries.sessionize _),
     "rj_sessions" -> (SeriesQueries.activeSessions _), // bucketed point-in-interval join (RangeJoin)
+    "zorder_key" -> (Layout.zorderKey _), // native Morton-interleave expression (data-skipping layout)
     // salted-join surface proof: the deterministic-salt equi-join must be
     // RESULT-identical to the plain join the oracle runs — the salt is an
     // execution detail (straggler spreading), never a semantics change
@@ -109,6 +111,7 @@ object SparkEntry {
     "txt_lm_score" -> (TextAnalysis.lmScoreQuery _),
     "txt_rolling_fp" -> (TextAnalysis.rollingFingerprintsQuery _),
     "txt_c4_filter" -> (TextAnalysis.c4FilterQuery _),
+    "chunk_overlap" -> (TextAnalysis.chunkQuery _), // overlapping token-window training chunks
     // --- similarity search over embeddings ---
     "knn_exact" -> (Similarity.knnExactQuery _),
     "knn_ann_lsh" -> (Similarity.annLshQuery _), // oracled: md5 planes + list_reduce replay the sign bits exactly (+ recall spec)
@@ -472,6 +475,15 @@ object SparkEntry {
          round(quantile_cont(l_extendedprice, 0.9),2) AS p90_price,
          count(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag""",
+    "bloom_semi" ->
+      // the plain semi-join: the bloom prefilter is an execution detail
+      """SELECT l_suppkey, count(*) AS n_items,
+         (sum(round(l_quantity * 100))::BIGINT / 100.0) AS total_qty
+         FROM lineitem
+         WHERE l_suppkey IN (
+           SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           WHERE n_name = 'NATION_3')
+         GROUP BY l_suppkey""",
     "q_order_gaps" ->
       """SELECT o_custkey, round(avg(gap_days),4) AS avg_gap_days,
          max(gap_days) AS max_gap_days, count(*) + 1 AS n_orders
@@ -606,6 +618,18 @@ object SparkEntry {
          SELECT user_id, session_id, count(*) AS n_events,
                 ((max(ts_us) - min(ts_us)) // 1000000)::BIGINT AS duration_sec
          FROM s GROUP BY user_id, session_id""",
+    "zorder_key" ->
+      // bit-exact Morton interleave replayed in SQL: per bit i of each
+      // 21-bit dimension, x's bit lands at position 2i and y's at 2i+1
+      """SELECT event_id, user_id AS x,
+           (epoch_us(ts::TIMESTAMP) // 86400000000) AS y,
+           (list_sum([ (((user_id >> CAST(i AS BIGINT)) & 1)
+                          << (2 * CAST(i AS BIGINT)))
+                     + ((((epoch_us(ts::TIMESTAMP) // 86400000000)
+                            >> CAST(i AS BIGINT)) & 1)
+                          << (2 * CAST(i AS BIGINT) + 1))
+               for i in range(0, 21) ]))::BIGINT AS zval
+         FROM events""",
     "rj_sessions" ->
       // the NAIVE inequality join — DuckDB's IEJoin runs it exactly; the
       // Spark side must produce the identical result through the bucketed
@@ -923,6 +947,18 @@ object SparkEntry {
                      WHEN len(regexp_extract_all(text, '\\b(table|query|group)\\b')) >= len(regexp_extract_all(text, '\\b(join|filter|sort)\\b')) THEN 'es'
                      ELSE 'fr' END AS lang_pred
               FROM documents) b) r""",
+    "chunk_overlap" ->
+      // 1-based inclusive list slices in DuckDB == slice(toks, s+1, 32)
+      // in Spark; range(0, n, 24) == sequence(0, n-1, 24) for n >= 1
+      """WITH t AS MATERIALIZED (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents WHERE length(trim(text)) > 0),
+         u AS MATERIALIZED (
+           SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS s FROM t)
+         SELECT doc_id, CAST(s AS BIGINT) AS start_tok,
+           array_to_string(toks[s+1 : s+32], ' ') AS chunk,
+           least(32, len(toks) - s)::BIGINT AS chunk_tokens
+         FROM u""",
     "dedup_embedding_exact" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos

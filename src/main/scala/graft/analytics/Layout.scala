@@ -1,0 +1,33 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.ZValue
+
+/** Data-layout operators: the write-side organization passes a 100 TB
+  * corpus needs so that read-side scans can skip most of it. Sorting by
+  * one column gives tight per-file min/max stats on that column only;
+  * z-order interleaving gives tight stats on BOTH predicate dimensions
+  * at once (see [[graft.functions.ZValue]]). */
+object Layout {
+
+  /** The z-order layout key for the events table: user dimension ×
+    * event-day dimension — the pair a "user X in week Y" scan predicate
+    * filters on. Both dimensions are within 21 bits at every test SF;
+    * at corpus scale the quantization step (here: epoch-µs → epoch-day
+    * floor-div) is where a wider id would be bucketed down, and
+    * [[graft.functions.ZValue]] fails loudly if that step is skipped.
+    * Registered as a row-level query so the key itself is cross-engine
+    * oracle-checked; the layout pass built on it
+    * ([[graft.functions.ZValue.layout]]) is covered by the pruning
+    * law in ZValueSpec (partition min/max boxes, the parquet row-group
+    * stats analog). */
+  def zorderKey(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id").as("x"),
+        expr("ts_us div 86400000000").as("y"))
+      .withColumn("zval", ZValue.zvalue(col("x"), col("y")))
+      .orderBy("event_id")
+}

@@ -290,6 +290,32 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Bloom-pruned semi-join: per-supplier line totals restricted to ONE
+    * nation's suppliers (a 1-in-25 selective dimension) — the runtime-
+    * filter pattern run explicitly through
+    * [[graft.operators.BloomPrune.semiJoin]]: the dimension's key set is
+    * aggregated into a Bloom filter, shipped to the fact scan as a
+    * codegen'd predicate, and the exact semi-join only sees the pruned
+    * stream. Result is bit-identical to the plain `IN (SELECT ...)` the
+    * oracle runs — the bloom is an execution detail, never semantics. */
+  def bloomSemi(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(spark, dir)
+      // NATION_3 has suppliers at every test SF (sf0.001 carries only 10
+      // suppliers over 10 of the 25 nations)
+      .where(col("n_name") === "NATION_3").select("n_nationkey")
+    val dim = Tables.supplier(spark, dir)
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val fact = Tables.lineitem(spark, dir).select("l_suppkey", "l_quantity")
+    graft.operators.BloomPrune
+      .semiJoin(fact, "l_suppkey", dim, "s_suppkey", expectedItems = 100000)
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_items"),
+        // integer-cents accumulation (order-independent, exact)
+        (sum(round(col("l_quantity") * 100, 0).cast("long")) / 100.0).as("total_qty"))
+      .orderBy("l_suppkey")
+  }
+
   /** Inter-order gaps: per customer, the mean/max whole-day gap between
     * consecutive orders (lag window → integer day arithmetic → one agg).
     * Gaps are exact BIGINT day counts (epoch-ms floor-div), so the mean is

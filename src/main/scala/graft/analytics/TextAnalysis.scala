@@ -307,4 +307,26 @@ object TextAnalysis {
 
   def c4FilterQuery(spark: SparkSession, dir: String): DataFrame =
     c4Filter(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** Training-sequence prep: overlapping token-window chunks. Each doc
+    * yields chunks of up to `window` tokens starting every `stride`
+    * tokens (overlap = window - stride), the standard long-document
+    * packing for a fixed context length. Pure projection + explode —
+    * no shuffle, scan-speed; chunk fan-out is n_tokens/stride per doc,
+    * bounded by document length, never corpus size. */
+  def chunkOverlap(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, s"window/stride must be positive")
+    docs.where(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("start_tok",
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(stride))))
+      .select(col("doc_id"), col("start_tok").cast("long").as("start_tok"),
+        concat_ws(" ", slice(col("toks"), col("start_tok") + 1, lit(window))).as("chunk"),
+        least(lit(window), size(col("toks")) - col("start_tok"))
+          .cast("long").as("chunk_tokens"))
+  }
+
+  def chunkQuery(spark: SparkSession, dir: String): DataFrame =
+    chunkOverlap(Tables.documents(spark, dir), window = 32, stride = 24)
+      .orderBy("doc_id", "start_tok")
 }

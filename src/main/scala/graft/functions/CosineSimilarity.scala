@@ -99,5 +99,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         HyperplaneSig(children(0), intArg(1), intArg(2), intArg(3))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("zvalue"),
+      new ExpressionInfo(classOf[ZValue].getCanonicalName, "zvalue"),
+      (children: Seq[Expression]) => ZValue(children(0), children(1))))
+    // Spark's own runtime-filter predicate (codegen'd), surfaced for the
+    // explicit bloom-prune path (graft.operators.BloomPrune): argument 1
+    // is the serialized sketch BloomFilter, argument 2 the long key
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getCanonicalName,
+        "bloom_might_contain"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(children(0), children(1))))
   }
 }

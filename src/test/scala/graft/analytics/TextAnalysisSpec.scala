@@ -115,4 +115,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(got(1)._3.get - BigDecimal(expected)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
+
+  test("chunkOverlap: stride coverage, clamped tails, lossless reconstruction") {
+    val docs = Seq(
+      (1L, (1 to 80).map(i => s"t$i").mkString(" ")), // 80 toks: 4 chunks
+      (2L, "a b c"),                                  // shorter than window
+      (3L, (1 to 24).map(i => s"u$i").mkString(" ")), // exactly one stride
+      (4L, "  ")                                      // whitespace-only: dropped
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkOverlap(docs, window = 32, stride = 24)
+      .orderBy("doc_id", "start_tok")
+      .as[(Long, Long, String, Long)].collect()
+    // starts advance by the stride; every doc's first chunk starts at 0
+    assert(got.filter(_._1 == 1L).map(_._2).toSeq == Seq(0L, 24L, 48L, 72L))
+    assert(got.filter(_._1 == 2L).map(_._2).toSeq == Seq(0L))
+    assert(got.filter(_._1 == 3L).map(_._2).toSeq == Seq(0L))
+    assert(!got.exists(_._1 == 4L), "whitespace-only doc must yield no chunks")
+    // chunk_tokens is min(window, n - start) and matches the text
+    got.foreach { case (_, s, chunk, n) =>
+      assert(chunk.split(" ").length == n, s"chunk at $s: token count mismatch")
+    }
+    assert(got.filter(_._1 == 1L).map(_._4).toSeq == Seq(32L, 32L, 32L, 8L))
+    // lossless: the first `stride` tokens of each chunk (all of the last)
+    // concatenate back to the original token stream
+    val chunks1 = got.filter(_._1 == 1L).map(_._3)
+    val rebuilt = chunks1.init.flatMap(_.split(" ").take(24)) ++ chunks1.last.split(" ")
+    assert(rebuilt.toSeq == (1 to 80).map(i => s"t$i"))
+  }
 }

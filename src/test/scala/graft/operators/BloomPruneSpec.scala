@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BloomPruneSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bloom-pruned semi-join is exact and the prefilter actually prunes") {
+    val fact = spark.range(10000).select($"id".as("fk"), ($"id" % 97).as("payload"))
+    val dim = spark.range(100).select(($"id" * 7).as("dk")) // 0,7,...,693
+    val got = BloomPrune.semiJoin(fact, "fk", dim, "dk", expectedItems = 1000, fpp = 0.01)
+      .select("fk").as[Long].collect().toSeq.sorted
+    val want = (0L until 100L).map(_ * 7).filter(_ < 10000).sorted
+    assert(got == want, "bloom-pruned semi-join must equal the exact semi-join")
+    // the prefilter alone (no exact verify) passes matches + <= ~fpp
+    // residue — far below the full fact cardinality, which is the pruning
+    // claim; 3x headroom over the nominal 1% bound avoids flakiness
+    val bf = dim.stat.bloomFilter("dk", 1000, 0.01)
+    val bytes = { val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray }
+    val passed = fact
+      .where(call_function("bloom_might_contain", lit(bytes), $"fk")).count()
+    assert(passed >= 100 && passed <= 100 + (10000 * 0.03).toLong,
+      s"prefilter passed $passed rows; expected ~100 matches + <=1% false positives")
+  }
+
+  test("bloom_semi query equals a plain IN-subquery recomputation at sf0.001") {
+    val got = graft.analytics.Relational.bloomSemi(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSeq
+    val nation = graft.Tables.nation(spark, sfDir)
+      .where($"n_name" === "NATION_3").select("n_nationkey")
+    val dimKeys = graft.Tables.supplier(spark, sfDir)
+      .join(nation, $"s_nationkey" === $"n_nationkey").select("s_suppkey")
+    val naive = graft.Tables.lineitem(spark, sfDir)
+      .join(dimKeys, $"l_suppkey" === $"s_suppkey", "left_semi")
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_items"),
+        (sum(round($"l_quantity" * 100, 0).cast("long")) / 100.0).as("total_qty"))
+      .orderBy("l_suppkey").as[(Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty && got == naive)
+  }
+
+  test("empty dimension yields the empty semi-join, not an NPE") {
+    val fact = spark.range(100).select($"id".as("fk"))
+    val dim = spark.range(0).select($"id".as("dk"))
+    assert(BloomPrune.semiJoin(fact, "fk", dim, "dk", expectedItems = 10).count() == 0)
+  }
+}
