@@ -36,7 +36,28 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // optional comma-separated filter for profiling single queries
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
+    // Headline set: the full surface (79 queries) no longer fits the
+    // driver's ~2 KB output-tail window even at 1-dp — the floor fallback
+    // would drop EVERY per-query number. Instead, skip the queries whose
+    // physical plan is a strict sibling of one still benched (same scan +
+    // operator family, lighter tail), so every plan family keeps a
+    // benched representative and the line keeps full resolution. All
+    // skipped queries remain in the CORRECTNESS gate (Verify runs the
+    // full map). SPARK_GRAFT_BENCH_ALL=1 restores the full set.
+    val headlineSkip = Set(
+      "dedup_minhash_sig",     // signature dump; cost inside dedup_minhash_lsh
+      "dedup_simhash",         // signature dump; cost inside dedup_simhash_pairs
+      "jn3_asof_tolerance",    // jn2_asof_join + one filter
+      "nrm2_frozen_scale",     // nrm1_minmax_scale with frozen params
+      "win2_latest_window",    // win1_sliding_features' tail
+      "q_parts_intersect",     // set-op pair: q_parts_except benched
+      "txt_fingerprint",       // subsumed by txt_rolling_fp
+      "split_assign",          // split_folds' row-level form
+      "agg4_rmse_history_mean" // agg2_persistence_rmse variant
+    )
+    val benchAll = only.isDefined || sys.env.contains("SPARK_GRAFT_BENCH_ALL")
     val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(q => f(q._1)))
+      .filter(q => benchAll || !headlineSkip(q._1))
     // Generic session warm-up (NOT query-specific): first job in a fresh
     // session pays executor/BlockManager/Hadoop-FS init plus baseline
     // whole-stage-codegen JIT (~4-6 s measured), which would otherwise be
