@@ -160,7 +160,11 @@ object Bench {
       s"""{"metric":"total","value":${rN(total, 1)},"unit":"sec","queries":{},""" +
         s""""nq":${results.size},"nerr":$nerr,"sf":"$sfDir"}"""
     }
-    val chosen = candidates.find(_.length <= 1850).getOrElse {
+    // the tail budget exists for the DRIVER's capture window; profiling
+    // runs (explicit query filter or full-surface sweep — envs the driver
+    // never sets) want full precision and every per-query number
+    val budget = if (benchAll) Int.MaxValue else 1850
+    val chosen = candidates.find(_.length <= budget).getOrElse {
       System.err.println(s"[bench] WARNING: per-query JSON exceeds the ${1850}-char tail " +
         s"budget even at minimum precision (${candidates.last.length} chars); " +
         "emitting summary-only line — shorten query names or trim the surface")

@@ -71,6 +71,7 @@ object SparkEntry {
     "q_sessionize" -> (SeriesQueries.sessionize _),
     "rj_sessions" -> (SeriesQueries.activeSessions _), // bucketed point-in-interval join (RangeJoin)
     "zorder_key" -> (Layout.zorderKey _), // native Morton-interleave expression (data-skipping layout)
+    "rsmp_ffill" -> (SeriesQueries.resampleFfill _), // regular-grid resample + forward fill (as-of)
     // salted-join surface proof: the deterministic-salt equi-join must be
     // RESULT-identical to the plain join the oracle runs — the salt is an
     // execution detail (straggler spreading), never a semantics change
@@ -630,6 +631,27 @@ object SparkEntry {
                           << (2 * CAST(i AS BIGINT) + 1))
                for i in range(0, 21) ]))::BIGINT AS zval
          FROM events""",
+    "rsmp_ffill" ->
+      // DuckDB's native ASOF LEFT JOIN is the oracle; ties at one ts_us
+      // are broken to the max event_id on both sides
+      """WITH b AS MATERIALIZED (
+           SELECT user_id, min(epoch_us(ts::TIMESTAMP)) AS lo,
+                  max(epoch_us(ts::TIMESTAMP)) AS hi
+           FROM events GROUP BY user_id),
+         g AS MATERIALIZED (
+           SELECT user_id, unnest(range((lo // 3600000000) * 3600000000,
+                                        hi + 1, 3600000000)) AS grid_ts
+           FROM b),
+         o AS MATERIALIZED (
+           SELECT user_id, ts_us, value FROM (
+             SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us, value,
+               row_number() OVER (PARTITION BY user_id, epoch_us(ts::TIMESTAMP)
+                                  ORDER BY event_id DESC) AS rn
+             FROM events) t WHERE rn = 1)
+         SELECT g.user_id, CAST(g.grid_ts AS BIGINT) AS grid_ts,
+                o.value AS value_ffill
+         FROM g ASOF LEFT JOIN o
+           ON g.user_id = o.user_id AND g.grid_ts >= o.ts_us""",
     "rj_sessions" ->
       // the NAIVE inequality join — DuckDB's IEJoin runs it exactly; the
       // Spark side must produce the identical result through the bucketed

@@ -177,6 +177,30 @@ object SeriesQueries {
         expr("(end_us - start_us) div 1000000").as("duration_sec"))
       .orderBy("user_id", "session_id")
 
+  /** Regular-grid resample with forward fill — the reindex/ffill step a
+    * timeseries store runs before aligning irregular ticks to a model's
+    * fixed cadence. Per key: the hourly grid spans floor(min ts) to
+    * max ts (grid fan-out = span/step per key, bounded by the key's own
+    * extent, never corpus size), and each grid instant takes the latest
+    * observation at-or-before it via [[graft.operators.AlignJoin.asOfJoin]]
+    * — one shuffle on the key, no range-join explosion. Grid points
+    * before a key's first observation stay NULL (no fabricated values).
+    * The observed value is carried verbatim (no arithmetic), so the
+    * result hash-matches DuckDB's native ASOF LEFT JOIN exactly. */
+  def resampleFfill(spark: SparkSession, dir: String): DataFrame = {
+    val step = 3600L * 1000 * 1000 // 1h in µs
+    val ev = Tables.events(spark, dir).select("user_id", "ts_us", "event_id", "value")
+    val grid = ev.groupBy("user_id")
+      .agg(min("ts_us").as("lo"), max("ts_us").as("hi"))
+      .select(col("user_id"),
+        explode(expr(s"sequence((lo div ${step}L) * ${step}L, hi, ${step}L)")).as("grid_ts"))
+    graft.operators.AlignJoin
+      .asOfJoin(grid, ev, Seq("user_id"), "grid_ts", "ts_us", Seq("value"),
+        rightTiebreak = Seq("event_id"))
+      .select(col("user_id"), col("grid_ts"), col("asof_value").as("value_ffill"))
+      .orderBy("user_id", "grid_ts")
+  }
+
   /** Concurrency join: for each purchase event, how many sessions (across
     * ALL users) were active at its instant — a point-in-interval join that
     * a naive `BETWEEN` predicate would plan as an all-pairs nested loop.

@@ -1,0 +1,39 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+class ResampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rsmp_ffill: aligned grid, correct carry, nulls only before first obs") {
+    val step = 3600L * 1000 * 1000
+    val got = SeriesQueries.resampleFfill(spark, sfDir)
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(got.nonEmpty)
+    // the grid is step-aligned and dense per key
+    assert(got.forall(_._2 % step == 0), "grid instants must be step-aligned")
+    got.groupBy(_._1).foreach { case (u, rows) =>
+      val ts = rows.map(_._2).sorted
+      assert(ts.zip(ts.tail).forall { case (a, b) => b - a == step },
+        s"user $u: grid must be dense (one point per step)")
+    }
+    // independent recomputation: latest observation at-or-before each
+    // grid instant, ties at one ts broken to the max event_id
+    val obs = graft.Tables.events(spark, sfDir)
+      .select("user_id", "ts_us", "event_id", "value")
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (r._2, r._3))).toMap
+    got.foreach { case (u, gts, v) =>
+      val want = obs(u).filter(_._2 <= gts).lastOption.map(_._4)
+      assert(v == want, s"user $u at $gts: got $v want $want")
+    }
+    // per key: exactly the pre-first-observation grid points are null
+    got.groupBy(_._1).foreach { case (u, rows) =>
+      val firstObs = obs(u).head._2
+      rows.foreach { case (_, gts, v) =>
+        assert(v.isEmpty == (gts < firstObs),
+          s"user $u at $gts: null iff before first observation ($firstObs)")
+      }
+    }
+  }
+}
