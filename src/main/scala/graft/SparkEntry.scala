@@ -72,6 +72,7 @@ object SparkEntry {
     "rj_sessions" -> (SeriesQueries.activeSessions _), // bucketed point-in-interval join (RangeJoin)
     "zorder_key" -> (Layout.zorderKey _), // native Morton-interleave expression (data-skipping layout)
     "rsmp_ffill" -> (SeriesQueries.resampleFfill _), // regular-grid resample + forward fill (as-of)
+    "ts_outliers" -> (SeriesQueries.tsOutliers _), // exact-integer 3-MAD outlier gate per key
     // salted-join surface proof: the deterministic-salt equi-join must be
     // RESULT-identical to the plain join the oracle runs — the salt is an
     // execution detail (straggler spreading), never a semantics change
@@ -631,6 +632,25 @@ object SparkEntry {
                           << (2 * CAST(i AS BIGINT) + 1))
                for i in range(0, 21) ]))::BIGINT AS zval
          FROM events""",
+    "ts_outliers" ->
+      // exact-integer MAD rule: |c·n − S|·n > 3·Σ|c_j·n − S| — identical
+      // BIGINT algebra both engines (DuckDB's HUGEINT sums cast back)
+      """WITH e AS MATERIALIZED (
+           SELECT user_id, event_id,
+                  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         st AS MATERIALIZED (
+           SELECT user_id, count(*) AS n, sum(cents) AS s
+           FROM e GROUP BY user_id),
+         d AS MATERIALIZED (
+           SELECT e.user_id, e.event_id, e.cents, st.n, st.s,
+                  abs(e.cents * st.n - st.s) AS dev
+           FROM e JOIN st USING (user_id)),
+         m AS MATERIALIZED (
+           SELECT user_id, sum(dev) AS dev_sum FROM d GROUP BY user_id)
+         SELECT d.user_id, d.event_id, (d.cents / 100.0) AS value,
+                d.dev::BIGINT AS dev_scaled, d.n::BIGINT AS n
+         FROM d JOIN m USING (user_id)
+         WHERE d.dev * d.n > 3 * m.dev_sum""",
     "rsmp_ffill" ->
       // DuckDB's native ASOF LEFT JOIN is the oracle; ties at one ts_us
       // are broken to the max event_id on both sides

@@ -201,6 +201,34 @@ object SeriesQueries {
       .orderBy("user_id", "grid_ts")
   }
 
+  /** Per-key outlier flagging — the data-quality gate a tick pipeline
+    * runs before training on a series: an observation deviating from its
+    * key's mean by more than 3 mean-absolute-deviations is flagged.
+    * All arithmetic is exact-integer so the flag is bit-identical
+    * cross-engine: with cents c_i = round(100·v_i), n and S = Σc_i,
+    *   |v − μ| > 3·MAD  ⇔  |c·n − S| · n > 3 · Σ_j |c_j·n − S|
+    * (both sides BIGINT; magnitudes stay under 2^63 far past corpus
+    * scale — c ~ 1e4, n per key ~ 1e6 ⇒ lhs ~ 1e16). Two aggregation
+    * passes on the key (mean terms, then deviation sum) + one join —
+    * three shuffles total, each on user_id, no window over the corpus. */
+  def tsOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val stats = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+    val withDev = ev.join(stats, "user_id")
+      .withColumn("dev", abs(col("cents") * col("n") - col("s")))
+    val madSum = withDev.groupBy("user_id")
+      .agg(sum("dev").as("dev_sum"))
+    withDev.join(madSum, "user_id")
+      .where(col("dev") * col("n") > lit(3) * col("dev_sum"))
+      .select(col("user_id"), col("event_id"),
+        (col("cents") / 100.0).as("value"),
+        col("dev").as("dev_scaled"), col("n"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Concurrency join: for each purchase event, how many sessions (across
     * ALL users) were active at its instant — a point-in-interval join that
     * a naive `BETWEEN` predicate would plan as an all-pairs nested loop.

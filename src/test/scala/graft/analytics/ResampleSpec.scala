@@ -5,6 +5,25 @@ import graft.SparkSpec
 class ResampleSpec extends SparkSpec {
   import spark.implicits._
 
+  test("ts_outliers: flags exactly the >3-MAD deviations, exact-integer rule") {
+    val got = SeriesQueries.tsOutliers(spark, sfDir)
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    // independent recomputation in plain Scala over exact cents
+    val ev = graft.Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "value").as[(Long, Long, Double)].collect()
+    val byUser = ev.groupBy(_._1)
+    val want = byUser.toSeq.flatMap { case (u, rows) =>
+      val cents = rows.map(r => (r._2, math.round(r._3 * 100)))
+      val n = cents.length.toLong
+      val s = cents.map(_._2).sum
+      val devs = cents.map { case (id, c) => (id, math.abs(c * n - s)) }
+      val devSum = devs.map(_._2).sum
+      devs.filter { case (_, d) => d * n > 3 * devSum }.map { case (id, _) => (u, id) }
+    }.toSet
+    assert(got == want, s"flag sets differ: extra=${got -- want} missing=${want -- got}")
+    assert(got.nonEmpty, "fixture should contain at least one outlier")
+  }
+
   test("rsmp_ffill: aligned grid, correct carry, nulls only before first obs") {
     val step = 3600L * 1000 * 1000
     val got = SeriesQueries.resampleFfill(spark, sfDir)
