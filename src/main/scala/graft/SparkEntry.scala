@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Dedup, ForecastQueries, Layout, Multimodal, Relational, Sampling, SeriesQueries, Similarity, TextAnalysis}
+import graft.analytics.{Dedup, ForecastQueries, Layout, Multimodal, PrepPipeline, Relational, Sampling, SeriesQueries, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -113,6 +113,7 @@ object SparkEntry {
     "txt_lm_score" -> (TextAnalysis.lmScoreQuery _),
     "txt_rolling_fp" -> (TextAnalysis.rollingFingerprintsQuery _),
     "txt_c4_filter" -> (TextAnalysis.c4FilterQuery _),
+    "pipe_prep" -> (PrepPipeline.manifest _), // flagship composition: gate -> dedup -> split -> decontam -> pack
     "chunk_overlap" -> (TextAnalysis.chunkQuery _), // overlapping token-window training chunks
     // --- similarity search over embeddings ---
     "knn_exact" -> (Similarity.knnExactQuery _),
@@ -989,6 +990,58 @@ object SparkEntry {
                      WHEN len(regexp_extract_all(text, '\\b(table|query|group)\\b')) >= len(regexp_extract_all(text, '\\b(join|filter|sort)\\b')) THEN 'es'
                      ELSE 'fr' END AS lang_pred
               FROM documents) b) r""",
+    "pipe_prep" ->
+      // the composition mirror: each CTE is the oracle of one already-
+      // verified stage (c4 gate, exact-dedup keepers, fold split, 13-gram
+      // decontamination from the TRAIN side, per-shard packing), chained
+      s"""WITH c4 AS MATERIALIZED (
+            SELECT doc_id FROM (
+              SELECT doc_id, len($toksSql)::BIGINT AS n_tokens,
+                length(text)::BIGINT AS n_chars,
+                len(regexp_extract_all(text, '[.!?,;:]'))::BIGINT AS n_punct,
+                len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is)\\b'))::BIGINT AS n_stop,
+                CASE WHEN len(regexp_extract_all(text, '\\b(the|order|fast|scan)\\b')) >= len(regexp_extract_all(text, '\\b(stream|merge|window)\\b'))
+                      AND len(regexp_extract_all(text, '\\b(the|order|fast|scan)\\b')) >= len(regexp_extract_all(text, '\\b(table|query|group)\\b'))
+                      AND len(regexp_extract_all(text, '\\b(the|order|fast|scan)\\b')) >= len(regexp_extract_all(text, '\\b(join|filter|sort)\\b')) THEN 'en'
+                     WHEN len(regexp_extract_all(text, '\\b(stream|merge|window)\\b')) >= len(regexp_extract_all(text, '\\b(table|query|group)\\b'))
+                      AND len(regexp_extract_all(text, '\\b(stream|merge|window)\\b')) >= len(regexp_extract_all(text, '\\b(join|filter|sort)\\b')) THEN 'de'
+                     WHEN len(regexp_extract_all(text, '\\b(table|query|group)\\b')) >= len(regexp_extract_all(text, '\\b(join|filter|sort)\\b')) THEN 'es'
+                     ELSE 'fr' END AS lang_pred
+              FROM documents) b
+            WHERE NOT (n_tokens < 20 OR n_tokens > 1000 OR n_punct * 10 > n_chars
+                       OR n_stop * 20 < n_tokens OR lang_pred <> 'en')),
+          k AS MATERIALIZED (SELECT d.doc_id, d.text FROM documents d JOIN c4 USING (doc_id)),
+          keepers AS MATERIALIZED (
+            SELECT min(doc_id) AS doc_id FROM (
+              SELECT doc_id, md5($normSql) AS h FROM k) t GROUP BY h),
+          dd AS MATERIALIZED (SELECT k.doc_id, k.text FROM k JOIN keepers USING (doc_id)),
+          f AS MATERIALIZED (
+            SELECT doc_id, CASE WHEN $docBucketSql < 800 THEN 'train'
+                                WHEN $docBucketSql < 900 THEN 'val'
+                                ELSE 'test' END AS fold FROM dd),
+          t AS MATERIALIZED (SELECT doc_id, $toksSql AS ws FROM dd),
+          g AS MATERIALIZED (
+            SELECT DISTINCT doc_id, ${md5L60("gram")} AS gh FROM (
+              SELECT doc_id, array_to_string(ws[i:i+12], ' ') AS gram
+              FROM t, LATERAL (SELECT unnest(range(1, len(ws) - 11)) AS i) r
+              WHERE len(ws) >= 13) x),
+          gf AS MATERIALIZED (SELECT g.doc_id, g.gh, f.fold FROM g JOIN f USING (doc_id)),
+          ct AS MATERIALIZED (
+            SELECT DISTINCT tr.doc_id FROM gf tr JOIN gf ev
+            ON tr.gh = ev.gh AND tr.fold = 'train' AND ev.fold <> 'train'),
+          surv AS MATERIALIZED (
+            SELECT f.doc_id, f.fold FROM f LEFT JOIN ct ON f.doc_id = ct.doc_id
+            WHERE f.fold <> 'train' OR ct.doc_id IS NULL),
+          tok AS MATERIALIZED (SELECT doc_id, len(ws)::BIGINT AS n_tokens FROM t),
+          packed AS MATERIALIZED (
+            SELECT doc_id, shard,
+              CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512) AS BIGINT) AS bin
+            FROM (SELECT s.doc_id, tok.n_tokens,
+                    ('0x'||substr(md5(s.doc_id::VARCHAR),1,15))::UBIGINT::BIGINT % 8 AS shard
+                  FROM surv s JOIN tok USING (doc_id) WHERE s.fold = 'train') q)
+          SELECT s.doc_id, s.fold, tok.n_tokens, packed.shard, packed.bin
+          FROM surv s JOIN tok USING (doc_id) LEFT JOIN packed USING (doc_id)""",
     "chunk_overlap" ->
       // 1-based inclusive list slices in DuckDB == slice(toks, s+1, 32)
       // in Spark; range(0, n, 24) == sequence(0, n-1, 24) for n >= 1

@@ -389,7 +389,19 @@ object Dedup {
     * train × non-train — only 8-byte gram hashes shuffle, never text,
     * and the train side can be a broadcast-able bloom/set at corpus
     * scale. */
-  def ngramContamination(docs: DataFrame, folds: DataFrame, n: Int = 13): DataFrame = {
+  def ngramContamination(docs: DataFrame, folds: DataFrame, n: Int = 13): DataFrame =
+    contaminationPairs(docs, folds, n)
+      .groupBy("eval_doc", "eval_fold")
+      .agg(countDistinct("gh").as("n_shared_grams"),
+        min("train_doc").as("sample_train_doc"))
+      .orderBy("eval_doc")
+
+  /** The raw contamination pair frame behind [[ngramContamination]]
+    * — one row per (shared gram hash, train doc, eval doc). Exposed so
+    * composed pipelines ([[PrepPipeline]]) can resolve contamination
+    * from the TRAIN side (drop leaking train docs) as well as the eval
+    * side the aggregate reports. */
+  def contaminationPairs(docs: DataFrame, folds: DataFrame, n: Int = 13): DataFrame = {
     val grams = docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
       .where(size(col("ws")) >= n)
@@ -404,10 +416,6 @@ object Dedup {
     val eval_ = grams.where(col("fold") =!= "train")
       .select(col("gh"), col("doc_id").as("eval_doc"), col("fold").as("eval_fold"))
     eval_.join(train, "gh")
-      .groupBy("eval_doc", "eval_fold")
-      .agg(countDistinct("gh").as("n_shared_grams"),
-        min("train_doc").as("sample_train_doc"))
-      .orderBy("eval_doc")
   }
 
   // -- query entry points --

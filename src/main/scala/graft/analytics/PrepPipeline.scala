@@ -1,0 +1,56 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The flagship training-data-prep composition: the full manifest a
+  * corpus curation run produces, as ONE dataflow over the building
+  * blocks this library already verifies piecewise —
+  *
+  *   quality gate ([[TextAnalysis.c4Filter]])
+  *     → exact dedup ([[Dedup.exact]], keeper = min doc_id)
+  *     → fold split ([[Sampling.split]], hash-deterministic)
+  *     → eval-set decontamination ([[Dedup.contaminationPairs]]:
+  *       a TRAIN doc sharing any 13-gram with a val/test doc is dropped,
+  *       eval folds stay intact)
+  *     → sequence packing of the surviving train set
+  *       ([[Sampling.packSequences]], (shard, bin) addresses)
+  *
+  * Output: one row per surviving document — `(doc_id, fold, n_tokens,
+  * shard, bin)`, with NULL shard/bin for val/test rows (only train is
+  * packed). Every stage shuffles digests/ids, never text (the only
+  * text-bearing frames are scan-side projections), so the composition
+  * scales exactly like its parts; each stage is independently
+  * hash-oracled by its own query, and the composition is oracled
+  * end-to-end by the mirrored CTE chain. */
+object PrepPipeline {
+
+  def manifest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // 1. quality gate
+    val kept = docs.select("doc_id", "text")
+      .join(TextAnalysis.c4Filter(docs).where(col("keep")).select("doc_id"), "doc_id")
+    // 2. exact dedup among the kept (keeper = min doc_id per digest)
+    val keepers = Dedup.exact(kept).select(col("keep_doc_id").as("doc_id"))
+    val dd = kept.join(keepers, "doc_id")
+    // 3. deterministic fold assignment
+    val folds = Sampling.split(dd.select("doc_id"), col("doc_id"))
+      .select("doc_id", "fold")
+    // 4. decontamination: drop leaking TRAIN docs, keep eval intact
+    val contamTrain = Dedup.contaminationPairs(dd, folds)
+      .select(col("train_doc").as("doc_id")).distinct()
+    val survTrain = folds.where(col("fold") === "train")
+      .join(contamTrain, Seq("doc_id"), "left_anti")
+    val surv = survTrain.unionByName(folds.where(col("fold") =!= "train"))
+    // 5. pack the surviving train set into (shard, bin) addresses
+    val packed = Sampling.packSequences(dd.join(survTrain.select("doc_id"), "doc_id"))
+    val nTok = dd.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    surv.join(nTok, "doc_id")
+      .join(packed.select("doc_id", "shard", "bin"), Seq("doc_id"), "left")
+      .select("doc_id", "fold", "n_tokens", "shard", "bin")
+      .orderBy("doc_id")
+  }
+}
