@@ -53,7 +53,12 @@ object Bench {
       "q_parts_intersect",     // set-op pair: q_parts_except benched
       "txt_fingerprint",       // subsumed by txt_rolling_fp
       "split_assign",          // split_folds' row-level form
-      "agg4_rmse_history_mean" // agg2_persistence_rmse variant
+      "agg4_rmse_history_mean", // agg2_persistence_rmse variant
+      // the two documented quadratic ORACLE BASELINES: their scale paths
+      // (dedup_embedding_lsh / knn_ann_lsh, knn_ann_ivf) are benched;
+      // benching the deliberately-unscalable form adds no plan signal
+      "dedup_embedding_exact",
+      "knn_exact"
     )
     val benchAll = only.isDefined || sys.env.contains("SPARK_GRAFT_BENCH_ALL")
     val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(q => f(q._1)))

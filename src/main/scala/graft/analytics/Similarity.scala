@@ -110,13 +110,24 @@ object Similarity {
                       dims: Int = 64, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     val banded = bandedSignatures(embeddingsD(spark, dir), dims, bands, rowsPerBand,
       materialize = true)
-    val cand = banded.as("a").join(banded.as("b"),
+    // candidate generation + pair dedup on IDS ONLY: the bucket self-join
+    // replicates each row `bands` times and the duplicate-pair shuffle
+    // keys on (vec_a, vec_b) — carrying the 64-double embedding through
+    // both (the old shape) shuffles ~30× more bytes than the 8-byte ids.
+    // The embeddings are fetched back by id ONCE per surviving candidate
+    // side for the exact-cosine verify (joins against the already-cached
+    // signature relation, column-pruned to (vec_id, e)).
+    val ids = banded.select("vec_id", "band", "bucket")
+    val cand = ids.as("a").join(ids.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("a.e").as("ea"),
-        col("b.vec_id").as("vec_b"), col("b.e").as("eb"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
-    cand.select(col("vec_a"), col("vec_b"),
+    val vecs = banded.select("vec_id", "e").dropDuplicates("vec_id")
+    cand
+      .join(vecs.select(col("vec_id").as("vec_a"), col("e").as("ea")), "vec_a")
+      .join(vecs.select(col("vec_id").as("vec_b"), col("e").as("eb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
         round(cosine(col("ea"), col("eb")), 4).as("cos"))
       .where(col("cos") >= threshold)
   }

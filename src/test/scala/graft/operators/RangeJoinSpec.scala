@@ -42,6 +42,23 @@ class RangeJoinSpec extends SparkSpec {
       naivePlan.contains("CartesianProduct"))
   }
 
+  test("randomized: equals the naive join for any bucket width (seeded)") {
+    val rnd = new scala.util.Random(11)
+    val pts = Seq.tabulate(300)(i => (i.toLong, rnd.nextLong().abs % 10000))
+      .toDF("p_id", "ts")
+    val ivs = Seq.tabulate(120) { i =>
+      val lo = rnd.nextLong().abs % 10000
+      (i.toLong, lo, lo + rnd.nextLong().abs % 500)
+    }.toDF("i_id", "lo", "hi")
+    val naive = pts.join(ivs, $"ts" >= $"lo" && $"ts" <= $"hi")
+      .select("p_id", "i_id").as[(Long, Long)].collect().toSeq.sorted
+    for (w <- Seq(1L, 7L, 100L, 512L, 10000L, 1000000L)) {
+      val got = RangeJoin.pointInInterval(pts, ivs, "ts", "lo", "hi", w)
+        .select("p_id", "i_id").as[(Long, Long)].collect().toSeq.sorted
+      assert(got == naive, s"width $w diverges from the naive join")
+    }
+  }
+
   test("rj_sessions query matches a naive recomputation at sf0.001") {
     val got = graft.analytics.SeriesQueries.activeSessions(spark, sfDir)
       .as[(Long, Long)].collect().toSeq
