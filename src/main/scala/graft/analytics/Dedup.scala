@@ -373,7 +373,7 @@ object Dedup {
     // Bench) unpersist all registered RDDs after materializing each result,
     // which reclaims it — the ContextCleaner's GC sweep is the fallback.
     checkpointRdd(edges).foreach(_.unpersist(blocking = false))
-    if (sys.env.contains("GRAFT_DEBUG"))
+    if (debug)
       System.err.println(s"[dupClusters] converged in $rounds rounds")
     docs.select(col("doc_id"))
       .join(labels.withColumnRenamed("keeper", "__k"), Seq("doc_id"), "left")

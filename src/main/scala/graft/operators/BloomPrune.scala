@@ -35,15 +35,24 @@ object BloomPrune {
     * columns must be integral (the filter hashes the long value). */
   def semiJoin(fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    // project + RENAME the dim key up front: with factKey == dimKey (a
+    // blocklist keyed like the fact — the common case) the verify join's
+    // condition would otherwise be the ambiguous `col(k) === col(k)`.
+    // Persisted because the operator evaluates the dim subtree more than
+    // once (emptiness probe, bloom aggregation, verify join) and a
+    // computed blocklist can be expensive; the returned frame reads the
+    // cache lazily, so the entries are reclaimed by the caller's cache
+    // sweep (Bench/Verify drop all persisted RDDs per query) or the
+    // ContextCleaner — same convention as Dedup.dupClusters' labels.
+    val dk = dim.select(col(dimKey).cast("long").as("__dk")).distinct().persist()
     // an empty dimension (a blocklist with nothing on it) has an empty
-    // semi-join; stat.bloomFilter NPEs on zero rows, so short-circuit.
-    // The extra dim scan is a dim-sized cost on a fact-sized win.
-    if (dim.isEmpty) return fact.where(lit(false))
-    val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    // semi-join; stat.bloomFilter NPEs on zero rows, so short-circuit
+    // (isEmpty materializes the cache the two later passes reuse)
+    if (dk.isEmpty) return fact.where(lit(false))
+    val bf = dk.stat.bloomFilter("__dk", expectedItems, fpp)
     val bytes = { val bos = new ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray }
     fact
       .where(call_function("bloom_might_contain", lit(bytes), col(factKey).cast("long")))
-      .join(dim.select(col(dimKey)).distinct(),
-        col(factKey) === col(dimKey), "left_semi")
+      .join(dk, col(factKey).cast("long") === col("__dk"), "left_semi")
   }
 }

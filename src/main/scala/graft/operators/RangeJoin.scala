@@ -41,12 +41,19 @@ object RangeJoin {
     // DOUBLE division and drifts on values past 2^53. Epoch-µs values are
     // non-negative so floor == truncate; `sequence` is inclusive on both
     // ends, covering every bucket the interval touches.
+    // dataset aliases qualify the containment filter, so the operator
+    // works even when the two inputs share column names (e.g. both carry
+    // a ts or key column); shared names DO surface as duplicate output
+    // columns — project the sides before joining if that matters
+    // downstream.
     val ib = intervals.withColumn("__bucket",
       explode(sequence(expr(s"$loCol div ${bucketWidth}L"),
-        expr(s"$hiCol div ${bucketWidth}L"))))
+        expr(s"$hiCol div ${bucketWidth}L")))).alias("__ivl")
     val pb = points.withColumn("__bucket", expr(s"$ptCol div ${bucketWidth}L"))
-    pb.join(ib, "__bucket")
-      .where(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
+      .alias("__pts")
+    pb.join(ib, Seq("__bucket"))
+      .where(col(s"__pts.$ptCol") >= col(s"__ivl.$loCol") &&
+        col(s"__pts.$ptCol") <= col(s"__ivl.$hiCol"))
       .drop("__bucket")
   }
 }

@@ -41,6 +41,14 @@ class BloomPruneSpec extends SparkSpec {
     assert(got.nonEmpty && got == naive)
   }
 
+  test("same-named keys on both sides resolve (the blocklist shape)") {
+    val fact = spark.range(50).select($"id".as("doc_id"))
+    val block = spark.range(10).select(($"id" * 5).as("doc_id"))
+    val got = BloomPrune.semiJoin(fact, "doc_id", block, "doc_id", expectedItems = 100)
+      .as[Long].collect().toSeq.sorted
+    assert(got == (0L until 50L by 5).toSeq)
+  }
+
   test("empty dimension yields the empty semi-join, not an NPE") {
     val fact = spark.range(100).select($"id".as("fk"))
     val dim = spark.range(0).select($"id".as("dk"))

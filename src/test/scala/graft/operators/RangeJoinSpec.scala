@@ -42,6 +42,14 @@ class RangeJoinSpec extends SparkSpec {
       naivePlan.contains("CartesianProduct"))
   }
 
+  test("shared column names between the sides do not break the filter") {
+    val pts = Seq((1L, 100L), (2L, 400L)).toDF("k", "ts")
+    val ivs = Seq((7L, 50L, 150L), (8L, 300L, 310L)).toDF("k", "lo", "hi")
+    val got = RangeJoin.pointInInterval(pts, ivs, "ts", "lo", "hi", 100L)
+      .select(col("__pts.k"), col("__ivl.k")).as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 7L)))
+  }
+
   test("randomized: equals the naive join for any bucket width (seeded)") {
     val rnd = new scala.util.Random(11)
     val pts = Seq.tabulate(300)(i => (i.toLong, rnd.nextLong().abs % 10000))
