@@ -68,6 +68,7 @@ object SparkEntry {
     "agg3_value_summary" -> (SeriesQueries.valueSummary _),
     "src2_json_extract" -> (SeriesQueries.jsonExtract _),
     "q_events_hourly" -> (SeriesQueries.hourlyRollup _),
+    "q_evt_slide" -> (SeriesQueries.slidingRollup _), // built-in sliding window(3h,1h) in batch
     "q_sessionize" -> (SeriesQueries.sessionize _),
     "rj_sessions" -> (SeriesQueries.activeSessions _), // bucketed point-in-interval join (RangeJoin)
     "zorder_key" -> (Layout.zorderKey _), // native Morton-interleave expression (data-skipping layout)
@@ -633,6 +634,20 @@ object SparkEntry {
                           << (2 * CAST(i AS BIGINT) + 1))
                for i in range(0, 21) ]))::BIGINT AS zval
          FROM events""",
+    "q_evt_slide" ->
+      // overlap replication: each event belongs to the 3 epoch-aligned
+      // hourly-slide windows of length 3h covering it (same alignment as
+      // Spark's window(ts, '3 hours', '1 hour') with default startTime)
+      """WITH e AS MATERIALIZED (
+           SELECT event_type, epoch_us(ts::TIMESTAMP) AS ts_us,
+                  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         w AS MATERIALIZED (
+           SELECT event_type, cents,
+                  ((ts_us // 3600000000) - k) * 3600000000 AS ws_us
+           FROM e, UNNEST([0,1,2]) AS u(k))
+         SELECT ws_us, event_type, count(*) AS n,
+                (sum(cents)::BIGINT / 100.0) AS sum_value
+         FROM w GROUP BY ws_us, event_type""",
     "ts_outliers" ->
       // exact-integer MAD rule: |c·n − S|·n > 3·Σ|c_j·n − S| — identical
       // BIGINT algebra both engines (DuckDB's HUGEINT sums cast back)

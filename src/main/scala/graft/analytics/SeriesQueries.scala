@@ -149,6 +149,22 @@ object SeriesQueries {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       .orderBy("hour", "event_type")
 
+  /** Sliding event-time rollup — Spark's built-in `window(ts, length,
+    * slide)` in batch: each event lands in length/slide = 3 epoch-aligned
+    * hourly windows (the overlap trend view `hourlyRollup`'s tumbling
+    * windows can't express). Values summed as exact integer cents, so
+    * the overlap replication in the DuckDB mirror (explode 3 window
+    * starts per event) is bit-identical. */
+  def slidingRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("ts"), col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy(window(col("ts"), "3 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), (sum("cents") / 100.0).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("ws_us"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("ws_us", "event_type")
+
   /** Gap-based sessionization (30-min inactivity) via windows, reduced to
     * one row per session with its event count and inclusive µs extent —
     * the shared base of [[sessionize]] and the interval side of

@@ -5,6 +5,16 @@ import graft.SparkSpec
 class ResampleSpec extends SparkSpec {
   import spark.implicits._
 
+  test("q_evt_slide: every event lands in exactly length/slide windows") {
+    val ev = graft.Tables.events(spark, sfDir)
+    val total = ev.count()
+    val windows = SeriesQueries.slidingRollup(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum("n")).as[Long].head()
+    assert(windows == 3 * total,
+      s"3h/1h sliding windows must count each event exactly 3 times " +
+        s"($windows != 3 * $total)")
+  }
+
   test("ts_outliers: flags exactly the >3-MAD deviations, exact-integer rule") {
     val got = SeriesQueries.tsOutliers(spark, sfDir)
       .select("user_id", "event_id").as[(Long, Long)].collect().toSet
