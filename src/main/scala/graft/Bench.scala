@@ -54,6 +54,8 @@ object Bench {
       "txt_fingerprint",       // subsumed by txt_rolling_fp
       "split_assign",          // split_folds' row-level form
       "agg4_rmse_history_mean", // agg2_persistence_rmse variant
+      "dedup_containment",     // dedup_ngram_jaccard's verify stage, different final metric
+      "q_evt_pctl",            // per-group exact percentile family: q_exact_stats benched
       // the two documented quadratic ORACLE BASELINES: their scale paths
       // (dedup_embedding_lsh / knn_ann_lsh, knn_ann_ivf) are benched;
       // benching the deliberately-unscalable form adds no plan signal

@@ -74,6 +74,10 @@ object SparkEntry {
     "zorder_key" -> (Layout.zorderKey _), // native Morton-interleave expression (data-skipping layout)
     "rsmp_ffill" -> (SeriesQueries.resampleFfill _), // regular-grid resample + forward fill (as-of)
     "ts_outliers" -> (SeriesQueries.tsOutliers _), // exact-integer 3-MAD outlier gate per key
+    "ts_ewma" -> (SeriesQueries.ewma _), // trailing-10 EWMA, ordered-fold bit parity with list_reduce
+    "ts_autocorr" -> (SeriesQueries.lagAutocorr _), // lag-1 Pearson r from exact BIGINT sufficient stats
+    "q_funnel" -> (SeriesQueries.funnel _), // ordered view->click->purchase conversion funnel
+    "q_evt_pctl" -> (SeriesQueries.hourlyPercentiles _), // hourly p50/p95 bands per event type
     // salted-join surface proof: the deterministic-salt equi-join must be
     // RESULT-identical to the plain join the oracle runs — the salt is an
     // execution detail (straggler spreading), never a semantics change
@@ -95,6 +99,7 @@ object SparkEntry {
     // --- LLM-data-pipeline track: dedup over documents ---
     "dedup_exact" -> (Dedup.exactQuery _),
     "dedup_ngram_jaccard" -> (Dedup.ngramQuery _),
+    "dedup_containment" -> (Dedup.containmentQuery _), // overlap coefficient: doc-in-doc dups Jaccard misses
     "dedup_minhash_sig" -> (Dedup.minhashQuery _),
     "dedup_minhash_lsh" -> (Dedup.minhashLshQuery _),
     "dedup_simhash" -> (Dedup.simhashQuery _),
@@ -667,6 +672,67 @@ object SparkEntry {
                 d.dev::BIGINT AS dev_scaled, d.n::BIGINT AS n
          FROM d JOIN m USING (user_id)
          WHERE d.dev * d.n > 3 * m.dev_sum""",
+    "ts_ewma" ->
+      // ordered-fold parity: list() collects the frame in window order and
+      // list_reduce folds left from element 1 — integer cents × dyadic
+      // weights keep every step exact, so the doubles are bit-equal and
+      // NO round() is applied (decimal-tie rounding diverges cross-engine)
+      """WITH c AS (SELECT user_id, ts, event_id,
+             CAST(round(value * 100) AS BIGINT)::DOUBLE AS cents FROM events)
+         SELECT user_id, event_id,
+           list_reduce(list(cents) OVER w,
+             (acc, x) -> acc * 0.75 + x * 0.25) / 100.0 AS ewma
+         FROM c
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""",
+    "ts_autocorr" ->
+      // five exact BIGINT sufficient statistics -> one shared double formula
+      """WITH c AS (SELECT user_id, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS x FROM events),
+         p AS (SELECT user_id, x,
+                 lead(x) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+               FROM c),
+         s AS (SELECT user_id, count(*) AS n, sum(x)::BIGINT AS sx,
+                 sum(y)::BIGINT AS sy, sum(x*x)::BIGINT AS sxx,
+                 sum(y*y)::BIGINT AS syy, sum(x*y)::BIGINT AS sxy
+               FROM p WHERE y IS NOT NULL GROUP BY user_id)
+         SELECT user_id, n,
+           round((n*sxy - sx*sy)::DOUBLE /
+             sqrt((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE), 6) AS r
+         FROM s WHERE (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0""",
+    "q_funnel" ->
+      // first-occurrence ordered funnel; latencies are exact integer-µs
+      // floor-division averages (all values positive, so // == div)
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us
+                    FROM events),
+         v AS (SELECT user_id, min(ts_us) AS t_view FROM e
+               WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, v.t_view, min(e.ts_us) AS t_click
+               FROM e JOIN v USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts_us > v.t_view
+               GROUP BY e.user_id, v.t_view),
+         p AS (SELECT e.user_id, c.t_click, min(e.ts_us) AS t_purchase
+               FROM e JOIN c USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts_us > c.t_click
+               GROUP BY e.user_id, c.t_click)
+         SELECT 1::BIGINT AS stage, 'view' AS step, count(*) AS n_users,
+                NULL::BIGINT AS avg_us_from_prev FROM v
+         UNION ALL
+         SELECT 2::BIGINT, 'click', count(*),
+                (sum(t_click - t_view) // count(*))::BIGINT FROM c
+         UNION ALL
+         SELECT 3::BIGINT, 'purchase', count(*),
+                (sum(t_purchase - t_click) // count(*))::BIGINT FROM p""",
+    "q_evt_pctl" ->
+      // quartiles over integer cents: rank fraction k/4 and the integer
+      // order statistics make the interpolation exact dyadic arithmetic —
+      // identical doubles cross-engine with no rounding step
+      """SELECT strftime(date_trunc('hour', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS hour,
+         event_type, count(*) AS n,
+         quantile_cont(CAST(round(value * 100) AS BIGINT), 0.25) / 100.0 AS p25,
+         quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) / 100.0 AS p50,
+         quantile_cont(CAST(round(value * 100) AS BIGINT), 0.75) / 100.0 AS p75
+         FROM events GROUP BY 1, 2""",
     "rsmp_ffill" ->
       // DuckDB's native ASOF LEFT JOIN is the oracle; ties at one ts_us
       // are broken to the max event_id on both sides
@@ -763,6 +829,30 @@ object SparkEntry {
                    FROM shf a JOIN shf b
                    ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id),
           ${jaccardVerifySql("doc_a, doc_b, inter, jaccard", 0.8)}""",
+    "dedup_containment" ->
+      // same candidate CTEs as dedup_ngram_jaccard; the verified metric is
+      // the overlap coefficient inter/min(|A|,|B|) (doc-in-doc detection)
+      s"""WITH $shinglesCte,
+          rare AS (SELECT h1, h2 FROM sh GROUP BY h1, h2
+                   HAVING count(*) BETWEEN 2 AND 1000),
+          shf AS (SELECT sh.doc_id, sh.h1, sh.h2 FROM sh JOIN rare USING (h1, h2)),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM shf a JOIN shf b
+                   ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id),
+          sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+          inter AS (SELECT doc_a, doc_b, count(*) AS inter
+                    FROM cand
+                    JOIN sh sa ON sa.doc_id = cand.doc_a
+                    JOIN sh sb ON sb.doc_id = cand.doc_b
+                              AND sb.h1 = sa.h1 AND sb.h2 = sa.h2
+                    GROUP BY doc_a, doc_b)
+          SELECT doc_a, doc_b, inter, overlap FROM (
+            SELECT doc_a, doc_b, inter,
+                   round(inter / least(na.n_sh, nb.n_sh), 4) AS overlap
+            FROM inter
+            JOIN sizes na ON na.doc_id = doc_a
+            JOIN sizes nb ON nb.doc_id = doc_b) v
+          WHERE overlap >= 0.9""",
     "dedup_minhash_sig" ->
       s"""WITH $shinglesCte,
           $minhashSigCte

@@ -82,7 +82,34 @@ object Dedup {
     * candidate-driven verification [[minhashLshPairs]] uses, so the metric
     * is never distorted by the guard. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.8,
-                        maxDf: Long = 1000): DataFrame = {
+                        maxDf: Long = 1000): DataFrame =
+    verifiedPairs(docs, n, maxDf)
+      .withColumn("jaccard",
+        round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 4))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "inter", "jaccard")
+
+  /** Containment near-dup pairs (overlap coefficient |A∩B| / min(|A|,|B|))
+    * — catches the doc-in-doc duplication Jaccard misses: a page quoted
+    * whole inside a larger one has low Jaccard (the big doc's extra
+    * shingles dominate the union) but containment ≈ 1. Same candidate
+    * generation and full-set verification as [[ngramJaccardPairs]]; only
+    * the verified metric differs. */
+  def containmentPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.9,
+                       maxDf: Long = 1000): DataFrame =
+    verifiedPairs(docs, n, maxDf)
+      .withColumn("overlap",
+        round(col("inter") / least(col("n_a"), col("n_b")), 4))
+      .where(col("overlap") >= threshold)
+      .select("doc_a", "doc_b", "inter", "overlap")
+
+  /** Shared candidate + exact-verify stage of the shingle-set similarity
+    * family: candidates share ≥1 shingle with document frequency in
+    * [2, maxDf] (the stop-shingle guard bounds self-join fan-out and
+    * applies to CANDIDACY only), then each pair's intersection is counted
+    * over the FULL shingle sets, so any metric derived downstream is never
+    * distorted by the guard. Returns (doc_a, doc_b, inter, n_a, n_b). */
+  private def verifiedPairs(docs: DataFrame, n: Int, maxDf: Long): DataFrame = {
     val sh = shinglesCached(docs, n)
     val rare = sh.groupBy(HK.map(col): _*).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf && col("df") >= 2) // df=1 can't pair
@@ -103,10 +130,6 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-      .withColumn("jaccard",
-        round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 4))
-      .where(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "inter", "jaccard")
   }
 
   /** MinHash signatures: numHashes Kirsch–Mitzenmacher min-hashes
@@ -425,6 +448,10 @@ object Dedup {
 
   def ngramQuery(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardPairs(Tables.documents(spark, dir), threshold = 0.8)
+      .orderBy("doc_a", "doc_b")
+
+  def containmentQuery(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(Tables.documents(spark, dir), threshold = 0.9)
       .orderBy("doc_a", "doc_b")
 
   def minhashQuery(spark: SparkSession, dir: String): DataFrame =

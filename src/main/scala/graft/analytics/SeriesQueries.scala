@@ -266,4 +266,120 @@ object SeriesQueries {
       .agg(count(lit(1)).as("n_active"))
       .orderBy("event_id")
   }
+
+  /** Deterministic EWMA (α = 1/4) over the trailing 10 observations per
+    * key — the smoothing pass a tick store exposes next to the raw series
+    * (the bounded-window form: at 100 TB an unbounded recurrence would
+    * chain every row to the key's full history; 10 taps is where the
+    * α=0.25 weight decays below 1e-1 of a tap anyway, 0.75^9 ≈ 0.075).
+    *
+    * Cross-engine bit parity: the window values are collected in frame
+    * order (one per-key window pass) and folded LEFT with the exact
+    * recurrence `acc·0.75 + x·0.25` — over integer cents with dyadic
+    * weights every fold step is EXACT in double (value·2^18 ≪ 2^53), so
+    * Spark's `aggregate` and DuckDB's `list_reduce` don't merely agree to
+    * a tolerance, they produce the same dyadic rational bit-for-bit, and
+    * NO rounding is applied (a round() at a decimal tie is exactly where
+    * half-up-on-binary engines diverge). Both fold from the window's
+    * first element as init. */
+  def ewma(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(col): _*)
+      .rowsBetween(-9, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        round(col("value") * 100, 0).cast("long").cast("double").as("cents"))
+      .withColumn("arr", collect_list("cents").over(w))
+      .select(col("user_id"), col("event_id"),
+        expr("aggregate(slice(arr, 2, 9), element_at(arr, 1)," +
+          " (acc, x) -> acc * 0.75D + x * 0.25D) / 100.0D").as("ewma"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Lag-1 autocorrelation per key — the "is this series signal or noise"
+    * screen a forecasting pipeline runs before spending a model fit on a
+    * key. All five sufficient statistics are EXACT BIGINT sums over
+    * integer cents (x·y ≲ 2^32·cents² per row; the documented envelope is
+    * cents ≤ ~10^6 and rows/key ≤ ~10^6, keeping n·Σxy < 2^63), so the
+    * final Pearson formula is one double expression over integers both
+    * engines share bit-for-bit. One window pass for the lead, one
+    * aggregation shuffle on the key — no corpus-wide sort. Keys with a
+    * constant series (zero variance) are excluded on BOTH sides rather
+    * than risk ±Inf/NULL division divergence. */
+  def lagAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(col): _*)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("x"))
+      .withColumn("y", lead("x", 1).over(w))
+      .where(col("y").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
+      .where(col("vx") > 0 && col("vy") > 0)
+      .select(col("user_id"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt(col("vx").cast("double") * col("vy").cast("double")), 6).as("r"))
+      .orderBy("user_id")
+  }
+
+  /** Ordered conversion funnel view → click → purchase with first-
+    * occurrence semantics: a user converts at a stage only via an event
+    * STRICTLY AFTER their previous stage's first qualifying event (the
+    * analysis `sessionize` can't express — order across types, not
+    * within one). Three min-aggregates and two joins, all keyed on
+    * user_id — filters reach the scan, nothing shuffles more than the
+    * per-stage user set, and stage latencies are exact integer-µs
+    * averages (BIGINT sum div count). */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select("user_id", "event_type", "ts_us")
+    val v = e.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("t_view"))
+    val c = e.where(col("event_type") === "click").join(v, "user_id")
+      .where(col("ts_us") > col("t_view"))
+      .groupBy("user_id", "t_view").agg(min("ts_us").as("t_click"))
+    val p = e.where(col("event_type") === "purchase")
+      .join(c.select("user_id", "t_click"), "user_id")
+      .where(col("ts_us") > col("t_click"))
+      .groupBy("user_id", "t_click").agg(min("ts_us").as("t_purchase"))
+    val s1 = v.agg(count(lit(1)).as("n_users"))
+      .select(lit(1L).as("stage"), lit("view").as("step"), col("n_users"),
+        lit(null).cast("long").as("avg_us_from_prev"))
+    val s2 = c.agg(count(lit(1)).as("n_users"),
+        expr("sum(t_click - t_view) div count(1)").as("avg_us_from_prev"))
+      .select(lit(2L).as("stage"), lit("click").as("step"), col("n_users"),
+        col("avg_us_from_prev"))
+    val s3 = p.agg(count(lit(1)).as("n_users"),
+        expr("sum(t_purchase - t_click) div count(1)").as("avg_us_from_prev"))
+      .select(lit(3L).as("stage"), lit("purchase").as("step"), col("n_users"),
+        col("avg_us_from_prev"))
+    s1.unionByName(s2).unionByName(s3).orderBy("stage")
+  }
+
+  /** Hourly quartile bands (p25/p50/p75) per event type — the latency-
+    * dashboard query every event pipeline serves. Exact interpolated
+    * percentiles per (hour, type) group: affordable because each group
+    * sorts only its own slice (≈ rows/3600/types at corpus scale), the
+    * same contract as [[Relational.exactStats]]; the sketch alternative
+    * for wide groups lives in [[Relational.approxStats]].
+    *
+    * Quartiles (not p95) deliberately: over integer cents the rank
+    * position (n−1)·k/4 and the linear interpolation between two integer
+    * order statistics are all EXACT dyadic arithmetic, so Spark's
+    * percentile and DuckDB's quantile_cont — different formula shapes —
+    * land on the identical double with NO rounding step to tie-break.
+    * A 0.95 fraction is inexact in binary and breaks that guarantee. */
+  def hourlyPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy("hour", "event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(cents, 0.25D) / 100.0D").as("p25"),
+        expr("percentile(cents, 0.5D) / 100.0D").as("p50"),
+        expr("percentile(cents, 0.75D) / 100.0D").as("p75"))
+      .orderBy("hour", "event_type")
 }

@@ -1,0 +1,110 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** Laws for the round-5 series/stats operators (ts_ewma, ts_autocorr,
+  * q_funnel, q_evt_pctl, dedup_containment): each query is recomputed
+  * independently in plain Scala over exact integer cents, and the exact
+  * dyadic-arithmetic claims (no tolerance needed) are asserted as such. */
+class SeriesStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val events: Seq[(Long, Long, Long, Long, String)] =
+    graft.Tables.events(spark, sfDir)
+      .select("user_id", "ts_us", "event_id", "value", "event_type")
+      .as[(Long, Long, Long, Double, String)].collect().toSeq
+      .map(r => (r._1, r._2, r._3, math.round(r._4 * 100), r._5))
+
+  private def ordered(user: Long): Seq[Long] =
+    events.filter(_._1 == user).sortBy(e => (e._2, e._3)).map(_._4)
+
+  test("ts_ewma: exact dyadic fold — Scala recomputation matches bit-for-bit") {
+    val got = SeriesQueries.ewma(spark, sfDir)
+      .select("user_id", "event_id", "ewma").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val byKey = events.groupBy(_._1)
+    assert(byKey.nonEmpty)
+    byKey.foreach { case (u, rows) =>
+      val ord = rows.sortBy(e => (e._2, e._3))
+      ord.indices.foreach { i =>
+        val win = ord.slice(math.max(0, i - 9), i + 1).map(_._4.toDouble)
+        val want = win.tail.foldLeft(win.head)((acc, x) => acc * 0.75 + x * 0.25) / 100.0
+        val g = got((u, ord(i)._3))
+        // dyadic weights over integer cents: exact equality, no tolerance
+        assert(g == want, s"ewma mismatch user=$u event=${ord(i)._3}: $g != $want")
+      }
+    }
+  }
+
+  test("ts_autocorr: matches exact integer sufficient statistics; r in [-1,1]") {
+    val got = SeriesQueries.lagAutocorr(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (u, n, r) =>
+      assert(r >= -1.0 && r <= 1.0, s"user=$u r=$r out of range")
+      val xs = ordered(u)
+      assert(n == xs.length - 1, s"user=$u pair count $n != ${xs.length - 1}")
+      val (x, y) = (xs.init, xs.tail)
+      val (sx, sy) = (x.sum, y.sum)
+      val sxx = x.map(v => v * v).sum
+      val syy = y.map(v => v * v).sum
+      val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+      val want = math.round(1e6 * (n * sxy - sx * sy).toDouble /
+        math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)) / 1e6
+      assert(math.abs(r - want) < 1e-9, s"user=$u r=$r want=$want")
+    }
+  }
+
+  test("q_funnel: stage counts monotone non-increasing and match replay") {
+    val got = SeriesQueries.funnel(spark, sfDir)
+      .select("stage", "n_users").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    val counts = got.map(_._2)
+    assert(counts(0) >= counts(1) && counts(1) >= counts(2),
+      s"funnel must narrow: ${counts.toSeq}")
+    // independent replay of the first-occurrence semantics
+    val byUser = events.groupBy(_._1)
+    def firstAfter(rows: Seq[(Long, Long, Long, Long, String)],
+                   typ: String, after: Long): Option[Long] =
+      rows.filter(r => r._5 == typ && r._2 > after)
+        .sortBy(r => (r._2, r._3)).headOption.map(_._2)
+    val views = byUser.flatMap { case (u, rows) =>
+      firstAfter(rows, "view", Long.MinValue).map(u -> _)
+    }
+    val clicks = views.flatMap { case (u, tv) =>
+      firstAfter(byUser(u), "click", tv).map(u -> _)
+    }
+    val purchases = clicks.flatMap { case (u, tc) =>
+      firstAfter(byUser(u), "purchase", tc).map(u -> _)
+    }
+    assert(counts.toSeq == Seq(views.size.toLong, clicks.size.toLong, purchases.size.toLong))
+  }
+
+  test("q_evt_pctl: quartiles ordered within each band; counts cover the table") {
+    val got = SeriesQueries.hourlyPercentiles(spark, sfDir)
+      .select("n", "p25", "p50", "p75").as[(Long, Double, Double, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (n, p25, p50, p75) =>
+      assert(n > 0 && p25 <= p50 && p50 <= p75, s"band violated: $n $p25 $p50 $p75")
+    }
+    assert(got.map(_._1).sum == events.size)
+  }
+
+  test("dedup_containment: overlap law (>= jaccard on shared pairs; metric exact)") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val cont = Dedup.containmentPairs(docs, threshold = 0.0)
+      .select("doc_a", "doc_b", "overlap").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val jac = Dedup.ngramJaccardPairs(docs, threshold = 0.0)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(cont.keySet == jac.keySet,
+      "shared candidate stage must yield identical verified pair sets")
+    assert(cont.nonEmpty)
+    cont.foreach { case (k, ov) =>
+      assert(ov >= jac(k) - 1e-9,
+        s"overlap(min-normalized) must dominate jaccard(union-normalized) at $k")
+      assert(ov > 0.0 && ov <= 1.0 + 1e-12, s"overlap out of range at $k: $ov")
+    }
+  }
+}
