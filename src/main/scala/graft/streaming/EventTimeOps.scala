@@ -67,4 +67,30 @@ object EventTimeOps {
       .agg(count(lit(1)).as("n_ticks"), avg("price").as("mean_price"))
       .select(col("ticker"), col("w.start").as("window_start"),
         col("n_ticks"), col("mean_price"))
+
+  /** Watermarked stream-stream interval join: each forecast pairs with
+    * every actual of the same ticker whose event time falls in
+    * [forecast_ts, forecast_ts + tolerance] — the event-time-principled
+    * counterpart of the reference's FIFO backfill pairing (SURVEY §2.6,
+    * `lvmh_forecaster2.py:168-177` matches by queue order) that the batch
+    * side exposes as `jn2_asof_join`/`jn3_asof_tolerance`.
+    *
+    * Scale: Spark derives each side's state-eviction bound from the
+    * time-range predicate plus the watermarks, so buffered state is
+    * (tolerance + watermark delay) × arrival rate per side — constant in
+    * stream length. The equi-key on ticker keeps the join a hash
+    * co-partition, never a broadcast or cross. */
+  def intervalJoin(forecasts: Dataset[RawTick], actuals: Dataset[RawTick],
+                   tolerance: String = "30 seconds",
+                   watermarkDelay: String = "2 minutes"): DataFrame = {
+    val f = forecasts.toDF("ticker", "f_ts", "forecast")
+      .withWatermark("f_ts", watermarkDelay)
+    val a = actuals.toDF("a_ticker", "a_ts", "price")
+      .withWatermark("a_ts", watermarkDelay)
+    f.join(a,
+        col("ticker") === col("a_ticker") &&
+          col("a_ts") >= col("f_ts") &&
+          col("a_ts") <= col("f_ts") + expr(s"INTERVAL $tolerance"))
+      .select(col("ticker"), col("f_ts"), col("forecast"), col("a_ts"), col("price"))
+  }
 }

@@ -88,4 +88,35 @@ class EventTimeOpsSpec extends SparkSpec {
     assert(w0._3 == 10.0 && w0._4 == 12.0)
     assert(w5._1.getTime == t0 + 300000 && w5._2 == 1)
   }
+
+  test("stream-stream interval join: tolerance bounds, key isolation, both-side flow") {
+    implicit val sql = spark.sqlContext
+    val fs = MemoryStream[RawTick]
+    val as = MemoryStream[RawTick]
+    val name = s"ivj_${System.nanoTime()}"
+    val q = EventTimeOps.intervalJoin(fs.toDS(), as.toDS(), "30 seconds", "1 minute")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    def fTick(off: Long, v: Double) = tick(off, v)
+    def aTick(off: Long, v: Double, tk: String = "A") =
+      RawTick(tk, new Timestamp(t0 + off * 1000), v)
+    try {
+      // forecast at 0s (window [0s, 30s]); actuals at 10s (in), 30s
+      // (inclusive edge), 31s (out), -1s (before forecast: out), and an
+      // in-window row under a DIFFERENT ticker (key isolation)
+      fs.addData(fTick(0, 100))
+      as.addData(aTick(10, 11), aTick(30, 12), aTick(31, 13),
+        aTick(-1, 14), aTick(20, 15, tk = "B"))
+      q.processAllAvailable()
+      // actual arriving in a LATER micro-batch than its forecast still
+      // joins while within watermark bounds
+      as.addData(aTick(25, 16))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name)
+      .select("f_ts", "a_ts", "price")
+      .as[(Timestamp, Timestamp, Double)].collect()
+      .map(r => (r._1.getTime - t0, r._2.getTime - t0, r._3)).sorted.toSeq
+    assert(rows == Seq((0L, 10000L, 11.0), (0L, 25000L, 16.0), (0L, 30000L, 12.0)),
+      s"got $rows")
+  }
 }
