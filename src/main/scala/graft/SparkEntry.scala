@@ -77,7 +77,9 @@ object SparkEntry {
     "ts_ewma" -> (SeriesQueries.ewma _), // trailing-10 EWMA, ordered-fold bit parity with list_reduce
     "ts_autocorr" -> (SeriesQueries.lagAutocorr _), // lag-1 Pearson r from exact BIGINT sufficient stats
     "q_funnel" -> (SeriesQueries.funnel _), // ordered view->click->purchase conversion funnel
-    "q_evt_pctl" -> (SeriesQueries.hourlyPercentiles _), // hourly p50/p95 bands per event type
+    "q_evt_pctl" -> (SeriesQueries.hourlyPercentiles _), // hourly p25/p50/p75 bands per event type
+    "q_transitions" -> (SeriesQueries.transitions _), // per-user event-type Markov transition matrix
+    "fuzzy_names" -> (Relational.fuzzyNames _), // blocked edit-distance entity resolution on the name dictionary
     // salted-join surface proof: the deterministic-salt equi-join must be
     // RESULT-identical to the plain join the oracle runs — the salt is an
     // execution detail (straggler spreading), never a semantics change
@@ -723,6 +725,40 @@ object SparkEntry {
          UNION ALL
          SELECT 3::BIGINT, 'purchase', count(*),
                 (sum(t_purchase - t_click) // count(*))::BIGINT FROM p""",
+    "q_transitions" ->
+      // row-normalized probability is one BIGINT/BIGINT IEEE division —
+      // identical cross-engine without rounding
+      """WITH t AS (
+           SELECT lag(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS from_type,
+                  event_type AS to_type
+           FROM events),
+         m AS (SELECT from_type, to_type, count(*) AS n FROM t
+               WHERE from_type IS NOT NULL GROUP BY from_type, to_type)
+         SELECT from_type, to_type, n,
+                n / (sum(n) OVER (PARTITION BY from_type))::BIGINT AS p
+         FROM m""",
+    "fuzzy_names" ->
+      // two-pass token blocking (first token ∪ last token), verified by
+      // levenshtein — DuckDB's unit-cost edit distance matches Spark's
+      """WITH names AS (
+           SELECT p_name, count(*) AS n_rows,
+                  string_split(p_name, ' ')[1] AS tok1,
+                  string_split(p_name, ' ')[-1] AS tok2
+           FROM part GROUP BY p_name),
+         cand AS (
+           SELECT a.p_name AS name_a, b.p_name AS name_b
+           FROM names a JOIN names b ON a.tok1 = b.tok1 AND a.p_name < b.p_name
+           UNION
+           SELECT a.p_name, b.p_name
+           FROM names a JOIN names b ON a.tok2 = b.tok2 AND a.p_name < b.p_name),
+         v AS (SELECT name_a, name_b, levenshtein(name_a, name_b) AS dist
+               FROM cand)
+         SELECT name_a, name_b, dist, na.n_rows AS n_a, nb.n_rows AS n_b
+         FROM v
+         JOIN names na ON na.p_name = v.name_a
+         JOIN names nb ON nb.p_name = v.name_b
+         WHERE dist BETWEEN 1 AND 3""",
     "q_evt_pctl" ->
       // quartiles over integer cents: rank fraction k/4 and the integer
       // order statistics make the interpolation exact dyadic arithmetic —

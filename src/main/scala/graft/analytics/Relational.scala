@@ -381,4 +381,39 @@ object Relational {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median_price"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
+
+  /** Fuzzy entity resolution over the part-name dictionary: distinct
+    * name pairs within edit distance 3 (excluding exact equals), with
+    * each name's row support. The shape that scales: match the DISTINCT
+    * dictionary (orders of magnitude smaller than the fact rows — the
+    * distinct-then-verify contract of the dedup family), generate
+    * candidates by TWO blocking passes (same first token ∪ same last
+    * token — a transposition that changes both tokens at once is by
+    * definition > 1 edit per token away, and multi-pass blocking is the
+    * standard recall hedge), then verify with the codegen'd
+    * `levenshtein`, whose unit-cost semantics DuckDB shares exactly.
+    * Never an all-pairs name join. */
+  def fuzzyNames(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir).select("p_name")
+      .groupBy("p_name").agg(count(lit(1)).as("n_rows"))
+      .withColumn("tok1", split(col("p_name"), " ").getItem(0))
+      .withColumn("tok2", element_at(split(col("p_name"), " "), -1))
+    def block(tok: String): DataFrame =
+      names.select(col("p_name").as("name_a"), col(tok).as("b"))
+        .join(names.select(col("p_name").as("name_b"), col(tok).as("b")), "b")
+        .where(col("name_a") < col("name_b"))
+        .select("name_a", "name_b")
+    val cand = block("tok1").union(block("tok2")).distinct()
+    val supports = names.select("p_name", "n_rows")
+    cand
+      // cast: levenshtein is IntegerType; the oracle compare needs BIGINT
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .where(col("dist") >= 1 && col("dist") <= 3)
+      .join(supports.withColumnRenamed("p_name", "name_a")
+        .withColumnRenamed("n_rows", "n_a"), "name_a")
+      .join(supports.withColumnRenamed("p_name", "name_b")
+        .withColumnRenamed("n_rows", "n_b"), "name_b")
+      .select("name_a", "name_b", "dist", "n_a", "n_b")
+      .orderBy("name_a", "name_b")
+  }
 }

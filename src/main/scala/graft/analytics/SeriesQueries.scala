@@ -358,6 +358,27 @@ object SeriesQueries {
     s1.unionByName(s2).unionByName(s3).orderBy("stage")
   }
 
+  /** First-order Markov transition matrix over per-user event-type
+    * sequences: for each (from, to) pair, the transition count and its
+    * row-normalized probability — the session-flow fingerprint behind
+    * funnel design and bot detection. One per-key window pass for the
+    * lag, one aggregation to the T×T matrix (25 rows here), then the
+    * row normalization windows over the AGGREGATED frame partitioned by
+    * `from_type` — never over the corpus. Probability is BIGINT/BIGINT
+    * in one IEEE division, identical cross-engine without rounding. */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(col): _*)
+    val t = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag("event_type", 1).over(w))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    t.withColumn("p",
+        col("n") / sum("n").over(Window.partitionBy("from_type")))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Hourly quartile bands (p25/p50/p75) per event type — the latency-
     * dashboard query every event pipeline serves. Exact interpolated
     * percentiles per (hour, type) group: affordable because each group

@@ -117,6 +117,45 @@ class RelationalSpec extends SparkSpec {
     assert(bySpend.map(_._2).toSeq == bySpend.map(_._2).sorted.toSeq)
   }
 
+  test("fuzzy_names: exact precision, full recall over the blocked space") {
+    // reference unit-cost Levenshtein (same semantics as Spark/DuckDB)
+    def lev(a: String, b: String): Int = {
+      val prev = Array.tabulate(b.length + 1)(identity)
+      val cur = new Array[Int](b.length + 1)
+      for (i <- 1 to a.length) {
+        cur(0) = i
+        for (j <- 1 to b.length)
+          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        Array.copy(cur, 0, prev, 0, cur.length)
+      }
+      prev(b.length)
+    }
+    val got = Relational.fuzzyNames(spark, sfDir)
+      .select("name_a", "name_b", "dist", "n_a", "n_b")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // precision: every emitted pair really is within edit distance [1,3]
+    got.foreach { case (a, b, d, _, _) =>
+      assert(lev(a, b) == d && d >= 1 && d <= 3, s"($a,$b) claims dist $d")
+    }
+    // recall: brute-force the small dictionary; every qualifying pair
+    // whose first OR last token matches (the blocking contract) must appear
+    val dict = graft.Tables.part(spark, sfDir)
+      .groupBy("p_name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val names = dict.keys.toArray.sorted
+    val want = for {
+      i <- names.indices; j <- (i + 1) until names.length
+      a = names(i); b = names(j)
+      ta = a.split(" "); tb = b.split(" ")
+      if ta.head == tb.head || ta.last == tb.last
+      d = lev(a, b) if d >= 1 && d <= 3
+    } yield (a, b, d.toLong, dict(a), dict(b))
+    assert(got.toSet == want.toSet,
+      s"blocked-space mismatch: got ${got.length}, want ${want.length}")
+  }
+
   test("approx sketches stay within error bounds of the exact aggregates") {
     import org.apache.spark.sql.functions._
     val approx = Relational.approxStats(spark, sfDir)

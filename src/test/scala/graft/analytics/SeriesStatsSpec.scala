@@ -90,6 +90,28 @@ class SeriesStatsSpec extends SparkSpec {
     assert(got.map(_._1).sum == events.size)
   }
 
+  test("q_transitions: counts replay exactly; probabilities row-normalize to 1") {
+    val got = SeriesQueries.transitions(spark, sfDir)
+      .select("from_type", "to_type", "n", "p")
+      .as[(String, String, Long, Double)].collect()
+    assert(got.nonEmpty)
+    // replay: per user ordered by (ts_us, event_id), count adjacent pairs
+    val want = events.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ord = rows.sortBy(e => (e._2, e._3)).map(_._5)
+      ord.zip(ord.tail)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.map(r => (r._1, r._2) -> r._3).toMap == want)
+    // each from-row's probabilities sum to exactly 1 (n_i / N sums to N/N)
+    got.groupBy(_._1).foreach { case (from, rows) =>
+      val total = rows.map(_._3).sum
+      rows.foreach { r => assert(r._4 == r._3.toDouble / total) }
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-12, s"row $from")
+    }
+    // every user contributes (len-1) transitions
+    assert(got.map(_._3).sum ==
+      events.size - events.map(_._1).distinct.size)
+  }
+
   test("dedup_containment: overlap law (>= jaccard on shared pairs; metric exact)") {
     val docs = graft.Tables.documents(spark, sfDir)
     val cont = Dedup.containmentPairs(docs, threshold = 0.0)
