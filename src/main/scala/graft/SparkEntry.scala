@@ -80,6 +80,8 @@ object SparkEntry {
     "q_evt_pctl" -> (SeriesQueries.hourlyPercentiles _), // hourly p25/p50/p75 bands per event type
     "q_transitions" -> (SeriesQueries.transitions _), // per-user event-type Markov transition matrix
     "fuzzy_names" -> (Relational.fuzzyNames _), // blocked edit-distance entity resolution on the name dictionary
+    "q_retention" -> (SeriesQueries.retention _), // weekly cohort retention matrix, one user-keyed shuffle
+    "ts_cusum" -> (SeriesQueries.cusum _), // exact-integer CUSUM changepoint scan per key
     // salted-join surface proof: the deterministic-salt equi-join must be
     // RESULT-identical to the plain join the oracle runs — the salt is an
     // execution detail (straggler spreading), never a semantics change
@@ -121,6 +123,8 @@ object SparkEntry {
     "txt_lm_score" -> (TextAnalysis.lmScoreQuery _),
     "txt_rolling_fp" -> (TextAnalysis.rollingFingerprintsQuery _),
     "txt_c4_filter" -> (TextAnalysis.c4FilterQuery _),
+    "txt_reps" -> (TextAnalysis.repetitionQuery _), // Gopher-style intra-doc n-gram repetition signals
+    "txt_bm25" -> (TextAnalysis.bm25Query _), // BM25 scoring vs a fixed query-term set
     "pipe_prep" -> (PrepPipeline.manifest _), // flagship composition: gate -> dedup -> split -> decontam -> pack
     "chunk_overlap" -> (TextAnalysis.chunkQuery _), // overlapping token-window training chunks
     // --- similarity search over embeddings ---
@@ -738,6 +742,36 @@ object SparkEntry {
          SELECT from_type, to_type, n,
                 n / (sum(n) OVER (PARTITION BY from_type))::BIGINT AS p
          FROM m""",
+    "q_retention" ->
+      // distinct-activity + cohort-join formulation — semantically equal
+      // to the Spark side's single-shuffle collect_set form; retention is
+      // BIGINT/BIGINT in one IEEE division
+      """WITH w AS (SELECT DISTINCT user_id,
+                      epoch_us(ts::TIMESTAMP) // 604800000000 AS week FROM events),
+         coh AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id),
+         act AS (SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+                        count(*) AS n_active
+                 FROM w JOIN coh c USING (user_id) GROUP BY 1, 2),
+         sz AS (SELECT cohort_week, count(*) AS cohort_size FROM coh GROUP BY cohort_week)
+         SELECT a.cohort_week, a.week_offset, a.n_active, s.cohort_size,
+                a.n_active / s.cohort_size AS retention
+         FROM act a JOIN sz s USING (cohort_week)""",
+    "ts_cusum" ->
+      // deviations scaled by n (d_i = c_i*n - S) keep the running sum in
+      // exact BIGINT algebra — no division enters until never
+      """WITH e AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_id,
+                      CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         st AS (SELECT user_id, sum(cents)::BIGINT AS s, count(*) AS n
+                FROM e GROUP BY user_id),
+         c AS (SELECT e.user_id, e.ts_us, e.event_id, st.n,
+                 CAST(sum(e.cents * st.n - st.s) OVER (PARTITION BY e.user_id
+                   ORDER BY e.ts_us, e.event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cusum
+               FROM e JOIN st USING (user_id)),
+         r AS (SELECT user_id, event_id, ts_us, abs(cusum) AS max_abs_cusum, n,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY abs(cusum) DESC, ts_us, event_id) AS rn FROM c)
+         SELECT user_id, event_id AS cp_event_id, ts_us AS cp_ts_us, max_abs_cusum, n
+         FROM r WHERE rn = 1""",
     "fuzzy_names" ->
       // two-pass token blocking (first token ∪ last token), verified by
       // levenshtein — DuckDB's unit-cost edit distance matches Spark's
@@ -1091,6 +1125,63 @@ object SparkEntry {
               FROM scored GROUP BY doc_id)
           SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams, p.lm_score
           FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""",
+    "txt_reps" ->
+      // same tagged-gram shape as the Spark side: counts collapse per
+      // (doc, n, md5-digest); fractions are BIGINT/BIGINT IEEE divisions
+      s"""WITH t AS (SELECT doc_id, $toksSql AS ws FROM documents),
+          g AS (
+            SELECT doc_id, 2 AS n, ${md5L60("array_to_string(ws[i:i+1], ' ')")} AS gh
+            FROM t, LATERAL (SELECT unnest(range(1, len(ws))) AS i) r
+            WHERE len(ws) >= 2
+            UNION ALL
+            SELECT doc_id, 3 AS n, ${md5L60("array_to_string(ws[i:i+2], ' ')")} AS gh
+            FROM t, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) r
+            WHERE len(ws) >= 3),
+          c AS (SELECT doc_id, n, gh, count(*) AS c FROM g GROUP BY doc_id, n, gh),
+          a AS (SELECT doc_id, n, sum(c)::BIGINT AS total, count(*) AS n_distinct,
+                       max(c) AS top
+                FROM c GROUP BY doc_id, n),
+          b AS (SELECT doc_id,
+                  max(CASE WHEN n = 2 THEN total END) AS n2,
+                  max(CASE WHEN n = 2 THEN top END) AS t2,
+                  max(CASE WHEN n = 3 THEN total END) AS n3,
+                  max(CASE WHEN n = 3 THEN n_distinct END) AS d3
+                FROM a GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(n2, 0)::BIGINT AS n_2grams,
+                 coalesce(t2, 0)::BIGINT AS top_2gram_n, t2 / n2 AS top_2gram_frac,
+                 coalesce(n3, 0)::BIGINT AS n_3grams,
+                 coalesce(d3, 0)::BIGINT AS n_distinct_3grams,
+                 (n3 - d3) / n3 AS dup_3gram_frac
+          FROM documents d LEFT JOIN b USING (doc_id)""",
+    "txt_bm25" ->
+      // identical expression shape to the Spark side: idf quantized at
+      // 1e-8 before the multiply, each term contribution quantized to a
+      // BIGINT at 1e6 so the cross-term sum has no float-order dependence
+      s"""WITH t AS (SELECT doc_id, $toksSql AS ws FROM documents),
+          base AS (SELECT doc_id, len(ws)::BIGINT AS dl,
+                     len(list_filter(ws, x -> x = 'spark'))::BIGINT AS tf_0,
+                     len(list_filter(ws, x -> x = 'join'))::BIGINT AS tf_1,
+                     len(list_filter(ws, x -> x = 'window'))::BIGINT AS tf_2
+                   FROM t),
+          st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl,
+                   sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END)::BIGINT AS df_0,
+                   sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END)::BIGINT AS df_1,
+                   sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END)::BIGINT AS df_2
+                 FROM base),
+          s AS (SELECT b.doc_id, b.dl, b.tf_0, b.tf_1, b.tf_2,
+                  CAST(round(round(ln((n_docs - df_0 + 0.5) / (df_0 + 0.5) + 1), 8)
+                    * ((tf_0 * (1.2 + 1)) / (tf_0 + 1.2 * (0.25 + 0.75 * (dl / (sum_dl / n_docs)))))
+                    * 1e6) AS BIGINT) AS c0,
+                  CAST(round(round(ln((n_docs - df_1 + 0.5) / (df_1 + 0.5) + 1), 8)
+                    * ((tf_1 * (1.2 + 1)) / (tf_1 + 1.2 * (0.25 + 0.75 * (dl / (sum_dl / n_docs)))))
+                    * 1e6) AS BIGINT) AS c1,
+                  CAST(round(round(ln((n_docs - df_2 + 0.5) / (df_2 + 0.5) + 1), 8)
+                    * ((tf_2 * (1.2 + 1)) / (tf_2 + 1.2 * (0.25 + 0.75 * (dl / (sum_dl / n_docs)))))
+                    * 1e6) AS BIGINT) AS c2
+                FROM base b, st)
+          SELECT doc_id, dl, tf_0 AS tf_spark, tf_1 AS tf_join, tf_2 AS tf_window,
+                 (c0 + c1 + c2) / 1e6 AS bm25
+          FROM s""",
     "txt_rolling_fp" ->
       // Horner-rule rolling hash: DuckDB's list_reduce has no seed, but
       // starting from the first element equals seeding with 0 since

@@ -379,6 +379,58 @@ object SeriesQueries {
       .orderBy("from_type", "to_type")
   }
 
+  /** Weekly cohort retention matrix — the product-analytics staple: users
+    * cohorted by their first-activity epoch week, then for each
+    * (cohort, week-offset) the count and fraction still active. One
+    * shuffle on `user_id` does everything: the per-user aggregation
+    * carries `min(week)` (the cohort) AND the distinct active weeks
+    * (`collect_set` — bounded by weeks of history, not events), so the
+    * classic cohort-to-activity self-join disappears. The matrix itself
+    * is |weeks|² rows — driver-tiny at any corpus scale. Retention is one
+    * BIGINT/BIGINT IEEE division — exact cross-engine. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts_us div 604800000000").as("week"))
+      .groupBy("user_id")
+      .agg(min("week").as("cohort_week"), collect_set("week").as("weeks"))
+    val active = perUser
+      .select(col("cohort_week"), explode(col("weeks")).as("week"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = perUser.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    active.join(sizes, "cohort_week")
+      .withColumn("retention", col("n_active") / col("cohort_size"))
+      .select("cohort_week", "week_offset", "n_active", "cohort_size", "retention")
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** CUSUM changepoint scan per key — where did the level shift? For each
+    * user the cumulative sum of mean-deviations is computed in EXACT
+    * integer algebra (deviations scaled by n: `d_i = c_i·n − S` over
+    * cents, so no division ever enters the running sum), and the row
+    * maximizing |CUSUM| is the changepoint candidate. Shape: one key
+    * aggregation for (S, n), a key-partitioned running-sum window, and a
+    * key-partitioned rank — the join and both windows share the
+    * `user_id` hash partitioning, so the whole scan is ONE shuffle of
+    * (key, ts, cents) tuples. Scales linearly in keys. */
+  def cusum(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val stats = ev.groupBy("user_id")
+      .agg(sum("cents").as("s"), count(lit(1)).as("n"))
+    val run = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = ev.join(stats, "user_id")
+      .withColumn("cusum", sum(col("cents") * col("n") - col("s")).over(run))
+    c.withColumn("rn", row_number().over(Window.partitionBy("user_id")
+        .orderBy(abs(col("cusum")).desc, col("ts_us"), col("event_id"))))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("cp_event_id"),
+        col("ts_us").as("cp_ts_us"), abs(col("cusum")).as("max_abs_cusum"), col("n"))
+      .orderBy("user_id")
+  }
+
   /** Hourly quartile bands (p25/p50/p75) per event type — the latency-
     * dashboard query every event pipeline serves. Exact interpolated
     * percentiles per (hour, type) group: affordable because each group

@@ -329,4 +329,82 @@ object TextAnalysis {
   def chunkQuery(spark: SparkSession, dir: String): DataFrame =
     chunkOverlap(Tables.documents(spark, dir), window = 32, stride = 24)
       .orderBy("doc_id", "start_tok")
+
+  /** Gopher-style intra-document repetition signals: per doc the word
+    * 3-gram duplication fraction (share of 3-gram occurrences that are
+    * repeats — the "duplicate n-gram" rule) and the top word 2-gram's
+    * occupancy (the "most common n-gram" rule); both flag boilerplate
+    * and looped generations. Shape: ONE tagged explode over both gram
+    * sizes, grouped by the gram's 60-bit md5 digest — per-(doc,gram)
+    * counts collapse map-side and only (doc_id, n, digest) tuples
+    * shuffle, never gram text. Linear in tokens (the in-projection
+    * `array_distinct` alternative is quadratic for long docs). Fractions
+    * are BIGINT/BIGINT IEEE divisions — exact cross-engine; docs too
+    * short for a gram size keep NULL fractions. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    def grams(n: Int) = toks.where(size(col("t")) >= n)
+      .select(col("doc_id"), lit(n).as("n"), explode(expr(
+        s"transform(sequence(1, size(t) - ${n - 1}), i -> array_join(slice(t, i, $n), ' '))"))
+        .as("gram"))
+    val perSize = grams(2).unionByName(grams(3))
+      .select(col("doc_id"), col("n"), graft.functions.Hashes.md5Long60(col("gram")).as("gh"))
+      .groupBy("doc_id", "n", "gh").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n")
+      .agg(sum("c").as("total"), count(lit(1)).as("n_distinct"), max("c").as("top"))
+    val byDoc = perSize.groupBy("doc_id").agg(
+      max(when(col("n") === 2, col("total"))).as("n2"),
+      max(when(col("n") === 2, col("top"))).as("t2"),
+      max(when(col("n") === 3, col("total"))).as("n3"),
+      max(when(col("n") === 3, col("n_distinct"))).as("d3"))
+    docs.select("doc_id").join(byDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n2"), lit(0L)).as("n_2grams"),
+        coalesce(col("t2"), lit(0L)).as("top_2gram_n"),
+        (col("t2") / col("n2")).as("top_2gram_frac"),
+        coalesce(col("n3"), lit(0L)).as("n_3grams"),
+        coalesce(col("d3"), lit(0L)).as("n_distinct_3grams"),
+        ((col("n3") - col("d3")) / col("n3")).as("dup_3gram_frac"))
+  }
+
+  def repetitionQuery(spark: SparkSession, dir: String): DataFrame =
+    repetition(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** BM25 relevance of every document against a fixed query-term set —
+    * the retrieval scoring behind quality-weighted corpus sampling and
+    * search-style decontamination. Term frequencies are per-row array
+    * predicates (zero shuffle); only the tiny (N, Σdl, per-term df)
+    * statistics aggregate, then broadcast back as a 1-row frame.
+    * Bit parity: idf is quantized (round 8) before the multiply — the
+    * tfidf rule — and each term's contribution is quantized to an
+    * integer at 1e6 so the cross-term sum is BIGINT arithmetic with no
+    * float-order dependence; k1=1.2, b=0.75 appear as identical literals
+    * in both engines, every remaining op is IEEE-deterministic. */
+  def bm25(docs: DataFrame, terms: Seq[String] = Seq("spark", "join", "window"),
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty)
+    val base = docs.select(
+      col("doc_id") +: size(tokens(col("text"))).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(tokens(col("text")), x => x === lit(t))).cast("long").as(s"tf_$i")
+        }: _*)
+    val aggCols = count(lit(1)).as("n_docs") +: sum("dl").as("sum_dl") +:
+      terms.indices.map(i => sum((col(s"tf_$i") > 0).cast("long")).as(s"df_$i"))
+    val stats = base.agg(aggCols.head, aggCols.tail: _*)
+    val scored = base.crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl") / col("n_docs"))
+    val contrib = terms.indices.map { i =>
+      val idf = round(log((col("n_docs") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5) + 1), 8)
+      val c = idf * ((col(s"tf_$i") * (k1 + 1)) /
+        (col(s"tf_$i") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / col("avgdl")))))
+      round(c * 1e6, 0).cast("long")
+    }
+    scored.select(
+      col("doc_id") +: col("dl") +:
+        terms.indices.map(i => col(s"tf_$i").as(s"tf_${terms(i)}")) :+
+        (contrib.reduce(_ + _) / 1e6).as("bm25"): _*)
+  }
+
+  def bm25Query(spark: SparkSession, dir: String): DataFrame =
+    bm25(Tables.documents(spark, dir)).orderBy("doc_id")
 }

@@ -112,6 +112,48 @@ class SeriesStatsSpec extends SparkSpec {
       events.size - events.map(_._1).distinct.size)
   }
 
+  test("q_retention: offset-0 rows are full cohorts; matrix replays from raw weeks") {
+    val got = SeriesQueries.retention(spark, sfDir)
+      .select("cohort_week", "week_offset", "n_active", "cohort_size", "retention")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    // replay: per-user distinct weeks -> cohort = min week
+    val weeks = events.map(e => (e._1, e._2 / 604800000000L)).distinct
+    val cohortOf = weeks.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val want = weeks
+      .map { case (u, w) => (cohortOf(u), w - cohortOf(u)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.map(r => (r._1, r._2) -> r._3).toMap == want)
+    got.foreach { case (cw, off, nActive, size, ret) =>
+      assert(off >= 0 && nActive <= size)
+      assert(ret == nActive.toDouble / size) // one IEEE division, exact
+      if (off == 0) assert(nActive == size, s"cohort $cw: week-0 must be everyone")
+    }
+    // cohort sizes partition the user base
+    assert(got.filter(_._2 == 0).map(_._4).sum == cohortOf.size)
+  }
+
+  test("ts_cusum: changepoint replays from exact integer deviations") {
+    val got = SeriesQueries.cusum(spark, sfDir)
+      .select("user_id", "cp_event_id", "cp_ts_us", "max_abs_cusum", "n")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val byKey = events.groupBy(_._1)
+    assert(got.length == byKey.size)
+    got.foreach { case (u, cpEvent, cpTs, maxAbs, n) =>
+      val ord = byKey(u).sortBy(e => (e._2, e._3))
+      assert(n == ord.size)
+      val s = ord.map(_._4).sum
+      var acc = 0L
+      val cusums = ord.map { e => acc += e._4 * n - s; (e._2, e._3, math.abs(acc)) }
+      // argmax with the (abs desc, ts, event_id) tie-break
+      val best = cusums.maxBy(c => (c._3, -c._1, -c._2))
+      assert((best._2, best._1, best._3) == ((cpEvent, cpTs, maxAbs)),
+        s"user $u: got ($cpEvent,$cpTs,$maxAbs) want $best")
+      // the full deviation walk returns to zero (sum of c_i*n - S is 0)
+      assert(acc == 0L, s"user $u: CUSUM must close at 0, got $acc")
+    }
+  }
+
   test("dedup_containment: overlap law (>= jaccard on shared pairs; metric exact)") {
     val docs = graft.Tables.documents(spark, sfDir)
     val cont = Dedup.containmentPairs(docs, threshold = 0.0)

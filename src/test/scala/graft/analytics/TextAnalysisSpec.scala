@@ -142,4 +142,64 @@ class TextAnalysisSpec extends SparkSpec {
     val rebuilt = chunks1.init.flatMap(_.split(" ").take(24)) ++ chunks1.last.split(" ")
     assert(rebuilt.toSeq == (1 to 80).map(i => s"t$i"))
   }
+
+  test("repetition: crafted docs hit known fractions; corpus replays exactly") {
+    val docs = Seq(
+      (1L, "a b a b a b"),        // 2-grams: [ab ba ab ba ab] top=3/5; 3-grams: [aba bab aba bab] dup=2/4
+      (2L, "x y z"),              // no repeats: top2=1/2, dup3=0/1
+      (3L, "w w w w"),            // max repetition: top2=3/3, dup3=2/2... wait 3-grams: www www -> dup 1/2
+      (4L, "p q")                 // too short for 3-grams: NULL frac
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(docs).orderBy("doc_id").collect()
+    def row(i: Int) = (got(i).getLong(1), got(i).getLong(2), got(i).getLong(4), got(i).getLong(5))
+    assert(row(0) == ((5L, 3L, 4L, 2L))) // doc 1: n2=5 top2=3 n3=4 d3=2
+    assert(got(0).getDouble(3) == 3.0 / 5 && got(0).getDouble(6) == 2.0 / 4)
+    assert(row(1) == ((2L, 1L, 1L, 1L)) && got(1).getDouble(6) == 0.0)
+    assert(row(2) == ((3L, 3L, 2L, 1L)) && got(2).getDouble(3) == 1.0)
+    assert(row(3) == ((1L, 1L, 0L, 0L)) && got(3).isNullAt(6), "short doc: NULL 3-gram frac")
+    // corpus: replay a sample of real docs in plain Scala
+    val real = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val gotReal = TextAnalysis.repetitionQuery(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+    real.take(50).foreach { case (id, text) =>
+      val t = text.trim.split("\\s+").toSeq
+      val g2 = t.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val g3 = t.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+      val want = (g2.size.toLong,
+        if (g2.isEmpty) 0L else g2.groupBy(identity).values.map(_.size).max.toLong,
+        g3.size.toLong, g3.distinct.size.toLong)
+      assert(gotReal(id) == want, s"doc $id")
+    }
+  }
+
+  test("bm25: replayed scores match; tf-0 docs score zero; df/idf monotone") {
+    val got = TextAnalysis.bm25Query(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, text) => id -> text.trim.split("\\s+").toSeq }.toMap
+    val n = docs.size.toLong
+    val sumDl = docs.values.map(_.size.toLong).sum
+    val terms = Seq("spark", "join", "window")
+    val dfs = terms.map(t => docs.values.count(_.contains(t)).toLong)
+    docs.foreach { case (id, toks) =>
+      val dl = toks.size.toLong
+      val (gDl, gTf0, gTf1, gTf2, gScore) = got(id)
+      assert(gDl == dl)
+      val tfs = terms.map(t => toks.count(_ == t).toLong)
+      assert((gTf0, gTf1, gTf2) == ((tfs(0), tfs(1), tfs(2))))
+      val avgdl = sumDl.toDouble / n
+      val q = terms.indices.map { i =>
+        val idf = BigDecimal(math.log((n - dfs(i) + 0.5) / (dfs(i) + 0.5) + 1))
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val c = idf * ((tfs(i) * (1.2 + 1)) /
+          (tfs(i) + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+        math.round(c * 1e6)
+      }.sum
+      assert(gScore == q / 1e6, s"doc $id: $gScore != ${q / 1e6}")
+      if (tfs.forall(_ == 0)) assert(gScore == 0.0)
+    }
+  }
 }
