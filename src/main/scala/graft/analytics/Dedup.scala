@@ -269,32 +269,77 @@ object Dedup {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
 
-  def dupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+  def dupClusters(docs: DataFrame, pairs: DataFrame,
+                  localEdgeLimit: Long = sys.env
+                    .getOrElse("GRAFT_CC_LOCAL_EDGES", (1L << 20).toString).toLong): DataFrame = {
     // localCheckpoint (eager), NOT cache: an iterative dataflow's logical
     // plan grows exponentially round-over-round if each round's plan
     // embeds the last (cache leaves lineage in place); checkpointing
     // truncates it. On a cluster this is `checkpoint()` against reliable
     // storage — same shape.
-    // lazy checkpoints: the init labelSum below materializes edges AND
-    // labels in ONE job (pair generation runs once); eager would pay a
-    // separate job per checkpoint before any propagation starts
+    // lazy checkpoint: the count below materializes edges in ONE job
+    // (pair generation runs once); eager would pay a separate job
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(false)
+    val spark = docs.sparkSession
+    // one action: runs pair generation, fills the checkpoint, sizes both
+    // the path choice below and the distributed path's round shuffles
+    val nEdges = edges.count()
+    val debug = sys.env.contains("GRAFT_DEBUG")
+    def labelSum(df: DataFrame): Long = // coalesce: sum of zero rows is NULL
+      df.agg(coalesce(sum("keeper"), lit(0L))).head().getLong(0)
+    var labels: DataFrame = null
+    var converged = false
+    var rounds = 0
+    // Small-subgraph fast path: near-dup pair graphs are normally tiny
+    // relative to the corpus (rare dups, near-clique clusters), and the
+    // iterative rounds then cost pure job-launch latency (~1 s/round on
+    // local[32] — 7+ rounds measured at sf0.1 for a few-thousand-edge
+    // subgraph). Below a bounded size, collect the checkpointed edge list
+    // ONCE (reads checkpoint blocks, no upstream recompute; ≤16 MB of
+    // longs at the default cap — the same order as Spark's own broadcast
+    // threshold) and solve exactly with driver-side union-find, then
+    // broadcast the labels back. This is a size-GUARDED specialization,
+    // same spirit as AQE's broadcast-join demotion: the distributed
+    // halving rounds below remain the path for genuinely large subgraphs.
+    if (nEdges <= localEdgeLimit) {
+      val es = edges.where(col("src") < col("dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // union-find, min id as root (keeper = min reachable id — the same
+      // fixpoint the propagation rounds converge to), path compression
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val nxt = parent(c); parent.update(c, r); c = nxt }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (ra < rb) parent.update(rb, ra) else parent.update(ra, rb)
+        }
+      }
+      val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+      labels = broadcast(
+        spark.createDataFrame(nodes.iterator.map(n => (n, find(n))).toSeq)
+          .toDF("doc_id", "keeper"))
+      converged = true
+      if (debug) System.err.println(
+        s"[dupClusters] local union-find: ${es.length} pairs, ${nodes.size} nodes")
+    } else {
     // propagate over the edge-touched subgraph only: in a real corpus the
     // overwhelming majority of documents are in NO near-dup pair, and
     // iterating their unchanging self-labels every round is pure waste —
     // singletons are attached in one join after convergence.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
+    labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("keeper", col("doc_id"))
       .localCheckpoint(false)
     // labels only ever decrease, so the fixpoint test is one aggregate:
     // the label sum is strictly monotone until convergence.
-    def labelSum(df: DataFrame): Long = // coalesce: sum of zero rows is NULL
-      df.agg(coalesce(sum("keeper"), lit(0L))).head().getLong(0)
     var prevSum = labelSum(labels)
-    var converged = false
-    var rounds = 0
     // Size the round shuffles to the SUBGRAPH, not the corpus: the
     // edge-touched subgraph is usually orders of magnitude smaller than
     // the input (near-dups are rare), yet every round's ~5 shuffle stages
@@ -303,20 +348,16 @@ object Dedup {
     // ~0.5 s/round at a few-hundred-node subgraph on local[32]). One
     // partition per ~64k edges keeps partitions well under memory limits
     // (an edge row is two longs) and restores the session default for
-    // corpus-scale subgraphs. edges is already materialized (the init
-    // labelSum above), so the count reads checkpointed blocks — no
-    // recompute. Conf is restored before the corpus-sized result join
-    // below is ever executed (it is lazy).
-    val spark = docs.sparkSession
+    // corpus-scale subgraphs. Conf is restored before the corpus-sized
+    // result join below is ever executed (it is lazy).
     val sessionPartitions = spark.conf.get("spark.sql.shuffle.partitions")
     val roundPartitions =
-      math.min(sessionPartitions.toLong, math.max(1L, edges.count() / 65536L))
+      math.min(sessionPartitions.toLong, math.max(1L, nEdges / 65536L))
     // with path halving each round covers ~2^round hops, so 50 rounds
     // bounds component diameter at ~2^50 — unreachable in practice; a
     // non-converged exit would mean a logic error and must fail loudly
     // rather than return silently split clusters
     val maxRounds = 50
-    val debug = sys.env.contains("GRAFT_DEBUG")
     val sessionAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", roundPartitions.toString)
     // AQE's per-shuffle re-planning barrier is pure latency on the tiny
@@ -389,6 +430,7 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"dupClusters did not converge in $maxRounds halving rounds " +
         "(diameter ~2^50) — this indicates a propagation logic error")
+    } // end distributed path
     // the edge list is dead once propagation converges (the result below
     // only joins labels back to docs) — free its checkpoint now. The FINAL
     // labels checkpoint must outlive this method (the returned frame reads

@@ -18,6 +18,20 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
       5L -> 5L, 6L -> 5L, 4L -> 4L, 7L -> 7L))
   }
+
+  test("dupClusters: local union-find path == distributed halving path on the corpus graph") {
+    import spark.implicits._
+    val corpus = graft.Tables.documents(spark, sfDir)
+    val pairs = Dedup.simhashPairs(corpus)
+    // localEdgeLimit = -1 forces every edge count onto the distributed
+    // rounds; the default takes the driver union-find. Same fixpoint.
+    val viaLocal = Dedup.dupClusters(corpus, pairs, localEdgeLimit = Long.MaxValue)
+      .as[(Long, Long)].collect().toMap
+    val viaRounds = Dedup.dupClusters(corpus, pairs, localEdgeLimit = -1L)
+      .as[(Long, Long)].collect().toMap
+    assert(viaLocal == viaRounds)
+    assert(viaLocal.nonEmpty && viaLocal.forall { case (d, k) => k <= d })
+  }
   import spark.implicits._
 
   // docs 1/2: near-identical (one word differs); doc 3: unrelated; doc 4:
