@@ -82,6 +82,7 @@ object SparkEntry {
     "fuzzy_names" -> (Relational.fuzzyNames _), // blocked edit-distance entity resolution on the name dictionary
     "q_retention" -> (SeriesQueries.retention _), // weekly cohort retention matrix, one user-keyed shuffle
     "ts_cusum" -> (SeriesQueries.cusum _), // exact-integer CUSUM changepoint scan per key
+    "q_cms_counts" -> (SeriesQueries.cmsCounts _), // native Count-Min aggregate vs exact counts
     // salted-join surface proof: the deterministic-salt equi-join must be
     // RESULT-identical to the plain join the oracle runs — the salt is an
     // execution detail (straggler spreading), never a semantics change
@@ -772,6 +773,23 @@ object SparkEntry {
                    ORDER BY abs(cusum) DESC, ts_us, event_id) AS rn FROM c)
          SELECT user_id, event_id AS cp_event_id, ts_us AS cp_ts_us, max_abs_cusum, n
          FROM r WHERE rn = 1""",
+    "q_cms_counts" ->
+      // the CMS matrix rebuilt relationally: cell (j, b) holds the count
+      // of rows whose j-th md5 bucket is b — elementwise-add merge makes
+      // the native aggregate's matrix identical to this group-by
+      s"""WITH cells AS (
+            SELECT j, ${md5L60("j::VARCHAR || ':' || user_id::VARCHAR")} % 256 AS b,
+                   count(*) AS v
+            FROM events, range(4) t(j) GROUP BY 1, 2),
+          probes AS (SELECT user_id, count(*) AS exact_n FROM events
+                     WHERE user_id < 10 GROUP BY user_id),
+          pj AS (SELECT p.user_id, p.exact_n, t.j,
+                   ${md5L60("t.j::VARCHAR || ':' || p.user_id::VARCHAR")} % 256 AS b
+                 FROM probes p, range(4) t(j))
+          SELECT pj.user_id, pj.exact_n,
+                 min(coalesce(c.v, 0))::BIGINT AS cms_est
+          FROM pj LEFT JOIN cells c ON c.j = pj.j AND c.b = pj.b
+          GROUP BY pj.user_id, pj.exact_n""",
     "fuzzy_names" ->
       // two-pass token blocking (first token ∪ last token), verified by
       // levenshtein — DuckDB's unit-cost edit distance matches Spark's

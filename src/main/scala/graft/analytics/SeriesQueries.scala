@@ -431,6 +431,35 @@ object SeriesQueries {
       .orderBy("user_id")
   }
 
+  /** Count-Min-sketched per-key frequencies vs their exact counts — the
+    * approximate-counting face of the engine, via the native
+    * [[graft.functions.CmsSketch]] aggregate (one 4×256 counter matrix
+    * per partition ships to the driver, never per-key rows). Estimates
+    * are the classic `min_j M[j][h_j(key)]` probe, computed here for a
+    * fixed probe set next to the exact aggregation so the over-count law
+    * (est ≥ exact) is visible in the result itself. Counter addition is
+    * commutative, so the sketch is merge-order-deterministic and — with
+    * engine-portable md5 bucket hashes — fully DuckDB-oracle-able,
+    * unlike merge-schedule-dependent heavy-hitter sketches. */
+  def cmsCounts(spark: SparkSession, dir: String): DataFrame = {
+    val d = 4
+    val w = 256
+    val ev = Tables.events(spark, dir)
+    val sk = ev.select(col("user_id").cast("string").as("k"))
+      .agg(expr(s"cms_sketch(k, $d, $w)").as("m"))
+    val probes = ev.where(col("user_id") < 10)
+      .groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+    val est = (0 until d).map { j =>
+      col("m").apply((lit(j.toLong * w) +
+        graft.functions.Hashes.md5Long60Seeded(j, col("user_id").cast("string")) % w)
+        .cast("int"))
+    }
+    probes.crossJoin(broadcast(sk))
+      .withColumn("cms_est", least(est: _*))
+      .select("user_id", "exact_n", "cms_est")
+      .orderBy("user_id")
+  }
+
   /** Hourly quartile bands (p25/p50/p75) per event type — the latency-
     * dashboard query every event pipeline serves. Exact interpolated
     * percentiles per (hour, type) group: affordable because each group

@@ -103,6 +103,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("zvalue"),
       new ExpressionInfo(classOf[ZValue].getCanonicalName, "zvalue"),
       (children: Seq[Expression]) => ZValue(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[CmsSketch].getCanonicalName, "cms_sketch"),
+      (children: Seq[Expression]) => {
+        def intArg(i: Int): Int = children(i) match {
+          case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+          case e => throw new IllegalArgumentException(
+            s"cms_sketch argument ${i + 1} must be a literal int, got $e")
+        }
+        CmsSketch(children(0), intArg(1), intArg(2))
+      }))
     // Spark's own runtime-filter predicate (codegen'd), surfaced for the
     // explicit bloom-prune path (graft.operators.BloomPrune): argument 1
     // is the serialized sketch BloomFilter, argument 2 the long key
