@@ -56,6 +56,9 @@ object Bench {
       "agg4_rmse_history_mean", // agg2_persistence_rmse variant
       "dedup_containment",     // dedup_ngram_jaccard's verify stage, different final metric
       "q_evt_pctl",            // per-group exact percentile family: q_exact_stats benched
+      "tr2_anchored_return",   // tr1_change_filter + an anchored-first projection
+      "mm_payload_stats",      // cheap projection sibling of mm_decode_features
+      "txt_quality",           // its gates run inside the benched txt_c4_filter
       // the two documented quadratic ORACLE BASELINES: their scale paths
       // (dedup_embedding_lsh / knn_ann_lsh, knn_ann_ivf) are benched;
       // benching the deliberately-unscalable form adds no plan signal

@@ -64,6 +64,7 @@ object SparkEntry {
     "jn1_fifo_rank_join" -> (SeriesQueries.fifoRankJoin _),
     "jn2_asof_join" -> (SeriesQueries.asOfJoin _),
     "jn3_asof_tolerance" -> (SeriesQueries.asOfJoinTolerance _),
+    "jn4_asof_native" -> (SeriesQueries.asOfJoinNative _), // custom LogicalPlan+Strategy+SparkPlan merge as-of
     "agg2_persistence_rmse" -> (SeriesQueries.persistenceRmse _),
     "agg3_value_summary" -> (SeriesQueries.valueSummary _),
     "src2_json_extract" -> (SeriesQueries.jsonExtract _),
@@ -563,6 +564,25 @@ object SparkEntry {
          SELECT user_id, f_event_id, f_value, a_event_id, a_value
          FROM f LEFT JOIN a USING (user_id, rn)""",
     "jn2_asof_join" ->
+      """WITH v AS (SELECT user_id, ts, value FROM (
+             SELECT user_id, ts, value,
+                    row_number() OVER (PARTITION BY user_id, ts
+                                       ORDER BY event_id DESC) AS rn
+             FROM events WHERE event_type='view') WHERE rn = 1),
+           u AS (SELECT user_id, ts, event_id, value, 1 AS side, NULL AS v_value
+                 FROM events WHERE event_type='purchase'
+                 UNION ALL
+                 SELECT user_id, ts, NULL, NULL, 0, value FROM v)
+         SELECT user_id, event_id, value, last_view_value FROM (
+           SELECT user_id, event_id, value, side,
+             last_value(v_value IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, side
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_value
+           FROM u) t WHERE side = 1""",
+    "jn4_asof_native" ->
+      // IDENTICAL oracle to jn2_asof_join BY DESIGN: the custom
+      // AsOfMergeJoinExec must reproduce the composed operator's result
+      // exactly, and the driver's hash gate enforces it
       """WITH v AS (SELECT user_id, ts, value FROM (
              SELECT user_id, ts, value,
                     row_number() OVER (PARTITION BY user_id, ts

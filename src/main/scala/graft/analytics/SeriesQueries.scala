@@ -91,6 +91,27 @@ object SeriesQueries {
         col("asof_v_value").as("last_view_value"))
   }
 
+  /** The as-of join again, through the custom whole-operator plan
+    * ([[graft.plans.AsOfNative]] → `AsOfJoinNode`/`AsOfMergeJoinExec`):
+    * result-identical to [[asOfJoin]] (same oracle), but planned as one
+    * sorted merge pass per co-partitioned key group — no union, no
+    * window buffer. The two queries sharing one oracle IS the test that
+    * the custom operator preserves the composed operator's semantics
+    * under the driver's hash gate. */
+  def asOfJoinNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "ts_us", "event_id", "event_type", "value")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("user_id", "ts_us", "event_id", "value")
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us").as("v_ts_us"),
+        col("event_id").as("v_event_id"), col("value").as("v_value"))
+    graft.plans.AsOfNative.asOfJoin(purchases, views, keys, "ts_us", "v_ts_us",
+        Seq("v_value"), rightTiebreak = Seq("v_event_id"))
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("asof_v_value").as("last_view_value"))
+  }
+
   /** As-of join with a 1-hour tolerance (pandas merge_asof's `tolerance`):
     * a matched view older than an hour before the purchase is nulled out —
     * the staleness bound every real market-data as-of join needs. */

@@ -84,6 +84,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * `cosine_sim(a, b)` via the function registry. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator custom plan: the native as-of merge join
+    // (graft.plans.AsOfJoinNode -> AsOfMergeJoinExec)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName, "cosine_sim"),
