@@ -59,6 +59,8 @@ object Bench {
       "tr2_anchored_return",   // tr1_change_filter + an anchored-first projection
       "mm_payload_stats",      // cheap projection sibling of mm_decode_features
       "txt_quality",           // its gates run inside the benched txt_c4_filter
+      "q10_returned_cust",     // join+agg+topk family: q3_top_orders/q5 benched
+      "q18_big_orders",        // agg-then-join family: q_top_orders_per_cust benched
       // the two documented quadratic ORACLE BASELINES: their scale paths
       // (dedup_embedding_lsh / knn_ann_lsh, knn_ann_ivf) are benched;
       // benching the deliberately-unscalable form adds no plan signal

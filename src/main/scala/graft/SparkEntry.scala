@@ -81,6 +81,10 @@ object SparkEntry {
     "q_evt_pctl" -> (SeriesQueries.hourlyPercentiles _), // hourly p25/p50/p75 bands per event type
     "q_transitions" -> (SeriesQueries.transitions _), // per-user event-type Markov transition matrix
     "fuzzy_names" -> (Relational.fuzzyNames _), // blocked edit-distance entity resolution on the name dictionary
+    "q10_returned_cust" -> (Relational.returnedCustomers _), // TPC-H Q10: top returned-value customers
+    "q14_promo_share" -> (Relational.promoShare _), // TPC-H Q14: promo revenue share by ship year
+    "q18_big_orders" -> ((s: SparkSession, d: String) => Relational.bigOrders(s, d)), // TPC-H Q18: large-volume orders
+    "q19_bracket_revenue" -> (Relational.bracketRevenue _), // TPC-H Q19: disjunctive bracket predicate pushdown
     "q_retention" -> (SeriesQueries.retention _), // weekly cohort retention matrix, one user-keyed shuffle
     "ts_cusum" -> (SeriesQueries.cusum _), // exact-integer CUSUM changepoint scan per key
     "q_cms_counts" -> (SeriesQueries.cmsCounts _), // native Count-Min aggregate vs exact counts
@@ -763,6 +767,47 @@ object SparkEntry {
          SELECT from_type, to_type, n,
                 n / (sum(n) OVER (PARTITION BY from_type))::BIGINT AS p
          FROM m""",
+    "q10_returned_cust" ->
+      """SELECT c_custkey, c_name, n_name,
+                round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+         JOIN customer ON o_custkey=c_custkey
+         JOIN nation ON c_nationkey=n_nationkey
+         WHERE l_returnflag='R'
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q14_promo_share" ->
+      // revenue summed exactly as cents*(100-disc100) in BIGINT, one
+      // division by 1e4 — zero summation-order dependence (a rounded
+      // DOUBLE sum diverged by a cent on the ~10k-row year groups)
+      """SELECT ship_year, promo_revenue, total_revenue,
+                round(100 * promo_revenue / total_revenue, 6) AS promo_pct
+         FROM (SELECT year(l_shipdate)::BIGINT AS ship_year,
+                 round(sum(CASE WHEN p_type='PROMO'
+                   THEN CAST(round(l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(round(l_discount*100) AS BIGINT)) END)::BIGINT
+                   / 10000.0, 2) AS promo_revenue,
+                 round(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(round(l_discount*100) AS BIGINT)))::BIGINT
+                   / 10000.0, 2) AS total_revenue
+               FROM lineitem JOIN part ON p_partkey=l_partkey
+               GROUP BY 1) t""",
+    "q18_big_orders" ->
+      // integral quantities: the sum and BIGINT cast are exact
+      """WITH big AS (SELECT l_orderkey, sum(l_quantity)::BIGINT AS order_qty
+                      FROM lineitem GROUP BY l_orderkey
+                      HAVING sum(l_quantity)::BIGINT > 300)
+         SELECT c_custkey, c_name, o_orderkey,
+                round(o_totalprice,2) AS o_totalprice, order_qty
+         FROM big JOIN orders ON l_orderkey=o_orderkey
+         JOIN customer ON o_custkey=c_custkey""",
+    "q19_bracket_revenue" ->
+      """SELECT count(*) AS n_rows,
+                round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+         FROM lineitem JOIN part ON p_partkey=l_partkey
+         WHERE (p_brand='Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
+            OR (p_brand='Brand#23' AND p_size BETWEEN 10 AND 25 AND l_quantity BETWEEN 10 AND 25)
+            OR (p_brand='Brand#34' AND p_size BETWEEN 20 AND 35 AND l_quantity BETWEEN 20 AND 35)""",
     "q_retention" ->
       // distinct-activity + cohort-join formulation — semantically equal
       // to the Spark side's single-shuffle collect_set form; retention is

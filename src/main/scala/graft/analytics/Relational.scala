@@ -382,6 +382,85 @@ object Relational {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** TPC-H Q10 analog — who returned the most value: per-customer revenue
+    * over returned lineitems, top 20. The returnflag filter reaches the
+    * parquet scan (PushedFilters); customer/nation broadcast; only the
+    * filtered fact rows shuffle for the aggregation. Deterministic
+    * top-k: rounded revenue desc then custkey. */
+  def returnedCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .where(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_name", "c_nationkey")
+    val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+  }
+
+  /** TPC-H Q14 analog — promo revenue share by ship year. Parity note:
+    * per-year groups are large enough (~10k rows, 4e8 magnitude) that a
+    * rounded DOUBLE sum diverges by a cent between engines, so revenue
+    * is summed EXACTLY as `cents·(100 − discount·100)` in BIGINT (both
+    * factors are 2-decimal by construction) and divided by 1e4 once —
+    * zero order dependence, the integer-cents discipline of the series
+    * family applied to money. */
+  def promoShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val part = Tables.part(spark, dir).select("p_partkey", "p_type")
+    val rev1e4 = round(col("l_extendedprice") * 100, 0).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(round(sum(when(col("p_type") === "PROMO", rev1e4)) / 10000.0, 2).as("promo_revenue"),
+        round(sum(rev1e4) / 10000.0, 2).as("total_revenue"))
+      .withColumn("promo_pct",
+        round(lit(100) * col("promo_revenue") / col("total_revenue"), 6))
+      .orderBy("ship_year")
+  }
+
+  /** TPC-H Q18 analog — large-volume orders: orders whose total quantity
+    * exceeds the threshold, with their customer. The HAVING filter runs
+    * on the first (order-keyed) aggregation, so only qualifying orders
+    * ever join; quantities are integral doubles, so the sums (and the
+    * BIGINT cast) are exact. */
+  def bigOrders(spark: SparkSession, dir: String, minQty: Long = 300): DataFrame = {
+    val qty = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity").cast("long").as("order_qty"))
+      .where(col("order_qty") > minQty)
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_totalprice")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_name")
+    qty.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("order_qty"))
+      .orderBy(col("order_qty").desc, col("o_orderkey"))
+  }
+
+  /** TPC-H Q19 analog — disjunctive bracket revenue: three (brand, size
+    * bracket, quantity bracket) arms OR'd together, the classic test
+    * that an optimizer pushes a disjunction of conjunctions down to the
+    * scans instead of cross-joining first. Single-row result. */
+  def bracketRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val part = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    def arm(brand: String, sizeLo: Int, sizeHi: Int, qLo: Int, qHi: Int) =
+      col("p_brand") === brand &&
+        col("p_size").between(sizeLo, sizeHi) && col("l_quantity").between(qLo, qHi)
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .where(arm("Brand#12", 1, 15, 1, 15) || arm("Brand#23", 10, 25, 10, 25) ||
+        arm("Brand#34", 20, 35, 20, 35))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
   /** Fuzzy entity resolution over the part-name dictionary: distinct
     * name pairs within edit distance 3 (excluding exact equals), with
     * each name's row support. The shape that scales: match the DISTINCT

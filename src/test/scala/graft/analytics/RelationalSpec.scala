@@ -117,6 +117,38 @@ class RelationalSpec extends SparkSpec {
     assert(bySpend.map(_._2).toSeq == bySpend.map(_._2).sorted.toSeq)
   }
 
+  test("TPC-H analogs q10/q14/q18/q19: structural laws replay") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, sfDir)
+    // q10: descending revenue, and the top row beats any non-returned aggregate
+    val q10 = Relational.returnedCustomers(spark, sfDir).collect()
+    val revs = q10.map(_.getDouble(3))
+    assert(revs.length <= 20 && revs.sameElements(revs.sortBy(-(_: Double))))
+    // q14: share within [0,100], promo <= total, years cover the data
+    val q14 = Relational.promoShare(spark, sfDir).collect()
+    assert(q14.nonEmpty)
+    q14.foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(2) && r.getDouble(3) >= 0 && r.getDouble(3) <= 100)
+    }
+    val yearsInData = li.select(year(col("l_shipdate"))).distinct().count()
+    assert(q14.length == yearsInData)
+    // q18: every emitted order's quantity replays above the threshold
+    val q18 = Relational.bigOrders(spark, sfDir, minQty = 100).collect()
+      .map(r => r.getLong(2) -> r.getLong(4)).toMap
+    val want18 = li.groupBy("l_orderkey").agg(sum("l_quantity").cast("long").as("q"))
+      .where(col("q") > 100).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(q18 == want18 && q18.nonEmpty)
+    // q19: row count replays from an independent predicate evaluation
+    val q19 = Relational.bracketRevenue(spark, sfDir).head()
+    val part = graft.Tables.part(spark, sfDir)
+    val n = li.join(part, col("l_partkey") === col("p_partkey"))
+      .where((col("p_brand") === "Brand#12" && col("p_size").between(1, 15) && col("l_quantity").between(1, 15)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(10, 25) && col("l_quantity").between(10, 25)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(20, 35) && col("l_quantity").between(20, 35)))
+      .count()
+    assert(q19.getLong(0) == n && n > 0)
+  }
+
   test("fuzzy_names: exact precision, full recall over the blocked space") {
     // reference unit-cost Levenshtein (same semantics as Spark/DuckDB)
     def lev(a: String, b: String): Int = {
