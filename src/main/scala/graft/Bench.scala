@@ -61,6 +61,8 @@ object Bench {
       "txt_quality",           // its gates run inside the benched txt_c4_filter
       "q10_returned_cust",     // join+agg+topk family: q3_top_orders/q5 benched
       "q18_big_orders",        // agg-then-join family: q_top_orders_per_cust benched
+      "q_grouping_sets",       // grouping-set family: q_quantity_cube/q_returns_rollup benched
+      "q_running_spend",       // rows-frame cumulative window: the RANGE-frame q_trailing_spend benched
       // the two documented quadratic ORACLE BASELINES: their scale paths
       // (dedup_embedding_lsh / knn_ann_lsh, knn_ann_ivf) are benched;
       // benching the deliberately-unscalable form adds no plan signal

@@ -81,6 +81,8 @@ object SparkEntry {
     "q_evt_pctl" -> (SeriesQueries.hourlyPercentiles _), // hourly p25/p50/p75 bands per event type
     "q_transitions" -> (SeriesQueries.transitions _), // per-user event-type Markov transition matrix
     "fuzzy_names" -> (Relational.fuzzyNames _), // blocked edit-distance entity resolution on the name dictionary
+    "q_trailing_spend" -> ((s: SparkSession, d: String) => Relational.trailingSpend(s, d)), // RANGE-frame trailing 30-day window
+    "q_grouping_sets" -> (Relational.groupingSets _), // explicit GROUPING SETS via the spark.sql entry point
     "q10_returned_cust" -> (Relational.returnedCustomers _), // TPC-H Q10: top returned-value customers
     "q14_promo_share" -> (Relational.promoShare _), // TPC-H Q14: promo revenue share by ship year
     "q18_big_orders" -> ((s: SparkSession, d: String) => Relational.bigOrders(s, d)), // TPC-H Q18: large-volume orders
@@ -767,6 +769,27 @@ object SparkEntry {
          SELECT from_type, to_type, n,
                 n / (sum(n) OVER (PARTITION BY from_type))::BIGINT AS p
          FROM m""",
+    "q_trailing_spend" ->
+      // RANGE frame over the epoch-day value: same-day orders share one
+      // frame, so the sum is tie-insensitive; cents keep it exact
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+                      epoch(o_orderdate)::BIGINT // 86400 AS day,
+                      CAST(round(o_totalprice*100) AS BIGINT) AS cents
+                    FROM orders)
+         SELECT o_orderkey, o_custkey, day,
+                CAST(sum(cents) OVER w AS BIGINT) AS spend_30d_cents,
+                count(*) OVER w AS n_orders_30d
+         FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+                             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""",
+    "q_grouping_sets" ->
+      // grouping() flags — not the NULLs — mark the superaggregate rows
+      """SELECT l_returnflag, l_linestatus,
+                CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+                CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+                sum(CAST(round(l_extendedprice*100) AS BIGINT))::BIGINT AS price_cents,
+                count(*) AS n_rows
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""",
     "q10_returned_cust" ->
       """SELECT c_custkey, c_name, n_name,
                 round(sum(l_extendedprice*(1-l_discount)),2) AS revenue

@@ -461,6 +461,47 @@ object Relational {
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
   }
 
+  /** Trailing 30-day spend per customer — the RANGE-frame window (frame
+    * bounded by ORDER-BY VALUE, not row count) the rest of the surface's
+    * `rowsBetween` windows don't exercise: same-day orders always share
+    * one frame, so the result is tie-insensitive by construction. Cents
+    * as BIGINT keep the window sums exact. One shuffle on the customer
+    * key. */
+  def trailingSpend(spark: SparkSession, dir: String, days: Int = 30): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      // NTZ -> timestamp is wall-clock identity under the UTC session,
+      // matching DuckDB's naive epoch()
+      (col("o_orderdate").cast("timestamp").cast("long") / lit(86400L)).cast("long").as("day"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-days, 0)
+    o.select(col("o_orderkey"), col("o_custkey"), col("day"),
+        sum("cents").over(w).as("spend_30d_cents"),
+        count(lit(1)).over(w).as("n_orders_30d"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Explicit GROUPING SETS with per-column grouping flags — exercised
+    * through `spark.sql` (the engine's one SQL-string entry point; the
+    * DataFrame API has no grouping-sets verb). Per-set totals are exact
+    * integer cents; the grouping() flags disambiguate real NULL groups
+    * from superaggregate rows — the reason the flags, not the NULLs, are
+    * part of the contract. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .select("l_returnflag", "l_linestatus", "l_extendedprice")
+      .createOrReplaceTempView("gs_lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+                CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+                CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+                sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS price_cents,
+                count(*) AS n_rows
+         FROM gs_lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         ORDER BY g_flag, g_status, l_returnflag, l_linestatus""")
+  }
+
   /** Fuzzy entity resolution over the part-name dictionary: distinct
     * name pairs within edit distance 3 (excluding exact equals), with
     * each name's row support. The shape that scales: match the DISTINCT

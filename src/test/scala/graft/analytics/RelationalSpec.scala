@@ -149,6 +149,43 @@ class RelationalSpec extends SparkSpec {
     assert(q19.getLong(0) == n && n > 0)
   }
 
+  test("trailing spend: RANGE frame replays; same-day orders share a frame") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = Relational.trailingSpend(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val orders = graft.Tables.orders(spark, sfDir).select(
+        col("o_orderkey"), col("o_custkey"),
+        (col("o_orderdate").cast("timestamp").cast("long") / lit(86400L)).cast("long"),
+        round(col("o_totalprice") * 100, 0).cast("long"))
+      .as[(Long, Long, Long, Long)].collect()
+    val byCust = orders.groupBy(_._2)
+    got.foreach { case (okey, (cust, day, spend, n)) =>
+      val frame = byCust(cust).filter(o => o._3 >= day - 30 && o._3 <= day)
+      assert(spend == frame.map(_._4).sum && n == frame.size.toLong,
+        s"order $okey: frame mismatch")
+    }
+    assert(got.length == orders.length)
+  }
+
+  test("grouping sets: layers sum consistently, flags mark superaggregates") {
+    val rows = Relational.groupingSets(spark, sfDir).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val leaves = rows.filter(r => r._3 == 0 && r._4 == 0)
+    val perFlag = rows.filter(r => r._3 == 0 && r._4 == 1)
+    val total = rows.filter(r => r._3 == 1 && r._4 == 1)
+    assert(total.length == 1 && leaves.nonEmpty && perFlag.nonEmpty)
+    assert(leaves.map(_._5).sum == total.head._5 && perFlag.map(_._5).sum == total.head._5)
+    assert(leaves.map(_._6).sum == total.head._6)
+    perFlag.foreach { f =>
+      assert(leaves.filter(_._1 == f._1).map(_._5).sum == f._5)
+    }
+    // superaggregate rows have NULL rolled-up columns (flag, not value, is the signal)
+    assert(total.head._1.isEmpty && total.head._2.isEmpty)
+    assert(perFlag.forall(f => f._1.nonEmpty && f._2.isEmpty))
+  }
+
   test("fuzzy_names: exact precision, full recall over the blocked space") {
     // reference unit-cost Levenshtein (same semantics as Spark/DuckDB)
     def lev(a: String, b: String): Int = {
