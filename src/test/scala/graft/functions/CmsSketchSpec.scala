@@ -57,6 +57,28 @@ class CmsSketchSpec extends SparkSpec {
     }
   }
 
+  test("streaming: the sketch maintains incrementally across micro-batches") {
+    // commutative merges make the aggregate streaming-ready with no
+    // extra code: the final matrix after N micro-batches must equal the
+    // batch matrix over the union of all inputs
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[String]
+    val name = s"cms_stream_${System.nanoTime()}"
+    val q = ms.toDS().toDF("k")
+      .selectExpr(s"cms_sketch(k, $d, $w) AS m")
+      .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    val batch1 = Seq("a", "b", "a", "c")
+    val batch2 = Seq("b", "d", "a")
+    try {
+      ms.addData(batch1: _*); q.processAllAvailable()
+      ms.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(name).head().getSeq[Long](0)
+    val batch = matrixOf((batch1 ++ batch2).toDF("k"))
+    assert(streamed == batch)
+  }
+
   test("nulls are not counted") {
     val df = Seq(Some("a"), None, Some("b"), Some("a")).toDF("k")
     val m = matrixOf(df)
