@@ -63,6 +63,7 @@ object Bench {
       "q18_big_orders",        // agg-then-join family: q_top_orders_per_cust benched
       "q_grouping_sets",       // grouping-set family: q_quantity_cube/q_returns_rollup benched
       "q_running_spend",       // rows-frame cumulative window: the RANGE-frame q_trailing_spend benched
+      "mix_sources",           // scan-speed hash-filter family: sample_stratified benched
       // the two documented quadratic ORACLE BASELINES: their scale paths
       // (dedup_embedding_lsh / knn_ann_lsh, knn_ann_ivf) are benched;
       // benching the deliberately-unscalable form adds no plan signal

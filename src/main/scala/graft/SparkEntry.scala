@@ -147,6 +147,7 @@ object SparkEntry {
     "split_assign" -> (Sampling.splitAssignQuery _),
     "pack_sequences" -> (Sampling.packQuery _),
     "sample_stratified" -> (Sampling.stratifiedSampleQuery _),
+    "mix_sources" -> (Sampling.mixSourcesQuery _), // deterministic static domain reweighting (DoReMi-style)
     "sample_weighted" -> (Sampling.weightedSampleQuery _),
     // --- multimodal binary-column plumbing ---
     "mm_payload_stats" -> (Multimodal.payloadStatsQuery _),
@@ -1106,6 +1107,19 @@ object SparkEntry {
       s"""SELECT doc_id, CASE WHEN $docBucketSql < 800 THEN 'train'
                               WHEN $docBucketSql < 900 THEN 'val'
                               ELSE 'test' END AS fold FROM documents""",
+    "mix_sources" ->
+      // all-integer rate derivation: M = min(n_s*1000 div t_pm), then
+      // rate_pm = (t_pm*M) div n_s — identical keep set on every engine
+      s"""WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+          t(source, t_pm) AS (VALUES ('src0', 400), ('src1', 250),
+                                     ('src2', 200), ('src3', 150)),
+          ct AS (SELECT c.source, n_s, t_pm FROM c JOIN t USING (source)),
+          m AS (SELECT min(n_s * 1000 // t_pm) AS m FROM ct),
+          r AS (SELECT source, least(1000, (t_pm * m) // n_s)::BIGINT AS rate_pm
+                FROM ct, m)
+          SELECT d.doc_id, d.source, r.rate_pm
+          FROM documents d JOIN r ON d.source = r.source
+          WHERE $docBucketSql < rate_pm""",
     "sample_stratified" ->
       """SELECT event_id, event_type, bucket AS keep_bucket FROM (
            SELECT event_id, event_type,

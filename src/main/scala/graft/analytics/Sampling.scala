@@ -111,6 +111,35 @@ object Sampling {
       .drop("__es")
   }
 
+  /** Deterministic source mixing — static domain reweighting for a
+    * training corpus (the DoReMi/The-Pile recipe): given target mix
+    * proportions `t_pm` (per-mille) over sources, the largest achievable
+    * mix size is `M = min_s(n_s·1000 div t_pm)` (the binding source is
+    * kept ~whole), each source's keep-rate is `(t_pm·M) div n_s`
+    * per-mille, and a doc survives iff its md5 bucket falls below its
+    * source's rate. ALL integer arithmetic — the kept set is identical
+    * on every engine, rerun, and partitioning, and growing one source
+    * never resamples another. Unlisted sources drop (rate 0).
+    *
+    * Shape at 100 TB: one tiny per-source count aggregate, rates
+    * broadcast back, then a scan-speed hash filter — the corpus itself
+    * never shuffles. */
+  def mixSources(docs: DataFrame, targetsPerMille: Seq[(String, Int)]): DataFrame = {
+    require(targetsPerMille.nonEmpty && targetsPerMille.forall(_._2 > 0))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val targets = targetsPerMille.toDF("source", "t_pm")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+      .join(broadcast(targets), "source")
+    val m = counts.agg(min(expr("n_s * 1000 div t_pm")).as("m"))
+    val rates = counts.crossJoin(broadcast(m))
+      .select(col("source"),
+        least(lit(1000L), expr("(t_pm * m) div n_s")).as("rate_pm"))
+    docs.join(broadcast(rates), "source")
+      .where(hashBucket(col("doc_id"), 1000) < col("rate_pm"))
+      .select("doc_id", "source", "rate_pm")
+  }
+
   // -- query entry points --
 
   def splitQuery(spark: SparkSession, dir: String): DataFrame =
@@ -145,4 +174,10 @@ object Sampling {
       col("doc_id"), col("n_chars"), k = 100)
       .select("doc_id", "n_chars", "rank")
       .orderBy("rank")
+
+  /** Mix four sources at 40/25/20/15; the other sixteen drop. */
+  def mixSourcesQuery(spark: SparkSession, dir: String): DataFrame =
+    mixSources(Tables.documents(spark, dir).select("doc_id", "source"),
+      Seq("src0" -> 400, "src1" -> 250, "src2" -> 200, "src3" -> 150))
+      .orderBy("doc_id")
 }

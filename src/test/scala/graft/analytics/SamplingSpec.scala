@@ -86,6 +86,33 @@ class SamplingSpec extends SparkSpec {
       s"expected a top-k plan (WindowGroupLimit or TakeOrderedAndProject):\n$plan")
   }
 
+  test("mix_sources: proportions approach targets, unlisted sources drop, repartition-invariant") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "source")
+    val targets = Seq("src0" -> 400, "src1" -> 250, "src2" -> 200, "src3" -> 150)
+    val got = Sampling.mixSources(docs, targets)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got.nonEmpty)
+    assert(got.map(_._2).toSet.subsetOf(targets.map(_._1).toSet), "unlisted sources must drop")
+    // replay the integer rate derivation and the md5 filter exactly
+    val counts = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    val m = targets.map { case (s, t) => counts(s) * 1000 / t }.min
+    val rates = targets.map { case (s, t) => s -> math.min(1000L, t * m / counts(s)) }.toMap
+    got.foreach { case (_, s, r) => assert(r == rates(s), s"rate for $s") }
+    val kept = got.groupBy(_._2).view.mapValues(_.size).toMap
+    // hash-threshold keeps ~rate_pm/1000 of each source: binomial-ish
+    // tolerance at these sizes (n_s small at sf0.001) is generous
+    targets.foreach { case (s, t) =>
+      val expect = counts(s) * rates(s) / 1000.0
+      assert(math.abs(kept.getOrElse(s, 0) - expect) <= math.max(3.0, 0.5 * expect),
+        s"$s: kept ${kept.getOrElse(s, 0)} vs ~$expect")
+    }
+    // determinism under repartition
+    val again = Sampling.mixSources(docs.repartition(7), targets)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("pack_sequences matches the exclusive-running-total law, recomputed exactly") {
     val got = Sampling.packSequences(graft.Tables.documents(spark, sfDir))
       .select("shard", "bin", "doc_id", "n_tokens")
