@@ -235,10 +235,19 @@ object AsOfNative {
       require(i >= 0, s"column $name not found in ${out.map(_.name)}")
       i
     }
+    def attrOf(out: Seq[Attribute], name: String): Attribute = out(idx(out, name))
     val lt = lPlan.output(idx(lPlan.output, leftTime))
     val rt = rPlan.output(keys.size)
     require(lt.dataType == LongType && rt.dataType == LongType,
       s"as-of time columns must be LongType (epoch micros), got ${lt.dataType}/${rt.dataType}")
+    // the merge compares keys with an ordering built from the LEFT key
+    // types — a silently mismatched right type (e.g. int vs long) would
+    // compare raw slots and mis-join rather than fail, so reject here
+    keys.foreach { k =>
+      val (l, r) = (attrOf(lPlan.output, k), attrOf(rPlan.output, k))
+      require(l.dataType == r.dataType,
+        s"as-of key '$k' type mismatch: left ${l.dataType} vs right ${r.dataType}")
+    }
     val payloadOut = rPlan.output.drop(keys.size + 1).map(a =>
       AttributeReference("asof_" + a.name, a.dataType, nullable = true)())
     GraftSqlShims.ofRows(left.sparkSession,
