@@ -37,14 +37,20 @@ object SkewJoin {
     require(SafeJoinTypes(joinType.toLowerCase),
       s"saltedJoin cannot preserve '$joinType' semantics: the replicated right " +
         "side would emit one spurious unmatched row per salt (use inner/left/semi/anti)")
+    // plan aliases (not bare Dataset column refs): when `right` derives
+    // from `left` — the common "join a frame to its own aggregate" shape —
+    // left(key) and right(key) resolve to the SAME attribute id, tripping
+    // Spark's trivially-true-predicate self-join fallback (WARN Column).
+    // Aliasing the sides pins each reference to its own subtree, the same
+    // pattern BloomPrune uses for its verify join.
     val leftSalted = left.withColumn("__salt",
-      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(salts.toLong)))
+      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(salts.toLong))).as("__sj_l")
     val rightExploded = right.withColumn("__salt",
-      explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
+      explode(array((0 until salts).map(s => lit(s.toLong)): _*))).as("__sj_r")
     leftSalted.join(rightExploded,
-        leftSalted(key) === rightExploded(key) &&
-          leftSalted("__salt") === rightExploded("__salt"), joinType)
-      .drop(rightExploded(key)) // one key column out, like join(right, Seq(key))
+        col(s"__sj_l.`$key`") === col(s"__sj_r.`$key`") &&
+          col("__sj_l.__salt") === col("__sj_r.__salt"), joinType)
+      .drop(col(s"__sj_r.`$key`")) // one key column out, like join(right, Seq(key))
       .drop("__salt")
   }
 }
