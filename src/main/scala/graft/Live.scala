@@ -45,7 +45,18 @@ object Live {
     val ticks = reader.load().as[RawTick]
 
     val triggerMs = opt("GRAFT_TRIGGER_MS").map(_.toLong).getOrElse(5000L)
-    val query = StreamingPipeline.start(ticks, StreamingPipeline.Config(),
+    // Bounded history for the UNATTENDED entry point: the reference refits
+    // on all history, which Config's Int.MaxValue default preserves for
+    // parity replay (BatchReplay / the oracle specs) — but a live run that
+    // polls for days must not grow per-key state without bound. 10k ticks
+    // ≈ 14 h at the 5 s cadence, far beyond any window the 10-lag model
+    // reads, and the min-max scaler over a 10k sliding window tracks the
+    // regime the forecast actually lives in. GRAFT_MAX_HISTORY overrides
+    // (malformed/non-positive values fall back, the env-parse discipline).
+    val maxHistory = opt("GRAFT_MAX_HISTORY").flatMap(_.toIntOption)
+      .filter(_ > 0).getOrElse(10000)
+    val query = StreamingPipeline.start(ticks,
+      StreamingPipeline.Config(maxHistory = maxHistory),
       outDir, s"$outDir/_checkpoint",
       Trigger.ProcessingTime(triggerMs)) // poll cadence = trigger cadence (CTL-2)
 

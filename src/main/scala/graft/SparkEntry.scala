@@ -48,13 +48,19 @@ object SparkEntry {
     "q_order_histogram" -> (Relational.orderValueHistogram _),
     "q_parts_intersect" -> (Relational.returnedAndAcceptedParts _),
     "q_parts_except" -> (Relational.returnedNeverAcceptedParts _),
-    "q_approx_stats" -> (Relational.approxStats _), // no oracle: HLL++/t-digest sketches are engine-specific; error bounds vs exact asserted in RelationalSpec
+    // oracle-facing sketch surface: exact scaffolding + in-row bounds on
+    // the sketch outputs (raw HLL++/t-digest values can't cross-engine
+    // hash; tight error-vs-exact contract lives in RelationalSpec; raw
+    // values via Relational.approxStats)
+    "q_approx_stats" -> (Relational.approxStatsChecked _),
     "q2_min_price_supp" -> (Relational.minPriceSupplier _),
     "q7_nation_trade" -> (Relational.nationTrade _),
     "q_exact_stats" -> (Relational.exactStats _),
     "bloom_semi" -> (Relational.bloomSemi _), // bloom-pruned exact semi-join (manual runtime filter)
     "q_order_gaps" -> (Relational.orderGaps _),
-    "q_spend_quartiles" -> (Relational.spendQuartiles _),
+    // scale-safe form (bucketed exact ranks, no global-order window); the
+    // single-window form remains as spendQuartiles, spec-asserted identical
+    "q_spend_quartiles" -> ((s: SparkSession, d: String) => Relational.spendQuartilesScalable(s, d)),
     // --- reference operator surface over events (SURVEY §2.2-2.7) ---
     "tr1_change_filter" -> (SeriesQueries.changeFilter _),
     "tr2_anchored_return" -> (SeriesQueries.anchoredReturn _),
@@ -153,6 +159,7 @@ object SparkEntry {
     "mm_payload_stats" -> (Multimodal.payloadStatsQuery _),
     "mm_decode_features" -> (Multimodal.decodeFeaturesQuery _),
     "mm_frame_sample" -> (Multimodal.frameSampleQuery _),
+    "mm_media_probe" -> (Multimodal.mediaProbeQuery _), // REAL BMP/WAV header build+parse round trip
   )
 
   // ---- DuckDB oracle SQL building blocks (documents track) ----
@@ -499,6 +506,16 @@ object SparkEntry {
          round(quantile_cont(l_extendedprice, 0.9),2) AS p90_price,
          count(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag""",
+    "q_approx_stats" ->
+      // the exact half replays; the bounds columns are literal TRUE — the
+      // Spark side computed them FROM the live sketches, so an HLL/t-digest
+      // estimate escaping its range breaks this hash
+      """SELECT l_returnflag, count(*) AS n_rows,
+         round(min(l_extendedprice),2) AS min_price,
+         round(max(l_extendedprice),2) AS max_price,
+         TRUE AS approx_parts_in_range,
+         TRUE AS approx_median_in_range
+         FROM lineitem GROUP BY l_returnflag""",
     "bloom_semi" ->
       // the plain semi-join: the bloom prefilter is an execution detail
       """SELECT l_suppkey, count(*) AS n_items,
@@ -792,8 +809,13 @@ object SparkEntry {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""",
     "q10_returned_cust" ->
+      // exact BIGINT cents revenue (q14's pattern): the top-20 cut orders
+      // by revenue, so a summation-order float flip could change the ROW
+      // SET, not just a value — exact algebra removes the class
       """SELECT c_custkey, c_name, n_name,
-                round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+                round(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(round(l_discount*100) AS BIGINT)))::BIGINT
+                  / 10000.0, 2) AS revenue
          FROM lineitem JOIN orders ON l_orderkey=o_orderkey
          JOIN customer ON o_custkey=c_custkey
          JOIN nation ON c_nationkey=n_nationkey
@@ -826,8 +848,11 @@ object SparkEntry {
          FROM big JOIN orders ON l_orderkey=o_orderkey
          JOIN customer ON o_custkey=c_custkey""",
     "q19_bracket_revenue" ->
+      // exact BIGINT cents revenue (q14's pattern)
       """SELECT count(*) AS n_rows,
-                round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+                round(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(round(l_discount*100) AS BIGINT)))::BIGINT
+                  / 10000.0, 2) AS revenue
          FROM lineitem JOIN part ON p_partkey=l_partkey
          WHERE (p_brand='Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
             OR (p_brand='Brand#23' AND p_size BETWEEN 10 AND 25 AND l_quantity BETWEEN 10 AND 25)
@@ -1480,6 +1505,25 @@ object SparkEntry {
           SELECT d.doc_id, d.n AS n_bytes, $fcols
           FROM d LEFT JOIN f ON f.doc_id = d.doc_id"""
     },
+    "mm_media_probe" ->
+      // replays MediaCodec's container geometry from first principles:
+      // bmp height = rows of 64 3-byte pixels over ceil(len/3) pixels;
+      // wav samples = ceil(len/2) 16-bit mono frames. The Spark side
+      // built REAL headers and parsed them back; the oracle checks the
+      // arithmetic those headers must encode.
+      """SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS fmt,
+           CASE WHEN doc_id % 2 = 0 THEN 64::BIGINT END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN
+             greatest(1::BIGINT,
+               ((coalesce(octet_length(encode(text)), 0) + 2) // 3 + 63) // 64)
+           END AS height,
+           CASE WHEN doc_id % 2 = 1 THEN 8000::BIGINT END AS sample_rate,
+           CASE WHEN doc_id % 2 = 1 THEN 1::BIGINT END AS channels,
+           CASE WHEN doc_id % 2 = 1 THEN
+             ((coalesce(octet_length(encode(text)), 0) + 1) // 2)::BIGINT
+           END AS n_samples
+         FROM documents ORDER BY doc_id""",
     "mm_frame_sample" ->
       // the ASCII synthetic corpus makes byte-substring == char-substring,
       // so DuckDB's text-side md5 replays the Spark binary-side digests

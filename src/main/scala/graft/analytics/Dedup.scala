@@ -269,9 +269,19 @@ object Dedup {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
 
+  /** Default for [[dupClusters]]' `localEdgeLimit`: `GRAFT_CC_LOCAL_EDGES`
+    * when it parses as a non-negative long, else 2^20 — a malformed env
+    * var degrades to the default instead of crashing every clustering
+    * call. NOTE the limit applies to the DIRECTED edge list (each
+    * undirected pair is counted twice by the union below), so the
+    * effective undirected-pair cap is HALF this value: the default admits
+    * ~2^19 pairs ≈ 8 MB of long pairs to the driver fast path. */
+  private def defaultLocalEdgeLimit: Long =
+    sys.env.get("GRAFT_CC_LOCAL_EDGES").flatMap(_.toLongOption).filter(_ >= 0L)
+      .getOrElse(1L << 20)
+
   def dupClusters(docs: DataFrame, pairs: DataFrame,
-                  localEdgeLimit: Long = sys.env
-                    .getOrElse("GRAFT_CC_LOCAL_EDGES", (1L << 20).toString).toLong): DataFrame = {
+                  localEdgeLimit: Long = defaultLocalEdgeLimit): DataFrame = {
     // localCheckpoint (eager), NOT cache: an iterative dataflow's logical
     // plan grows exponentially round-over-round if each round's plan
     // embeds the last (cache leaves lineage in place); checkpointing

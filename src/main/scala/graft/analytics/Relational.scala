@@ -366,6 +366,76 @@ object Relational {
       .orderBy("o_custkey")
   }
 
+  /** Scale-safe [[spendQuartiles]] — bit-identical output, NO global-order
+    * window (the single-partition WindowExec was round 5's one surviving
+    * scale flag). The ordering key (total_spend DESC, o_custkey) is
+    * UNIQUE, so ntile/percent_rank/cume_dist are pure arithmetic in
+    * (global row_number, n); the global row_number is reconstructed from
+    * bounded per-bucket ranks:
+    *
+    *  1. bucket CUTOFFS: `approxQuantile` over the aggregated spend,
+    *     collected once and embedded as plan literals (model-parameter-
+    *     sized, the IVF-centroid precedent). Cutoff VALUES affect only
+    *     bucket balance, never correctness — per-bucket counts are
+    *     measured, not assumed — and rows with equal spend always share a
+    *     bucket, so bucketing coarsens (never crosses) the total order;
+    *  2. per-bucket COUNTS (≤ `buckets` rows to the driver) give each
+    *     bucket's global rank offset and n;
+    *  3. per-bucket row_number (hash-partitioned window, partitions of
+    *     ~n/buckets rows) + broadcast offset = exact global rank, from
+    *     which quartile (ntile's ceil/floor split), pct_rank
+    *     ((rn-1)/(n-1)) and cume (rn/n) follow with the same IEEE ops the
+    *     window expressions use.
+    *
+    * At 100 TB: every stage is a hash shuffle or a bounded window; raise
+    * `buckets` with the customer count to keep partitions executor-sized.
+    * The aggregate is persisted across the probe jobs and the rank job
+    * (the Dedup/Similarity shared-intermediate precedent). */
+  def spendQuartilesScalable(spark: SparkSession, dir: String,
+                             buckets: Int = 32): DataFrame = {
+    val spend = Tables.orders(spark, dir).select("o_custkey", "o_totalprice")
+      .groupBy("o_custkey")
+      .agg((sum(round(col("o_totalprice") * 100, 0).cast("long")) / 100.0).as("total_spend"))
+      .persist()
+    val cutoffs = spend.stat
+      .approxQuantile("total_spend", (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+      .distinct.sorted
+    // bucket(x) = |{cutoff >= x}|: descending in spend, tie-stable (equal
+    // spend -> equal bucket), 0 = the top spenders. A codegen'd when-chain
+    // over <= `buckets` literals, evaluated on the AGGREGATED frame only.
+    val bucketCol: org.apache.spark.sql.Column =
+      if (cutoffs.isEmpty) lit(0)
+      else cutoffs.reverse.zipWithIndex.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+        case (acc, (c, i)) =>
+          Some(acc.fold(when(col("total_spend") > c, i))(_.when(col("total_spend") > c, i)))
+      }.get.otherwise(cutoffs.length)
+    val withB = spend.withColumn("__b", bucketCol)
+    val counts = withB.groupBy("__b").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val offsets: Map[Int, Long] =
+      counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val wb = Window.partitionBy("__b").orderBy(col("total_spend").desc, col("o_custkey"))
+    val ranked = withB
+      .withColumn("__rn",
+        element_at(typedLit(offsets), col("__b")) + row_number().over(wb).cast("long"))
+    // ntile(4): the first n%4 tiles take ceil(n/4) rows, the rest floor —
+    // branch on constants so no div-by-zero path exists when n < 4
+    val q4 = n / 4; val r4 = n % 4
+    val quartile =
+      if (q4 == 0) col("__rn")
+      else expr(s"CASE WHEN __rn <= ${r4 * (q4 + 1)} THEN (__rn + $q4) div ${q4 + 1} " +
+        s"ELSE $r4 + (__rn - ${r4 * (q4 + 1)} + ${q4 - 1}) div $q4 END")
+    val pctRank =
+      if (n <= 1) lit(0.0)
+      else round((col("__rn") - 1).cast("double") / lit((n - 1).toDouble), 6)
+    ranked.select(col("o_custkey"), col("total_spend"),
+        quartile.as("quartile"),
+        pctRank.as("pct_rank"),
+        round(col("__rn").cast("double") / lit(n.toDouble), 6).as("cume"))
+      .orderBy("o_custkey")
+  }
+
   /** Approximate sketches — the 100 TB workhorses. HLL++ distinct and
     * t-digest-style percentiles shuffle O(sketch) bytes per group instead
     * of O(rows); exactness is traded for a bounded relative error that
@@ -382,11 +452,51 @@ object Relational {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** The ORACLE-facing form of [[approxStats]]: raw sketch outputs can
+    * never cross-engine hash (HLL++/t-digest internals differ per
+    * engine), so this emits what CAN be hashed — the exact scaffolding
+    * (row counts, min/max price) plus in-row BOUNDS CHECKS on the sketch
+    * outputs, evaluated in-engine: the HLL estimate must land in
+    * [1, n_rows], the t-digest median inside the group's [min, max].
+    * DuckDB replays the exact half and the literal-true bounds, so a
+    * sketch regression past its range breaks the hash gate; the TIGHT
+    * error contract vs the exact aggregates (1% HLL / interpolation-
+    * accuracy median) stays in RelationalSpec, where both sides run in
+    * one engine. The sketches themselves still execute in this plan —
+    * the query costs what the 100 TB workhorse costs. */
+  def approxStatsChecked(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_returnflag", "l_partkey", "l_extendedprice")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct("l_partkey", 0.01).as("ap"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("am"),
+        count(lit(1)).as("n_rows"),
+        min("l_extendedprice").as("mn"),
+        max("l_extendedprice").as("mx"))
+      // bounds against the RAW min/max (rounding the output only): prices
+      // are 2-decimal so it's moot today, but a median equal to the exact
+      // min must never fail because the displayed min rounded up
+      .select(col("l_returnflag"), col("n_rows"),
+        round(col("mn"), 2).as("min_price"), round(col("mx"), 2).as("max_price"),
+        (col("ap") >= 1 && col("ap") <= col("n_rows")).as("approx_parts_in_range"),
+        (col("am") >= col("mn") && col("am") <= col("mx")).as("approx_median_in_range"))
+      .orderBy("l_returnflag")
+
+  /** Exact revenue in units of 1e-4 currency: `cents · (100 − disc·100)`
+    * in BIGINT (both factors 2-decimal by construction), divided by 1e4
+    * ONCE after the sum — zero summation-order dependence, unlike a
+    * rounded DOUBLE sum which diverged by a cent on ~10k-row groups (q14
+    * parity note). Shared by q10/q14/q19. */
+  private def rev1e4 = round(col("l_extendedprice") * 100, 0).cast("long") *
+    (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+
   /** TPC-H Q10 analog — who returned the most value: per-customer revenue
     * over returned lineitems, top 20. The returnflag filter reaches the
     * parquet scan (PushedFilters); customer/nation broadcast; only the
     * filtered fact rows shuffle for the aggregation. Deterministic
-    * top-k: rounded revenue desc then custkey. */
+    * top-k: revenue desc then custkey — and revenue itself is the exact
+    * BIGINT [[rev1e4]] sum, so the cut can't flip on a float ulp. */
   def returnedCustomers(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .where(col("l_returnflag") === "R")
@@ -398,7 +508,7 @@ object Relational {
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .groupBy("c_custkey", "c_name", "n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum(rev1e4) / 10000.0, 2).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
   }
 
@@ -413,8 +523,6 @@ object Relational {
     val li = Tables.lineitem(spark, dir)
       .select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
     val part = Tables.part(spark, dir).select("p_partkey", "p_type")
-    val rev1e4 = round(col("l_extendedprice") * 100, 0).cast("long") *
-      (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
     li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
       .agg(round(sum(when(col("p_type") === "PROMO", rev1e4)) / 10000.0, 2).as("promo_revenue"),
@@ -458,7 +566,7 @@ object Relational {
       .where(arm("Brand#12", 1, 15, 1, 15) || arm("Brand#23", 10, 25, 10, 25) ||
         arm("Brand#34", 20, 35, 20, 35))
       .agg(count(lit(1)).as("n_rows"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        round(sum(rev1e4) / 10000.0, 2).as("revenue"))
   }
 
   /** Trailing 30-day spend per customer — the RANGE-frame window (frame

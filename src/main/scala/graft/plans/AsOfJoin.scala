@@ -230,10 +230,21 @@ object AsOfNative {
       ((keys :+ rightTime) ++ rightCols).map(c => col(c).as(c)): _*)
     val lPlan = left.queryExecution.analyzed
     val rPlan = rPruned.queryExecution.analyzed
+    // resolve names the way Spark's analyzer would (spark.sql.caseSensitive,
+    // default insensitive), and REJECT ambiguity: a bare first-match
+    // indexWhere would silently key/time the join on the first of two
+    // same-named columns — the positional contract below makes that a
+    // wrong-answer bug, not an analyzer error, so fail loudly here instead
+    val nameEq: (String, String) => Boolean =
+      if (left.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean) _ == _
+      else _.equalsIgnoreCase(_)
     def idx(out: Seq[Attribute], name: String): Int = {
-      val i = out.indexWhere(_.name == name)
-      require(i >= 0, s"column $name not found in ${out.map(_.name)}")
-      i
+      val matches = out.zipWithIndex.collect { case (a, i) if nameEq(a.name, name) => i }
+      require(matches.nonEmpty, s"column $name not found in ${out.map(_.name)}")
+      require(matches.size == 1,
+        s"column $name is ambiguous (${matches.size} matches) in ${out.map(_.name)}; " +
+          "alias the duplicate columns before the as-of join")
+      matches.head
     }
     def attrOf(out: Seq[Attribute], name: String): Attribute = out(idx(out, name))
     val lt = lPlan.output(idx(lPlan.output, leftTime))

@@ -29,7 +29,18 @@ final case class DriftAlert(ticker: String, ts: Timestamp, price: Double,
   * State is O(1) per key (seven scalars), no timeout needed; rows are
   * sorted by (timestamp, price) within each micro-batch group because
   * `flatMapGroupsWithState` hands the group iterator unordered — the
-  * one subtlety every stateful-streaming fold must handle. */
+  * one subtlety every stateful-streaming fold must handle.
+  *
+  * Ordering contract: determinism is INTRA-batch only. The fold assumes
+  * in-order arrival across micro-batches (the reference's polling source
+  * emits monotone timestamps); a late tick landing in a later batch folds
+  * after newer ticks, so alert output can depend on micro-batch
+  * boundaries for out-of-order sources. Buffering by event time behind a
+  * watermark (the [[EventTimeOps]] tools) is the fix when that matters —
+  * CUSUM itself has no principled late-data semantics to hide behind.
+  * Memory: `rows.toSeq` materializes one key's rows for ONE micro-batch
+  * (bounded by batch size / trigger interval, not by history) — the sort
+  * needs them all; state across batches stays seven scalars. */
 object DriftMonitor {
 
   final case class CusumState(warmSum: Double, warmN: Int, mu0: Double,

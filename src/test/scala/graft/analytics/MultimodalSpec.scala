@@ -35,4 +35,52 @@ class MultimodalSpec extends SparkSpec {
     val rows = Multimodal.frameSample(docs).collect()
     assert(rows.length == 8, s"cap of 8 samples, got ${rows.length}")
   }
+
+  test("MediaCodec: BMP/WAV build-parse round trip recovers the real header fields") {
+    for (len <- Seq(0, 1, 2, 3, 191, 192, 193, 5000)) {
+      val data = Array.tabulate(len)(i => (i % 251).toByte)
+      val bmp = MediaCodec.probe(MediaCodec.toBmp(data)).get
+      val pixels = (len + 2) / 3
+      assert(bmp.fmt == "bmp" && bmp.width == 64 &&
+        bmp.height == math.max(1, (pixels + 63) / 64), s"bmp len=$len: $bmp")
+      val wav = MediaCodec.probe(MediaCodec.toWav(data)).get
+      assert(wav.fmt == "wav" && wav.sampleRate == 8000 && wav.channels == 1 &&
+        wav.nSamples == (len + 1) / 2, s"wav len=$len: $wav")
+    }
+  }
+
+  test("MediaCodec: ASCII text never probes as media (validated size fields)") {
+    // magic-prefixed text is the trap: 'BM'/'RIFF' starts but ASCII bytes
+    // at the size offsets decode to values far above the payload length
+    for (s <- Seq("BM" + "x" * 100, "RIFF WAVE is an audio container" * 4,
+                  "BMW is a carmaker; RIFFs are in music", "")) {
+      assert(MediaCodec.probe(s.getBytes("UTF-8")).isEmpty, s"false positive on: $s")
+    }
+  }
+
+  test("decodeStub: real-media payloads take the header-parse path, text keeps the stub") {
+    import org.apache.spark.sql.functions._
+    val textBytes = "hello multimodal".getBytes("UTF-8")
+    val payloads = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, MediaCodec.toBmp(textBytes)),
+        org.apache.spark.sql.Row(2L, MediaCodec.toWav(textBytes)),
+        org.apache.spark.sql.Row(3L, textBytes))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType))))
+    val feats = Multimodal.decodeStub(spark, payloads).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    // bmp: [fmt=1, width=64, height=1, -1, -1, -1, nbytes, 0]
+    assert(feats(1L).take(3) == Seq(1.0, 64.0, 1.0), s"bmp features: ${feats(1L)}")
+    // wav: [fmt=2, -1, -1, rate=8000, ch=1, nSamples=8, nbytes, 0]
+    assert(feats(2L)(0) == 2.0 && feats(2L)(3) == 8000.0 && feats(2L)(5) == 8.0,
+      s"wav features: ${feats(2L)}")
+    // plain text: byte-slice stub, every feature in [0,1]
+    assert(feats(3L).forall(f => f >= 0.0 && f <= 1.0), s"stub features: ${feats(3L)}")
+    // and the probe stage itself: one typed metadata row per payload
+    val probed = Multimodal.probeMedia(spark, payloads).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(probed == Map(1L -> Some("bmp"), 2L -> Some("wav"), 3L -> None))
+  }
 }

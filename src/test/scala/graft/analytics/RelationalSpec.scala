@@ -117,6 +117,27 @@ class RelationalSpec extends SparkSpec {
     assert(bySpend.map(_._2).toSeq == bySpend.map(_._2).sorted.toSeq)
   }
 
+  test("scale-safe spend quartiles: bit-identical to the window form, no global window") {
+    // the registered q_spend_quartiles is the bucketed two-pass form; the
+    // single-window form is the in-engine mirror it must match EXACTLY
+    // (same doubles: identical IEEE rank arithmetic, argued in scaladoc)
+    val win = Relational.spendQuartiles(spark, sfDir).collect().toSeq
+    val scl = Relational.spendQuartilesScalable(spark, sfDir).collect().toSeq
+    assert(scl == win)
+    // and with a bucket count that forces many tiny buckets (stressing the
+    // offset arithmetic across uneven bucket boundaries)
+    val scl3 = Relational.spendQuartilesScalable(spark, sfDir, buckets = 3).collect().toSeq
+    assert(scl3 == win)
+    // plan shape: every window in the scalable plan partitions by a key —
+    // the global-order single-partition WindowExec must be gone
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = Relational.spendQuartilesScalable(spark, sfDir).queryExecution.sparkPlan
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the per-bucket rank window")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned (single-partition) window in scalable plan: $w"))
+  }
+
   test("TPC-H analogs q10/q14/q18/q19: structural laws replay") {
     import org.apache.spark.sql.functions._
     val li = graft.Tables.lineitem(spark, sfDir)
