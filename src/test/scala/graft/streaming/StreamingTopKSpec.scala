@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.SparkSpec
+
+/** Laws for the streaming CMS top-k: over-count (never under), the true
+  * heavy hitters surface in the candidates across micro-batches, per-
+  * emission output is bounded by k, and the shard sequence advances. */
+class StreamingTopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def runBatches(batches: Seq[Seq[String]], k: Int, shards: Int,
+                         capacity: Int = 64): Seq[TopKEstimate] = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[String]
+    val name = s"topk_stream_${System.nanoTime()}"
+    val q = StreamingTopK.estimates(ms.toDS(), depth = 4, width = 256,
+        k = k, shards = shards, capacity = capacity)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    spark.table(name).as[TopKEstimate].collect().toSeq
+  }
+
+  test("heavy hitters surface across micro-batches with over-counted estimates") {
+    val hot = Seq.fill(50)("hot1") ++ Seq.fill(30)("hot2")
+    val tail = (1 to 40).map(i => s"tail$i")
+    // split so both batches interleave hot and tail traffic
+    val (b1, b2) = (hot.take(40) ++ tail.take(20), hot.drop(40) ++ tail.drop(20))
+    val out = runBatches(Seq(b1, b2), k = 5, shards = 3)
+    val truth = (hot ++ tail).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // latest emission per shard = that shard's final view
+    val latest = out.groupBy(_.shard).values.flatMap { rows =>
+      val last = rows.map(_.seq).max
+      rows.filter(_.seq == last)
+    }.toSeq
+    // CMS contract: estimates never under-count the true frequency
+    latest.foreach { e =>
+      assert(e.est >= truth(e.key), s"under-count: $e vs true ${truth(e.key)}")
+    }
+    // the two real heavy hitters dominate the merged shard views
+    val global = latest.sortBy(e => (-e.est, e.key)).take(2).map(_.key).toSet
+    assert(global == Set("hot1", "hot2"), s"global top-2: $global from $latest")
+    // and their estimates are close at this tiny N (eN/w noise floor ~ 1)
+    val byKey = latest.map(e => e.key -> e.est).toMap
+    assert(byKey("hot1") >= 50 && byKey("hot1") <= 55)
+    assert(byKey("hot2") >= 30 && byKey("hot2") <= 35)
+  }
+
+  test("bounded output and state: k rows per emission, hot key survives candidate churn") {
+    // one shard, tiny candidate capacity, way more distinct keys than fit:
+    // the frequent key must survive eviction pressure
+    val churn = (1 to 200).map(i => s"noise$i")
+    val b1 = Seq.fill(20)("signal") ++ churn.take(100)
+    val b2 = churn.drop(100) ++ Seq.fill(15)("signal")
+    val out = runBatches(Seq(b1, b2), k = 3, shards = 1, capacity = 8)
+    // per (shard, seq): at most k rows, ranks 1..n contiguous
+    out.groupBy(e => (e.shard, e.seq)).foreach { case ((_, seq), rows) =>
+      assert(rows.size <= 3, s"emission seq=$seq has ${rows.size} rows")
+      assert(rows.map(_.rank).sorted == (1 to rows.size), s"ranks: $rows")
+    }
+    // both batches emitted (seq advanced), and the final top-1 is the signal
+    assert(out.map(_.seq).max == 2L)
+    val finalTop = out.filter(_.seq == 2L).minBy(_.rank)
+    assert(finalTop.key == "signal" && finalTop.est >= 35L,
+      s"signal lost under churn: $finalTop")
+  }
+}
