@@ -175,7 +175,7 @@ object Bench {
       "q_exact_stats:2.13,q_funnel:0.58,q_order_gaps:0.78,q_order_histogram:0.39," +
       "q_parts_except:0.40,q_parts_intersect:1.04,q_quantity_cube:0.99,q_retention:0.64," +
       "q_returns_rollup:1.05,q_revenue_pivot:1.10,q_running_spend:0.52,q_sessionize:0.84," +
-      "q_skew_join:0.56,q_spend_quartiles:0.76,q_top_customers:0.56," +
+      "q_skew_join:1.15,q_spend_quartiles:1.22,q_top_customers:0.56," +
       "q_top_orders_per_cust:0.52,q_transitions:0.70,rj_sessions:0.90,rsmp_ffill:1.57," +
       "sample_stratified:0.41,sample_weighted:0.25,split_assign:0.17,split_folds:0.29," +
       "src2_json_extract:0.45,tr1_change_filter:0.44,tr2_anchored_return:0.39," +
@@ -183,7 +183,12 @@ object Bench {
       "txt_c4_filter:0.40,txt_fingerprint:0.18,txt_lang_id:0.21,txt_lm_score:1.50," +
       "txt_quality:0.18,txt_redact:0.38,txt_reps:1.42,txt_rolling_fp:2.42,txt_tfidf:0.71," +
       "txt_token_stats:0.15,txt_top_bigrams:0.42,txt_vocab:0.64,win1_sliding_features:0.71," +
-      "win2_latest_window:0.42,zorder_key:0.33"
+      "win2_latest_window:0.42,zorder_key:0.33," +
+      // round-6 additions/changes, measured solo-warm on an idle host
+      // (q_spend_quartiles is the bucketed scalable form; q_skew_join the
+      // aliased salted join; q_approx_stats the checked oracle form)
+      "q10_returned_cust:1.55,q14_promo_share:1.57,q19_bracket_revenue:0.99," +
+      "q_trailing_spend:1.40,q_grouping_sets:1.77,mix_sources:0.88,mm_media_probe:0.63"
     ).split(",").map { kv => val Array(k, v) = kv.split(":"); k -> v.toDouble }.toMap
     def threshold(name: String): Double = {
       val ref = refSf01.getOrElse(name, 1.5)

@@ -141,6 +141,45 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, n: Int = 5, numHashes: Int = 16): DataFrame =
     signaturesFrom(shingleHashes(docs, n), numHashes)
 
+  /** Single-document JVM mirror of [[minhashSignatures]] — BIT-IDENTICAL
+    * to the batch columns (asserted in StreamingLshSpec): same
+    * whitespace-split shingling (regex split keeping empty tokens, as
+    * Spark's `split` does), same h1/h2 = the two 32-bit big-endian halves
+    * of one md5 over the shingle text, same KM h_j = h1 + j·h2 minima.
+    * None when the document has fewer than n tokens (the batch form emits
+    * no row). This is what a per-row streaming stage calls — no DataFrame
+    * machinery per document. */
+  private[graft] def localMinhashSignature(text: String, n: Int = 5,
+                                           numHashes: Int = 16): Option[Array[Long]] = {
+    val ws = java.util.regex.Pattern.compile(" ").split(text, -1)
+    if (ws.length < n) None
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      val seen = scala.collection.mutable.HashSet.empty[String] // per-doc distinct shingles
+      var i = 0
+      while (i <= ws.length - n) {
+        val shingle = ws.slice(i, i + n).mkString(" ")
+        if (seen.add(shingle)) {
+          md.reset()
+          val d = md.digest(shingle.getBytes("UTF-8"))
+          var h1 = 0L; var h2 = 0L
+          var b = 0
+          while (b < 4) { h1 = (h1 << 8) | (d(b) & 0xffL); b += 1 }
+          while (b < 8) { h2 = (h2 << 8) | (d(b) & 0xffL); b += 1 }
+          var j = 0
+          while (j < numHashes) {
+            val v = h1 + j.toLong * h2
+            if (v < sig(j)) sig(j) = v
+            j += 1
+          }
+        }
+        i += 1
+      }
+      Some(sig)
+    }
+  }
+
   private def signaturesFrom(sh: DataFrame, numHashes: Int): DataFrame = {
     val aggs = (0 until numHashes).map(j =>
       min(col("h1") + lit(j.toLong) * col("h2")).as(s"mh$j"))

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.analytics.Dedup
+
+/** A near-dup candidate surfaced at ingest: `doc_a < doc_b`, `band` the
+  * LSH band that collided, `est_jaccard` the signature-agreement estimate
+  * (fraction of matching minhash components — an unbiased Jaccard
+  * estimator; exact verification is a downstream batch concern). The same
+  * pair can surface from several bands — dedup downstream if one row per
+  * pair matters. */
+final case class StreamDupCandidate(doc_a: Long, doc_b: Long, band: Int,
+                                    est_jaccard: Double)
+
+/** Streaming MinHash-LSH near-duplicate detection — dedup AT INGEST, the
+  * online counterpart of the batch [[graft.analytics.Dedup.minhashLshPairs]]
+  * (`dedup_minhash_lsh`): each arriving document is signed with the SAME
+  * 16-hash KM signature the batch path computes (bit-identical — the
+  * per-document JVM mirror is spec-asserted against the batch columns),
+  * banded identically, and checked against the band bucket's recent
+  * occupants before joining them.
+  *
+  * Scale shape: a document fans out to `bands` bucket groups keyed by its
+  * band values — the SAME key the batch bucket-join shuffles on — so the
+  * stream partitions by bucket, never all-pairs. Per-bucket state is a
+  * FIFO window of the last `capacity` (doc_id, signature) pairs: O(capacity
+  * × numHashes) longs per bucket REGARDLESS of stream length. A true LSH
+  * collision is overwhelmingly likely to recur within any realistic
+  * window for genuinely near-duplicate content; the FIFO bound is the
+  * documented recall trade every bounded-state ingest dedup makes (the
+  * batch sweep remains the exhaustive pass — this stage exists to stop
+  * the bulk of dup mass from ever landing).
+  *
+  * Determinism: rows fold in doc_id order within each micro-batch group
+  * (the group iterator arrives unordered; FIFO eviction and pair
+  * emission are order-sensitive). Cross-batch determinism assumes
+  * in-order arrival, like every stateful operator here. */
+object StreamingLsh {
+
+  final case class BucketState(docs: Seq[(Long, Seq[Long])])
+
+  /** docs: (doc_id, text). Emits candidates in Append mode. */
+  def candidates(docs: Dataset[(Long, String)], n: Int = 5, bands: Int = 4,
+                 rowsPerBand: Int = 4, threshold: Double = 0.5,
+                 capacity: Int = 256): Dataset[StreamDupCandidate] = {
+    require(bands > 0 && rowsPerBand > 0 && capacity > 0)
+    require(threshold > 0.0 && threshold <= 1.0)
+    import docs.sparkSession.implicits._
+    val numHashes = bands * rowsPerBand
+    // fan out: one (bucketKey, doc, signature) row per band — the bucket
+    // key is the band's raw minhash values, exactly the batch join key
+    val banded = docs.flatMap { case (id, text) =>
+      Dedup.localMinhashSignature(text, n, numHashes) match {
+        case Some(sig) =>
+          (0 until bands).map { b =>
+            val key = b.toString + ":" +
+              (0 until rowsPerBand).map(r => sig(b * rowsPerBand + r)).mkString(",")
+            (key, id, sig.toSeq)
+          }
+        case None => Nil // fewer than n tokens: no shingles, like the batch path
+      }
+    }
+    banded.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Seq[Long])],
+         state: GroupState[BucketState]) =>
+          val band = key.takeWhile(_ != ':').toInt
+          var stored = state.getOption.map(_.docs).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[StreamDupCandidate]
+          rows.toSeq.sortBy(_._2).foreach { case (_, id, sig) =>
+            stored.foreach { case (oid, osig) =>
+              if (oid != id) { // replays of one doc are not a pair
+                var m = 0; var j = 0
+                while (j < numHashes) {
+                  if (sig(j) == osig(j)) m += 1
+                  j += 1
+                }
+                val est = m.toDouble / numHashes
+                if (est >= threshold)
+                  out += StreamDupCandidate(math.min(oid, id), math.max(oid, id),
+                    band, math.rint(est * 10000) / 10000)
+              }
+            }
+            stored = (stored.filterNot(_._1 == id) :+ (id -> sig.toSeq))
+              .takeRight(capacity)
+          }
+          state.update(BucketState(stored))
+          out.result().iterator
+      }
+  }
+}
