@@ -145,6 +145,8 @@ object SparkEntry {
     "knn_exact" -> (Similarity.knnExactQuery _),
     "knn_ann_lsh" -> (Similarity.annLshQuery _), // oracled: md5 planes + list_reduce replay the sign bits exactly (+ recall spec)
     "knn_ann_ivf" -> (Similarity.annIvfQuery _), // deterministic IVF-Flat => full hash oracle
+    "emb_quantize" -> (Similarity.quantizeStatsQuery _), // SQ8 codebook + integer fingerprint (scan-shaped)
+    "knn_quantized" -> ((s: SparkSession, d: String) => Similarity.knnQuantized(s, d)), // SQ8 accuracy baseline (quadratic, like knn_exact)
     "dedup_embedding_exact" -> (Similarity.embeddingDupExactQuery _),
     "dedup_embedding_lsh" -> (Similarity.embeddingDupLshQuery _), // oracled (same sig CTEs) + recall spec
     "dedup_embedding_clusters" -> (Similarity.embeddingClustersQuery _),
@@ -1437,6 +1439,41 @@ object SparkEntry {
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4""",
     // --- similarity search (embeddings) ---
+    "emb_quantize" ->
+      // replays the SQ8 arithmetic dimension-by-dimension ((x-mn)*255/
+      // (mx-mn), round-half-up on non-negative values in both engines),
+      // fingerprinted to scalars so the hash is array-layout-free
+      """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          b AS (SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx FROM d),
+          qd AS (SELECT vec_id, mn, mx,
+                   list_transform(e, x -> CASE WHEN mx = mn THEN 0
+                     ELSE round((x - mn) * 255 / (mx - mn))::BIGINT END) AS q
+                 FROM b)
+          SELECT vec_id, mn, mx,
+            list_sum(q)::BIGINT AS q_sum,
+            list_sum(list_transform(q, x -> x * x))::BIGINT AS q_sumsq,
+            q[1] AS q_head, q[len(q)] AS q_tail, len(q)::BIGINT AS n_dims
+          FROM qd ORDER BY vec_id""",
+    "knn_quantized" ->
+      // knn_exact's mirror over DEQUANTIZED vectors: same quantize +
+      // mn + q*(mx-mn)/255 reconstruction on both sides, cosine rounded
+      // to 4 before ranking, ties by id
+      """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          b AS (SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx FROM d),
+          dq AS (SELECT vec_id, mn, mx,
+                   list_transform(e, x -> CASE WHEN mx = mn THEN mn
+                     ELSE mn + round((x - mn) * 255 / (mx - mn))::BIGINT
+                          * (mx - mn) / 255 END) AS v
+                 FROM b),
+          q AS (SELECT vec_id AS q_id, v AS qe FROM dq WHERE vec_id < 10),
+          c AS (SELECT q_id, vec_id AS n_id,
+                  round(list_cosine_similarity(qe, v), 4) AS cos
+                FROM q, dq WHERE vec_id <> q_id)
+         SELECT q_id, n_id, rank, cos FROM (
+           SELECT q_id, n_id, cos,
+                  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+           FROM c) t
+         WHERE rank <= 5 ORDER BY q_id, rank""",
     "knn_exact" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
                     FROM embeddings WHERE vec_id < 10),

@@ -261,4 +261,60 @@ object Similarity {
       .select(col("doc_id").as("vec_id"), col("keeper"))
       .orderBy("vec_id")
   }
+
+  /** Int8 scalar quantization (SQ8) — the vector-compression step a
+    * 100 TB similarity stack stores and serves: per-vector min/max
+    * codebook, each dimension snapped to `round((x−mn)·255/(mx−mn))` ∈
+    * [0,255]. 4× smaller than float32 (8× vs the double working form),
+    * dequantizes to `mn + q·(mx−mn)/255` with bounded per-dim error
+    * (mx−mn)/510. Pure scan-shaped projection: no shuffle, codegen'd
+    * array lambdas, composes with the IVF/LSH bucketing (quantize the
+    * residents, keep exact re-rank on the short candidate list). The
+    * degenerate constant vector (mx = mn) quantizes to all-zeros. */
+  def quantizeEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    embeddingsD(spark, dir)
+      .select(col("vec_id"), col("e"),
+        array_min(col("e")).as("mn"), array_max(col("e")).as("mx"))
+      .select(col("vec_id"), col("mn"), col("mx"),
+        expr("transform(e, x -> CASE WHEN mx = mn THEN 0L ELSE " +
+          "cast(round((x - mn) * 255 / (mx - mn)) AS BIGINT) END)").as("q"))
+
+  /** Oracle face of [[quantizeEmbeddings]]: the codebook plus a tight
+    * integer fingerprint of the quantized vector (sum, sum of squares,
+    * endpoints, length) — array-free output so every engine hashes it
+    * identically, while any arithmetic divergence in any dimension
+    * disturbs sum/sumsq with near-certainty. */
+  def quantizeStatsQuery(spark: SparkSession, dir: String): DataFrame =
+    quantizeEmbeddings(spark, dir)
+      .select(col("vec_id"), col("mn"), col("mx"),
+        expr("aggregate(q, 0L, (a, x) -> a + x)").as("q_sum"),
+        expr("aggregate(q, 0L, (a, x) -> a + x * x)").as("q_sumsq"),
+        element_at(col("q"), 1).as("q_head"),
+        element_at(col("q"), -1).as("q_tail"),
+        size(col("q")).cast("long").as("n_dims"))
+      .orderBy("vec_id")
+
+  /** Quantized brute-force cosine top-k — the ACCURACY-MEASUREMENT
+    * baseline for SQ8 (recall vs [[knnExact]] asserted in
+    * SimilaritySpec), deliberately the same quadratic broadcast shape as
+    * the exact baseline and headline-skipped with it: real pipelines
+    * measure compression loss exactly this way, on a sample. The SCALE
+    * path for serving is quantized residents inside the IVF/LSH buckets,
+    * not this. */
+  def knnQuantized(spark: SparkSession, dir: String, nQueries: Int = 10,
+                   k: Int = 5): DataFrame = {
+    val dq = quantizeEmbeddings(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(q, v -> mn + v * (mx - mn) / 255)").as("dq"))
+    val q = dq.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("dq").as("qe"))
+    val scored = dq.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(cosine(col("qe"), col("dq")), 4).as("cos"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))).cast("long"))
+      .where(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cos")
+      .orderBy("q_id", "rank")
+  }
 }

@@ -21,10 +21,13 @@ class PlanShapeSpec extends SparkSpec {
   private def nodes(p: SparkPlan): Seq[SparkPlan] =
     p.collectWithSubqueries { case n => n }
 
-  /** Queries ALLOWED to plan a product: the two documented quadratic
-    * oracle baselines (their scale paths are the LSH/IVF variants next
-    * to them) and the brute-force scorer inside knn's exact form. */
-  private val quadraticBaselines = Set("knn_exact", "dedup_embedding_exact")
+  /** Queries ALLOWED to plan a product: the documented quadratic
+    * baselines — the exact oracle forms (scale paths: the LSH/IVF
+    * variants next to them) and the SQ8 accuracy baseline, which
+    * measures compression loss the way real pipelines do (brute force
+    * on a sample). */
+  private val quadraticBaselines =
+    Set("knn_exact", "dedup_embedding_exact", "knn_quantized")
 
   test("no cartesian or nested-loop product anywhere outside the documented baselines") {
     // every registered query EXCEPT the baselines must plan product-free;

@@ -118,4 +118,26 @@ class SimilaritySpec extends SparkSpec {
     info(f"ANN recall@5 = $recall%.3f (${ann.size} returned)")
     assert(recall >= 0.5, f"ANN recall collapsed: $recall%.3f")
   }
+
+  test("SQ8 quantization: bounded reconstruction error and high knn recall vs exact") {
+    import org.apache.spark.sql.functions._
+    // per-dim reconstruction error <= half a quantization step, (mx-mn)/510
+    val err = Similarity.quantizeEmbeddings(spark, sfDir)
+      .join(graft.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e")), "vec_id")
+      .select(expr("""aggregate(
+          zip_with(e, transform(q, v -> mn + v * (mx - mn) / 255), (x, y) -> abs(x - y)),
+          0D, (a, d) -> greatest(a, d))""").as("max_err"),
+        ((col("mx") - col("mn")) / 510 + lit(1e-12)).as("bound"))
+    assert(err.where(col("max_err") > col("bound")).count() == 0,
+      "SQ8 reconstruction error exceeded half a quantization step")
+    // compression barely disturbs the neighborhood structure on this corpus
+    val exact = Similarity.knnExact(spark, sfDir, nQueries = 10, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val quant = Similarity.knnQuantized(spark, sfDir, nQueries = 10, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    info(f"SQ8 knn recall@5 = $recall%.3f")
+    assert(recall >= 0.8, f"SQ8 recall collapsed: $recall%.3f")
+  }
 }
