@@ -56,7 +56,17 @@ object Explain {
         val codegen = all.count(_.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
         val bhj = all.count(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
         val smj = all.count(_.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec])
-        println(f"[explain] $name%-28s exchanges=$exchanges%-3d codegen=$codegen%-3d bhj=$bhj%-2d smj=$smj%-2d")
+        // the two scale red flags PlanShapeSpec asserts on, surfaced in the
+        // operational audit too: product plans and unbounded global windows
+        val prod = all.count(n =>
+          n.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+            n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+        val gwin = all.count {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec.isEmpty
+          case _ => false
+        }
+        println(f"[explain] $name%-28s exchanges=$exchanges%-3d codegen=$codegen%-3d " +
+          f"bhj=$bhj%-2d smj=$smj%-2d prod=$prod%-2d gwin=$gwin%-2d")
       } catch { case e: Throwable =>
         System.err.println(s"[explain] $name failed: ${e.getMessage}")
       }
