@@ -162,38 +162,38 @@ object Bench {
     // doubles. References are docs/SCALING.md's per-query sf0.1 minima;
     // queries added since that study fall back to 1.5 s (join+agg class).
     val refSf01: Map[String, Double] = (
-      "agg2_persistence_rmse:0.47,agg3_value_summary:0.46,agg4_rmse_history_mean:0.47," +
-      "bloom_semi:0.84,chunk_overlap:0.34,dedup_clusters:1.84,dedup_containment:1.56," +
-      "dedup_contam:1.27,dedup_embedding_clusters:1.99,dedup_embedding_exact:0.76," +
-      "dedup_embedding_lsh:1.23,dedup_exact:0.42,dedup_fold_leakage:1.34," +
-      "dedup_minhash_lsh:1.71,dedup_minhash_sig:0.57,dedup_ngram_jaccard:2.34," +
-      "dedup_simhash:1.05,dedup_simhash_pairs:1.40,fuzzy_names:0.50," +
-      "jn1_fifo_rank_join:0.47,jn2_asof_join:0.55,jn3_asof_tolerance:0.49," +
-      "jn4_asof_native:0.43,knn_ann_ivf:0.82,knn_ann_lsh:0.76,knn_exact:0.42," +
-      "ml1_ridge_forecast:1.53,ml1_ridge_forecast_per_key:0.60,ml3_persistence_backtest:0.64," +
-      "mm_decode_features:0.23,mm_frame_sample:0.30,mm_payload_stats:0.19," +
-      "nrm1_minmax_scale:0.38,nrm2_frozen_scale:0.34,pack_sequences:0.39,pipe_prep:2.79," +
-      "q1_pricing_summary:1.20,q2_min_price_supp:1.51,q3_top_orders:1.48," +
-      "q4_order_priority:1.24,q5_nation_revenue:1.39,q6_revenue_filter:0.29," +
-      "q7_nation_trade:1.51,q_approx_stats:2.15,q_cms_counts:0.43,q_cust_no_orders:0.33," +
-      "q_distinct_counts:1.41,q_events_hourly:0.46,q_evt_pctl:0.97,q_evt_slide:0.55," +
-      "q_exact_stats:2.13,q_funnel:0.58,q_order_gaps:0.78,q_order_histogram:0.39," +
-      "q_parts_except:0.40,q_parts_intersect:1.04,q_quantity_cube:0.99,q_retention:0.64," +
-      "q_returns_rollup:1.05,q_revenue_pivot:1.10,q_running_spend:0.52,q_sessionize:0.84," +
-      "q_skew_join:1.15,q_spend_quartiles:1.22,q_top_customers:0.56," +
-      "q_top_orders_per_cust:0.52,q_transitions:0.70,rj_sessions:0.90,rsmp_ffill:1.57," +
-      "sample_stratified:0.41,sample_weighted:0.25,split_assign:0.17,split_folds:0.29," +
-      "src2_json_extract:0.45,tr1_change_filter:0.44,tr2_anchored_return:0.39," +
-      "ts_autocorr:0.60,ts_cusum:0.90,ts_ewma:0.83,ts_outliers:0.81,txt_bm25:0.47," +
-      "txt_c4_filter:0.40,txt_fingerprint:0.18,txt_lang_id:0.21,txt_lm_score:1.50," +
-      "txt_quality:0.18,txt_redact:0.38,txt_reps:1.42,txt_rolling_fp:2.42,txt_tfidf:0.71," +
-      "txt_token_stats:0.15,txt_top_bigrams:0.42,txt_vocab:0.64,win1_sliding_features:0.71," +
-      "win2_latest_window:0.42,zorder_key:0.33," +
-      // round-6 additions/changes, measured solo-warm on an idle host
-      // (q_spend_quartiles is the bucketed scalable form; q_skew_join the
-      // aliased salted join; q_approx_stats the checked oracle form)
-      "q10_returned_cust:1.55,q14_promo_share:1.57,q19_bracket_revenue:0.99," +
-      "q_trailing_spend:1.40,q_grouping_sets:1.77,mix_sources:0.88,mm_media_probe:0.63"
+      // full-surface warm sf0.1 sweep, round 6 (BENCH_ALL, PASSES=2,
+      // idle host; regenerated alongside docs/SCALING.md)
+      "agg2_persistence_rmse:0.46,agg3_value_summary:0.43,agg4_rmse_history_mean:0.49," +
+      "bloom_semi:0.86,chunk_overlap:0.35,dedup_clusters:1.94,dedup_containment:1.81," +
+      "dedup_contam:1.31,dedup_embedding_clusters:2.56,dedup_embedding_exact:1.03," +
+      "dedup_embedding_lsh:1.87,dedup_exact:0.35,dedup_fold_leakage:1.29," +
+      "dedup_minhash_lsh:1.96,dedup_minhash_sig:0.59,dedup_ngram_jaccard:2.40," +
+      "dedup_simhash:1.21,dedup_simhash_pairs:1.54,emb_quantize:0.30,fuzzy_names:0.57," +
+      "jn1_fifo_rank_join:0.41,jn2_asof_join:0.48,jn3_asof_tolerance:0.46," +
+      "jn4_asof_native:0.44,knn_ann_ivf:0.93,knn_ann_lsh:0.80,knn_exact:0.45," +
+      "knn_quantized:0.49,mix_sources:0.62,ml1_ridge_forecast:1.70," +
+      "ml1_ridge_forecast_per_key:0.58,ml3_persistence_backtest:0.73," +
+      "mm_decode_features:0.26,mm_frame_sample:0.41,mm_media_probe:0.35," +
+      "mm_payload_stats:0.20,nrm1_minmax_scale:0.36,nrm2_frozen_scale:0.40," +
+      "pack_sequences:0.43,pipe_prep:3.29,q10_returned_cust:1.23,q14_promo_share:1.16," +
+      "q18_big_orders:1.36,q19_bracket_revenue:0.80,q1_pricing_summary:1.22," +
+      "q2_min_price_supp:1.65,q3_top_orders:1.43,q4_order_priority:1.35," +
+      "q5_nation_revenue:1.38,q6_revenue_filter:0.30,q7_nation_trade:1.59," +
+      "q_approx_stats:1.88,q_cms_counts:0.48,q_cust_no_orders:0.31,q_distinct_counts:1.41," +
+      "q_events_hourly:0.50,q_evt_pctl:0.98,q_evt_slide:0.57,q_exact_stats:2.28," +
+      "q_funnel:0.64,q_grouping_sets:1.22,q_order_gaps:0.77,q_order_histogram:0.42," +
+      "q_parts_except:0.41,q_parts_intersect:1.08,q_quantity_cube:1.03,q_retention:0.66," +
+      "q_returns_rollup:1.00,q_revenue_pivot:1.15,q_running_spend:0.54,q_sessionize:0.96," +
+      "q_skew_join:0.62,q_spend_quartiles:1.10,q_top_customers:0.57," +
+      "q_top_orders_per_cust:0.53,q_trailing_spend:0.97,q_transitions:0.81," +
+      "rj_sessions:1.02,rsmp_ffill:1.71,sample_stratified:0.49,sample_weighted:0.32," +
+      "split_assign:0.20,split_folds:0.37,src2_json_extract:0.47,tr1_change_filter:0.41," +
+      "tr2_anchored_return:0.35,ts_autocorr:0.60,ts_cusum:0.91,ts_ewma:0.73," +
+      "ts_outliers:0.84,txt_bm25:0.72,txt_c4_filter:0.42,txt_fingerprint:0.30," +
+      "txt_lang_id:0.28,txt_lm_score:1.59,txt_quality:0.28,txt_redact:0.42,txt_reps:1.47," +
+      "txt_rolling_fp:2.37,txt_tfidf:0.65,txt_token_stats:0.17,txt_top_bigrams:0.58," +
+      "txt_vocab:0.69,win1_sliding_features:0.67,win2_latest_window:0.51,zorder_key:0.43"
     ).split(",").map { kv => val Array(k, v) = kv.split(":"); k -> v.toDouble }.toMap
     def threshold(name: String): Double = {
       val ref = refSf01.getOrElse(name, 1.5)
