@@ -247,7 +247,10 @@ object TextAnalysis {
           .when(col("lang_pred") =!= "en", "non_english")
           .otherwise("ok"))
       .withColumn("keep", col("reason") === "ok")
-      .select("doc_id", "n_tokens", "lang_pred", "keep", "reason")
+      // keep `text`: a gate that drops the payload cannot feed the next
+      // pipeline stage (streaming ingest chains this straight into LSH
+      // dedup); the oracle-facing query entry projects it away
+      .select("doc_id", "text", "n_tokens", "lang_pred", "keep", "reason")
   }
 
   // -- query entry points over the driver tables --
@@ -306,7 +309,9 @@ object TextAnalysis {
     rollingFingerprints(Tables.documents(spark, dir)).orderBy("doc_id", "pos")
 
   def c4FilterQuery(spark: SparkSession, dir: String): DataFrame =
-    c4Filter(Tables.documents(spark, dir)).orderBy("doc_id")
+    c4Filter(Tables.documents(spark, dir))
+      .select("doc_id", "n_tokens", "lang_pred", "keep", "reason")
+      .orderBy("doc_id")
 
   /** Training-sequence prep: overlapping token-window chunks. Each doc
     * yields chunks of up to `window` tokens starting every `stride`

@@ -73,4 +73,35 @@ class PropertySpec extends AnyFunSuite {
       v >= -1.0 && v < 1.0 && v == graft.functions.HyperplaneSig.planeComponent(p, d)
     })
   }
+
+  test("MediaCodec: build-parse round trip holds for ALL payload byte arrays") {
+    import graft.analytics.MediaCodec
+    val bytesGen = Gen.choose(0, 4096).flatMap(n =>
+      Gen.containerOfN[Array, Byte](n, Gen.choose(Byte.MinValue, Byte.MaxValue)))
+    check("bmp", Prop.forAll(bytesGen) { data =>
+      val m = MediaCodec.probe(MediaCodec.toBmp(data))
+      val pixels = (data.length + 2) / 3
+      m.exists(i => i.fmt == "bmp" && i.width == MediaCodec.BmpWidth &&
+        i.height == math.max(1, (pixels + MediaCodec.BmpWidth - 1) / MediaCodec.BmpWidth))
+    }, minTests = 200)
+    check("wav", Prop.forAll(bytesGen) { data =>
+      val m = MediaCodec.probe(MediaCodec.toWav(data))
+      m.exists(i => i.fmt == "wav" && i.sampleRate == 8000 && i.channels == 1 &&
+        i.nSamples == (data.length + 1) / 2)
+    }, minTests = 200)
+    // cross-probe: a BMP never parses as WAV and vice versa (validated
+    // magic + size fields), and random bytes essentially never probe
+    check("disjoint", Prop.forAll(bytesGen) { data =>
+      MediaCodec.probe(MediaCodec.toBmp(data)).forall(_.fmt == "bmp") &&
+        MediaCodec.probe(MediaCodec.toWav(data)).forall(_.fmt == "wav")
+    })
+  }
+
+  test("CmsSketch bucket: always in range, deterministic, seed-independent streams differ") {
+    val sGen = Gen.asciiPrintableStr
+    check("range", Prop.forAll(sGen, Gen.choose(0, 15)) { (s, j) =>
+      val b = graft.functions.CmsSketch.bucket(j, s, 256)
+      b >= 0 && b < 256 && b == graft.functions.CmsSketch.bucket(j, s, 256)
+    }, minTests = 200)
+  }
 }

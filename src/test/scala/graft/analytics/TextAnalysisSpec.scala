@@ -85,7 +85,8 @@ class TextAnalysisSpec extends SparkSpec {
       (5L, "join filter sort the a of and to in is join filter sort zz yy xx ww vv uu tt"), // stopword-rich but French markers
       (6L, en20)                                         // keeps
     ).toDF("doc_id", "text")
-    val got = TextAnalysis.c4Filter(docs).orderBy("doc_id")
+    val got = TextAnalysis.c4Filter(docs)
+      .select("doc_id", "n_tokens", "lang_pred", "keep", "reason").orderBy("doc_id")
       .as[(Long, Long, String, Boolean, String)].collect()
     assert(got.map(_._5).toSeq == Seq("too_short", "too_long", "too_much_punct",
       "too_few_stopwords", "non_english", "ok"))

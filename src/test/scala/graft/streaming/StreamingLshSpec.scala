@@ -56,6 +56,35 @@ class StreamingLshSpec extends SparkSpec {
       c.doc_a == 1L && c.doc_b == 2L && c.est_jaccard == 1.0), s"exact dup: $out2")
   }
 
+  test("composed ingest prep: the C4 gate feeds LSH dedup inside ONE streaming query") {
+    // the batch gate is a stateless projection (StreamingGateSpec), so it
+    // chains in front of the stateful LSH stage with no glue: gated-out
+    // docs must never reach candidate generation
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val gated = graft.analytics.TextAnalysis
+      .c4Filter(ms.toDS().toDF("doc_id", "text"), minTokens = 20)
+      .where(col("keep")).select("doc_id", "text").as[(Long, String)]
+    val name = s"prep_stream_${System.nanoTime()}"
+    val q = StreamingLsh.candidates(gated, threshold = 0.9)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    // docs 1/2: identical, pass every gate (>= 20 tokens, stopword-rich,
+    // English). docs 3/4: identical but UNDER the token gate — silently
+    // dropped, so no (3,4) pair may surface though their signatures match.
+    val long = "the order is fast and the scan is in the table of the " +
+      "work we do here now for all good men"
+    val short = "tiny duplicated doc."
+    try {
+      ms.addData(Seq(1L -> long, 3L -> short): _*); q.processAllAvailable()
+      ms.addData(Seq(2L -> long, 4L -> short): _*); q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table(name).as[StreamDupCandidate]
+      .collect().map(c => (c.doc_a, c.doc_b)).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"gate must stop the short dup pair before dedup, got $pairs")
+  }
+
   test("FIFO capacity bounds bucket state: evicted docs no longer pair") {
     val text = (1 to 20).map(i => s"t$i").mkString(" ")
     // capacity 1 per bucket: doc 1 is evicted by doc 2, so doc 3 pairs
