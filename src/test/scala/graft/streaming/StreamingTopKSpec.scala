@@ -47,6 +47,32 @@ class StreamingTopKSpec extends SparkSpec {
     assert(byKey("hot2") >= 30 && byKey("hot2") <= 35)
   }
 
+  test("checkpoint recovery: a restarted query carries shard state across the stop") {
+    // the exactly-once claim in practice: stop the query, start a NEW one
+    // on the same checkpoint, and both the emission sequence AND the CMS
+    // counts must continue from the persisted state — a reset would show
+    // seq=1 again and an estimate that forgot batch 1
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[String]
+    val dir = java.nio.file.Files.createTempDirectory("topk_recovery").toString
+    def start() = StreamingTopK.estimates(ms.toDS(), k = 3, shards = 1)
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/chk")
+      .outputMode("append").start()
+    val q1 = start()
+    try { ms.addData(Seq.fill(7)("hot") :+ "cold": _*); q1.processAllAvailable() }
+    finally q1.stop()
+    val q2 = start() // brand-new query object, same checkpoint
+    try { ms.addData(Seq.fill(5)("hot") :+ "warm": _*); q2.processAllAvailable() }
+    finally q2.stop()
+    val rows = spark.read.parquet(s"$dir/out").as[TopKEstimate].collect().toSeq
+    assert(rows.map(_.seq).max == 2L, s"state reset on restart: $rows")
+    val hotAfter = rows.filter(e => e.seq == 2L && e.key == "hot").map(_.est)
+    assert(hotAfter.nonEmpty && hotAfter.head >= 12L,
+      s"CMS forgot pre-restart mass: $rows")
+  }
+
   test("bounded output and state: k rows per emission, hot key survives candidate churn") {
     // one shard, tiny candidate capacity, way more distinct keys than fit:
     // the frequent key must survive eviction pressure
