@@ -354,10 +354,18 @@ object Relational {
     * [[approxStats]]. Deterministic: ordering tie-breaks on c_custkey and
     * every rank-derived double is exactly representable (k/n ratios
     * rounded alike both engines). */
-  def spendQuartiles(spark: SparkSession, dir: String): DataFrame = {
-    val spend = Tables.orders(spark, dir).select("o_custkey", "o_totalprice")
+  private def spendPerCustomer(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select("o_custkey", "o_totalprice")
       .groupBy("o_custkey")
       .agg((sum(round(col("o_totalprice") * 100, 0).cast("long")) / 100.0).as("total_spend"))
+
+  def spendQuartiles(spark: SparkSession, dir: String): DataFrame =
+    quartilesWindowed(spendPerCustomer(spark, dir))
+
+  /** The single-global-window form over any (o_custkey, total_spend)
+    * frame — kept as the in-engine mirror of [[quartilesBucketed]] and
+    * the slow arm of [[graft.ScaleProbe]]. */
+  def quartilesWindowed(spend: DataFrame): DataFrame = {
     val w = Window.orderBy(col("total_spend").desc, col("o_custkey"))
     spend.select(col("o_custkey"), col("total_spend"),
         ntile(4).over(w).cast("long").as("quartile"),
@@ -392,11 +400,13 @@ object Relational {
     * The aggregate is persisted across the probe jobs and the rank job
     * (the Dedup/Similarity shared-intermediate precedent). */
   def spendQuartilesScalable(spark: SparkSession, dir: String,
-                             buckets: Int = 32): DataFrame = {
-    val spend = Tables.orders(spark, dir).select("o_custkey", "o_totalprice")
-      .groupBy("o_custkey")
-      .agg((sum(round(col("o_totalprice") * 100, 0).cast("long")) / 100.0).as("total_spend"))
-      .persist()
+                             buckets: Int = 32): DataFrame =
+    quartilesBucketed(spendPerCustomer(spark, dir), buckets)
+
+  /** The bucketed exact-rank core over any (o_custkey, total_spend)
+    * frame — see [[spendQuartilesScalable]] for the algorithm. */
+  def quartilesBucketed(spendIn: DataFrame, buckets: Int = 32): DataFrame = {
+    val spend = spendIn.persist()
     val cutoffs = spend.stat
       .approxQuantile("total_spend", (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
       .distinct.sorted
