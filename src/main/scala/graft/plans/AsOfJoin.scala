@@ -137,10 +137,11 @@ case class AsOfMergeJoinExec(
         val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
         val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
         val payloadProj = UnsafeProjection.create(payloadExprs, rOut)
-        // type ascription: bindReference casts its result back to the
-        // inferred type parameter, which must be Expression, not Attribute
-        val lTimeBound = BindReferences.bindReference(lTimeExpr: Expression, lOut)
-        val rTimeBound = BindReferences.bindReference(rTimeExpr: Expression, rOut)
+        // time columns are REQUIRED LongType at fixed ordinals (the node's
+        // positional contract), so read them unboxed — a bound-reference
+        // eval() here boxes one java.lang.Long PER ROW on the hot path
+        val lTimeAt = lOut.indexWhere(_.exprId == lTimeExpr.exprId)
+        val rTimeAt = rOut.indexWhere(_.exprId == rTimeExpr.exprId)
         val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
         val resultProj = UnsafeProjection.create(outTypes)
         val joined = new JoinedRow
@@ -148,7 +149,7 @@ case class AsOfMergeJoinExec(
 
         new Iterator[InternalRow] {
           private var rHead: InternalRow = _
-          private var matchKey: UnsafeRow = _
+          private var prevLeftKey: UnsafeRow = _
           private var matchTime: Long = 0L
           private var matchPayload: UnsafeRow = _
 
@@ -157,13 +158,22 @@ case class AsOfMergeJoinExec(
           override def next(): InternalRow = {
             val l = lIter.next()
             val lk = lKeyProj(l)
-            val ltRaw = lTimeBound.eval(l)
+            // the buffered match belongs to the PREVIOUS left key; on a
+            // key change it is stale by construction (left is key-sorted),
+            // so invalidate here instead of copying+comparing the match's
+            // own key per row — one compare against the previous left key
+            // (copied once per KEY GROUP, not per right match) replaces
+            // the per-row matchKey copy the first version paid
+            if (prevLeftKey == null || keyOrd.compare(prevLeftKey, lk) != 0) {
+              matchPayload = null
+              prevLeftKey = lk.copy()
+            }
             // advance the right side up to (key, time): every right row
             // at-or-before the current left row updates the buffered
             // match (later rows at the same key overwrite earlier — the
             // "latest" convention), rows for earlier keys are discarded
-            if (ltRaw != null) {
-              val lt = ltRaw.asInstanceOf[Long]
+            if (!l.isNullAt(lTimeAt)) {
+              val lt = l.getLong(lTimeAt)
               var continue = true
               while (continue) {
                 if (rHead == null) {
@@ -174,12 +184,10 @@ case class AsOfMergeJoinExec(
                   val c = keyOrd.compare(rk, lk)
                   if (c < 0) rHead = null // behind the current key
                   else if (c == 0) {
-                    val rtRaw = rTimeBound.eval(rHead)
-                    if (rtRaw == null) rHead = null // unordered: unusable
+                    if (rHead.isNullAt(rTimeAt)) rHead = null // unordered: unusable
                     else {
-                      val rt = rtRaw.asInstanceOf[Long]
+                      val rt = rHead.getLong(rTimeAt)
                       if (rt <= lt) {
-                        matchKey = rk.copy()
                         matchTime = rt
                         matchPayload = payloadProj(rHead).copy()
                         rHead = null
@@ -189,7 +197,6 @@ case class AsOfMergeJoinExec(
                 }
               }
               val valid = matchPayload != null &&
-                keyOrd.compare(matchKey, lk) == 0 &&
                 tol.forall(t => lt - matchTime <= t)
               resultProj(joined(l, if (valid) matchPayload else nullPayload))
             } else resultProj(joined(l, nullPayload))
