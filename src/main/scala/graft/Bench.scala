@@ -109,7 +109,8 @@ object Bench {
     Tables.region(spark, sfDir).write.format("noop").mode("overwrite").save()
     // optional warm-up passes (profiling: separates JIT/codegen cost from
     // steady-state query cost; the driver's bench runs with 1 pass)
-    (1 until sys.env.getOrElse("SPARK_GRAFT_PASSES", "1").toInt).foreach { _ =>
+    (1 until sys.env.get("SPARK_GRAFT_PASSES").flatMap(_.toIntOption)
+        .filter(_ > 0).getOrElse(1)).foreach { _ =>
       selected.foreach { case (n, fn) =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }

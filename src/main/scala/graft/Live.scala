@@ -44,7 +44,10 @@ object Live {
     opt("GRAFT_URL").foreach(u => reader = reader.option("url", u))
     val ticks = reader.load().as[RawTick]
 
-    val triggerMs = opt("GRAFT_TRIGGER_MS").map(_.toLong).getOrElse(5000L)
+    // validated parse (the dupClusters env-var lesson): a malformed
+    // cadence falls back to the reference's 5 s, never crashes the ingest
+    val triggerMs = opt("GRAFT_TRIGGER_MS").flatMap(_.toLongOption)
+      .filter(_ > 0).getOrElse(5000L)
     // Bounded history for the UNATTENDED entry point: the reference refits
     // on all history, which Config's Int.MaxValue default preserves for
     // parity replay (BatchReplay / the oracle specs) — but a live run that
