@@ -76,6 +76,7 @@ object Bench {
       "ml1_ridge_forecast_per_key", // per-key variant of benched ml1_ridge_forecast
       "dedup_fold_leakage",    // cross-fold 13-gram check: dedup_contam benched
       "q_evt_slide",           // sliding event window: q_events_hourly (tumbling) benched
+      "dedup_incremental",     // bloom-pruned join family: bloom_semi benched
       // the documented quadratic ORACLE/ACCURACY BASELINES: their scale
       // paths (dedup_embedding_lsh / knn_ann_lsh, knn_ann_ivf; SQ8 inside
       // bucket residents) are benched; benching the deliberately-

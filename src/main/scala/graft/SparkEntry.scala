@@ -116,6 +116,7 @@ object SparkEntry {
     "ml1_ridge_forecast_per_key" -> (ForecastQueries.ridgeForecastPerKey(_, _)), // per-ticker mirror of the reference model
     // --- LLM-data-pipeline track: dedup over documents ---
     "dedup_exact" -> (Dedup.exactQuery _),
+    "dedup_incremental" -> (Dedup.incrementalQuery _), // bloom-pruned anti join: novel mass never shuffles
     "dedup_ngram_jaccard" -> (Dedup.ngramQuery _),
     "dedup_containment" -> (Dedup.containmentQuery _), // overlap coefficient: doc-in-doc dups Jaccard misses
     "dedup_minhash_sig" -> (Dedup.minhashQuery _),
@@ -1024,6 +1025,19 @@ object SparkEntry {
     "dedup_exact" ->
       s"""SELECT md5($normSql) AS h, min(doc_id) AS keep_doc_id,
           count(*) AS n_copies FROM documents GROUP BY 1""",
+    "dedup_incremental" ->
+      // the bloom prefilter is an execution detail; the semantics is a
+      // plain digest anti-join of the incoming slice vs the historical
+      // corpus (NOT EXISTS, never NOT IN — a null would poison NOT IN)
+      """WITH hist AS (SELECT DISTINCT
+              ('0x'||substr(md5(coalesce(text,'')),1,15))::UBIGINT::BIGINT AS digest
+            FROM documents WHERE doc_id % 5 <> 0),
+          inc AS (SELECT doc_id,
+              ('0x'||substr(md5(coalesce(text,'')),1,15))::UBIGINT::BIGINT AS digest
+            FROM documents WHERE doc_id % 5 = 0)
+          SELECT doc_id, digest FROM inc
+          WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.digest = inc.digest)
+          ORDER BY doc_id""",
     "dedup_ngram_jaccard" ->
       s"""WITH $shinglesCte,
           rare AS (SELECT h1, h2 FROM sh GROUP BY h1, h2

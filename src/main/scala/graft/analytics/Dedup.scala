@@ -588,4 +588,25 @@ object Dedup {
       .select("doc_a", "doc_b", "fold_a", "fold_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Incremental ingest dedup — the CONTINUOUS-pipeline counterpart of
+    * [[exactQuery]]: a new batch of documents (here every 5th doc_id
+    * stands in for the incoming slice) is admitted only if its content
+    * digest is unseen in the historical corpus (the other four-fifths).
+    * Built on [[graft.operators.BloomPrune.antiJoin]]: the bloom filter
+    * proves absence, so at real scale the overwhelmingly-novel incoming
+    * mass is emitted straight from the scan and only `|dups| + fpp·|new|`
+    * rows ever shuffle for the exact check. Digests are the engine-
+    * portable 60-bit md5 over `coalesce(text,'')` (never null, so
+    * admission is total). */
+  def incrementalQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dg = Hashes.md5Long60(coalesce(col("text"), lit("")))
+    val hist = docs.where(col("doc_id") % 5 =!= 0).select(dg.as("digest"))
+    val inc = docs.where(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), dg.as("digest"))
+    graft.operators.BloomPrune
+      .antiJoin(inc, "digest", hist, "digest", expectedItems = 1000000L)
+      .orderBy("doc_id")
+  }
 }

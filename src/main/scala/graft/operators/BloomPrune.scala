@@ -55,4 +55,30 @@ object BloomPrune {
       .where(call_function("bloom_might_contain", lit(bytes), col(factKey).cast("long")))
       .join(dk, col(factKey).cast("long") === col("__dk"), "left_semi")
   }
+
+  /** Exact left-ANTI join (keep fact rows whose key is NOT in `dim`),
+    * bloom-pruned: a bloom filter proves ABSENCE with certainty, so any
+    * row it rejects is definitely novel and is emitted STRAIGHT FROM THE
+    * SCAN — no shuffle at all; only the bloom-positive sliver (true
+    * matches + ≤ fpp of the stream) pays the exact anti join. This is
+    * the incremental-ingest dedup shape: at 100 TB of mostly-novel
+    * incoming data the exchange sees `|dups| + fpp × |fact|` rows while
+    * the overwhelming novel mass streams through scan-side codegen.
+    * NULL fact keys route to the exact branch (a null predicate is not
+    * a rejection) and survive it — an equi-anti-join keeps rows whose
+    * condition can never match — i.e. unknown-key rows are treated as
+    * novel, the same answer a plain left-anti join gives. Output row
+    * order between the two branches is not defined (union). */
+  def antiJoin(fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val dk = dim.select(col(dimKey).cast("long").as("__dk")).distinct().persist()
+    if (dk.isEmpty) return fact // nothing ingested yet: everything is novel
+    val bf = dk.stat.bloomFilter("__dk", expectedItems, fpp)
+    val bytes = { val bos = new ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray }
+    val might = call_function("bloom_might_contain", lit(bytes), col(factKey).cast("long"))
+    fact.where(not(coalesce(might, lit(true)))) // bloom-rejected: certainly novel
+      .unionByName(
+        fact.where(coalesce(might, lit(true)))
+          .join(dk, col(factKey).cast("long") === col("__dk"), "left_anti"))
+  }
 }

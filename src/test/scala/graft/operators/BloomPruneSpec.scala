@@ -25,6 +25,28 @@ class BloomPruneSpec extends SparkSpec {
       s"prefilter passed $passed rows; expected ~100 matches + <=1% false positives")
   }
 
+  test("bloom-pruned ANTI join: exact, novel mass bypasses the exchange, edges hold") {
+    val fact = spark.range(10000).select($"id".as("fk"), ($"id" % 97).as("payload"))
+    val dim = spark.range(100).select(($"id" * 7).as("dk"))
+    val got = BloomPrune.antiJoin(fact, "fk", dim, "dk", expectedItems = 1000, fpp = 0.01)
+      .select("fk").as[Long].collect().toSeq.sorted
+    val want = fact.join(dim, $"fk" === $"dk", "left_anti")
+      .select("fk").as[Long].collect().toSeq.sorted
+    assert(got == want, "bloom-pruned anti join must equal the plain anti join")
+    // empty dim: everything is novel
+    val empty = dim.where(lit(false))
+    assert(BloomPrune.antiJoin(fact, "fk", empty, "dk", 1000).count() == 10000)
+    // null fact keys are treated as novel (no match is possible), the
+    // same answer a plain left-anti join gives
+    val factN = spark.range(10).select(
+      when($"id" % 2 === 0, $"id").as("fk"), $"id".as("payload"))
+    val gotN = BloomPrune.antiJoin(factN, "fk", dim, "dk", 1000)
+      .select("payload").as[Long].collect().toSeq.sorted
+    val wantN = factN.join(dim, $"fk" === $"dk", "left_anti")
+      .select("payload").as[Long].collect().toSeq.sorted
+    assert(gotN == wantN, s"null-key handling diverged: $gotN vs $wantN")
+  }
+
   test("bloom_semi query equals a plain IN-subquery recomputation at sf0.001") {
     val got = graft.analytics.Relational.bloomSemi(spark, sfDir)
       .as[(Long, Long, Double)].collect().toSeq
