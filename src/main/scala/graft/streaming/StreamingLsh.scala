@@ -41,12 +41,54 @@ object StreamingLsh {
 
   final case class BucketState(docs: Seq[(Long, Seq[Long])])
 
-  /** docs: (doc_id, text). Emits candidates in Append mode. */
+  /** Shared stateful core over pre-banded rows `(bucketKey, id,
+    * signature-components)`: per bucket, compare each arrival's
+    * components against the FIFO window's occupants (est = fraction of
+    * equal components), emit pairs at-or-over `threshold`. The bucket
+    * key must start with "<band>:"; component semantics belong to the
+    * caller (minhash values for text, hyperplane sign bits for
+    * embeddings). */
+  private[streaming] def candidatesFromBanded(
+      banded: Dataset[(String, Long, Seq[Long])], threshold: Double,
+      capacity: Int): Dataset[StreamDupCandidate] = {
+    require(capacity > 0 && threshold > 0.0 && threshold <= 1.0)
+    import banded.sparkSession.implicits._
+    banded.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Seq[Long])],
+         state: GroupState[BucketState]) =>
+          val band = key.takeWhile(_ != ':').toInt
+          var stored = state.getOption.map(_.docs).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[StreamDupCandidate]
+          rows.toSeq.sortBy(_._2).foreach { case (_, id, sig) =>
+            stored.foreach { case (oid, osig) =>
+              if (oid != id) { // replays of one doc are not a pair
+                var m = 0; var j = 0
+                val k = sig.size
+                while (j < k) {
+                  if (sig(j) == osig(j)) m += 1
+                  j += 1
+                }
+                val est = m.toDouble / k
+                if (est >= threshold)
+                  out += StreamDupCandidate(math.min(oid, id), math.max(oid, id),
+                    band, math.rint(est * 10000) / 10000)
+              }
+            }
+            stored = (stored.filterNot(_._1 == id) :+ (id -> sig))
+              .takeRight(capacity)
+          }
+          state.update(BucketState(stored))
+          out.result().iterator
+      }
+  }
+
+  /** Text near-dup at ingest. docs: (doc_id, text); emits Append-mode
+    * candidates whose estimate is minhash-component agreement. */
   def candidates(docs: Dataset[(Long, String)], n: Int = 5, bands: Int = 4,
                  rowsPerBand: Int = 4, threshold: Double = 0.5,
                  capacity: Int = 256): Dataset[StreamDupCandidate] = {
-    require(bands > 0 && rowsPerBand > 0 && capacity > 0)
-    require(threshold > 0.0 && threshold <= 1.0)
+    require(bands > 0 && rowsPerBand > 0)
     import docs.sparkSession.implicits._
     val numHashes = bands * rowsPerBand
     // fan out: one (bucketKey, doc, signature) row per band — the bucket
@@ -62,32 +104,35 @@ object StreamingLsh {
         case None => Nil // fewer than n tokens: no shingles, like the batch path
       }
     }
-    banded.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[(String, Long, Seq[Long])],
-         state: GroupState[BucketState]) =>
-          val band = key.takeWhile(_ != ':').toInt
-          var stored = state.getOption.map(_.docs).getOrElse(Seq.empty)
-          val out = Seq.newBuilder[StreamDupCandidate]
-          rows.toSeq.sortBy(_._2).foreach { case (_, id, sig) =>
-            stored.foreach { case (oid, osig) =>
-              if (oid != id) { // replays of one doc are not a pair
-                var m = 0; var j = 0
-                while (j < numHashes) {
-                  if (sig(j) == osig(j)) m += 1
-                  j += 1
-                }
-                val est = m.toDouble / numHashes
-                if (est >= threshold)
-                  out += StreamDupCandidate(math.min(oid, id), math.max(oid, id),
-                    band, math.rint(est * 10000) / 10000)
-              }
-            }
-            stored = (stored.filterNot(_._1 == id) :+ (id -> sig.toSeq))
-              .takeRight(capacity)
+    candidatesFromBanded(banded, threshold, capacity)
+  }
+
+  /** Embedding near-dup at ingest — the vector counterpart: signatures
+    * are the SAME banded hyperplane sign bits the batch `hyperplane_sig`
+    * expression computes (JVM mirror, spec-asserted bit-identical), the
+    * bucket key is the packed band value (the batch LSH join key), and
+    * the estimate is SIGN-BIT agreement — an unbiased angular-similarity
+    * estimator (cos ≈ cos(π·(1−agreement))). Same bounded per-bucket
+    * FIFO state, same determinism discipline. Vectors whose length ≠
+    * `dims` are skipped, like the expression's NULL. */
+  def embeddingCandidates(vecs: Dataset[(Long, Seq[Double])], dims: Int = 64,
+                          bands: Int = 4, rowsPerBand: Int = 4,
+                          threshold: Double = 0.875,
+                          capacity: Int = 256): Dataset[StreamDupCandidate] = {
+    require(bands > 0 && rowsPerBand > 0)
+    import vecs.sparkSession.implicits._
+    val banded = vecs.flatMap { case (id, vec) =>
+      graft.functions.HyperplaneSig.signatureLocal(vec.toArray, dims, bands, rowsPerBand) match {
+        case Some(sig) =>
+          // components = individual sign bits (fine-grained agreement);
+          // bucket key = the packed band int (coarse collision)
+          val bits: Seq[Long] = (0 until bands * rowsPerBand).map { p =>
+            ((sig(p / rowsPerBand) >> (p % rowsPerBand)) & 1).toLong
           }
-          state.update(BucketState(stored))
-          out.result().iterator
+          (0 until bands).map(b => (s"$b:${sig(b)}", id, bits))
+        case None => Nil
       }
+    }
+    candidatesFromBanded(banded, threshold, capacity)
   }
 }

@@ -85,6 +85,40 @@ class StreamingLshSpec extends SparkSpec {
       s"gate must stop the short dup pair before dedup, got $pairs")
   }
 
+  test("embedding path: JVM hyperplane signature == batch expression on the real corpus") {
+    val emb = graft.Tables.embeddings(spark, sfDir).limit(30)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val batch = emb.select(col("vec_id"),
+        call_function("hyperplane_sig", col("e"), lit(64), lit(4), lit(4)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val local = emb.as[(Long, Seq[Double])].collect().map { case (id, v) =>
+      id -> graft.functions.HyperplaneSig.signatureLocal(v.toArray, 64, 4, 4).get.toSeq
+    }.toMap
+    assert(local.nonEmpty && local.keySet == batch.keySet)
+    local.foreach { case (id, sig) => assert(sig == batch(id), s"sig mismatch vec $id") }
+  }
+
+  test("streaming embedding near-dups: perturbed twin pairs, orthogonal vector stays silent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val dims = 64
+    val base = Seq.tabulate(dims)(i => math.sin(i + 1.0))
+    val twin = base.updated(7, base(7) + 0.01) // tiny perturbation: same signs
+    val ortho = Seq.tabulate(dims)(i => if (i % 2 == 0) 1.0 else -1.0)
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val name = s"elsh_stream_${System.nanoTime()}"
+    val q = StreamingLsh.embeddingCandidates(ms.toDS(), dims = dims)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      ms.addData(Seq(1L -> base, 3L -> ortho): _*); q.processAllAvailable()
+      ms.addData(Seq(2L -> twin): _*); q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(name).as[StreamDupCandidate].collect().toSeq
+    val pairs = out.map(c => (c.doc_a, c.doc_b)).toSet
+    assert(pairs == Set((1L, 2L)), s"expected only the twin pair, got $out")
+    assert(out.forall(_.est_jaccard >= 0.875), s"twin bit agreement low: $out")
+  }
+
   test("FIFO capacity bounds bucket state: evicted docs no longer pair") {
     val text = (1 to 20).map(i => s"t$i").mkString(" ")
     // capacity 1 per bucket: doc 1 is evicted by doc 2, so doc 3 pairs
