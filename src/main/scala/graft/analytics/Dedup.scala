@@ -151,6 +151,10 @@ object Dedup {
     * machinery per document. */
   private[graft] def localMinhashSignature(text: String, n: Int = 5,
                                            numHashes: Int = 16): Option[Array[Long]] = {
+    // null text → no signature, matching the batch form (split(null) emits
+    // no shingle row); without this a null document in a streaming
+    // Dataset[(Long, String)] would NPE and kill the whole query
+    if (text == null) return None
     val ws = java.util.regex.Pattern.compile(" ").split(text, -1)
     if (ws.length < n) None
     else {

@@ -114,16 +114,22 @@ object MediaCodec {
       // other chunks (LIST/fact) between them
       var off = 12
       var rate = -1L; var ch = -1L; var bits = -1L; var dataBytes = -1L
-      while (off + 8 <= a.length) {
+      var ok = true
+      while (ok && off + 8 <= a.length) {
         val id = tag(a, off); val size = i32(a, off + 4)
-        if (id == "fmt " && off + 8 + 16 <= a.length) {
-          ch = u16(a, off + 10).toLong
-          rate = i32(a, off + 12).toLong
-          bits = u16(a, off + 22).toLong
-        } else if (id == "data") dataBytes = size.toLong
-        off += 8 + size + (size & 1) // chunks are word-aligned
+        // untrusted input: a negative or over-long size field would stall
+        // the walk or index out of bounds — reject the whole payload
+        if (size < 0 || off.toLong + 8L + size.toLong > a.length.toLong) ok = false
+        else {
+          if (id == "fmt " && off + 8 + 16 <= a.length) {
+            ch = u16(a, off + 10).toLong
+            rate = i32(a, off + 12).toLong
+            bits = u16(a, off + 22).toLong
+          } else if (id == "data") dataBytes = size.toLong
+          off += 8 + size + (size & 1) // chunks are word-aligned
+        }
       }
-      if (rate > 0 && ch > 0 && bits > 0 && dataBytes >= 0)
+      if (ok && rate > 0 && ch > 0 && bits >= 8 && dataBytes >= 0)
         Some(MediaInfo("wav", sampleRate = rate, channels = ch,
           nSamples = dataBytes / (ch * bits / 8)))
       else None

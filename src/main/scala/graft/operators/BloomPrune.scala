@@ -2,8 +2,9 @@ package graft.operators
 
 import java.io.ByteArrayOutputStream
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Bloom-filter semi-join pruning — the manual form of the runtime
   * filter a warehouse pushes to the fact scan when a selective dimension
@@ -29,10 +30,26 @@ import org.apache.spark.sql.functions._
   */
 object BloomPrune {
 
+  /** Map a key column to the LONG the bloom filter hashes. Integral
+    * types cast losslessly; everything else (string digests, decimals,
+    * binary) is hashed with the codegen'd `xxhash64` — an explicit,
+    * type-safe reduction. The old bare `cast("long")` turned a string
+    * digest into NULL on BOTH sides, so the scan predicate and the
+    * verify join silently matched nothing (semi → empty, anti → pass-
+    * through) — a wrong answer, not an error. The bloom/scan predicate
+    * only needs any deterministic long per key; exactness comes from the
+    * verify join, which compares the ORIGINAL columns (see below). */
+  private def keyAsLong(df: DataFrame, key: String): Column =
+    df.schema(key).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => col(key).cast("long")
+      case _                                             => xxhash64(col(key))
+    }
+
   /** Exact left-semi join of `fact` onto `dim`'s key set, bloom-pruned
     * before the shuffle. `expectedItems`/`fpp` size the filter
-    * (`n ln fpp / ln² 2` bits ≈ 1.2 MB at 1M items, 1% fpp). Both key
-    * columns must be integral (the filter hashes the long value). */
+    * (`n ln fpp / ln² 2` bits ≈ 1.2 MB at 1M items, 1% fpp). Integral
+    * keys hash directly; other types go through `xxhash64` for the bloom
+    * while the exact join still compares the original values. */
   def semiJoin(fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     // project + RENAME the dim key up front: with factKey == dimKey (a
@@ -44,7 +61,8 @@ object BloomPrune {
     // cache lazily, so the entries are reclaimed by the caller's cache
     // sweep (Bench/Verify drop all persisted RDDs per query) or the
     // ContextCleaner — same convention as Dedup.dupClusters' labels.
-    val dk = dim.select(col(dimKey).cast("long").as("__dk")).distinct().persist()
+    val dk0 = dim.select(col(dimKey).as("__dko")).distinct()
+    val dk = dk0.withColumn("__dk", keyAsLong(dk0, "__dko")).persist()
     // an empty dimension (a blocklist with nothing on it) has an empty
     // semi-join; stat.bloomFilter NPEs on zero rows, so short-circuit
     // (isEmpty materializes the cache the two later passes reuse)
@@ -52,8 +70,8 @@ object BloomPrune {
     val bf = dk.stat.bloomFilter("__dk", expectedItems, fpp)
     val bytes = { val bos = new ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray }
     fact
-      .where(call_function("bloom_might_contain", lit(bytes), col(factKey).cast("long")))
-      .join(dk, col(factKey).cast("long") === col("__dk"), "left_semi")
+      .where(call_function("bloom_might_contain", lit(bytes), keyAsLong(fact, factKey)))
+      .join(dk.select("__dko"), col(factKey) === col("__dko"), "left_semi")
   }
 
   /** Exact left-ANTI join (keep fact rows whose key is NOT in `dim`),
@@ -71,14 +89,15 @@ object BloomPrune {
     * order between the two branches is not defined (union). */
   def antiJoin(fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    val dk = dim.select(col(dimKey).cast("long").as("__dk")).distinct().persist()
+    val dk0 = dim.select(col(dimKey).as("__dko")).distinct()
+    val dk = dk0.withColumn("__dk", keyAsLong(dk0, "__dko")).persist()
     if (dk.isEmpty) return fact // nothing ingested yet: everything is novel
     val bf = dk.stat.bloomFilter("__dk", expectedItems, fpp)
     val bytes = { val bos = new ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray }
-    val might = call_function("bloom_might_contain", lit(bytes), col(factKey).cast("long"))
+    val might = call_function("bloom_might_contain", lit(bytes), keyAsLong(fact, factKey))
     fact.where(not(coalesce(might, lit(true)))) // bloom-rejected: certainly novel
       .unionByName(
         fact.where(coalesce(might, lit(true)))
-          .join(dk, col(factKey).cast("long") === col("__dk"), "left_anti"))
+          .join(dk.select("__dko"), col(factKey) === col("__dko"), "left_anti"))
   }
 }

@@ -83,10 +83,22 @@ object StreamingTopK {
             val est = pointEst(key)
             if (cand.contains(key) || cand.size < capacity) cand += key -> est
             else {
-              val (minKey, minEst) = cand.minBy { case (ck, ce) => (ce, ck) }
+              // choose the eviction victim by the CMS's CURRENT estimate,
+              // not the stored admission-time snapshot: stored values only
+              // understate (counts are monotone), so a stale minimum could
+              // evict a key whose live count beats the newcomer — the
+              // standard CMS+heap construction re-queries before evicting.
+              // O(capacity·depth) point queries, only on full-set misses.
+              val (minKey, minEst) = cand.keysIterator
+                .map(ck => ck -> pointEst(ck))
+                .minBy { case (ck, ce) => (ce, ck) }
               if (est > minEst) cand = cand - minKey + (key -> est)
             }
           }
+          // refresh every survivor to its end-of-batch estimate so the
+          // emitted ranking (and the next batch's starting snapshots) are
+          // current, not admission-time values
+          cand = cand.map { case (ck, _) => ck -> pointEst(ck) }
           val seq = s.batches + 1
           state.update(ShardState(m, cand, seq))
           cand.toSeq

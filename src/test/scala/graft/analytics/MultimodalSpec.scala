@@ -58,6 +58,29 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("MediaCodec: hostile WAV size fields neither hang, crash, nor misparse") {
+    // probe() runs on arbitrary ingest payloads: a crafted inner-chunk
+    // size must not stall the walk (size = -8 advances zero), index out
+    // of bounds (negative / oversized sizes), or divide by zero (a
+    // valid-looking fmt chunk with bits-per-sample < 8)
+    def putLE32(a: Array[Byte], off: Int, v: Int): Unit = {
+      a(off) = v.toByte; a(off + 1) = (v >> 8).toByte
+      a(off + 2) = (v >> 16).toByte; a(off + 3) = (v >> 24).toByte
+    }
+    val base = MediaCodec.toWav(Array.tabulate(64)(_.toByte))
+    val zeroAdvance = base.clone();  putLE32(zeroAdvance, 16, -8)        // off += 0 forever
+    val negOffset   = base.clone();  putLE32(negOffset, 16, -100)        // off goes negative
+    val oversize    = base.clone();  putLE32(oversize, 40, Int.MaxValue) // past the array
+    val subByte     = base.clone()
+    subByte(34) = 4; subByte(35) = 0                                     // bits-per-sample 4
+    for ((bad, name) <- Seq(zeroAdvance -> "zero-advance", negOffset -> "negative-offset",
+                            oversize -> "oversize", subByte -> "sub-byte-bits")) {
+      assert(MediaCodec.probe(bad).isEmpty, s"hostile wav '$name' must probe as None")
+    }
+    // and the untouched base still parses — the guards reject only bad fields
+    assert(MediaCodec.probe(base).exists(_.fmt == "wav"))
+  }
+
   test("decodeStub: real-media payloads take the header-parse path, text keeps the stub") {
     import org.apache.spark.sql.functions._
     val textBytes = "hello multimodal".getBytes("UTF-8")

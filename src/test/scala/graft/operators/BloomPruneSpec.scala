@@ -71,6 +71,31 @@ class BloomPruneSpec extends SparkSpec {
     assert(got == (0L until 50L by 5).toSeq)
   }
 
+  test("non-integral keys (string digests) are exact, not silently empty/pass-through") {
+    // the old bare cast("long") nulled string keys on BOTH sides: semi
+    // matched nothing, anti passed everything — wrong answers, no error.
+    // Now the bloom hashes xxhash64(key) and the verify join compares the
+    // original strings, so both forms must equal their plain-join mirrors.
+    val fact = spark.range(2000)
+      .select(md5(conv($"id".cast("string"), 10, 16)).as("digest"), $"id".as("payload"))
+    val dim = spark.range(300)
+      .select(md5(conv(($"id" * 3).cast("string"), 10, 16)).as("digest"))
+    val semiGot = BloomPrune.semiJoin(fact, "digest", dim, "digest", expectedItems = 500)
+      .select("payload").as[Long].collect().toSeq.sorted
+    val semiWant = fact.join(dim.withColumnRenamed("digest", "d2"),
+        $"digest" === $"d2", "left_semi")
+      .select("payload").as[Long].collect().toSeq.sorted
+    assert(semiGot.nonEmpty && semiGot == semiWant,
+      s"string-key semi join diverged (${semiGot.size} vs ${semiWant.size} rows)")
+    val antiGot = BloomPrune.antiJoin(fact, "digest", dim, "digest", expectedItems = 500)
+      .select("payload").as[Long].collect().toSeq.sorted
+    val antiWant = fact.join(dim.withColumnRenamed("digest", "d2"),
+        $"digest" === $"d2", "left_anti")
+      .select("payload").as[Long].collect().toSeq.sorted
+    assert(antiGot.size < 2000 && antiGot == antiWant,
+      s"string-key anti join diverged (${antiGot.size} vs ${antiWant.size} rows)")
+  }
+
   test("empty dimension yields the empty semi-join, not an NPE") {
     val fact = spark.range(100).select($"id".as("fk"))
     val dim = spark.range(0).select($"id".as("dk"))

@@ -56,6 +56,18 @@ class StreamingLshSpec extends SparkSpec {
       c.doc_a == 1L && c.doc_b == 2L && c.est_jaccard == 1.0), s"exact dup: $out2")
   }
 
+  test("null documents are skipped like the batch path, not query-fatal") {
+    // batch minhashSignatures drops null text via split semantics; the JVM
+    // mirror must match (a null doc in a streaming batch used to NPE and
+    // kill the whole query)
+    assert(graft.analytics.Dedup.localMinhashSignature(null, 5, 16).isEmpty)
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val out = runBatches(Seq(Seq(1L -> base, 9L -> null), Seq(2L -> base)),
+      threshold = 0.99)
+    assert(out.map(c => (c.doc_a, c.doc_b)).toSet == Set((1L, 2L)),
+      s"null doc must vanish, dup pair must still surface: $out")
+  }
+
   test("composed ingest prep: the C4 gate feeds LSH dedup inside ONE streaming query") {
     // the batch gate is a stateless projection (StreamingGateSpec), so it
     // chains in front of the stateful LSH stage with no glue: gated-out

@@ -47,6 +47,31 @@ class StreamingTopKSpec extends SparkSpec {
     assert(byKey("hot2") >= 30 && byKey("hot2") <= 35)
   }
 
+  test("eviction queries live CMS estimates, not stale admission-time snapshots") {
+    // width=1 forces total collision: every key's live estimate equals the
+    // total arrival count, so a one-off newcomer can never BEAT a tracked
+    // key's live estimate — it can only tie. With stale stored snapshots
+    // (the pre-fix bug) the newcomer's est (= total) exceeds the tracked
+    // minimum's admission-time value and wrongly evicts it.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[String]
+    val name = s"topk_live_${System.nanoTime()}"
+    val q = StreamingTopK.estimates(ms.toDS(), depth = 2, width = 1,
+        k = 2, shards = 1, capacity = 2)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      ms.addData("a", "b"); q.processAllAvailable()
+      ms.addData("c"); q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(name).as[TopKEstimate].collect().toSeq
+    val finalKeys = out.filter(_.seq == 2L).map(_.key).toSet
+    assert(finalKeys == Set("a", "b"),
+      s"newcomer with a merely-tying live estimate evicted a tracked key: $out")
+    // and emissions carry end-of-batch estimates (3 total arrivals, width=1)
+    assert(out.filter(_.seq == 2L).forall(_.est == 3L), s"stale emission: $out")
+  }
+
   test("checkpoint recovery: a restarted query carries shard state across the stop") {
     // the exactly-once claim in practice: stop the query, start a NEW one
     // on the same checkpoint, and both the emission sequence AND the CMS
