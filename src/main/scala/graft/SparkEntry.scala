@@ -148,6 +148,7 @@ object SparkEntry {
     "knn_ann_ivf" -> (Similarity.annIvfQuery _), // deterministic IVF-Flat => full hash oracle
     "emb_quantize" -> (Similarity.quantizeStatsQuery _), // SQ8 codebook + integer fingerprint (scan-shaped)
     "knn_quantized" -> ((s: SparkSession, d: String) => Similarity.knnQuantized(s, d)), // SQ8 accuracy baseline (quadratic, like knn_exact)
+    "knn_ann_ivf_sq8" -> (Similarity.annIvfSq8Query _), // IVF probing over SQ8-coded residents: the compressed-index serving path
     "dedup_embedding_exact" -> (Similarity.embeddingDupExactQuery _),
     "dedup_embedding_lsh" -> (Similarity.embeddingDupLshQuery _), // oracled (same sig CTEs) + recall spec
     "dedup_embedding_clusters" -> (Similarity.embeddingClustersQuery _),
@@ -1526,6 +1527,42 @@ object SparkEntry {
             FROM cand) t
           WHERE rank <= 5"""
     },
+    "knn_ann_ivf_sq8" ->
+      // IVF probing over SQ8-decoded residents (mirror of
+      // Similarity.annIvfSq8): centroids and list assignment derive from
+      // the DEQUANTIZED corpus — the index stores codes only — while
+      // probes stay exact (queries arrive fresh). Same SQ8 reconstruction
+      // as knn_quantized, same round-to-4-before-rank tie discipline as
+      // knn_ann_ivf.
+      s"""WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          b AS (SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx FROM d),
+          dq AS (SELECT vec_id, list_transform(e, x -> CASE WHEN mx = mn THEN mn
+                   ELSE mn + round((x - mn) * 255 / (mx - mn))::BIGINT
+                        * (mx - mn) / 255 END) AS v
+                 FROM b),
+          cent AS (SELECT vec_id AS c_id, v AS ce FROM dq
+                   ORDER BY ${md5L60("vec_id::VARCHAR")}, vec_id LIMIT 16),
+          lists AS (SELECT vec_id, v, c_id AS list_id FROM (
+                      SELECT r.vec_id, r.v, c.c_id,
+                        row_number() OVER (PARTITION BY r.vec_id
+                          ORDER BY round(list_cosine_similarity(r.v, c.ce), 4) DESC,
+                                   c.c_id) AS rk
+                      FROM dq r, cent c) t WHERE rk <= 1),
+          probes AS (SELECT q_id, qe, c_id AS list_id FROM (
+                      SELECT q.vec_id AS q_id, q.e AS qe, c.c_id,
+                        row_number() OVER (PARTITION BY q.vec_id
+                          ORDER BY round(list_cosine_similarity(q.e, c.ce), 4) DESC,
+                                   c.c_id) AS rk
+                      FROM d q, cent c WHERE q.vec_id < 10) t WHERE rk <= 4),
+          cand AS (SELECT DISTINCT p.q_id, p.qe, l.vec_id AS n_id, l.v
+                   FROM lists l JOIN probes p ON p.list_id = l.list_id
+                                             AND l.vec_id <> p.q_id)
+          SELECT q_id, n_id, rank, cos FROM (
+            SELECT q_id, n_id, round(list_cosine_similarity(qe, v), 4) AS cos,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY round(list_cosine_similarity(qe, v), 4) DESC, n_id)::BIGINT AS rank
+            FROM cand) t
+          WHERE rank <= 5 ORDER BY q_id, rank""",
     // --- multimodal payload plumbing (documents; payload = UTF-8 bytes) ---
     "mm_payload_stats" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,

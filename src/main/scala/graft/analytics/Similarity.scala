@@ -182,6 +182,21 @@ object Similarity {
   def annIvfCosine(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
                    nLists: Int = 16, nProbe: Int = 4): DataFrame = {
     val emb = embeddingsD(spark, dir)
+    annIvfCore(spark, corpus = emb,
+      queries = emb.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("e").as("qe")),
+      k = k, nLists = nLists, nProbe = nProbe)
+  }
+
+  /** Shared IVF-Flat machinery: centroids are the md5-smallest `nLists`
+    * vectors OF THE CORPUS FRAME (so an SQ8-coded corpus yields SQ8-coded
+    * centroids — the index derives everything from what it stores),
+    * assignment is one corpus scan against centroid literals, probing is
+    * a bucket equi-join on list id. `corpus` must be (vec_id, e);
+    * `queries` must be (q_id, qe) and is broadcast. */
+  private def annIvfCore(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+                         k: Int, nLists: Int, nProbe: Int): DataFrame = {
+    val emb = corpus
     // centroid sample to the driver: nLists × dims doubles — model-
     // parameter-sized, embedded as plan literals exactly like fitted
     // ridge weights, so nearest-list ASSIGNMENT is a pure projection:
@@ -209,8 +224,7 @@ object Similarity {
       new org.apache.spark.sql.types.StructType()
         .add("c_id", "long", nullable = false)
         .add("ce", "array<double>"))
-    val probes = emb.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val probes = queries
       .join(broadcast(cent), lit(true))
       .select(col("q_id"), col("qe"), col("c_id"),
         round(cosine(col("qe"), col("ce")), 4).as("__cos"))
@@ -240,6 +254,9 @@ object Similarity {
 
   def annIvfQuery(spark: SparkSession, dir: String): DataFrame =
     annIvfCosine(spark, dir).orderBy("q_id", "rank")
+
+  def annIvfSq8Query(spark: SparkSession, dir: String): DataFrame =
+    annIvfSq8(spark, dir).orderBy("q_id", "rank")
 
   def embeddingDupExactQuery(spark: SparkSession, dir: String): DataFrame =
     embeddingDupExact(spark, dir)
@@ -303,18 +320,42 @@ object Similarity {
     * not this. */
   def knnQuantized(spark: SparkSession, dir: String, nQueries: Int = 10,
                    k: Int = 5): DataFrame = {
-    val dq = quantizeEmbeddings(spark, dir)
-      .select(col("vec_id"),
-        expr("transform(q, v -> mn + v * (mx - mn) / 255)").as("dq"))
+    val dq = dequantized(spark, dir)
     val q = dq.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("dq").as("qe"))
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
     val scored = dq.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        round(cosine(col("qe"), col("dq")), 4).as("cos"))
+        round(cosine(col("qe"), col("e")), 4).as("cos"))
     scored.withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))).cast("long"))
       .where(col("rank") <= k)
       .select("q_id", "n_id", "rank", "cos")
       .orderBy("q_id", "rank")
   }
+
+  /** SQ8-decoded corpus as a standard (vec_id, e) frame: each dimension
+    * reconstructed as `mn + q·(mx−mn)/255`. Scan-shaped like the
+    * quantization itself — the decode fuses into whatever scan consumes
+    * it; the float corpus is never read again once coded. */
+  private def dequantized(spark: SparkSession, dir: String): DataFrame =
+    quantizeEmbeddings(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(q, v -> mn + v * (mx - mn) / 255)").as("e"))
+
+  /** IVF probing over SQ8 bucket residents — the composition of
+    * [[annIvfCosine]] and [[quantizeEmbeddings]] that is the actual
+    * 100 TB serving story: the index stores int8 codes (4× smaller than
+    * float32, 8× vs the double working form), centroids AND residents
+    * derive from those codes alone (the float corpus is dropped after
+    * coding), and only the short per-query candidate list is ever
+    * scored. Queries arrive fresh, so the query side stays exact. Recall
+    * vs [[knnExact]] is spec-asserted against the full-scan SQ8
+    * baseline [[knnQuantized]] — IVF probing should cost nothing on top
+    * of the quantization loss it inherits. */
+  def annIvfSq8(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+                nLists: Int = 16, nProbe: Int = 4): DataFrame =
+    annIvfCore(spark, corpus = dequantized(spark, dir),
+      queries = embeddingsD(spark, dir).where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("e").as("qe")),
+      k = k, nLists = nLists, nProbe = nProbe)
 }

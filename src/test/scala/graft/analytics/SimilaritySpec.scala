@@ -140,4 +140,49 @@ class SimilaritySpec extends SparkSpec {
     info(f"SQ8 knn recall@5 = $recall%.3f")
     assert(recall >= 0.8, f"SQ8 recall collapsed: $recall%.3f")
   }
+
+  test("IVF over SQ8 residents: compression costs nothing on top of IVF pruning") {
+    // The composition's two claims, separated from the IVF pruning loss
+    // it deliberately inherits (at nProbe=4 the recall CEILING is the
+    // IVF stage itself — measured 0.58 vs exact on this corpus):
+    //  (a) with every list probed there is no pruning, so the compressed
+    //      index must reproduce the full-scan SQ8 baseline EXACTLY;
+    //  (b) at partial probing, SQ8 residents must not recall less than
+    //      exact residents (small tolerance: quantization legitimately
+    //      reorders near-tied candidates either way).
+    val exact = Similarity.knnExact(spark, sfDir, nQueries = 10, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivfExact = Similarity.annIvfCosine(spark, sfDir, nQueries = 10, k = 5, nProbe = 4)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivfSq8 = Similarity.annIvfSq8(spark, sfDir, nQueries = 10, k = 5, nProbe = 4)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val rIvfExact = (exact intersect ivfExact).size.toDouble / exact.size
+    val rIvfSq8 = (exact intersect ivfSq8).size.toDouble / exact.size
+    info(f"IVF+SQ8 recall@5 = $rIvfSq8%.3f (exact-resident IVF $rIvfExact%.3f)")
+    assert(rIvfSq8 >= rIvfExact - 0.05,
+      f"SQ8 residents lost recall beyond jitter: $rIvfSq8%.3f vs exact-resident $rIvfExact%.3f")
+    assert(rIvfSq8 >= 0.3, f"IVF+SQ8 recall collapsed: $rIvfSq8%.3f")
+    // (a) the equality law: with every list probed there is no pruning,
+    // so the result must equal a brute-force scan of the SAME serving
+    // shape — exact queries against dequantized residents. (knnQuantized
+    // is NOT that reference: it dequantizes the query side too.)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val dq = Similarity.quantizeEmbeddings(spark, sfDir)
+      .select(col("vec_id"), expr("transform(q, v -> mn + v * (mx - mn) / 255)").as("e"))
+    val qs = graft.Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qe"))
+    val bruteRef = dq.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(Similarity.cosine(col("qe"), col("e")), 4).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))))
+      .where(col("rank") <= 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivfAll = Similarity.annIvfSq8(spark, sfDir, nQueries = 10, k = 5, nProbe = 16)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(ivfAll == bruteRef,
+      "nProbe=nLists IVF+SQ8 diverged from the brute-force scan of the same serving shape")
+  }
 }
