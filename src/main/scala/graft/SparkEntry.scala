@@ -79,6 +79,7 @@ object SparkEntry {
     "q_sessionize" -> (SeriesQueries.sessionize _),
     "rj_sessions" -> (SeriesQueries.activeSessions _), // bucketed point-in-interval join (RangeJoin)
     "zorder_key" -> (Layout.zorderKey _), // native Morton-interleave expression (data-skipping layout)
+    "hilbert_key" -> (Layout.hilbertKey _), // native Hilbert-curve expression: continuous sibling of zorder_key
     "rsmp_ffill" -> (SeriesQueries.resampleFfill _), // regular-grid resample + forward fill (as-of)
     "ts_outliers" -> (SeriesQueries.tsOutliers _), // exact-integer 3-MAD outlier gate per key
     "ts_ewma" -> (SeriesQueries.ewma _), // trailing-10 EWMA, ordered-fold bit parity with list_reduce
@@ -247,6 +248,39 @@ object SparkEntry {
                $sums
              FROM th GROUP BY doc_id),
         sim AS (SELECT doc_id, ($bits)::BIGINT AS simhash FROM bits)"""
+  }
+
+  /** Generated DuckDB mirror of [[graft.functions.HilbertValue]]'s
+    * 21-step quadrant walk (the `hilbert_key` query): each step consumes
+    * the previous step's rotated sub-square coordinates, so the loop
+    * unrolls into a chained-CTE pipeline with per-step column names (no
+    * alias shadowing). Integer-exact throughout — s²·((3·rx) XOR ry)
+    * sums to a 42-bit key, far inside BIGINT. */
+  private def hilbertOracleSql: String = {
+    val bits = graft.functions.ZValue.BITS
+    val steps = (0 until bits).map { k =>
+      val s = 1L << (bits - 1 - k)
+      val hx = s"hx_$k"; val hy = s"hy_$k"
+      val rx = s"(CASE WHEN ($hx & $s) != 0 THEN 1 ELSE 0 END)"
+      s"""h${k + 1} AS (SELECT event_id, x, y,
+          CASE WHEN ($hy & $s) = 0
+               THEN (CASE WHEN ($hx & $s) != 0 THEN ${s - 1} - $hy ELSE $hy END)
+               ELSE $hx END AS hx_${k + 1},
+          CASE WHEN ($hy & $s) = 0
+               THEN (CASE WHEN ($hx & $s) != 0 THEN ${s - 1} - $hx ELSE $hx END)
+               ELSE $hy END AS hy_${k + 1},
+          d_$k + ${s * s} * xor((3 * $rx)::BIGINT,
+            (CASE WHEN ($hy & $s) != 0 THEN 1 ELSE 0 END)::BIGINT) AS d_${k + 1}
+        FROM h$k)"""
+    }
+    s"""WITH h0 AS (SELECT event_id, user_id AS x,
+            (epoch_us(ts::TIMESTAMP) // 86400000000) AS y,
+            user_id AS hx_0,
+            (epoch_us(ts::TIMESTAMP) // 86400000000) AS hy_0,
+            0::BIGINT AS d_0
+          FROM events),
+        ${steps.mkString(",\n        ")}
+        SELECT event_id, x, y, d_$bits AS hkey FROM h$bits"""
   }
 
   /** Generated DuckDB mirror of the [[graft.model.StableRidge]] fit+predict
@@ -694,6 +728,7 @@ object SparkEntry {
                           << (2 * CAST(i AS BIGINT) + 1))
                for i in range(0, 21) ]))::BIGINT AS zval
          FROM events""",
+    "hilbert_key" -> hilbertOracleSql,
     "q_evt_slide" ->
       // overlap replication: each event belongs to the 3 epoch-aligned
       // hourly-slide windows of length 3h covering it (same alignment as

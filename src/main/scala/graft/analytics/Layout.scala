@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.ZValue
+import graft.functions.{HilbertValue, ZValue}
 
 /** Data-layout operators: the write-side organization passes a 100 TB
   * corpus needs so that read-side scans can skip most of it. Sorting by
@@ -29,5 +29,20 @@ object Layout {
       .select(col("event_id"), col("user_id").as("x"),
         expr("ts_us div 86400000000").as("y"))
       .withColumn("zval", ZValue.zvalue(col("x"), col("y")))
+      .orderBy("event_id")
+
+  /** The Hilbert layout key over the same (user, event-day) pair —
+    * [[zorderKey]]'s continuous-curve sibling ([[graft.functions
+    * .HilbertValue]]): better per-file min/max boxes at skewed aspect
+    * ratios because consecutive keys are always grid neighbors (no
+    * z-curve boundary jumps). Same quantize-first contract, same
+    * cross-engine oracle discipline (the 21-step quadrant walk is
+    * replayed bit-exactly in generated DuckDB SQL); the layout pass
+    * built on it is covered by the pruning law in HilbertSpec. */
+  def hilbertKey(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id").as("x"),
+        expr("ts_us div 86400000000").as("y"))
+      .withColumn("hkey", HilbertValue.hilbert(col("x"), col("y")))
       .orderBy("event_id")
 }

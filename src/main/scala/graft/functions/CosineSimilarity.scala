@@ -107,6 +107,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ZValue].getCanonicalName, "zvalue"),
       (children: Seq[Expression]) => ZValue(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("hilbert"),
+      new ExpressionInfo(classOf[HilbertValue].getCanonicalName, "hilbert"),
+      (children: Seq[Expression]) => HilbertValue(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("cms_sketch"),
       new ExpressionInfo(classOf[CmsSketch].getCanonicalName, "cms_sketch"),
       (children: Seq[Expression]) => {
