@@ -12,6 +12,56 @@ import java.nio.file.{Files, Paths}
   * Usage: sbt 'runMain graft.Explain <sfDir> <outDir>'
   */
 object Explain {
+
+  /** The per-plan audit counters: shuffle exchanges, whole-stage-codegen
+    * spans, join strategy mix, and the two scale red flags (product
+    * plans, unpartitioned windows). Shared by the operational audit
+    * ([[main]]) and the golden-snapshot CI contract
+    * (`ExplainSnapshotSpec`) so both count the same way. */
+  final case class PlanCounters(exchanges: Int, codegen: Int, bhj: Int,
+                                smj: Int, prod: Int, gwin: Int) {
+    def csv: String = s"$exchanges,$codegen,$bhj,$smj,$prod,$gwin"
+  }
+
+  /** Count operators from the executed-plan TREE, not the text:
+    * formatted mode prints each operator in both the tree and the
+    * details section (doubling text counts), and it carries no `*`
+    * codegen markers at all. Meaningful only with AQE DISABLED on the
+    * session (with AQE on, codegen collapse happens per query stage at
+    * materialization, so an unexecuted plan shows no codegen spans). */
+  private[graft] def counters(qe: org.apache.spark.sql.execution.QueryExecution): PlanCounters = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // flatten the physical tree, stepping THROUGH the wrappers that
+    // hide their payload from collect(): AdaptiveSparkPlanExec (AQE
+    // root — its children list is empty) and materialized QueryStageExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val hidden = p match {
+        // executedPlan, not inputPlan: inputPlan predates
+        // EnsureRequirements + CollapseCodegenStages, so it shows no
+        // inserted exchanges and no codegen spans; before execution
+        // executedPlan IS the initial (fully prepared) plan
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case _ => Nil
+      }
+      p +: (p.children ++ hidden ++ p.subqueries).flatMap(nodes)
+    }
+    val all = nodes(qe.executedPlan)
+    PlanCounters(
+      exchanges = all.count(_.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]),
+      codegen = all.count(_.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]),
+      bhj = all.count(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      smj = all.count(_.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      prod = all.count(n =>
+        n.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+          n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      gwin = all.count {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec.isEmpty
+        case _ => false
+      })
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val spark = Sessions.local()
@@ -29,44 +79,9 @@ object Explain {
         val qe = fn(spark, sfDir).queryExecution
         val plan = qe.explainString(org.apache.spark.sql.execution.FormattedMode)
         Files.writeString(Paths.get(s"$outDir/$name.plan.txt"), plan)
-        // count operators from the executed-plan TREE, not the text:
-        // formatted mode prints each operator in both the tree and the
-        // details section (doubling text counts), and it carries no `*`
-        // codegen markers at all — the old text heuristic reported
-        // codegen=0 for fully codegen'd plans
-        import org.apache.spark.sql.execution.SparkPlan
-        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-        // flatten the physical tree, stepping THROUGH the wrappers that
-        // hide their payload from collect(): AdaptiveSparkPlanExec (AQE
-        // root — its children list is empty) and materialized QueryStageExec
-        def nodes(p: SparkPlan): Seq[SparkPlan] = {
-          val hidden = p match {
-            // executedPlan, not inputPlan: inputPlan predates
-            // EnsureRequirements + CollapseCodegenStages, so it shows no
-            // inserted exchanges and no codegen spans; before execution
-            // executedPlan IS the initial (fully prepared) plan
-            case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-            case s: QueryStageExec => Seq(s.plan)
-            case _ => Nil
-          }
-          p +: (p.children ++ hidden ++ p.subqueries).flatMap(nodes)
-        }
-        val all = nodes(qe.executedPlan)
-        val exchanges = all.count(_.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
-        val codegen = all.count(_.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
-        val bhj = all.count(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
-        val smj = all.count(_.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec])
-        // the two scale red flags PlanShapeSpec asserts on, surfaced in the
-        // operational audit too: product plans and unbounded global windows
-        val prod = all.count(n =>
-          n.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
-            n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
-        val gwin = all.count {
-          case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec.isEmpty
-          case _ => false
-        }
-        println(f"[explain] $name%-28s exchanges=$exchanges%-3d codegen=$codegen%-3d " +
-          f"bhj=$bhj%-2d smj=$smj%-2d prod=$prod%-2d gwin=$gwin%-2d")
+        val c = counters(qe)
+        println(f"[explain] $name%-28s exchanges=${c.exchanges}%-3d codegen=${c.codegen}%-3d " +
+          f"bhj=${c.bhj}%-2d smj=${c.smj}%-2d prod=${c.prod}%-2d gwin=${c.gwin}%-2d")
       } catch { case e: Throwable =>
         System.err.println(s"[explain] $name failed: ${e.getMessage}")
       }
