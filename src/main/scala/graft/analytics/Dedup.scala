@@ -141,6 +141,24 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, n: Int = 5, numHashes: Int = 16): DataFrame =
     signaturesFrom(shingleHashes(docs, n), numHashes)
 
+  /** Single-document JVM mirror of [[exact]]'s digest — md5 hex of the
+    * normalized text, replaying `md5(regexp_replace(lower(trim(text)),
+    * "\\s+", " "))` operation-for-operation (space-only trim like Spark's
+    * `trim`, then lowercase, then whitespace collapse). Parity with the
+    * batch column is asserted in StreamingHandoffSpec, which rests on it:
+    * identical digests form an EQUIVALENCE relation, so a streaming
+    * ingest stage may drop non-minimum members the moment they collide
+    * and the batch sweep behind cannot tell the difference. None on null
+    * text (the synthetic corpus has none; the batch form groups nulls
+    * under a null digest). */
+  private[graft] def localExactDigest(text: String): Option[String] = {
+    if (text == null) return None
+    val trimmed = text.replaceAll("^ +", "").replaceAll(" +$", "")
+    val norm = trimmed.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Some(md.digest(norm.getBytes("UTF-8")).map(b => f"$b%02x").mkString)
+  }
+
   /** Single-document JVM mirror of [[minhashSignatures]] — BIT-IDENTICAL
     * to the batch columns (asserted in StreamingLshSpec): same
     * whitespace-split shingling (regex split keeping empty tokens, as

@@ -27,8 +27,13 @@ import graft.Tables
   * end-to-end by the mirrored CTE chain. */
 object PrepPipeline {
 
-  def manifest(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def manifest(spark: SparkSession, dir: String): DataFrame =
+    manifestOf(Tables.documents(spark, dir))
+
+  /** The same composition over an arbitrary (doc_id, text, ...) frame —
+    * what the streaming→batch handoff runs over ingest-dedup survivors
+    * (StreamingHandoffSpec proves the manifest is identical either way). */
+  def manifestOf(docs: DataFrame): DataFrame = {
     // 1. quality gate
     val kept = docs.select("doc_id", "text")
       .join(TextAnalysis.c4Filter(docs).where(col("keep")).select("doc_id"), "doc_id")

@@ -107,6 +107,33 @@ object StreamingLsh {
     candidatesFromBanded(banded, threshold, capacity)
   }
 
+  /** EXACT-duplicate detection at ingest — the streaming counterpart of
+    * [[graft.analytics.Dedup.exact]] and the stage a production pipeline
+    * puts FIRST (identical boilerplate is the bulk of dup mass): the
+    * bucket key is the md5 of the normalized text (the batch digest,
+    * JVM mirror spec-asserted), the single signature component is the
+    * digest's 60-bit prefix, so a pair emits iff the digests are equal
+    * (threshold 1). Unlike the near-dup stages, digest equality is an
+    * EQUIVALENCE relation: with in-order arrival each digest group's
+    * minimum id is stored first and every later member collides with it,
+    * so dropping emitted `doc_b`s at ingest provably leaves the batch
+    * sweep behind unchanged — the handoff law StreamingHandoffSpec pins
+    * end-to-end through `pipe_prep`. Same bounded FIFO bucket state;
+    * buckets are singleton-digest, so `capacity` only matters for
+    * pathological same-digest floods. */
+  def exactCandidates(docs: Dataset[(Long, String)],
+                      capacity: Int = 4096): Dataset[StreamDupCandidate] = {
+    import docs.sparkSession.implicits._
+    val banded = docs.flatMap { case (id, text) =>
+      Dedup.localExactDigest(text) match {
+        case Some(hex) =>
+          Seq((s"0:$hex", id, Seq(java.lang.Long.parseLong(hex.take(15), 16))))
+        case None => Nil // null text: no digest, like the signature stages
+      }
+    }
+    candidatesFromBanded(banded, threshold = 1.0, capacity)
+  }
+
   /** Embedding near-dup at ingest — the vector counterpart: signatures
     * are the SAME banded hyperplane sign bits the batch `hyperplane_sig`
     * expression computes (JVM mirror, spec-asserted bit-identical), the
