@@ -83,7 +83,9 @@ object Bench {
       // unscalable forms adds no plan signal
       "dedup_embedding_exact",
       "knn_exact",
-      "knn_quantized"
+      "knn_quantized",
+      // round-7 strict siblings
+      "hilbert_key"            // scan+bit-projection family: zorder_key benched
     )
 
   /** Warm sf0.1 per-query reference minima — the contention guard's

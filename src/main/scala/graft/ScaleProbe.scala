@@ -114,6 +114,60 @@ object ScaleProbe {
     agree
   }
 
+  /** Cluster-resolution probe: `dupClusters` past the 2^20-edge driver
+    * fast path — the round-7 arm evidencing the distributed path-halving
+    * rounds the way the other arms evidenced the bucketed quartiles and
+    * the native as-of merge. Deterministic synthetic graph over `n`
+    * nodes: ids < 65536 form ONE chain (diameter 65535 — ~11 halving
+    * rounds at triple-jump coverage, the log-diameter claim under test),
+    * the rest form 16-node chain blocks (~15n/16 edges of realistic
+    * near-dup clusters). Both arms run the SAME operator; only
+    * `localEdgeLimit` differs (MaxValue forces the driver union-find
+    * oracle, 0 forces the distributed rounds). Parity via a bounded
+    * integer fingerprint: any keeper divergence on any node disturbs the
+    * mod-sum with near-certainty, and keeper counts/extremes pin the
+    * cluster structure. */
+  private def probeClusters(spark: org.apache.spark.sql.SparkSession, n: Long): Boolean = {
+    import graft.analytics.Dedup
+    val longChain = 65536L
+    require(n > longChain, s"clusters probe needs n > $longChain")
+    val docs = spark.range(n).select(col("id").as("doc_id"))
+    def pairs = spark.range(n - 1)
+      .where((col("id") % 16 =!= 15) || (col("id") < longChain - 1))
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val nPairs = pairs.count()
+    def fp(df: org.apache.spark.sql.DataFrame): (Long, Long, Long, Long) = {
+      val r = df.agg(
+        count(lit(1)),
+        // per-row value < 1e6 so the 10M-row sum stays far inside a long
+        sum((col("doc_id") * 31 + col("keeper")) % 1000003L),
+        count_distinct(col("keeper")),
+        sum(col("keeper") % 1000003L)).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // time CONSTRUCTION + execution together: unlike the other arms,
+    // dupClusters runs its work (collect+union-find, or the iterative
+    // rounds) EAGERLY while building the result frame — timing only the
+    // final noop write would credit the distributed arm with ~nothing
+    def buildAndRun(mk: => org.apache.spark.sql.DataFrame): Double =
+      timed(mk.write.format("noop").mode("overwrite").save())._2
+    // distributed rounds first: the union-find arm is the ORACLE here, so
+    // under-warming the advocated arm keeps the reported gap conservative
+    val tDist = buildAndRun(Dedup.dupClusters(docs, pairs, localEdgeLimit = 0L))
+    spark.sharedState.cacheManager.clearCache()
+    val tLocal = buildAndRun(Dedup.dupClusters(docs, pairs, localEdgeLimit = Long.MaxValue))
+    spark.sharedState.cacheManager.clearCache()
+    val (fpD, _) = timed(fp(Dedup.dupClusters(docs, pairs, localEdgeLimit = 0L)))
+    spark.sharedState.cacheManager.clearCache()
+    val (fpL, _) = timed(fp(Dedup.dupClusters(docs, pairs, localEdgeLimit = Long.MaxValue)))
+    val agree = fpD == fpL
+    println(s"""{"probe":"clusters","n":$n,"pairs":$nPairs,""" +
+      s""""distributed_sec":${f"$tDist%.1f"},"local_sec":${f"$tLocal%.1f"},""" +
+      s""""fingerprints_agree":$agree}""")
+    if (!agree) System.err.println(s"[scaleprobe] MISMATCH distributed=$fpD local=$fpL")
+    agree
+  }
+
   def main(args: Array[String]): Unit = {
     val (which, n) = args.toList match {
       case name :: num :: _ => (name, num.toLong)
@@ -125,7 +179,8 @@ object ScaleProbe {
     val ok = which match {
       case "quartiles" => probeQuartiles(spark, n)
       case "asof" => probeAsOf(spark, n)
-      case _ => probeQuartiles(spark, n) & probeAsOf(spark, n)
+      case "clusters" => probeClusters(spark, n)
+      case _ => probeQuartiles(spark, n) & probeAsOf(spark, n) & probeClusters(spark, n)
     }
     spark.stop()
     if (!ok) sys.exit(1)
