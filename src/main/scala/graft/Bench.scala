@@ -121,6 +121,17 @@ object Bench {
     // counters fail `sbt test` if a genuinely global window appears.
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window", org.apache.logging.log4j.Level.ERROR)
+    // two more benign-by-design categories that can land in the tail:
+    // the RDD layer warns "locally checkpointed ... cannot be recomputed"
+    // on dropPersisted's BLOCKING unpersist of dupClusters' checkpoint
+    // blocks — that unpersist is the bench's cache-isolation design
+    // working (nothing recomputes them; each query rebuilds its plan) —
+    // and SparkStringUtils notes plan-string truncation on the widest
+    // generated plans (display-only). Both bench-session scoped.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.util.SparkStringUtils", org.apache.logging.log4j.Level.ERROR)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // optional comma-separated filter for profiling single queries
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
