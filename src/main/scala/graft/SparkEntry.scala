@@ -80,6 +80,7 @@ object SparkEntry {
     "rj_sessions" -> (SeriesQueries.activeSessions _), // bucketed point-in-interval join (RangeJoin)
     "zorder_key" -> (Layout.zorderKey _), // native Morton-interleave expression (data-skipping layout)
     "hilbert_key" -> (Layout.hilbertKey _), // native Hilbert-curve expression: continuous sibling of zorder_key
+    "layout_zone_stats" -> (Layout.zoneStats _), // zone-map manifest: per-tile min/max boxes readers prune with
     "rsmp_ffill" -> (SeriesQueries.resampleFfill _), // regular-grid resample + forward fill (as-of)
     "ts_outliers" -> (SeriesQueries.tsOutliers _), // exact-integer 3-MAD outlier gate per key
     "ts_ewma" -> (SeriesQueries.ewma _), // trailing-10 EWMA, ordered-fold bit parity with list_reduce
@@ -127,6 +128,9 @@ object SparkEntry {
     "dedup_clusters" -> (Dedup.clustersQuery _),
     "dedup_fold_leakage" -> (Dedup.foldLeakageQuery _),
     "dedup_contam" -> (Dedup.contaminationQuery _),
+    "dedup_substring_spans" -> (Dedup.substringSpansQuery _), // Lee-et-al substring dedup, exact stride-1 form
+    "dedup_substring_winnow" -> (Dedup.substringWinnowQuery _), // MOSS winnowing: the ~2/(w+1)-density scale path
+    "dedup_keep_best" -> (Dedup.keepBestQuery _), // FineWeb-style canonicalization: keep the best-quality cluster member
     // --- text analysis over documents ---
     "txt_redact" -> (TextAnalysis.redactQuery _),
     "txt_token_stats" -> (TextAnalysis.tokenStatsQuery _),
@@ -729,6 +733,24 @@ object SparkEntry {
                for i in range(0, 21) ]))::BIGINT AS zval
          FROM events""",
     "hilbert_key" -> hilbertOracleSql,
+    "layout_zone_stats" ->
+      // same Morton-interleave mirror as zorder_key; tile = zval >> 2*5
+      // (32x32 cells), then plain min/max/count per tile
+      """WITH z AS (
+           SELECT user_id AS x,
+             (epoch_us(ts::TIMESTAMP) // 86400000000) AS y,
+             (list_sum([ (((user_id >> CAST(i AS BIGINT)) & 1)
+                            << (2 * CAST(i AS BIGINT)))
+                       + ((((epoch_us(ts::TIMESTAMP) // 86400000000)
+                              >> CAST(i AS BIGINT)) & 1)
+                            << (2 * CAST(i AS BIGINT) + 1))
+                 for i in range(0, 21) ]))::BIGINT AS zval
+           FROM events)
+         SELECT zval >> 10 AS tile, count(*) AS n_rows,
+           min(x) AS x_min, max(x) AS x_max,
+           min(y) AS y_min, max(y) AS y_max,
+           min(zval) AS z_min, max(zval) AS z_max
+         FROM z GROUP BY 1""",
     "q_evt_slide" ->
       // overlap replication: each event belongs to the 3 epoch-aligned
       // hourly-slide windows of length 3h covering it (same alignment as
@@ -1173,6 +1195,73 @@ object SparkEntry {
             UNION
             SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.id)
           SELECT id AS doc_id, min(lbl) AS keeper FROM reach GROUP BY id""",
+    "dedup_keep_best" ->
+      // same recursive-CTE cluster base as dedup_clusters, keeper chosen
+      // by the txt_quality score (argmax quality, ties to smaller doc_id)
+      s"""WITH RECURSIVE $simhashCte,
+          $simhashPairsCte,
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM shp
+                    UNION ALL SELECT doc_b, doc_a FROM shp),
+          reach(id, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.id),
+          cl AS (SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id),
+          q AS (SELECT doc_id,
+                  round(round(len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is)\\b'))
+                              / len($toksSql), 4) * 2.0
+                        - round(len(regexp_extract_all(text, '[.!?,;:]'))
+                                / length(text), 4), 4) AS quality
+                FROM documents),
+          m AS (SELECT cl.cluster, cl.doc_id, q.quality,
+                  row_number() OVER (PARTITION BY cluster
+                                     ORDER BY quality DESC NULLS LAST, cl.doc_id) AS rn,
+                  count(*) OVER (PARTITION BY cluster) AS n_members
+                FROM cl JOIN q USING (doc_id))
+          SELECT cluster, doc_id AS best_doc_id, quality AS best_quality, n_members
+          FROM m WHERE rn = 1""",
+    "dedup_substring_spans" ->
+      // mirror of Dedup.substringSpans: stride-1 char-20-gram digests,
+      // cross-doc duplicated positions, gaps-and-islands span merge
+      """WITH g AS (SELECT doc_id, i.i AS pos,
+                ('0x'||substr(md5(substr(text, i.i::INT + 1, 20)),1,15))::UBIGINT::BIGINT AS g
+              FROM documents, LATERAL (SELECT unnest(range(0, length(text) - 19)) AS i) i
+              WHERE length(text) >= 20),
+          dup AS (SELECT g FROM g GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+          hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (g)),
+          isl AS (SELECT doc_id, pos,
+                    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                  FROM hits),
+          spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 20 AS e
+                    FROM isl GROUP BY doc_id, grp)
+          SELECT doc_id, count(*) AS n_spans, sum(e - s)::BIGINT AS dup_chars,
+                 max(e - s)::BIGINT AS max_span
+          FROM spans GROUP BY doc_id""",
+    "dedup_substring_winnow" ->
+      // mirror of Dedup.substringWinnowPairs: the row-local winnowing
+      // selection is replayed positionally — min combined key over every
+      // FULL w=8 window (cnt = 8) is exactly array_min over slice(cks,q,8)
+      // for q = 1..n-7; fingerprint df capped at 1000, pairs need >= 2
+      """WITH g AS (SELECT doc_id, i.i AS pos,
+                ('0x'||substr(md5(substr(text, i.i::INT + 1, 20)),1,15))::UBIGINT::BIGINT AS g
+              FROM documents, LATERAL (SELECT unnest(range(0, length(text) - 19)) AS i) i
+              WHERE length(text) >= 27 AND length(text) < 1048576),
+          ck AS (SELECT doc_id, pos, g,
+                   (g % 1099511627776) * 1048576 + pos AS ck FROM g),
+          wm AS (SELECT doc_id,
+                   min(ck) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mck,
+                   count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS cnt
+                 FROM ck),
+          sel AS (SELECT DISTINCT doc_id, mck FROM wm WHERE cnt = 8),
+          fp AS (SELECT DISTINCT s.doc_id, c.g
+                 FROM sel s JOIN ck c ON c.doc_id = s.doc_id AND c.ck = s.mck),
+          rare AS (SELECT g FROM fp GROUP BY g HAVING count(*) BETWEEN 2 AND 1000),
+          fpf AS (SELECT fp.doc_id, fp.g FROM fp JOIN rare USING (g))
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fp
+          FROM fpf a JOIN fpf b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 2""",
     // --- text analysis track (documents) ---
     "split_folds" ->
       s"""SELECT fold, count(*) AS n_docs FROM (

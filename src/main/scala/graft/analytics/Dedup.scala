@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -554,6 +555,151 @@ object Dedup {
     eval_.join(train, "gh")
   }
 
+  /** Quality-aware cluster canonicalization — "keep BEST, not first":
+    * [[dupClusters]] labels every document with its component's min id,
+    * but real corpus dedup (e.g. the FineWeb / RefinedWeb pipelines)
+    * keeps the highest-QUALITY member of each near-dup cluster, not an
+    * arbitrary one — the verbatim copy on a clean page beats the same
+    * text wrapped in boilerplate. Composes the cluster labels with
+    * [[TextAnalysis.qualityScore]]: argmax quality per cluster, ties
+    * broken by smaller doc_id so selection is total and deterministic.
+    *
+    * Scale shape: the cluster resolution is [[dupClusters]]' bounded
+    * label propagation; the selection adds ONE partitioned window over
+    * (cluster) — co-partitioned rows, no global sort — and the quality
+    * score is a scan-speed projection. Nothing here re-shuffles text. */
+  def keepBest(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val clusters = dupClusters(docs, pairs) // (doc_id, keeper)
+    val scored = TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality"))
+    val byCluster = Window.partitionBy("keeper")
+    clusters.join(scored, "doc_id")
+      .withColumn("rn", // nulls-last made EXPLICIT: engines disagree on the default
+        row_number().over(byCluster.orderBy(col("quality").desc_nulls_last, col("doc_id"))))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .where(col("rn") === 1)
+      .select(col("keeper").as("cluster"), col("doc_id").as("best_doc_id"),
+        col("quality").as("best_quality"), col("n_members"))
+  }
+
+  // -- cross-document exact-substring duplication --
+
+  /** Character k-gram start positions fingerprinted with the engine-
+    * portable 60-bit md5 ([[Hashes.md5Long60]]): one row per (doc, pos);
+    * only (doc_id, pos, digest) ever leaves the scan — the text itself
+    * is never shuffled. */
+  private def charGrams(docs: DataFrame, k: Int): DataFrame =
+    docs.where(length(col("text")) >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), length(col("text")) - k)).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"),
+        Hashes.md5Long60(expr(s"substring(text, pos + 1, $k)")).as("g"))
+
+  /** Cross-document exact-substring duplication — the substring-level
+    * dedup signal of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" (2022), re-expressed Spark-first: instead of
+    * a corpus-wide suffix array (a single-machine construction), every
+    * character `k`-gram start position is fingerprinted at the scan, a
+    * digest whose gram occurs in ≥ 2 DISTINCT documents marks its
+    * positions as duplicated, and maximal runs of consecutive duplicated
+    * positions within a document merge into spans `[start, last + k)` —
+    * a run of `m` consecutive duplicated k-gram starts is exactly a
+    * duplicated substring of length `m + k - 1`.
+    *
+    * Scale shape: the only wide stages key on the 8-byte digest
+    * (duplicated-gram detection, then the hit join — AQE reuses the
+    * exchange since both key on `g`) and on doc_id (the per-doc island
+    * window, partitioned so no global sort). Payload is constant-width;
+    * this is the stride-1 EXACT form — [[substringWinnowPairs]] is the
+    * winnowed scale path that shuffles ~2/(w+1) of these rows.
+    *
+    * Output per affected document: span count, total duplicated chars,
+    * longest span. */
+  def substringSpans(docs: DataFrame, k: Int = 20): DataFrame = {
+    val grams = materialized(charGrams(docs, k)) // referenced by BOTH the dup detection and the hit join
+    // "≥ 2 distinct docs" ⇔ min(doc_id) ≠ max(doc_id): cheaper than a
+    // count-distinct and identical semantics
+    val dup = grams.groupBy("g")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .where(col("mn") =!= col("mx"))
+      .select("g")
+    val hits = grams.join(dup, "g").select("doc_id", "pos")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = hits
+      // gaps-and-islands: consecutive duplicated positions share grp
+      .withColumn("grp", col("pos") - row_number().over(byDoc))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("s"), (max(col("pos")) + lit(k)).as("e"))
+    spans.groupBy("doc_id").agg(
+      count(lit(1)).as("n_spans"),
+      sum(col("e") - col("s")).cast("long").as("dup_chars"),
+      max(col("e") - col("s")).cast("long").as("max_span"))
+  }
+
+  /** Positions in a doc may not exceed 2^20 (1 MiB of text) so the
+    * winnowing sort key (g mod 2^40)·2^20 + pos stays inside a signed
+    * 64-bit in every engine; longer docs should be chunked upstream
+    * ([[TextAnalysis.chunkQuery]] is the chunker). */
+  private val PosBits = 20
+
+  /** Winnowed fingerprint selection (Schleimer–Wilkerson–Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the MOSS
+    * algorithm): from each window of `w` consecutive character-k-gram
+    * digests keep the minimum (ties broken by position via the combined
+    * sort key, so selection is deterministic and oracle-replayable).
+    * Guarantee: two documents sharing a substring of ≥ k + w - 1 chars
+    * share at least one selected fingerprint; expected density ~2/(w+1).
+    *
+    * The selection runs ROW-LOCALLY with higher-order functions on the
+    * text column — no explode, no shuffle, no per-doc window exec: at
+    * corpus scale only the selected fingerprints (a ~2/(w+1) sample of
+    * positions) ever leave the scan, vs every position in the exact form.
+    * O(n·w) array_min/slice per doc, all inside whole-stage codegen. */
+  def winnowedFingerprints(docs: DataFrame, k: Int = 20, w: Int = 8): DataFrame = {
+    require(k >= 1 && w >= 2, s"need k >= 1 and w >= 2; got k=$k, w=$w")
+    val gMod = 1L << 40  // 40 digest bits + 20 position bits < 2^63
+    val posMod = 1L << PosBits
+    // gs: the 60-bit digest at every gram start (0-based position = index)
+    val gs =
+      s"""transform(sequence(0, length(text) - $k),
+         |  i -> cast(conv(substring(md5(substring(text, i + 1, $k)), 1, 15), 16, 10) as long))""".stripMargin
+    // cks: digest-then-position sort keys (position is unique per doc, so
+    // comparison never ties and min is deterministic)
+    val cks = s"transform(gs, (g, i) -> (g % $gMod) * $posMod + i)"
+    // one min per full w-window; distinct selected keys back to digests
+    val sel =
+      s"""array_distinct(transform(sequence(1, size(cks) - ${w - 1}),
+         |  q -> element_at(gs, cast(array_min(slice(cks, q, $w)) % $posMod as int) + 1)))""".stripMargin
+    docs
+      .where(length(col("text")) >= k + w - 1 &&
+        length(col("text")) < lit(posMod))
+      .select(col("doc_id"), expr(gs).as("gs"))
+      .select(col("doc_id"), col("gs"), expr(cks).as("cks"))
+      .select(col("doc_id"), explode(expr(sel)).as("g"))
+      .distinct()
+  }
+
+  /** Near-dup candidate pairs from shared winnowed fingerprints — the
+    * scale path over [[substringSpans]]' exact signal: docs sharing
+    * ≥ `minShared` selected fingerprints (document frequency capped at
+    * `maxDf`, the same stop-gram candidacy guard as
+    * [[ngramJaccardPairs]]). A pair sharing a substring of
+    * ≥ k + w - 1 chars is guaranteed a shared fingerprint. */
+  def substringWinnowPairs(docs: DataFrame, k: Int = 20, w: Int = 8,
+      minShared: Long = 2, maxDf: Long = 1000): DataFrame = {
+    val fp = materialized(winnowedFingerprints(docs, k, w))
+    val rare = fp.groupBy("g").agg(count(lit(1)).as("df"))
+      .where(col("df").between(2, maxDf))
+      .select("g")
+    val fpf = fp.join(rare, "g")
+    fpf.as("a").join(fpf.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared_fp"))
+      .where(col("shared_fp") >= minShared)
+  }
+
   // -- query entry points --
 
   def exactQuery(spark: SparkSession, dir: String): DataFrame =
@@ -580,10 +726,29 @@ object Dedup {
   def simhashPairsQuery(spark: SparkSession, dir: String): DataFrame =
     simhashPairs(Tables.documents(spark, dir)).orderBy("doc_a", "doc_b")
 
+  /** Per-document summary of cross-document duplicated substring spans
+    * (exact stride-1 form; the scale path is [[substringWinnowQuery]]). */
+  def substringSpansQuery(spark: SparkSession, dir: String): DataFrame =
+    substringSpans(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** Winnowed substring near-dup candidate pairs (the ~2/(w+1)-density
+    * scale path over [[substringSpansQuery]]'s exact signal). */
+  def substringWinnowQuery(spark: SparkSession, dir: String): DataFrame =
+    substringWinnowPairs(Tables.documents(spark, dir))
+      .orderBy("doc_a", "doc_b")
+
   /** Cluster resolution over the (deterministic, oracled) simhash pairs. */
   def clustersQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     dupClusters(docs, simhashPairs(docs)).orderBy("doc_id")
+  }
+
+  /** Quality-aware canonicalization over the (deterministic, oracled)
+    * simhash pairs — the same cluster base as [[clustersQuery]], with the
+    * keeper chosen by quality instead of min id. */
+  def keepBestQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    keepBest(docs, simhashPairs(docs)).orderBy("cluster")
   }
 
   /** Exact 13-gram decontamination over the standard hash split. */

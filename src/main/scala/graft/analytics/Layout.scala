@@ -45,4 +45,40 @@ object Layout {
         expr("ts_us div 86400000000").as("y"))
       .withColumn("hkey", HilbertValue.hilbert(col("x"), col("y")))
       .orderBy("event_id")
+
+  /** Bits FREE per dimension inside one zone-map tile: 5 ⇒ every tile is
+    * a 32×32 cell of the (x, y) grid. Anchoring tiles to fixed-size cells
+    * (not key-space quadrants) keeps the manifest granularity tied to the
+    * DATA extent — dimensions whose high bits are constant (epoch-day ≈
+    * 19 700 here) would collapse any top-of-key quadrant scheme into a
+    * single tile. */
+  val CellBits = 5
+
+  /** Zone-map manifest over the z-ordered tile grid — the per-FILE
+    * min/max stats a lakehouse layout write emits (the Delta/Iceberg
+    * file-stats and parquet row-group stats analog), queryable in-engine:
+    * each z-prefix tile is what one [[ZValue.layout]] output file covers
+    * at scale, and its manifest row carries the tile's bounding box on
+    * BOTH dimensions plus its z-range. A reader prunes by intersecting
+    * its predicate box with these boxes — the law ZValueSpec pins on the
+    * layout itself, here materialized as the manifest consumers read.
+    * Tile id = zval >> 2·[[CellBits]], so all rows in a tile share every
+    * x and y bit above the low [[CellBits]] and the box is provably
+    * inside one aligned 2^[[CellBits]]-square (asserted in LayoutSpec).
+    * One constant-width shuffle on the tile id; partial aggregation does
+    * the heavy lifting map-side; manifest row count scales with occupied
+    * cells, not key-space. */
+  def zoneStats(spark: SparkSession, dir: String): DataFrame = {
+    val tileShift = 2 * CellBits
+    Tables.events(spark, dir)
+      .select(col("user_id").as("x"), expr("ts_us div 86400000000").as("y"))
+      .withColumn("zval", ZValue.zvalue(col("x"), col("y")))
+      .withColumn("tile", shiftright(col("zval"), tileShift))
+      .groupBy("tile")
+      .agg(count(lit(1)).as("n_rows"),
+        min("x").as("x_min"), max("x").as("x_max"),
+        min("y").as("y_min"), max("y").as("y_max"),
+        min("zval").as("z_min"), max("zval").as("z_max"))
+      .orderBy("tile")
+  }
 }

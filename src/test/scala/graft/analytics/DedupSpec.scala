@@ -47,6 +47,35 @@ class DedupSpec extends SparkSpec {
     (6L, s"$common x2 y2 z2 w2 v2")
   ).toDF("doc_id", "text")
 
+  test("keepBest keeps the argmax-QUALITY cluster member, not the min id") {
+    // cluster {1,2,3}: doc 3 is stopword-rich (highest quality) — min-id
+    // canonicalization would wrongly keep doc 1; singleton 7 keeps itself
+    val d = Seq(
+      (1L, "xx yy zz!!! ...,,;;"),                 // punctuation-heavy => low
+      (2L, "the of and xx yy zz!!!"),              // middling
+      (3L, "the of and to in is xx yy zz"),        // stopword-rich => high
+      (7L, "lone document seven")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val got = Dedup.keepBest(d, pairs)
+      .select("cluster", "best_doc_id", "n_members")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 3L), (7L, 7L, 1L)), s"got $got")
+  }
+
+  test("keepBest ties break to the smaller doc_id and null quality loses") {
+    val d = Seq(
+      (4L, null.asInstanceOf[String]), // null text => null quality: never wins over scored members
+      (5L, "same words here"),
+      (6L, "same words here")          // identical text => identical quality: tie
+    ).toDF("doc_id", "text")
+    val pairs = Seq((4L, 5L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = Dedup.keepBest(d, pairs)
+      .select("cluster", "best_doc_id", "n_members")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((4L, 5L, 3L)), s"got $got")
+  }
+
   test("exact dedup groups case/whitespace-normalized copies") {
     val got = Dedup.exact(docs).where($"n_copies" > 1)
       .select("keep_doc_id", "n_copies").as[(Long, Long)].collect()
