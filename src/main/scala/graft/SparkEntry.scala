@@ -130,6 +130,7 @@ object SparkEntry {
     "dedup_contam" -> (Dedup.contaminationQuery _),
     "dedup_substring_spans" -> (Dedup.substringSpansQuery _), // Lee-et-al substring dedup, exact stride-1 form
     "dedup_substring_winnow" -> (Dedup.substringWinnowQuery _), // MOSS winnowing: the ~2/(w+1)-density scale path
+    "dedup_substring_cut" -> (Dedup.substringCutQuery _), // span EXCISION: first occurrence kept, rest cut, text reassembled
     "dedup_keep_best" -> (Dedup.keepBestQuery _), // FineWeb-style canonicalization: keep the best-quality cluster member
     // --- text analysis over documents ---
     "txt_redact" -> (TextAnalysis.redactQuery _),
@@ -195,6 +196,22 @@ object SparkEntry {
   /** 60-bit / 32-bit md5-derived ints (mirror of graft.functions.Hashes). */
   private def md5L60(x: String) = s"('0x'||substr(md5($x),1,15))::UBIGINT::BIGINT"
   private def md5L32(x: String) = s"('0x'||substr(md5($x),1,8))::UBIGINT::BIGINT"
+
+  /** Extent-merged duplicated-position islands (mirror of
+    * `Dedup.mergedIntervals`): positions in a `(doc_id, pos)` hit CTE
+    * chain into one span while the gap to the previous position is ≤ k,
+    * so the spans' character ranges `[s, e)` are DISJOINT. Yields CTEs
+    * `isl` and `spans(doc_id, s, e)`; shared by the substring-dedup span
+    * report and the cut operator's interval stage. */
+  private def spanMergeCtes(hitsCte: String, k: Int = 20): String =
+    s"""isl AS (SELECT doc_id, pos,
+            sum(CASE WHEN prev IS NULL OR pos - prev > $k THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM (SELECT doc_id, pos,
+                  lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                FROM $hitsCte) t),
+       spans AS (SELECT doc_id, min(pos) AS s, max(pos) + $k AS e
+                 FROM isl GROUP BY doc_id, grp)"""
 
   /** Distinct word 5-gram shingles per doc, pre-hashed to the two 32-bit
     * md5 halves (mirror of Dedup.shingleHashes n=5: distinct AFTER
@@ -1222,21 +1239,56 @@ object SparkEntry {
           FROM m WHERE rn = 1""",
     "dedup_substring_spans" ->
       // mirror of Dedup.substringSpans: stride-1 char-20-gram digests,
-      // cross-doc duplicated positions, gaps-and-islands span merge
-      """WITH g AS (SELECT doc_id, i.i AS pos,
+      // cross-doc duplicated positions, then EXTENT-merged islands (a new
+      // span starts only when the position gap exceeds k=20, so span char
+      // ranges are disjoint and dup_chars is exact — r7 ADVICE fix)
+      s"""WITH g AS (SELECT doc_id, i.i AS pos,
                 ('0x'||substr(md5(substr(text, i.i::INT + 1, 20)),1,15))::UBIGINT::BIGINT AS g
               FROM documents, LATERAL (SELECT unnest(range(0, length(text) - 19)) AS i) i
               WHERE length(text) >= 20),
           dup AS (SELECT g FROM g GROUP BY g HAVING min(doc_id) <> max(doc_id)),
           hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (g)),
-          isl AS (SELECT doc_id, pos,
-                    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-                  FROM hits),
-          spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 20 AS e
-                    FROM isl GROUP BY doc_id, grp)
+          ${spanMergeCtes("hits")}
           SELECT doc_id, count(*) AS n_spans, sum(e - s)::BIGINT AS dup_chars,
                  max(e - s)::BIGINT AS max_span
           FROM spans GROUP BY doc_id""",
+    "dedup_substring_cut" ->
+      // mirror of Dedup.substringCut: per duplicated gram the min-doc_id
+      // copy is canonical; other docs' occurrences become cut positions,
+      // merged to disjoint intervals (same extent-merge as the spans),
+      // and each doc's clean text is reassembled as the ordered concat of
+      // kept islands (string_agg ORDER BY = the Spark fold's order)
+      s"""WITH g AS (SELECT doc_id, i.i AS pos,
+                ('0x'||substr(md5(substr(text, i.i::INT + 1, 20)),1,15))::UBIGINT::BIGINT AS g
+              FROM documents, LATERAL (SELECT unnest(range(0, length(text) - 19)) AS i) i
+              WHERE length(text) >= 20),
+          own AS (SELECT g, min(doc_id) AS own FROM g
+                  GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+          hits AS (SELECT g.doc_id, g.pos FROM g JOIN own USING (g)
+                   WHERE g.doc_id <> own.own),
+          ${spanMergeCtes("hits")},
+          seg AS (SELECT doc_id, s, e,
+                    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe
+                  FROM spans),
+          pieces AS (
+            SELECT seg.doc_id, seg.s AS ord,
+                   substr(d.text, (seg.pe + 1)::INT, (seg.s - seg.pe)::INT) AS piece
+            FROM seg JOIN documents d USING (doc_id)
+            UNION ALL
+            SELECT t.doc_id, 2147483647 AS ord, substr(d.text, (t.me + 1)::INT) AS piece
+            FROM (SELECT doc_id, max(e) AS me FROM spans GROUP BY doc_id) t
+            JOIN documents d USING (doc_id)),
+          clean AS (SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS ct
+                    FROM pieces GROUP BY doc_id),
+          ncuts AS (SELECT doc_id, count(*)::BIGINT AS n_cuts FROM spans GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(n.n_cuts, 0)::BIGINT AS n_cuts,
+                 (coalesce(length(d.text), 0) - coalesce(length(coalesce(c.ct, d.text)), 0))::BIGINT AS cut_chars,
+                 coalesce(length(coalesce(c.ct, d.text)), 0)::BIGINT AS clean_len,
+                 md5(coalesce(c.ct, d.text, '')) AS clean_md5
+          FROM documents d
+          LEFT JOIN clean c USING (doc_id)
+          LEFT JOIN ncuts n USING (doc_id)
+          ORDER BY doc_id""",
     "dedup_substring_winnow" ->
       // mirror of Dedup.substringWinnowPairs: the row-local winnowing
       // selection is replayed positionally — min combined key over every

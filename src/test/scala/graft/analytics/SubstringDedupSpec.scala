@@ -4,9 +4,10 @@ import graft.SparkSpec
 
 /** Laws for the cross-document exact-substring dedup family
   * ([[Dedup.substringSpans]] / [[Dedup.winnowedFingerprints]] /
-  * [[Dedup.substringWinnowPairs]]). The real corpus carries no engineered
-  * duplicates, so every law here INJECTS the duplication it asserts on
-  * (see memory: dedup specs must inject duplicates). */
+  * [[Dedup.substringWinnowPairs]] / [[Dedup.substringCut]]). The real
+  * corpus carries no engineered duplicates, so every law here INJECTS the
+  * duplication it asserts on (see memory: dedup specs must inject
+  * duplicates). */
 class SubstringDedupSpec extends SparkSpec {
   import spark.implicits._
 
@@ -80,5 +81,74 @@ class SubstringDedupSpec extends SparkSpec {
     val shuffled = Dedup.substringSpans(docs.repartition(7), K)
       .orderBy("doc_id").collect().toSeq
     assert(base == shuffled)
+  }
+
+  test("substringCut excises the non-canonical copy; spans on the output are empty") {
+    val cut = Dedup.substringCut(docs, K)
+    val m = cut.select("doc_id", "text", "n_cuts", "cut_chars")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc 1 carries the payload's min doc_id: canonical, byte-identical
+    assert(m(1L)._2 == docA && m(1L)._3 == 0L && m(1L)._4 == 0L)
+    // doc 2 lost exactly the 40-char payload, surrounding filler intact
+    assert(m(2L)._2 == "GGGGGGGGGGhhhhhhhhhh" + "iiiiiiiiiijjjjjjjjjj")
+    assert(m(2L)._3 == 1L && m(2L)._4 == 40L)
+    // untouched and null docs pass through unchanged
+    assert(m(3L)._2 == docU && m(3L)._3 == 0L && m(3L)._4 == 0L)
+    assert(m(4L)._2 == null && m(4L)._3 == 0L && m(4L)._4 == 0L)
+    // the Lee-et-al postcondition: rerunning the detector on the cleaned
+    // corpus finds NO cross-document duplicated span
+    assert(Dedup.substringSpans(cut.select("doc_id", "text"), K).count() == 0L)
+  }
+
+  test("overlapping duplicated extents merge: dup_chars exact, cut drops each char once") {
+    // doc 2 holds a 45-char unique block at [10, 55); doc 1 shares its
+    // first 25 chars (dup positions 10..15), doc 3 shares chars [20, 45)
+    // of it (dup positions 30..35). The position gap is 15 <= k, so the
+    // two runs' extents [10,35) and [30,55) OVERLAP — the r7-ADVICE
+    // double-count shape: unmerged accounting would report 50 duplicated
+    // chars for a 45-char duplicated region.
+    val s45 = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGHI"
+    assert(s45.length == 45)
+    val docAtext = ("x" * 12) + s45.substring(0, 25) + ("y" * 12)
+    val docBtext = ("B" * 10) + s45 + ("b" * 10)
+    val docCtext = ("p" * 7) + s45.substring(20, 45) + ("q" * 7)
+    val d3 = Seq((1L, docAtext), (2L, docBtext), (3L, docCtext)).toDF("doc_id", "text")
+    val sp = Dedup.substringSpans(d3, K)
+      .select("doc_id", "n_spans", "dup_chars", "max_span")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (d, n, c, mx) => d -> ((n, c, mx)) }.toMap
+    assert(sp(2L) == ((1L, 45L, 45L)), s"merged span expected; got ${sp(2L)}")
+    assert(sp(1L) == ((1L, 25L, 25L)) && sp(3L) == ((1L, 25L, 25L)))
+    sp.foreach { case (d, (_, c, _)) =>
+      val len = Map(1L -> docAtext, 2L -> docBtext, 3L -> docCtext)(d).length
+      assert(c <= len, s"dup_chars $c exceeds doc length $len for doc $d")
+    }
+    val cut = Dedup.substringCut(d3, K)
+    val cm = cut.select("doc_id", "text", "n_cuts", "cut_chars")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc 1 owns the first run (min doc_id): untouched
+    assert(cm(1L)._2 == docAtext && cm(1L)._4 == 0L)
+    // doc 2 owns the run shared with doc 3 but NOT the run shared with
+    // doc 1: only [10, 35) is cut — each character leaves exactly once
+    assert(cm(2L)._2 == ("B" * 10) + s45.substring(25) + ("b" * 10))
+    assert(cm(2L)._3 == 1L && cm(2L)._4 == 25L)
+    // doc 3's copy is non-canonical end to end
+    assert(cm(3L)._2 == ("p" * 7) + ("q" * 7) && cm(3L)._4 == 25L)
+    assert(Dedup.substringSpans(cut.select("doc_id", "text"), K).count() == 0L)
+  }
+
+  test("substringCut is repartition-invariant and idempotent on the corpus sample") {
+    val corpus = graft.Tables.documents(spark, sfDir)
+      .where($"doc_id" < 100)
+    val base = Dedup.substringCut(corpus, K).orderBy("doc_id").collect().toSeq
+    val shuffled = Dedup.substringCut(corpus.repartition(7), K)
+      .orderBy("doc_id").collect().toSeq
+    assert(base == shuffled)
+    // idempotence: a second cut pass over already-clean text cuts nothing
+    val once = Dedup.substringCut(corpus, K).select("doc_id", "text")
+    val twice = Dedup.substringCut(once, K)
+    import org.apache.spark.sql.functions.sum
+    val cutsRound2 = twice.agg(sum("n_cuts")).head().getLong(0)
+    assert(cutsRound2 == 0L, s"second pass still cut $cutsRound2 intervals")
   }
 }
