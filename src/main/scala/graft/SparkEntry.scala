@@ -147,6 +147,7 @@ object SparkEntry {
     "txt_reps" -> (TextAnalysis.repetitionQuery _), // Gopher-style intra-doc n-gram repetition signals
     "txt_bm25" -> (TextAnalysis.bm25Query _), // BM25 scoring vs a fixed query-term set
     "pipe_prep" -> (PrepPipeline.manifest _), // flagship composition: gate -> dedup -> split -> decontam -> pack
+    "pipe_prep_quality" -> (PrepPipeline.manifestQuality _), // v2: near-dup clusters + argmax-quality keeper (FineWeb-style)
     "chunk_overlap" -> (TextAnalysis.chunkQuery _), // overlapping token-window training chunks
     // --- similarity search over embeddings ---
     "knn_exact" -> (Similarity.knnExactQuery _),
@@ -213,6 +214,62 @@ object SparkEntry {
        spans AS (SELECT doc_id, min(pos) AS s, max(pos) + $k AS e
                  FROM isl GROUP BY doc_id, grp)"""
 
+  /** Stage 1 of the prep compositions: the c4 quality-gate CTE `c4` and
+    * the gated corpus `k(doc_id, text)` (mirror of TextAnalysis.c4Filter
+    * over documents). Shared by pipe_prep and pipe_prep_quality. */
+  private lazy val prepGateCtes =
+    s"""c4 AS MATERIALIZED (
+            SELECT doc_id FROM (
+              SELECT doc_id, len($toksSql)::BIGINT AS n_tokens,
+                length(text)::BIGINT AS n_chars,
+                len(regexp_extract_all(text, '[.!?,;:]'))::BIGINT AS n_punct,
+                len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is)\\b'))::BIGINT AS n_stop,
+                CASE WHEN len(regexp_extract_all(text, '\\b(the|order|fast|scan)\\b')) >= len(regexp_extract_all(text, '\\b(stream|merge|window)\\b'))
+                      AND len(regexp_extract_all(text, '\\b(the|order|fast|scan)\\b')) >= len(regexp_extract_all(text, '\\b(table|query|group)\\b'))
+                      AND len(regexp_extract_all(text, '\\b(the|order|fast|scan)\\b')) >= len(regexp_extract_all(text, '\\b(join|filter|sort)\\b')) THEN 'en'
+                     WHEN len(regexp_extract_all(text, '\\b(stream|merge|window)\\b')) >= len(regexp_extract_all(text, '\\b(table|query|group)\\b'))
+                      AND len(regexp_extract_all(text, '\\b(stream|merge|window)\\b')) >= len(regexp_extract_all(text, '\\b(join|filter|sort)\\b')) THEN 'de'
+                     WHEN len(regexp_extract_all(text, '\\b(table|query|group)\\b')) >= len(regexp_extract_all(text, '\\b(join|filter|sort)\\b')) THEN 'es'
+                     ELSE 'fr' END AS lang_pred
+              FROM documents) b
+            WHERE NOT (n_tokens < 20 OR n_tokens > 1000 OR n_punct * 10 > n_chars
+                       OR n_stop * 20 < n_tokens OR lang_pred <> 'en')),
+          k AS MATERIALIZED (SELECT d.doc_id, d.text FROM documents d JOIN c4 USING (doc_id))"""
+
+  /** Stages 3–5 of the prep compositions over a `dd(doc_id, text)` CTE
+    * (fold split, TRAIN-side 13-gram decontamination, per-shard packing)
+    * plus the final manifest SELECT. Shared by pipe_prep and
+    * pipe_prep_quality — the keeper policy is the ONLY difference
+    * between the two chains. */
+  private lazy val prepTailSql =
+    s"""f AS MATERIALIZED (
+            SELECT doc_id, CASE WHEN $docBucketSql < 800 THEN 'train'
+                                WHEN $docBucketSql < 900 THEN 'val'
+                                ELSE 'test' END AS fold FROM dd),
+          t AS MATERIALIZED (SELECT doc_id, $toksSql AS ws FROM dd),
+          g AS MATERIALIZED (
+            SELECT DISTINCT doc_id, ${md5L60("gram")} AS gh FROM (
+              SELECT doc_id, array_to_string(ws[i:i+12], ' ') AS gram
+              FROM t, LATERAL (SELECT unnest(range(1, len(ws) - 11)) AS i) r
+              WHERE len(ws) >= 13) x),
+          gf AS MATERIALIZED (SELECT g.doc_id, g.gh, f.fold FROM g JOIN f USING (doc_id)),
+          ct AS MATERIALIZED (
+            SELECT DISTINCT tr.doc_id FROM gf tr JOIN gf ev
+            ON tr.gh = ev.gh AND tr.fold = 'train' AND ev.fold <> 'train'),
+          surv AS MATERIALIZED (
+            SELECT f.doc_id, f.fold FROM f LEFT JOIN ct ON f.doc_id = ct.doc_id
+            WHERE f.fold <> 'train' OR ct.doc_id IS NULL),
+          tok AS MATERIALIZED (SELECT doc_id, len(ws)::BIGINT AS n_tokens FROM t),
+          packed AS MATERIALIZED (
+            SELECT doc_id, shard,
+              CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512) AS BIGINT) AS bin
+            FROM (SELECT s.doc_id, tok.n_tokens,
+                    ('0x'||substr(md5(s.doc_id::VARCHAR),1,15))::UBIGINT::BIGINT % 8 AS shard
+                  FROM surv s JOIN tok USING (doc_id) WHERE s.fold = 'train') q)
+          SELECT s.doc_id, s.fold, tok.n_tokens, packed.shard, packed.bin
+          FROM surv s JOIN tok USING (doc_id) LEFT JOIN packed USING (doc_id)"""
+
   /** Distinct word 5-gram shingles per doc, pre-hashed to the two 32-bit
     * md5 halves (mirror of Dedup.shingleHashes n=5: distinct AFTER
     * hashing). */
@@ -254,15 +311,18 @@ object SparkEntry {
     s"sig AS (SELECT doc_id,\n               $cols\n             FROM sh GROUP BY doc_id)"
   }
 
-  /** SimHash CTE `sim(doc_id, simhash)` (mirror of Dedup.simhash: 32
-    * frequency-weighted sign sums over the bits of each token's md5-32). */
-  private val simhashCte = {
+  /** SimHash CTEs `sim(doc_id, simhash)` over an arbitrary source CTE /
+    * table with (doc_id, text) (mirror of Dedup.simhash: 32
+    * frequency-weighted sign sums over the bits of each token's md5-32).
+    * Parameterized so the prep composition can hash the GATED corpus
+    * rather than the whole table. */
+  private def simhashCteOver(src: String) = {
     val sums = (0 until 32)
       .map(b => s"sum((((h >> $b) & 1)*2 - 1) * cnt) AS s$b").mkString(",\n               ")
     val bits = (0 until 32)
       .map(b => s"(CASE WHEN s$b > 0 THEN (1::BIGINT << $b) ELSE 0 END)").mkString(" + ")
     s"""toks AS (SELECT doc_id, w, count(*) AS cnt
-               FROM (SELECT doc_id, unnest($toksSql) AS w FROM documents) t
+               FROM (SELECT doc_id, unnest($toksSql) AS w FROM $src) t
                GROUP BY doc_id, w),
         th AS (SELECT doc_id, cnt, ${md5L32("w")} AS h FROM toks),
         bits AS (SELECT doc_id,
@@ -270,6 +330,7 @@ object SparkEntry {
              FROM th GROUP BY doc_id),
         sim AS (SELECT doc_id, ($bits)::BIGINT AS simhash FROM bits)"""
   }
+  private val simhashCte = simhashCteOver("documents")
 
   /** Generated DuckDB mirror of [[graft.functions.HilbertValue]]'s
     * 21-step quadrant walk (the `hilbert_key` query): each step consumes
@@ -1564,54 +1625,41 @@ object SparkEntry {
       // the composition mirror: each CTE is the oracle of one already-
       // verified stage (c4 gate, exact-dedup keepers, fold split, 13-gram
       // decontamination from the TRAIN side, per-shard packing), chained
-      s"""WITH c4 AS MATERIALIZED (
-            SELECT doc_id FROM (
-              SELECT doc_id, len($toksSql)::BIGINT AS n_tokens,
-                length(text)::BIGINT AS n_chars,
-                len(regexp_extract_all(text, '[.!?,;:]'))::BIGINT AS n_punct,
-                len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is)\\b'))::BIGINT AS n_stop,
-                CASE WHEN len(regexp_extract_all(text, '\\b(the|order|fast|scan)\\b')) >= len(regexp_extract_all(text, '\\b(stream|merge|window)\\b'))
-                      AND len(regexp_extract_all(text, '\\b(the|order|fast|scan)\\b')) >= len(regexp_extract_all(text, '\\b(table|query|group)\\b'))
-                      AND len(regexp_extract_all(text, '\\b(the|order|fast|scan)\\b')) >= len(regexp_extract_all(text, '\\b(join|filter|sort)\\b')) THEN 'en'
-                     WHEN len(regexp_extract_all(text, '\\b(stream|merge|window)\\b')) >= len(regexp_extract_all(text, '\\b(table|query|group)\\b'))
-                      AND len(regexp_extract_all(text, '\\b(stream|merge|window)\\b')) >= len(regexp_extract_all(text, '\\b(join|filter|sort)\\b')) THEN 'de'
-                     WHEN len(regexp_extract_all(text, '\\b(table|query|group)\\b')) >= len(regexp_extract_all(text, '\\b(join|filter|sort)\\b')) THEN 'es'
-                     ELSE 'fr' END AS lang_pred
-              FROM documents) b
-            WHERE NOT (n_tokens < 20 OR n_tokens > 1000 OR n_punct * 10 > n_chars
-                       OR n_stop * 20 < n_tokens OR lang_pred <> 'en')),
-          k AS MATERIALIZED (SELECT d.doc_id, d.text FROM documents d JOIN c4 USING (doc_id)),
+      s"""WITH $prepGateCtes,
           keepers AS MATERIALIZED (
             SELECT min(doc_id) AS doc_id FROM (
               SELECT doc_id, md5($normSql) AS h FROM k) t GROUP BY h),
           dd AS MATERIALIZED (SELECT k.doc_id, k.text FROM k JOIN keepers USING (doc_id)),
-          f AS MATERIALIZED (
-            SELECT doc_id, CASE WHEN $docBucketSql < 800 THEN 'train'
-                                WHEN $docBucketSql < 900 THEN 'val'
-                                ELSE 'test' END AS fold FROM dd),
-          t AS MATERIALIZED (SELECT doc_id, $toksSql AS ws FROM dd),
-          g AS MATERIALIZED (
-            SELECT DISTINCT doc_id, ${md5L60("gram")} AS gh FROM (
-              SELECT doc_id, array_to_string(ws[i:i+12], ' ') AS gram
-              FROM t, LATERAL (SELECT unnest(range(1, len(ws) - 11)) AS i) r
-              WHERE len(ws) >= 13) x),
-          gf AS MATERIALIZED (SELECT g.doc_id, g.gh, f.fold FROM g JOIN f USING (doc_id)),
-          ct AS MATERIALIZED (
-            SELECT DISTINCT tr.doc_id FROM gf tr JOIN gf ev
-            ON tr.gh = ev.gh AND tr.fold = 'train' AND ev.fold <> 'train'),
-          surv AS MATERIALIZED (
-            SELECT f.doc_id, f.fold FROM f LEFT JOIN ct ON f.doc_id = ct.doc_id
-            WHERE f.fold <> 'train' OR ct.doc_id IS NULL),
-          tok AS MATERIALIZED (SELECT doc_id, len(ws)::BIGINT AS n_tokens FROM t),
-          packed AS MATERIALIZED (
-            SELECT doc_id, shard,
-              CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512) AS BIGINT) AS bin
-            FROM (SELECT s.doc_id, tok.n_tokens,
-                    ('0x'||substr(md5(s.doc_id::VARCHAR),1,15))::UBIGINT::BIGINT % 8 AS shard
-                  FROM surv s JOIN tok USING (doc_id) WHERE s.fold = 'train') q)
-          SELECT s.doc_id, s.fold, tok.n_tokens, packed.shard, packed.bin
-          FROM surv s JOIN tok USING (doc_id) LEFT JOIN packed USING (doc_id)""",
+          $prepTailSql""",
+    "pipe_prep_quality" ->
+      // the FineWeb-style variant: stage 2 swaps the exact min-id keeper
+      // for near-dup clustering over the GATED corpus (simhash CTEs over
+      // k, recursive-CTE components — the dedup_clusters fixpoint) with
+      // the argmax-quality member kept per cluster (the dedup_keep_best
+      // selection); stages 1 and 3-5 are byte-identical to pipe_prep
+      s"""WITH RECURSIVE $prepGateCtes,
+          ${simhashCteOver("k")},
+          $simhashPairsCte,
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM shp
+                    UNION ALL SELECT doc_b, doc_a FROM shp),
+          reach(id, lbl) AS (
+            SELECT doc_id, doc_id FROM k
+            UNION
+            SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.id),
+          cl AS (SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id),
+          q AS (SELECT doc_id,
+                  round(round(len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is)\\b'))
+                              / len($toksSql), 4) * 2.0
+                        - round(len(regexp_extract_all(text, '[.!?,;:]'))
+                                / length(text), 4), 4) AS quality
+                FROM k),
+          best AS (SELECT doc_id FROM (
+                     SELECT cl.doc_id,
+                       row_number() OVER (PARTITION BY cl.cluster
+                         ORDER BY q.quality DESC NULLS LAST, cl.doc_id) AS rn
+                     FROM cl JOIN q USING (doc_id)) b WHERE rn = 1),
+          dd AS MATERIALIZED (SELECT k.doc_id, k.text FROM k JOIN best USING (doc_id)),
+          $prepTailSql""",
     "chunk_overlap" ->
       // 1-based inclusive list slices in DuckDB == slice(toks, s+1, 32)
       // in Spark; range(0, n, 24) == sequence(0, n-1, 24) for n >= 1

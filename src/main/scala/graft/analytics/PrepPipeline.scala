@@ -10,7 +10,7 @@ import graft.Tables
   * blocks this library already verifies piecewise —
   *
   *   quality gate ([[TextAnalysis.c4Filter]])
-  *     → exact dedup ([[Dedup.exact]], keeper = min doc_id)
+  *     → dedup (two keeper policies, below)
   *     → fold split ([[Sampling.split]], hash-deterministic)
   *     → eval-set decontamination ([[Dedup.contaminationPairs]]:
   *       a TRAIN doc sharing any 13-gram with a val/test doc is dropped,
@@ -18,13 +18,22 @@ import graft.Tables
   *     → sequence packing of the surviving train set
   *       ([[Sampling.packSequences]], (shard, bin) addresses)
   *
+  * Two dedup keeper policies, each its own oracled query:
+  *  - [[manifestOf]] (`pipe_prep`): EXACT dedup, keeper = min doc_id per
+  *    normalized-text digest — the cheap first-pass sweep;
+  *  - [[manifestQualityOf]] (`pipe_prep_quality`): NEAR-dup clustering
+  *    ([[Dedup.simhashPairs]] → [[Dedup.keepBest]]), keeper = the
+  *    argmax-QUALITY cluster member — the FineWeb-style canonicalization
+  *    where a verbatim copy on a clean page beats the same text wrapped
+  *    in boilerplate (which exact dedup cannot even group).
+  *
   * Output: one row per surviving document — `(doc_id, fold, n_tokens,
   * shard, bin)`, with NULL shard/bin for val/test rows (only train is
   * packed). Every stage shuffles digests/ids, never text (the only
   * text-bearing frames are scan-side projections), so the composition
   * scales exactly like its parts; each stage is independently
-  * hash-oracled by its own query, and the composition is oracled
-  * end-to-end by the mirrored CTE chain. */
+  * hash-oracled by its own query, and each composition is oracled
+  * end-to-end by its mirrored CTE chain. */
 object PrepPipeline {
 
   def manifest(spark: SparkSession, dir: String): DataFrame =
@@ -34,11 +43,37 @@ object PrepPipeline {
     * what the streaming→batch handoff runs over ingest-dedup survivors
     * (StreamingHandoffSpec proves the manifest is identical either way). */
   def manifestOf(docs: DataFrame): DataFrame = {
-    // 1. quality gate
-    val kept = docs.select("doc_id", "text")
-      .join(TextAnalysis.c4Filter(docs).where(col("keep")).select("doc_id"), "doc_id")
+    val kept = gated(docs)
     // 2. exact dedup among the kept (keeper = min doc_id per digest)
-    val keepers = Dedup.exact(kept).select(col("keep_doc_id").as("doc_id"))
+    assemble(kept, Dedup.exact(kept).select(col("keep_doc_id").as("doc_id")))
+  }
+
+  def manifestQuality(spark: SparkSession, dir: String): DataFrame =
+    manifestQualityOf(Tables.documents(spark, dir))
+
+  /** The quality-keeper variant: stage 2 is near-dup clustering over the
+    * gated corpus (simhash banded-Hamming pairs → [[Dedup.dupClusters]])
+    * with the argmax-quality member kept per cluster
+    * ([[Dedup.keepBest]]; ties to smaller doc_id). Pairs are generated
+    * AMONG THE GATED DOCS — connectivity through a gate-rejected document
+    * does not merge clusters, matching real pipelines where the gate runs
+    * first precisely so later stages never touch rejected mass. */
+  def manifestQualityOf(docs: DataFrame): DataFrame = {
+    val kept = gated(docs)
+    assemble(kept,
+      Dedup.keepBest(kept, Dedup.simhashPairs(kept))
+        .select(col("best_doc_id").as("doc_id")))
+  }
+
+  /** Stage 1: the c4 quality gate. */
+  private def gated(docs: DataFrame): DataFrame =
+    docs.select("doc_id", "text")
+      .join(TextAnalysis.c4Filter(docs).where(col("keep")).select("doc_id"), "doc_id")
+
+  /** Stages 3–5 over the gated corpus and a chosen keeper set: fold
+    * split, TRAIN-side 13-gram decontamination, train packing, and the
+    * final manifest projection. */
+  private def assemble(kept: DataFrame, keepers: DataFrame): DataFrame = {
     val dd = kept.join(keepers, "doc_id")
     // 3. deterministic fold assignment
     val folds = Sampling.split(dd.select("doc_id"), col("doc_id"))

@@ -42,4 +42,41 @@ class PrepPipelineSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(evalKeepers.forall(byId.contains), "every eval keeper survives")
   }
+
+  test("pipe_prep_quality: a boilerplate-wrapped dup loses to its clean twin") {
+    // the motivating FineWeb case: the same text once clean, once wrapped
+    // in punctuation boilerplate. Exact dedup can't even GROUP the two
+    // (different digests); near-dup clustering pairs them, and the
+    // quality keeper must pick the clean copy — even though the wrapped
+    // copy holds the SMALLER doc_id (so min-id canonicalization would
+    // keep the wrong one).
+    val sentence = "the cat sat on the mat and the dog ran to " +
+      "the tree in the yard of the house is fine"
+    val base = Seq.fill(10)(sentence).mkString(" ")
+    val wrapped = base + "!!!;;;,,,"
+    val other = Seq.fill(10)("the bird flew over the lake and the fish " +
+      "swam in the water of the pond is calm").mkString(" ")
+    val docs = Seq((1L, wrapped), (2L, base), (3L, other)).toDF("doc_id", "text")
+    // both twins pass the c4 gate (the boilerplate is below the gate's
+    // punctuation threshold — exactly the mass the gate alone misses)
+    val gateKeep = TextAnalysis.c4Filter(docs).where($"keep")
+      .select("doc_id").as[Long].collect().toSet
+    assert(gateKeep == Set(1L, 2L, 3L), s"gate kept $gateKeep")
+    // the twins are a simhash near-dup pair (x10 token counts give every
+    // simhash bit a margin the weight-1 boilerplate token cannot flip)
+    val pairs = Dedup.simhashPairs(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"twins must collide; got $pairs")
+    // quality orders clean above wrapped (same stopword ratio, higher
+    // punctuation density on the wrapped copy)
+    val qual = TextAnalysis.qualityScore(docs)
+      .select("doc_id", "quality").as[(Long, Double)].collect().toMap
+    assert(qual(2L) > qual(1L), s"quality must prefer the clean twin: $qual")
+    // exact dedup keeps BOTH — pipe_prep's keeper policy cannot fix this
+    assert(Dedup.exact(docs).count() == 3)
+    val ids = PrepPipeline.manifestQualityOf(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(2L) && !ids.contains(1L),
+      s"quality manifest must keep 2 and drop 1; got $ids")
+  }
 }
