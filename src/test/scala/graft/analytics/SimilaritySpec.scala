@@ -185,4 +185,75 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfAll == bruteRef,
       "nProbe=nLists IVF+SQ8 diverged from the brute-force scan of the same serving shape")
   }
+
+  test("IVF-PQ: ADC lookup scoring == reconstruction cosine; full probing == brute ADC") {
+    import org.apache.spark.sql.functions._
+    val (pm, pd, pks) = (Similarity.PqM, Similarity.PqDsub, Similarity.PqKs)
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val cb = Similarity.pqCodebooks(emb)
+    assert(cb.length == pm && cb.forall(_.length == pks) &&
+      cb.forall(_.forall(_.length == pd)), s"PQ geometry: $pm x $pks x $pd")
+    val pq = Similarity.annIvfPq(spark, sfDir, nQueries = 10, k = 5)
+      .select("q_id", "n_id", "cos").as[(Long, Long, Double)].collect()
+    assert(pq.nonEmpty && pq.groupBy(_._1).size == 10)
+    // local model mirror: codes + reconstructions
+    val codes = Similarity.pqCodes(emb, cb).collect()
+      .map(r => r.getLong(0) -> (0 until pm).map(m => r.getInt(m + 1)).toArray).toMap
+    assert(codes.values.forall(_.forall(c => c >= 0 && c < pks)), "codes must be 4-bit")
+    val vecs = emb.as[(Long, Seq[Double])].collect().toMap
+    def xhat(id: Long): Array[Double] =
+      (0 until pm).flatMap(m => cb(m)(codes(id)(m))).toArray
+    def cosFlat(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // ADC law: the lookup-table score IS cos(q, x-hat) — identical up to
+    // summation association (grouped by subspace vs flat) + the final
+    // 4-digit rounding, so within 1.01e-4 of the flat reconstruction
+    pq.foreach { case (q, n, cos) =>
+      val ref = cosFlat(vecs(q).toArray, xhat(n))
+      assert(math.abs(cos - ref) <= 1.01e-4,
+        s"ADC diverged from reconstruction cosine: $cos vs $ref for ($q,$n)")
+    }
+    // recall vs exact at equal probing (nProbe=4, like the Flat/SQ8
+    // tests): PQ at 32x compression is the lossiest rung, and this
+    // corpus is the worst case for it (isotropic synthetic embeddings
+    // have no manifold structure for the codebooks to exploit) — the
+    // floor is deliberately modest (SQ8's is 0.8 at 4x); the exactness
+    // story lives in the ADC and brute-equality laws, not this number
+    val exact = Similarity.knnExact(spark, sfDir, nQueries = 10, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect pq.map(r => (r._1, r._2)).toSet).size.toDouble / exact.size
+    info(f"IVF-PQ recall@5 = $recall%.3f (32x compression)")
+    assert(recall >= 0.1, f"IVF-PQ recall collapsed: $recall%.3f")
+    // full probing removes IVF pruning: must equal a local brute-force
+    // ADC scan replaying the same grouped sums, rounding, and tie rules
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def adc(qe: Array[Double], id: Long): Double = {
+      val c = codes(id)
+      var dot = 0.0; var n2 = 0.0
+      (0 until pm).foreach { m =>
+        var dm = 0.0; var nm = 0.0
+        (0 until pd).foreach { d =>
+          dm += qe(m * pd + d) * cb(m)(c(m))(d); nm += cb(m)(c(m))(d) * cb(m)(c(m))(d)
+        }
+        dot += dm; n2 += nm
+      }
+      var qn2 = 0.0
+      (0 until pm).foreach { m =>
+        var g = 0.0; (0 until pd).foreach(d => g += qe(m * pd + d) * qe(m * pd + d)); qn2 += g
+      }
+      dot / (math.sqrt(qn2) * math.sqrt(n2))
+    }
+    val brute = (0L until 10L).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .map(n => (n, r4(adc(vecs(q).toArray, n))))
+        .sortBy { case (n, c) => (-c, n) }.take(5).map(t => (q, t._1))
+    }.toSet
+    val ivfAll = Similarity.annIvfPq(spark, sfDir, nQueries = 10, k = 5, nProbe = 16)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(ivfAll == brute, "nProbe=nLists IVF-PQ diverged from the brute-force ADC scan")
+  }
 }
