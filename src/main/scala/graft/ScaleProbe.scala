@@ -168,19 +168,152 @@ object ScaleProbe {
     agree
   }
 
+  /** IVF refinement probe (round-8 arm): deterministic synthetic corpus
+    * of `n` 64-dim vectors planted on 32 cluster directions with u²-law
+    * (power-ish) cluster mass plus quarter-amplitude noise — the shape a
+    * real embedding corpus has and a hash-sampled centroid seed
+    * inherits. Measures, before and after
+    * [[graft.analytics.Similarity.ivfLloydRefine]]'s 3 fixed-point
+    * rounds: list-size max and stdev (probe cost at scale is the hottest
+    * probed list) and the MEAN ASSIGNED COSINE — the quantization-
+    * distortion proxy k-means actually optimizes.
+    *
+    * ok gates on what refinement GUARANTEES: assignment stays total and
+    * mean assigned cosine does not degrade. Skew is reported, not
+    * gated: on mass this skewed, seeds inside one heavy planted cluster
+    * converge to near-identical directions, the 4-dp-rounded assignment
+    * cosine then TIES between them, and the min-c_id tie-break
+    * concentrates the whole cluster on one list — so refinement can
+    * legitimately worsen raw skew while improving distortion (measured
+    * at n=1M; at the oracled queries' nLists=16 on the real corpus,
+    * centroids stay separated and balance improves — SimilaritySpec).
+    * True balance under converged centroids needs a balanced-k-means
+    * assignment (a size-penalized objective), a documented future
+    * rung — this probe is the measurement that motivates it. */
+  private def probeIvfBalance(spark: org.apache.spark.sql.SparkSession, n: Long): Boolean = {
+    import graft.analytics.Similarity
+    val clusters = 32
+    val nLists = 64
+    val u = (graft.functions.Hashes.md5Long60(col("id").cast("string")) % 1000000L)
+      .cast("double") / 1e6
+    val emb = spark.range(n)
+      .select(col("id").as("vec_id"), floor(u * u * clusters).cast("int").as("c"))
+      .select(col("vec_id"), expr(
+        """transform(sequence(0, 63), d ->
+          |  ((cast(conv(substring(md5(concat('c:', cast(c as string), ':', cast(d as string))), 1, 15), 16, 10) as long) % 2001) - 1000) / 1000.0D
+          |  + ((cast(conv(substring(md5(concat('n:', cast(vec_id as string), ':', cast(d as string))), 1, 15), 16, 10) as long) % 2001) - 1000) / 4000.0D)""".stripMargin)
+        .as("e"))
+    emb.cache().count() // 3 refinement scans + 4 diagnostic scans read it
+    def centDf(cents: Array[(Long, Array[Double])]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        cents.toSeq.map { case (cid, ce) => org.apache.spark.sql.Row(cid, ce.toSeq) }, 1),
+      new org.apache.spark.sql.types.StructType()
+        .add("c_id", "long", nullable = false).add("ce", "array<double>"))
+    // mean over the corpus of the best (rounded) cosine to any centroid —
+    // higher = less quantization distortion at assignment time
+    def meanAssignedCos(cents: Array[(Long, Array[Double])]): Double =
+      emb.join(broadcast(centDf(cents)), lit(true))
+        .groupBy("vec_id")
+        .agg(max(round(Similarity.cosine(col("e"), col("ce")), 4)).as("c"))
+        .agg(avg("c")).head().getDouble(0)
+    val seeds = Similarity.hashCentroids(emb, nLists)
+    val (refined, tRefine) = timed(Similarity.ivfLloydRefine(emb, seeds, 3))
+    val before = Similarity.listSizes(emb, seeds).withDefaultValue(0L)
+    val after = Similarity.listSizes(emb, refined).withDefaultValue(0L)
+    val (cosB, cosA) = (meanAssignedCos(seeds), meanAssignedCos(refined))
+    emb.unpersist()
+    def stdev(m: Map[Long, Long]): Double = {
+      val sizes = (0 until nLists).map(i => m(seeds(i)._1))
+      val mean = sizes.sum.toDouble / nLists
+      math.sqrt(sizes.map(s => (s - mean) * (s - mean)).sum / nLists)
+    }
+    val ok = before.values.sum == n && after.values.sum == n && cosA >= cosB - 1e-6
+    println(s"""{"probe":"ivfbalance","n":$n,"n_lists":$nLists,""" +
+      s""""max_before":${before.values.max},"max_after":${after.values.max},""" +
+      s""""stdev_before":${f"${stdev(before)}%.1f"},"stdev_after":${f"${stdev(after)}%.1f"},""" +
+      s""""mean_cos_before":${f"$cosB%.4f"},"mean_cos_after":${f"$cosA%.4f"},""" +
+      s""""refine_sec":${f"$tRefine%.1f"},"ok":$ok}""")
+    if (!ok) System.err.println(
+      s"[scaleprobe] ivfbalance NOT ok: cos $cosB->$cosA totals ${before.values.sum}/${after.values.sum}")
+    ok
+  }
+
+  /** Substring-dedup density probe (round-8 arm): the stride-1 exact
+    * span form shuffles EVERY k-gram position; the winnowed path selects
+    * ~2/(w+1) of them with a formal guarantee. This arm measures both on
+    * a synthetic `n`-doc corpus (128 chars of per-doc-unique md5 filler,
+    * with every 100th doc and its successor sharing an injected 64-char
+    * payload — 2% dup-carrying mass) and records wall times, the
+    * stride-1 vs selected row counts (the shuffle-volume ratio), and
+    * recovery: spans must flag exactly the 2·n/100 carriers, and the
+    * winnowing guarantee (64 ≥ k+w-1) means every injected pair must
+    * share a fingerprint. */
+  private def probeSubstring(spark: org.apache.spark.sql.SparkSession, n: Long): Boolean = {
+    import graft.analytics.Dedup
+    require(n % 100 == 0, "substring probe wants n % 100 == 0")
+    val (k, w) = (20, 8)
+    val docs = spark.range(n).select(col("id").as("doc_id"), expr(
+      """concat(
+        |  md5(concat('f1:', cast(id as string))),
+        |  md5(concat('f2:', cast(id as string))),
+        |  CASE WHEN id % 100 < 2
+        |    THEN substring(concat(md5(concat('p:', cast(id div 100 as string))),
+        |                          md5(concat('q:', cast(id div 100 as string)))), 1, 64)
+        |    ELSE substring(concat(md5(concat('u:', cast(id as string))),
+        |                          md5(concat('v:', cast(id as string)))), 1, 64) END)""".stripMargin)
+      .as("text"))
+    val expectedPairs = n / 100
+    val gramRows = n * (128 + 64 - k + 1)
+    // winnow (the advocated arm) first — under-warmed, so the reported
+    // gap is conservative (same convention as the other arms)
+    val tWinnow = run(Dedup.substringWinnowPairs(docs, k, w, minShared = 1))
+    val winnowRows = Dedup.winnowedFingerprints(docs, k, w).count()
+    val winnowFound = Dedup.substringWinnowPairs(docs, k, w, minShared = 1)
+      .where(col("doc_a") % 100 === 0 && col("doc_b") === col("doc_a") + 1).count()
+    spark.sharedState.cacheManager.clearCache()
+    val tSpans = run(Dedup.substringSpans(docs, k))
+    val spansDocs = Dedup.substringSpans(docs, k).count()
+    spark.sharedState.cacheManager.clearCache()
+    val ok = spansDocs == 2L * expectedPairs && winnowFound == expectedPairs
+    println(s"""{"probe":"substring","n_docs":$n,"gram_rows":$gramRows,""" +
+      s""""winnow_rows":$winnowRows,"density_ratio":${f"${winnowRows.toDouble / gramRows}%.3f"},""" +
+      s""""spans_sec":${f"$tSpans%.1f"},"winnow_sec":${f"$tWinnow%.1f"},""" +
+      s""""expected_pairs":$expectedPairs,"winnow_found":$winnowFound,""" +
+      s""""spans_docs":$spansDocs,"ok":$ok}""")
+    if (!ok) System.err.println(
+      s"[scaleprobe] substring NOT ok: spansDocs=$spansDocs winnowFound=$winnowFound expected=$expectedPairs")
+    ok
+  }
+
+  /** Per-arm default sizes: the original three arms stress row volume
+    * (10M); the round-8 arms carry 64-dim vectors / ~200-char text per
+    * row, so 1M is the same order of work. */
+  private val defaults = Map(
+    "quartiles" -> 10000000L, "asof" -> 10000000L, "clusters" -> 10000000L,
+    "ivfbalance" -> 1000000L, "substring" -> 1000000L)
+
   def main(args: Array[String]): Unit = {
-    val (which, n) = args.toList match {
-      case name :: num :: _ => (name, num.toLong)
-      case num :: Nil if num.forall(_.isDigit) => ("all", num.toLong)
-      case name :: Nil => (name, 10000000L)
-      case Nil => ("all", 10000000L)
+    val (which, nOpt) = args.toList match {
+      case name :: num :: _ => (name, Some(num.toLong))
+      case num :: Nil if num.forall(_.isDigit) => ("all", Some(num.toLong))
+      case name :: Nil => (name, None)
+      case Nil => ("all", None)
     }
     val spark = Sessions.local()
+    def arm(name: String, size: Long): Boolean = name match {
+      case "quartiles" => probeQuartiles(spark, size)
+      case "asof" => probeAsOf(spark, size)
+      case "clusters" => probeClusters(spark, size)
+      case "ivfbalance" => probeIvfBalance(spark, size)
+      case "substring" => probeSubstring(spark, size)
+    }
     val ok = which match {
-      case "quartiles" => probeQuartiles(spark, n)
-      case "asof" => probeAsOf(spark, n)
-      case "clusters" => probeClusters(spark, n)
-      case _ => probeQuartiles(spark, n) & probeAsOf(spark, n) & probeClusters(spark, n)
+      case "all" =>
+        // "all" runs every arm at its own default (one explicit n would
+        // mis-size one family or the other)
+        defaults.keysIterator.toSeq.sorted
+          .map(a => arm(a, defaults(a))).forall(identity)
+      case name => arm(name, nOpt.getOrElse(defaults(name)))
     }
     spark.stop()
     if (!ok) sys.exit(1)

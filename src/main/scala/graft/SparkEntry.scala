@@ -153,6 +153,7 @@ object SparkEntry {
     "knn_exact" -> (Similarity.knnExactQuery _),
     "knn_ann_lsh" -> (Similarity.annLshQuery _), // oracled: md5 planes + list_reduce replay the sign bits exactly (+ recall spec)
     "knn_ann_ivf" -> (Similarity.annIvfQuery _), // deterministic IVF-Flat => full hash oracle
+    "knn_ann_ivf_refined" -> (Similarity.annIvfRefinedQuery _), // Lloyd-refined centroids: balanced lists = bounded probe cost
     "emb_quantize" -> (Similarity.quantizeStatsQuery _), // SQ8 codebook + integer fingerprint (scan-shaped)
     "knn_quantized" -> ((s: SparkSession, d: String) => Similarity.knnQuantized(s, d)), // SQ8 accuracy baseline (quadratic, like knn_exact)
     "knn_ann_ivf_sq8" -> (Similarity.annIvfSq8Query _), // IVF probing over SQ8-coded residents: the compressed-index serving path
@@ -1751,6 +1752,54 @@ object SparkEntry {
                 ORDER BY round(list_cosine_similarity(qe, e), 4) DESC, n_id)::BIGINT AS rank
             FROM cand) t
           WHERE rank <= 5"""
+    },
+    "knn_ann_ivf_refined" -> {
+      // mirror of Similarity.annIvfRefined: the knn_ann_ivf chain with a
+      // 3-round fixed-point Lloyd refinement of the centroid seeds — per
+      // round, rounded-cosine argmax assignment (the query-time rule),
+      // then per-(list, dim) exact BIGINT sums of 2^-20-floored
+      // coordinates and ONE double division back; empty lists keep their
+      // centroid via the LEFT JOIN coalesce. Same round/tie discipline
+      // as knn_ann_ivf everywhere else.
+      val grid = 1L << 20; val rounds = 3; val dims = 64
+      def refineRound(r: Int): String =
+        s"""asg$r AS MATERIALIZED (SELECT vec_id, e, c_id FROM (
+           |              SELECT v.vec_id, v.e, c.c_id,
+           |                row_number() OVER (PARTITION BY v.vec_id
+           |                  ORDER BY round(list_cosine_similarity(v.e, c.ce), 4) DESC, c.c_id) AS rk
+           |              FROM d v, cent$r c) t WHERE rk <= 1),
+           |          upd$r AS MATERIALIZED (SELECT c_id, dd.d AS d, count(*) AS n,
+           |              sum(floor(e[dd.d] * $grid)::BIGINT) AS s
+           |            FROM asg$r, LATERAL (SELECT unnest(range(1, ${dims + 1})) AS d) dd
+           |            GROUP BY c_id, dd.d),
+           |          cent${r + 1} AS MATERIALIZED (SELECT c.c_id, coalesce(u.ce, c.ce) AS ce
+           |            FROM cent$r c LEFT JOIN (
+           |              SELECT c_id, list(s::DOUBLE / (n * $grid)::DOUBLE ORDER BY d) AS ce
+           |              FROM upd$r GROUP BY c_id) u ON u.c_id = c.c_id)""".stripMargin
+      s"""WITH d AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          cent0 AS MATERIALIZED (SELECT vec_id AS c_id, e AS ce FROM d
+                   ORDER BY ${md5L60("vec_id::VARCHAR")}, vec_id LIMIT 16),
+          ${(0 until rounds).map(refineRound).mkString(",\n          ")},
+          cent AS MATERIALIZED (SELECT c_id, ce FROM cent$rounds),
+          lists AS MATERIALIZED (SELECT vec_id, e, c_id AS list_id FROM (
+                      SELECT v.vec_id, v.e, c.c_id,
+                        row_number() OVER (PARTITION BY v.vec_id
+                          ORDER BY round(list_cosine_similarity(v.e, c.ce), 4) DESC, c.c_id) AS rk
+                      FROM d v, cent c) t WHERE rk <= 1),
+          probes AS MATERIALIZED (SELECT q_id, qe, c_id AS list_id FROM (
+                      SELECT v.vec_id AS q_id, v.e AS qe, c.c_id,
+                        row_number() OVER (PARTITION BY v.vec_id
+                          ORDER BY round(list_cosine_similarity(v.e, c.ce), 4) DESC, c.c_id) AS rk
+                      FROM d v, cent c WHERE v.vec_id < 10) t WHERE rk <= 4),
+          cand AS (SELECT DISTINCT p.q_id, p.qe, l.vec_id AS n_id, l.e
+                   FROM lists l JOIN probes p ON p.list_id = l.list_id
+                                             AND l.vec_id <> p.q_id)
+          SELECT q_id, n_id, rank, cos FROM (
+            SELECT q_id, n_id, round(list_cosine_similarity(qe, e), 4) AS cos,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY round(list_cosine_similarity(qe, e), 4) DESC, n_id)::BIGINT AS rank
+            FROM cand) t
+          WHERE rank <= 5 ORDER BY q_id, rank"""
     },
     "knn_ann_ivf_sq8" ->
       // IVF probing over SQ8-decoded residents (mirror of

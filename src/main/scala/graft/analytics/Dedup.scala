@@ -771,6 +771,48 @@ object Dedup {
       .distinct()
   }
 
+  /** Single-document JVM mirror of [[winnowedFingerprints]] — BIT-
+    * IDENTICAL selection (spec-asserted against the batch column): same
+    * stride-1 char-k-gram 60-bit md5 digests, same
+    * (g mod 2^40)·2^20 + pos combined sort keys, same full-window minima
+    * and distinct. None when the text is null, shorter than k + w - 1,
+    * or at/over 2^20 chars (the batch frame's guards). This is what the
+    * streaming ingest guard calls per document — no DataFrame machinery
+    * per row. */
+  private[graft] def localWinnowedFingerprints(text: String, k: Int = 20,
+                                               w: Int = 8): Option[Set[Long]] = {
+    if (text == null) return None
+    val nLen = text.length
+    if (nLen < k + w - 1 || nLen >= (1 << PosBits)) return None
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val nG = nLen - k + 1
+    val gs = new Array[Long](nG)
+    val cks = new Array[Long](nG)
+    val gMod = 1L << 40
+    val posMod = 1L << PosBits
+    var i = 0
+    while (i < nG) {
+      md.reset()
+      val d = md.digest(text.substring(i, i + k).getBytes("UTF-8"))
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      val g = v >>> 4 // first 15 hex chars == first 60 bits of the digest
+      gs(i) = g
+      cks(i) = (g % gMod) * posMod + i
+      i += 1
+    }
+    val out = scala.collection.mutable.HashSet.empty[Long]
+    var q = 0
+    while (q <= nG - w) {
+      var mn = cks(q); var j = q + 1
+      while (j < q + w) { if (cks(j) < mn) mn = cks(j); j += 1 }
+      out += gs((mn % posMod).toInt)
+      q += 1
+    }
+    Some(out.toSet)
+  }
+
   /** Near-dup candidate pairs from shared winnowed fingerprints — the
     * scale path over [[substringSpans]]' exact signal: docs sharing
     * ≥ `minShared` selected fingerprints (document frequency capped at

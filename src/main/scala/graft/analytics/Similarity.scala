@@ -195,14 +195,144 @@ object Similarity {
     * a bucket equi-join on list id. `corpus` must be (vec_id, e);
     * `queries` must be (q_id, qe) and is broadcast. */
   private def annIvfCore(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
-                         k: Int, nLists: Int, nProbe: Int): DataFrame = {
-    val cand = ivfCandidates(spark, corpus, queries, nLists, nProbe)
+                         k: Int, nLists: Int, nProbe: Int,
+                         cents: Option[Array[(Long, Array[Double])]] = None): DataFrame = {
+    val cand = ivfCandidatesWith(spark, corpus, queries,
+      cents.getOrElse(hashCentroids(corpus, nLists)), nProbe)
     cand.select(col("q_id"), col("n_id"),
         round(cosine(col("qe"), col("e")), 4).as("cos"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))).cast("long"))
       .where(col("rank") <= k)
       .select("q_id", "n_id", "rank", "cos")
+  }
+
+  /** [[annIvfCosine]] with Lloyd-REFINED centroids
+    * ([[ivfLloydRefine]], 3 fixed rounds): the hash sample is a fine
+    * recall seed but can leave list sizes skewed — and probe cost at
+    * scale is the size of the hottest probed list, so balance IS the
+    * serving latency. Refinement is the standard k-means fix; here it is
+    * deterministic (fixed-point means) and fully oracle-replayed.
+    * Balance and recall effects are spec-asserted; the ScaleProbe arm
+    * measures list-size skew and probe cost before/after at 1M+
+    * vectors. */
+  def annIvfRefined(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+                    nLists: Int = 16, nProbe: Int = 4, rounds: Int = 3): DataFrame = {
+    val emb = embeddingsD(spark, dir)
+    annIvfCore(spark, corpus = emb,
+      queries = emb.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("e").as("qe")),
+      k = k, nLists = nLists, nProbe = nProbe,
+      cents = Some(ivfLloydRefine(emb, hashCentroids(emb, nLists), rounds)))
+  }
+
+  def annIvfRefinedQuery(spark: SparkSession, dir: String): DataFrame =
+    annIvfRefined(spark, dir).orderBy("q_id", "rank")
+
+  /** Hash-sampled IVF centroid seeds to the driver: nLists × dims
+    * doubles — model-parameter-sized, embedded as plan literals exactly
+    * like fitted ridge weights, so nearest-list ASSIGNMENT is a pure
+    * projection: the corpus is scanned once and NEVER shuffled by
+    * embedding (a window-over-crossjoin formulation would shuffle
+    * N×nLists rows). Each centroid keeps its seed's vec_id as the list
+    * label, which survives refinement. */
+  private[graft] def hashCentroids(emb: DataFrame, nLists: Int): Array[(Long, Array[Double])] =
+    emb.withColumn("__h", graft.functions.Hashes.md5Long60(col("vec_id").cast("string")))
+      .orderBy("__h", "vec_id").limit(nLists)
+      .select(col("vec_id"), col("e")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  /** Nearest-list id for a vector column: argmax over (rounded cos,
+    * then smaller c_id) — struct-max with negated id gives exactly the
+    * (cos DESC, c_id ASC) tie-break the oracle replays. array_max over
+    * one struct array, NOT greatest(...): greatest's codegen/eval cost
+    * was measured QUADRATIC in the argument count (16 lists 1.6 s vs 64
+    * lists 26.6 s on the same scan); the array constructor + single max
+    * scan is linear and semantically identical (same lexicographic
+    * struct ordering). */
+  private def listIdColFor(cents: Array[(Long, Array[Double])])(e: Column): Column = {
+    val scored = cents.toSeq.map { case (cid, ce) =>
+      struct(round(cosine(e, typedLit(ce.toSeq)), 4).as("c"), lit(-cid).as("n"))
+    }
+    -array_max(array(scored: _*)).getField("n")
+  }
+
+  /** (vec_id, e, list_id) under the given centroids. Two regimes with
+    * IDENTICAL semantics (rounded-cosine argmax, ties to smaller c_id):
+    * the all-literal projection for oracle-sized centroid sets (≤16 —
+    * scan-only, the corpus is never shuffled), and a broadcast join +
+    * struct-max aggregate past that: the wide projection falls out of
+    * whole-stage codegen and its interpreted eval was measured ~20×
+    * slower (16 lists 1.4 s vs 64 lists 29 s on the same 100k scan),
+    * while the join form keeps ONE codegen'd cosine and shuffles only N
+    * argmax rows (map-side partial max collapses the centroid fan). */
+  private def assignedLists(emb: DataFrame,
+                            cents: Array[(Long, Array[Double])]): DataFrame =
+    if (cents.length <= 16)
+      emb.withColumn("list_id", listIdColFor(cents)(col("e")))
+        .select("vec_id", "e", "list_id")
+    else {
+      val spark = emb.sparkSession
+      val centDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          cents.toSeq.map { case (cid, ce) => org.apache.spark.sql.Row(cid, ce.toSeq) }, 1),
+        new org.apache.spark.sql.types.StructType()
+          .add("c_id", "long", nullable = false)
+          .add("ce", "array<double>"))
+      emb.join(broadcast(centDf), lit(true))
+        .groupBy("vec_id")
+        // e is functionally determined by vec_id, so first() is stable
+        .agg(first(col("e")).as("e"),
+          max(struct(round(cosine(col("e"), col("ce")), 4).as("c"),
+            (-col("c_id")).as("n"))).as("w"))
+        .select(col("vec_id"), col("e"), (-col("w.n")).as("list_id"))
+    }
+
+  /** Per-list member counts under a given centroid set — the balance
+    * diagnostic ([[ivfLloydRefine]]'s motivation: a skewed hash sample
+    * makes one probe scan a hot list at scale). One scan + one tiny
+    * aggregate; exposed for the spec and the ScaleProbe arm. */
+  private[graft] def listSizes(emb: DataFrame,
+                               cents: Array[(Long, Array[Double])]): Map[Long, Long] =
+    assignedLists(emb, cents)
+      .groupBy("list_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Bounded deterministic Lloyd refinement of the IVF centroids — the
+    * k-means step real IVF indexes train with, in the same
+    * engine-replayable fixed-point recipe as [[pqLloydRefine]]: each
+    * round assigns every vector to its nearest centroid (the SAME
+    * rounded-cosine argmax used at query time) and replaces each
+    * centroid with its members' mean — coordinates floored to the
+    * [[LloydGrid]] grid, summed exactly as BIGINTs (order-free), divided
+    * back in one double division. Cosine assignment is scale-invariant,
+    * so the unnormalized mean is a valid spherical-k-means centroid.
+    * Empty lists keep their previous centroid; the round count is FIXED
+    * so the oracle replays it as a CTE chain. One scan + one
+    * (nLists × dims)-cell aggregate per round; the corpus is never
+    * shuffled by embedding. */
+  private[graft] def ivfLloydRefine(emb: DataFrame, cent0: Array[(Long, Array[Double])],
+                                        rounds: Int): Array[(Long, Array[Double])] = {
+    val dims = cent0.head._2.length
+    var cent = cent0
+    for (_ <- 0 until rounds) {
+      val sums = (1 to dims).map(d =>
+        sum(floor(element_at(col("e"), d) * lit(LloydGrid))).as(s"s$d"))
+      val rows = assignedLists(emb, cent)
+        .groupBy("list_id")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+      val byId = rows.map(r => r.getLong(0) -> r).toMap
+      cent = cent.map { case (cid, ce) =>
+        byId.get(cid) match {
+          case Some(r) =>
+            val n = r.getLong(1)
+            (cid, Array.tabulate(dims)(d => r.getLong(2 + d).toDouble / (n * LloydGrid).toDouble))
+          case None => (cid, ce)
+        }
+      }
+    }
+    cent
   }
 
   /** The candidate-generation half of the IVF machinery, shared by the
@@ -212,32 +342,16 @@ object Similarity {
     * candidate with `qe`, `e`, and any EXTRA corpus columns (the PQ path
     * carries its codes through here) passed along. */
   private def ivfCandidates(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
-                            nLists: Int, nProbe: Int): DataFrame = {
-    val emb = corpus
-    // centroid sample to the driver: nLists × dims doubles — model-
-    // parameter-sized, embedded as plan literals exactly like fitted
-    // ridge weights, so nearest-list ASSIGNMENT is a pure projection:
-    // the corpus is scanned once and NEVER shuffled by embedding (a
-    // window-over-crossjoin formulation would shuffle N×nLists rows)
-    val centRows = emb
-      .withColumn("__h", graft.functions.Hashes.md5Long60(col("vec_id").cast("string")))
-      .orderBy("__h", "vec_id").limit(nLists)
-      .select(col("vec_id").as("c_id"), col("e").as("ce"))
-      .collect()
-    // argmax over (rounded cos, then smaller c_id): struct-max with
-    // negated id gives exactly the (cos DESC, c_id ASC) tie-break the
-    // oracle replays
-    def listIdCol(e: Column): Column = {
-      val scored = centRows.toSeq.map { r =>
-        struct(round(cosine(e, typedLit(r.getSeq[Double](1))), 4).as("c"),
-          lit(-r.getLong(0)).as("n"))
-      }
-      -greatest(scored: _*).getField("n")
-    }
-    val lists = emb.withColumn("list_id", listIdCol(col("e")))
+                            nLists: Int, nProbe: Int): DataFrame =
+    ivfCandidatesWith(spark, corpus, queries, hashCentroids(corpus, nLists), nProbe)
+
+  private def ivfCandidatesWith(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+                                cents: Array[(Long, Array[Double])], nProbe: Int): DataFrame = {
+    val lists = corpus.withColumn("list_id", listIdColFor(cents)(col("e")))
     // queries probe their nProbe nearest lists: tiny side, window is fine
     val cent = spark.createDataFrame(
-      spark.sparkContext.parallelize(centRows.toSeq, 1),
+      spark.sparkContext.parallelize(
+        cents.toSeq.map { case (cid, ce) => org.apache.spark.sql.Row(cid, ce.toSeq) }, 1),
       new org.apache.spark.sql.types.StructType()
         .add("c_id", "long", nullable = false)
         .add("ce", "array<double>"))

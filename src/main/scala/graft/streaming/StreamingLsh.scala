@@ -134,6 +134,36 @@ object StreamingLsh {
     candidatesFromBanded(banded, threshold = 1.0, capacity)
   }
 
+  /** Substring near-dup guard at ingest — the winnowed-fingerprint
+    * counterpart of the batch [[Dedup.winnowedFingerprints]] /
+    * `substringWinnowPairs` scale path, closing the one signal the
+    * ingest family lacked: exact digests catch identical documents,
+    * minhash catches shingle-set similarity, but a long VERBATIM SPAN
+    * wrapped in fresh boilerplate (the Lee-et-al substring case) slips
+    * both. Each arriving document is fingerprinted ROW-LOCALLY with the
+    * SAME (k, w) winnowing selection the batch column computes (JVM
+    * mirror, spec-asserted bit-identical), and every selected
+    * fingerprint keys a bucket — the batch join key — so two documents
+    * sharing any substring of ≥ k + w − 1 chars are GUARANTEED a common
+    * bucket (the winnowing guarantee), and the pair surfaces the moment
+    * the second copy arrives. Fingerprint equality within a bucket is
+    * exact (single component, threshold 1), so precision of the bucket
+    * signal is 1 at the fingerprint level; the same bounded FIFO bucket
+    * state as every other ingest stage caps memory at O(buckets ×
+    * capacity). Fingerprints fan out sorted so emission order is
+    * deterministic within a batch. */
+  def substringCandidates(docs: Dataset[(Long, String)], k: Int = 20, w: Int = 8,
+                          capacity: Int = 256): Dataset[StreamDupCandidate] = {
+    import docs.sparkSession.implicits._
+    val banded = docs.flatMap { case (id, text) =>
+      Dedup.localWinnowedFingerprints(text, k, w) match {
+        case Some(fps) => fps.toSeq.sorted.map(g => (s"0:$g", id, Seq(g)))
+        case None => Nil // null/short/oversized text: no fingerprints, like the batch frame
+      }
+    }
+    candidatesFromBanded(banded, threshold = 1.0, capacity)
+  }
+
   /** Embedding near-dup at ingest — the vector counterpart: signatures
     * are the SAME banded hyperplane sign bits the batch `hyperplane_sig`
     * expression computes (JVM mirror, spec-asserted bit-identical), the

@@ -186,6 +186,47 @@ class SimilaritySpec extends SparkSpec {
       "nProbe=nLists IVF+SQ8 diverged from the brute-force scan of the same serving shape")
   }
 
+  test("IVF refinement: balance improves, recall holds, rounds=0 degenerates to the hash sample") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val seeds = Similarity.hashCentroids(emb, 16)
+    val refined = Similarity.ivfLloydRefine(emb, seeds, 3)
+    // refinement preserves list labels and geometry, changes positions
+    assert(refined.map(_._1).toSeq == seeds.map(_._1).toSeq)
+    assert(refined.exists { case (cid, ce) =>
+      !java.util.Arrays.equals(ce, seeds.find(_._1 == cid).get._2) })
+    // balance: every vector stays assigned, and the HOTTEST list — the
+    // probe-cost bound at scale — must not grow; the spread should shrink
+    val before = Similarity.listSizes(emb, seeds)
+    val after = Similarity.listSizes(emb, refined)
+    assert(before.values.sum == after.values.sum, "assignment must stay total")
+    def spread(m: Map[Long, Long]): Double = {
+      val mean = m.values.sum.toDouble / 16
+      math.sqrt(m.values.map(n => (n - mean) * (n - mean)).sum / 16)
+    }
+    val (sB, sA) = (spread(before.withDefaultValue(0L)), spread(after.withDefaultValue(0L)))
+    info(f"list sizes: max ${before.values.max} -> ${after.values.max}, " +
+      f"stdev $sB%.1f -> $sA%.1f (mean ${before.values.sum / 16})")
+    assert(after.values.max <= before.values.max,
+      s"refinement grew the hottest list: ${before.values.max} -> ${after.values.max}")
+    assert(sA <= sB, f"refinement increased list-size spread: $sB%.1f -> $sA%.1f")
+    // recall at equal probing must not collapse vs the unrefined floor
+    val exact = Similarity.knnExact(spark, sfDir, nQueries = 10, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ref = Similarity.annIvfRefined(spark, sfDir, nQueries = 10, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ref).size.toDouble / exact.size
+    info(f"refined-IVF recall@5 = $recall%.3f")
+    assert(recall >= 0.3, f"refined-IVF recall collapsed: $recall%.3f")
+    // zero rounds is exactly the hash-sample index
+    val r0 = Similarity.annIvfRefined(spark, sfDir, rounds = 0)
+      .collect().toSeq
+    val plain = Similarity.annIvfCosine(spark, sfDir)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(r0 == plain, "rounds=0 must reproduce knn_ann_ivf exactly")
+  }
+
   test("IVF-PQ: ADC lookup scoring == reconstruction cosine; full probing == brute ADC") {
     import org.apache.spark.sql.functions._
     val (pm, pd, pks) = (Similarity.PqM, Similarity.PqDsub, Similarity.PqKs)

@@ -68,6 +68,58 @@ class StreamingLshSpec extends SparkSpec {
       s"null doc must vanish, dup pair must still surface: $out")
   }
 
+  test("local winnowed fingerprints == batch winnowedFingerprints on the real corpus") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .where(col("text").isNotNull).limit(50).select("doc_id", "text")
+    val batch = graft.analytics.Dedup.winnowedFingerprints(docs, 20, 8)
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (d, v) => d -> v.map(_._2).toSet }
+    val local = docs.as[(Long, String)].collect().flatMap { case (id, text) =>
+      graft.analytics.Dedup.localWinnowedFingerprints(text, 20, 8).map(id -> _)
+    }.toMap
+    assert(local.keySet == batch.keySet,
+      s"doc sets differ: ${local.keySet.diff(batch.keySet)} / ${batch.keySet.diff(local.keySet)}")
+    local.foreach { case (id, fps) =>
+      assert(fps == batch(id), s"fingerprint set mismatch for doc $id")
+    }
+    assert(batch.nonEmpty, "parity test needs fingerprinted documents")
+  }
+
+  test("substring ingest guard: a boilerplate-wrapped span collides, fresh text stays silent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    // doc 2 wraps a 64-char VERBATIM span of doc 1 in fresh boilerplate —
+    // the substring case exact digests miss (different documents) and
+    // minhash can miss (the surrounding words dominate the shingle set);
+    // the winnowing guarantee (64 >= k + w - 1 = 27) makes the collision
+    // certain, not probabilistic. doc 3 is unrelated and must stay silent.
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val base = (alpha + alpha.toUpperCase + "0123456789!@#$%^&*()[]{}<>,./?;:" +
+      alpha.reverse).take(120)
+    val span = base.substring(20, 84)
+    val wrapped = ("JUNKJUNKJUNKJUNKJUNKJUNKJUNK-" + span + "-PADPADPADPADPADPADPAD")
+    val other = "No shared twenty-gram lives anywhere inside this perfectly novel sentence at all."
+    val ms = MemoryStream[(Long, String)]
+    val name = s"sub_stream_${System.nanoTime()}"
+    val q = StreamingLsh.substringCandidates(ms.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      ms.addData(Seq(1L -> base, 3L -> other): _*); q.processAllAvailable()
+      ms.addData(Seq(2L -> wrapped, 9L -> null): _*); q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(name).as[StreamDupCandidate].collect().toSeq
+    val pairs = out.map(c => (c.doc_a, c.doc_b)).toSet
+    assert(pairs == Set((1L, 2L)), s"expected only the wrapped-span pair, got $out")
+    assert(out.forall(_.est_jaccard == 1.0), "fingerprint equality is exact")
+    // the streamed signal is the batch signal: substringWinnowPairs over
+    // the same three docs finds the same (and only the same) pair
+    val batchPairs = graft.analytics.Dedup.substringWinnowPairs(
+        Seq(1L -> base, 2L -> wrapped, 3L -> other).toDF("doc_id", "text"),
+        k = 20, w = 8, minShared = 1)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(batchPairs == Set((1L, 2L)), s"batch/stream signal diverged: $batchPairs")
+  }
+
   test("composed ingest prep: the C4 gate feeds LSH dedup inside ONE streaming query") {
     // the batch gate is a stateless projection (StreamingGateSpec), so it
     // chains in front of the stateful LSH stage with no glue: gated-out
