@@ -93,7 +93,8 @@ object Bench {
       "emb_quantize",          // SQ8 scan projection; its cost runs inside knn_ann_ivf_sq8's dequantize
       "zorder_key",            // scan+bit-projection family: layout_zone_stats (zone manifest over the key) benched
       "ts_outliers",           // exact-integer per-key scan family: ts_cusum benched
-      "mm_frame_sample"        // binary-payload slicing family: mm_decode_features + mm_media_probe benched
+      "mm_frame_sample",       // binary-payload slicing family: mm_decode_features + mm_media_probe benched
+      "pipe_prep_quality"      // strict sub-composition of the benched pipe_prep_clean (same chain minus the excision stage)
     )
 
   /** Warm sf0.1 per-query reference minima — the contention guard's

@@ -148,6 +148,7 @@ object SparkEntry {
     "txt_bm25" -> (TextAnalysis.bm25Query _), // BM25 scoring vs a fixed query-term set
     "pipe_prep" -> (PrepPipeline.manifest _), // flagship composition: gate -> dedup -> split -> decontam -> pack
     "pipe_prep_quality" -> (PrepPipeline.manifestQuality _), // v2: near-dup clusters + argmax-quality keeper (FineWeb-style)
+    "pipe_prep_clean" -> (PrepPipeline.manifestClean _), // v3: + substring EXCISION before clustering (dedup the bytes, then the docs)
     "chunk_overlap" -> (TextAnalysis.chunkQuery _), // overlapping token-window training chunks
     // --- similarity search over embeddings ---
     "knn_exact" -> (Similarity.knnExactQuery _),
@@ -206,15 +207,49 @@ object SparkEntry {
     * so the spans' character ranges `[s, e)` are DISJOINT. Yields CTEs
     * `isl` and `spans(doc_id, s, e)`; shared by the substring-dedup span
     * report and the cut operator's interval stage. */
-  private def spanMergeCtes(hitsCte: String, k: Int = 20): String =
-    s"""isl AS (SELECT doc_id, pos,
+  private def spanMergeCtes(hitsCte: String, k: Int = 20, p: String = ""): String =
+    s"""${p}isl AS (SELECT doc_id, pos,
             sum(CASE WHEN prev IS NULL OR pos - prev > $k THEN 1 ELSE 0 END)
               OVER (PARTITION BY doc_id ORDER BY pos) AS grp
           FROM (SELECT doc_id, pos,
                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
                 FROM $hitsCte) t),
-       spans AS (SELECT doc_id, min(pos) AS s, max(pos) + $k AS e
-                 FROM isl GROUP BY doc_id, grp)"""
+       ${p}spans AS (SELECT doc_id, min(pos) AS s, max(pos) + $k AS e
+                 FROM ${p}isl GROUP BY doc_id, grp)"""
+
+  /** Substring-excision CTEs over an arbitrary (doc_id, text) source
+    * (mirror of `Dedup.substringCut`): duplicated-gram detection with
+    * min-doc_id ownership, extent-merged cut intervals
+    * ([[spanMergeCtes]]), and per-doc reassembly of the kept islands.
+    * Yields `g`, `own`, `hits`, `isl`, `spans`, `seg`, `pieces`, and
+    * `clean(doc_id, ct)` — a doc absent from `clean` is uncut; every
+    * name takes the prefix `p` so the block can splice into a chain that
+    * already uses those names (pipe_prep_clean's tail defines `g`).
+    * Shared by the dedup_substring_cut query and the pipe_prep_clean
+    * chain. */
+  private def substringCutCtes(src: String, p: String = ""): String =
+    s"""${p}g AS (SELECT doc_id, i.i AS pos,
+                ('0x'||substr(md5(substr(text, i.i::INT + 1, 20)),1,15))::UBIGINT::BIGINT AS g
+              FROM $src, LATERAL (SELECT unnest(range(0, length(text) - 19)) AS i) i
+              WHERE length(text) >= 20),
+          ${p}own AS (SELECT g, min(doc_id) AS own FROM ${p}g
+                  GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+          ${p}hits AS (SELECT ${p}g.doc_id, ${p}g.pos FROM ${p}g JOIN ${p}own USING (g)
+                   WHERE ${p}g.doc_id <> ${p}own.own),
+          ${spanMergeCtes(s"${p}hits", 20, p)},
+          ${p}seg AS (SELECT doc_id, s, e,
+                    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe
+                  FROM ${p}spans),
+          ${p}pieces AS (
+            SELECT sg.doc_id, sg.s AS ord,
+                   substr(d.text, (sg.pe + 1)::INT, (sg.s - sg.pe)::INT) AS piece
+            FROM ${p}seg sg JOIN $src d USING (doc_id)
+            UNION ALL
+            SELECT t.doc_id, 2147483647 AS ord, substr(d.text, (t.me + 1)::INT) AS piece
+            FROM (SELECT doc_id, max(e) AS me FROM ${p}spans GROUP BY doc_id) t
+            JOIN $src d USING (doc_id)),
+          ${p}clean AS (SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS ct
+                    FROM ${p}pieces GROUP BY doc_id)"""
 
   /** Stage 1 of the prep compositions: the c4 quality-gate CTE `c4` and
     * the gated corpus `k(doc_id, text)` (mirror of TextAnalysis.c4Filter
@@ -1321,28 +1356,7 @@ object SparkEntry {
       // merged to disjoint intervals (same extent-merge as the spans),
       // and each doc's clean text is reassembled as the ordered concat of
       // kept islands (string_agg ORDER BY = the Spark fold's order)
-      s"""WITH g AS (SELECT doc_id, i.i AS pos,
-                ('0x'||substr(md5(substr(text, i.i::INT + 1, 20)),1,15))::UBIGINT::BIGINT AS g
-              FROM documents, LATERAL (SELECT unnest(range(0, length(text) - 19)) AS i) i
-              WHERE length(text) >= 20),
-          own AS (SELECT g, min(doc_id) AS own FROM g
-                  GROUP BY g HAVING min(doc_id) <> max(doc_id)),
-          hits AS (SELECT g.doc_id, g.pos FROM g JOIN own USING (g)
-                   WHERE g.doc_id <> own.own),
-          ${spanMergeCtes("hits")},
-          seg AS (SELECT doc_id, s, e,
-                    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe
-                  FROM spans),
-          pieces AS (
-            SELECT seg.doc_id, seg.s AS ord,
-                   substr(d.text, (seg.pe + 1)::INT, (seg.s - seg.pe)::INT) AS piece
-            FROM seg JOIN documents d USING (doc_id)
-            UNION ALL
-            SELECT t.doc_id, 2147483647 AS ord, substr(d.text, (t.me + 1)::INT) AS piece
-            FROM (SELECT doc_id, max(e) AS me FROM spans GROUP BY doc_id) t
-            JOIN documents d USING (doc_id)),
-          clean AS (SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS ct
-                    FROM pieces GROUP BY doc_id),
+      s"""WITH ${substringCutCtes("documents")},
           ncuts AS (SELECT doc_id, count(*)::BIGINT AS n_cuts FROM spans GROUP BY doc_id)
           SELECT d.doc_id, coalesce(n.n_cuts, 0)::BIGINT AS n_cuts,
                  (coalesce(length(d.text), 0) - coalesce(length(coalesce(c.ct, d.text)), 0))::BIGINT AS cut_chars,
@@ -1661,6 +1675,41 @@ object SparkEntry {
                          ORDER BY q.quality DESC NULLS LAST, cl.doc_id) AS rn
                      FROM cl JOIN q USING (doc_id)) b WHERE rn = 1),
           dd AS MATERIALIZED (SELECT k.doc_id, k.text FROM k JOIN best USING (doc_id)),
+          $prepTailSql""",
+    "pipe_prep_clean" ->
+      // v3 mirror: the pipe_prep_quality chain with the substring-
+      // excision CTEs spliced between the gate and the clustering — the
+      // cleaned corpus kc (cut text where spans existed, pass-through
+      // otherwise) feeds the simhash CTEs, the component seed set, the
+      // quality scores, AND the tail stages, so every downstream hash
+      // sees deduplicated bytes exactly like the Spark composition
+      s"""WITH RECURSIVE $prepGateCtes,
+          ${substringCutCtes("k", "x_")},
+          kc AS MATERIALIZED (SELECT doc_id, text FROM (
+                   SELECT k.doc_id, coalesce(c.ct, k.text) AS text
+                   FROM k LEFT JOIN x_clean c USING (doc_id)) kt
+                 WHERE length(text) > 0),
+          ${simhashCteOver("kc")},
+          $simhashPairsCte,
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM shp
+                    UNION ALL SELECT doc_b, doc_a FROM shp),
+          reach(id, lbl) AS (
+            SELECT doc_id, doc_id FROM kc
+            UNION
+            SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.id),
+          cl AS (SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id),
+          q AS (SELECT doc_id,
+                  round(round(len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is)\\b'))
+                              / len($toksSql), 4) * 2.0
+                        - round(len(regexp_extract_all(text, '[.!?,;:]'))
+                                / length(text), 4), 4) AS quality
+                FROM kc),
+          best AS (SELECT doc_id FROM (
+                     SELECT cl.doc_id,
+                       row_number() OVER (PARTITION BY cl.cluster
+                         ORDER BY q.quality DESC NULLS LAST, cl.doc_id) AS rn
+                     FROM cl JOIN q USING (doc_id)) b WHERE rn = 1),
+          dd AS MATERIALIZED (SELECT kc.doc_id, kc.text FROM kc JOIN best USING (doc_id)),
           $prepTailSql""",
     "chunk_overlap" ->
       // 1-based inclusive list slices in DuckDB == slice(toks, s+1, 32)

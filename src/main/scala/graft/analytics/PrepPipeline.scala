@@ -65,6 +65,39 @@ object PrepPipeline {
         .select(col("best_doc_id").as("doc_id")))
   }
 
+  def manifestClean(spark: SparkSession, dir: String): DataFrame =
+    manifestCleanOf(Tables.documents(spark, dir))
+
+  /** The full curation chain — the Lee-et-al + FineWeb composition:
+    * gate → SUBSTRING EXCISION ([[Dedup.substringCut]]: non-canonical
+    * copies of cross-document duplicated spans are cut out of the gated
+    * corpus, so later stages see deduplicated BYTES, not just
+    * deduplicated documents) → near-dup clustering with the
+    * argmax-quality keeper over the CLEANED text → split → decontam →
+    * pack. Cutting before clustering is the real pipelines' order:
+    * boilerplate spans are exactly what inflates false near-dup mass,
+    * and quality scores should judge the text that will actually train.
+    * Gate runs FIRST (rejected docs must not claim span ownership). */
+  def manifestCleanOf(docs: DataFrame): DataFrame = {
+    val kept = gated(docs)
+    // a document whose every byte was a non-canonical duplicated span is
+    // cut to nothing — no trainable bytes left, so it exits the pipeline
+    // here (and its empty text would poison the ratio-based quality
+    // score downstream)
+    val cleaned = Dedup.substringCut(kept).select("doc_id", "text")
+      .where(length(col("text")) > 0)
+    // eager cache: the excision plan (gram detection + interval merge +
+    // per-doc reassembly) feeds EVERY downstream stage, and the
+    // clustering stage alone runs several eager actions — without
+    // materialization each one re-executes the whole cut (measured 33 s
+    // vs 12 s at sf0.1). At corpus scale this is the checkpoint a
+    // multi-stage curation run writes between phases.
+    cleaned.cache().count()
+    assemble(cleaned,
+      Dedup.keepBest(cleaned, Dedup.simhashPairs(cleaned))
+        .select(col("best_doc_id").as("doc_id")))
+  }
+
   /** Stage 1: the c4 quality gate. */
   private def gated(docs: DataFrame): DataFrame =
     docs.select("doc_id", "text")

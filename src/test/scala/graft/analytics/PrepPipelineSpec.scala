@@ -79,4 +79,41 @@ class PrepPipelineSpec extends SparkSpec {
     assert(ids.contains(2L) && !ids.contains(1L),
       s"quality manifest must keep 2 and drop 1; got $ids")
   }
+
+  test("pipe_prep_clean: duplicated bytes are excised, fully-duplicated docs vanish") {
+    val sentence = "the cat sat on the mat and the dog ran to " +
+      "the tree in the yard of the house is fine"
+    val a = Seq.fill(8)(sentence).mkString(" ")
+    val span = a.substring(100, 160) // 60 verbatim chars of doc 1
+    // doc 2's own vocabulary is DISTINCT from doc 1's (zebra/quark/...)
+    // so after the span is cut the two are no longer simhash near-dups —
+    // doc 2 must survive as its own cluster, not lose to doc 1's quality
+    val b = "the order from zebra quark nebula is fast and we scan " +
+      "bright copper matrix " + span + " with silver lantern meadow glacier " +
+      "to finish carbon prism velvet anchor falcon properly now"
+    val c = a // full verbatim copy: every 20-gram owned by doc 1
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    // all three pass the gate on their ORIGINAL text
+    val gateKeep = TextAnalysis.c4Filter(docs).where($"keep")
+      .select("doc_id").as[Long].collect().toSet
+    assert(gateKeep == Set(1L, 2L, 3L), s"gate kept $gateKeep")
+    val m = PrepPipeline.manifestCleanOf(docs)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    // doc 1 owns every duplicated gram: canonical, survives whole
+    assert(m.contains(1L), s"canonical doc must survive; got ${m.keySet}")
+    // doc 3 is duplicated end to end: cut to nothing, exits the pipeline
+    assert(!m.contains(3L), s"fully-duplicated doc must vanish; got ${m.keySet}")
+    // doc 2 survives with the span EXCISED: its manifest token count is
+    // the cleaned text's, not the original's
+    val cleanedB = Dedup.substringCut(docs, 20)
+      .where($"doc_id" === 2L).select("text").as[String].head()
+    assert(!cleanedB.contains(span) && cleanedB.length < b.length,
+      "doc 2's span must be cut")
+    val cleanedTokens = TextAnalysis.tokens(
+      org.apache.spark.sql.functions.lit(cleanedB))
+    val nTokClean = Seq(Tuple1("x")).toDF("d")
+      .select(org.apache.spark.sql.functions.size(cleanedTokens)).as[Int].head()
+    assert(m(2L) == nTokClean.toLong,
+      s"manifest must count CLEANED tokens: ${m(2L)} vs $nTokClean")
+  }
 }
