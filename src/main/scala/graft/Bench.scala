@@ -86,7 +86,7 @@ object Bench {
       "knn_quantized",
       // round-7 strict siblings
       "hilbert_key",           // scan+bit-projection family: layout_zone_stats benched
-      // round-8 strict siblings (the surface grew to 117 and the base
+      // round-8 strict siblings (the surface grew to 118 and the base
       // line saturated the tail budget; each family keeps a benched rep)
       "dedup_substring_spans", // same detection machinery inside the benched dedup_substring_cut
       "knn_ann_ivf",           // identical chain at rounds=0 of the benched knn_ann_ivf_refined; sq8/pq also benched

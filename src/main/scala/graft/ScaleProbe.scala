@@ -285,12 +285,65 @@ object ScaleProbe {
     ok
   }
 
+  /** Semantic-dedup cost probe (round-9 arm): SemDeDup's tractability
+    * claim is that the within-cluster quadratic stays bounded because k
+    * grows with N — cost is N·(N/k), not N². This arm runs the SAME
+    * `semanticDedupOf` operator at two k values on an `n`-vector corpus
+    * (16-dim per-vector hash noise; every (100m, 100m+1) pair planted
+    * near-identical — 2% semantic-dup-carrying mass) and records the
+    * within-cluster pair volume (the dominance join's exact work), wall
+    * time, and recovery: ≥99% of planted twins must lose a member at
+    * BOTH k (a twin pair shares a cluster and one member always precedes
+    * the other, so detection is guaranteed up to rounding-edge
+    * assignment splits). The k2/k1 pair-volume ratio is the measured
+    * 1/k scaling. */
+  private def probeSemantic(spark: org.apache.spark.sql.SparkSession, n: Long): Boolean = {
+    import graft.analytics.Similarity
+    require(n % 100 == 0, "semantic probe wants n % 100 == 0")
+    val emb = spark.range(n).select(col("id").as("vec_id"), expr(
+      """transform(sequence(0, 15), d ->
+        |  ((cast(conv(substring(md5(concat('n:', cast(CASE WHEN id % 100 = 1 THEN id - 1 ELSE id END as string), ':', cast(d as string))), 1, 15), 16, 10) as long) % 2001) - 1000) / 1000.0D
+        |  + CASE WHEN id % 100 = 1 THEN ((cast(conv(substring(md5(concat('t:', cast(id as string), ':', cast(d as string))), 1, 15), 16, 10) as long) % 2001) - 1000) / 500000.0D ELSE 0.0D END)""".stripMargin)
+      .as("e"))
+    emb.cache().count()
+    val planted = n / 100
+    def sweep(k: Int): (Long, Long, Long, Double) = {
+      val (out, t) = timed {
+        val o = Similarity.semanticDedupOf(emb, k, tau = 0.95)
+        o.cache().count()
+        o
+      }
+      val dropped = out.where(!col("kept")).count()
+      val recovered = out.where(!col("kept") && col("vec_id") % 100 <= 1)
+        .select(expr("vec_id div 100").as("g")).distinct().count()
+      val pairVol = out.groupBy("list_id").agg(count(lit(1)).as("s"))
+        .agg(sum(expr("s * (s - 1) / 2")).cast("long")).head().getLong(0)
+      out.unpersist()
+      (dropped, recovered, pairVol, t)
+    }
+    val k1 = 128
+    val k2 = 512
+    val (d1, r1, p1, t1) = sweep(k1)
+    val (d2, r2, p2, t2) = sweep(k2)
+    emb.unpersist()
+    spark.sharedState.cacheManager.clearCache()
+    val ok = r1 >= planted * 99 / 100 && r2 >= planted * 99 / 100 && p2 < p1
+    println(s"""{"probe":"semantic","n":$n,"planted_pairs":$planted,""" +
+      s""""k1":$k1,"pairs_k1":$p1,"dropped_k1":$d1,"recovered_k1":$r1,"sec_k1":${f"$t1%.1f"},""" +
+      s""""k2":$k2,"pairs_k2":$p2,"dropped_k2":$d2,"recovered_k2":$r2,"sec_k2":${f"$t2%.1f"},""" +
+      s""""pair_ratio":${f"${p1.toDouble / math.max(p2, 1)}%.1f"},"ok":$ok}""")
+    if (!ok) System.err.println(
+      s"[scaleprobe] semantic NOT ok: recovered $r1/$r2 of $planted, pairVol $p1 -> $p2")
+    ok
+  }
+
   /** Per-arm default sizes: the original three arms stress row volume
     * (10M); the round-8 arms carry 64-dim vectors / ~200-char text per
-    * row, so 1M is the same order of work. */
+    * row, so 1M is the same order of work; the semantic arm's dominance
+    * join is N·(N/k) so 200k at k=128 is already ~150M cosine pairs. */
   private val defaults = Map(
     "quartiles" -> 10000000L, "asof" -> 10000000L, "clusters" -> 10000000L,
-    "ivfbalance" -> 1000000L, "substring" -> 1000000L)
+    "ivfbalance" -> 1000000L, "substring" -> 1000000L, "semantic" -> 200000L)
 
   def main(args: Array[String]): Unit = {
     val (which, nOpt) = args.toList match {
@@ -306,6 +359,11 @@ object ScaleProbe {
       case "clusters" => probeClusters(spark, size)
       case "ivfbalance" => probeIvfBalance(spark, size)
       case "substring" => probeSubstring(spark, size)
+      case "semantic" => probeSemantic(spark, size)
+      case other =>
+        System.err.println(
+          s"unknown arm '$other'; known arms: ${defaults.keysIterator.toSeq.sorted.mkString(", ")} (or 'all')")
+        false
     }
     val ok = which match {
       case "all" =>
@@ -313,7 +371,7 @@ object ScaleProbe {
         // mis-size one family or the other)
         defaults.keysIterator.toSeq.sorted
           .map(a => arm(a, defaults(a))).forall(identity)
-      case name => arm(name, nOpt.getOrElse(defaults(name)))
+      case name => arm(name, nOpt.orElse(defaults.get(name)).getOrElse(0L))
     }
     spark.stop()
     if (!ok) sys.exit(1)

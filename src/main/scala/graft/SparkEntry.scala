@@ -155,6 +155,7 @@ object SparkEntry {
     "knn_ann_lsh" -> (Similarity.annLshQuery _), // oracled: md5 planes + list_reduce replay the sign bits exactly (+ recall spec)
     "knn_ann_ivf" -> (Similarity.annIvfQuery _), // deterministic IVF-Flat => full hash oracle
     "knn_ann_ivf_refined" -> (Similarity.annIvfRefinedQuery _), // Lloyd-refined centroids: balanced lists = bounded probe cost
+    "knn_ann_filtered" -> (Similarity.annIvfFilteredQuery _), // metadata-constrained ANN: post-filter on shared index, probe 2x
     "emb_quantize" -> (Similarity.quantizeStatsQuery _), // SQ8 codebook + integer fingerprint (scan-shaped)
     "knn_quantized" -> ((s: SparkSession, d: String) => Similarity.knnQuantized(s, d)), // SQ8 accuracy baseline (quadratic, like knn_exact)
     "knn_ann_ivf_sq8" -> (Similarity.annIvfSq8Query _), // IVF probing over SQ8-coded residents: the compressed-index serving path
@@ -162,6 +163,7 @@ object SparkEntry {
     "dedup_embedding_exact" -> (Similarity.embeddingDupExactQuery _),
     "dedup_embedding_lsh" -> (Similarity.embeddingDupLshQuery _), // oracled (same sig CTEs) + recall spec
     "dedup_embedding_clusters" -> (Similarity.embeddingClustersQuery _),
+    "dedup_semantic" -> (Similarity.semanticDedupQuery _), // SemDeDup: cluster-scoped greedy pruning, keep low-centroid-sim members
     // --- dataset assembly: deterministic splits + sequence packing ---
     "split_folds" -> (Sampling.splitQuery _),
     "split_assign" -> (Sampling.splitAssignQuery _),
@@ -560,6 +562,29 @@ object SparkEntry {
             UNION
             SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.id)
           SELECT id AS vec_id, min(lbl) AS keeper FROM reach GROUP BY id""",
+    "dedup_semantic" ->
+      // SemDeDup mirror: same hash-seeded centroid sample + rounded-argmax
+      // cluster assignment as knn_ann_ivf, then the paper's greedy
+      // triangular sweep as a dominance join — a member is dropped iff a
+      // (cent_cos ASC, vec_id ASC)-predecessor in its cluster is within tau
+      s"""WITH cent AS (
+            SELECT vec_id AS c_id, embedding::DOUBLE[] AS ce FROM embeddings
+            ORDER BY ${md5L60("vec_id::VARCHAR")}, vec_id LIMIT 16),
+          m AS MATERIALIZED (
+            SELECT vec_id, e, c_id AS list_id, c AS cent_cos FROM (
+              SELECT v.vec_id, v.embedding::DOUBLE[] AS e, c.c_id,
+                     round(list_cosine_similarity(v.embedding::DOUBLE[], c.ce), 4) AS c,
+                     row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(v.embedding::DOUBLE[], c.ce), 4) DESC,
+                                c.c_id) AS rk
+              FROM embeddings v, cent c) t WHERE rk = 1),
+          drp AS (SELECT DISTINCT a.vec_id FROM m a JOIN m b
+                    ON a.list_id = b.list_id
+                   AND (b.cent_cos < a.cent_cos
+                        OR (b.cent_cos = a.cent_cos AND b.vec_id < a.vec_id))
+                   AND round(list_cosine_similarity(a.e, b.e), 4) >= 0.4)
+          SELECT m.vec_id, m.list_id, m.cent_cos, (d.vec_id IS NULL) AS kept
+          FROM m LEFT JOIN drp d ON m.vec_id = d.vec_id""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
          round(sum(l_extendedprice),2) AS sum_base_price,
@@ -1800,6 +1825,33 @@ object SparkEntry {
               row_number() OVER (PARTITION BY q_id
                 ORDER BY round(list_cosine_similarity(qe, e), 4) DESC, n_id)::BIGINT AS rank
             FROM cand) t
+          WHERE rank <= 5"""
+    },
+    "knn_ann_filtered" -> {
+      // mirror of Similarity.annIvfFiltered: the knn_ann_ivf chain with
+      // the label carried through the candidate join, the query's label
+      // applied BEFORE scoring, and nProbe doubled to 8 (the filtered-
+      // serving practice: the predicate thins the probed lists)
+      def nn(filter: String, keep: Int, idAs: String, eAs: String, lbl: String) =
+        s"""SELECT $idAs, $eAs, $lbl, c_id AS list_id FROM (
+              SELECT v.vec_id AS $idAs, v.embedding::DOUBLE[] AS $eAs, v.label AS $lbl, c.c_id,
+                row_number() OVER (PARTITION BY v.vec_id
+                  ORDER BY round(list_cosine_similarity(v.embedding::DOUBLE[], c.ce), 4) DESC,
+                           c.c_id) AS rk
+              FROM embeddings v, cent c $filter) t WHERE rk <= $keep"""
+      s"""WITH cent AS (
+            SELECT vec_id AS c_id, embedding::DOUBLE[] AS ce FROM embeddings
+            ORDER BY ${md5L60("vec_id::VARCHAR")}, vec_id LIMIT 16),
+          lists AS (${nn("", 1, "vec_id", "e", "label")}),
+          probes AS (${nn("WHERE v.vec_id < 10", 8, "q_id", "qe", "q_label")}),
+          cand AS (SELECT DISTINCT p.q_id, p.qe, p.q_label, l.vec_id AS n_id, l.e, l.label
+                   FROM lists l JOIN probes p ON p.list_id = l.list_id
+                                             AND l.vec_id <> p.q_id)
+          SELECT q_id, n_id, rank, cos FROM (
+            SELECT q_id, n_id, round(list_cosine_similarity(qe, e), 4) AS cos,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY round(list_cosine_similarity(qe, e), 4) DESC, n_id)::BIGINT AS rank
+            FROM cand WHERE label = q_label) t
           WHERE rank <= 5"""
     },
     "knn_ann_ivf_refined" -> {

@@ -61,20 +61,28 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = spread(spark, load(spark, dir, "documents"))
   def embeddings(spark: SparkSession, dir: String): DataFrame = spread(spark, load(spark, dir, "embeddings"))
 
-  /** `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects by default. The session must be built with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` ([[Sessions.local]] sets
-    * it at construction — not here: conf mutation inside a loader is a
-    * hidden global side effect and racy under concurrent queries). We
-    * expose the raw nanos (`ts_ns`), microseconds (`ts_us`, matches
-    * DuckDB's `epoch_us(ts::TIMESTAMP)`) and a proper TimestampType `ts`.
-    */
+  /** `events.parquet` has shipped with two timestamp layouts across
+    * driver generations: INT64 TIMESTAMP(NANOS) (which Spark's parquet
+    * reader rejects unless `spark.sql.legacy.parquet.nanosAsLong=true` —
+    * [[Sessions.local]] sets it at construction, so the legacy layout
+    * reads as a LongType nanosecond count) and plain TIMESTAMP(MICROS)
+    * (read as TimestampNTZType under the default NTZ inference). Both
+    * normalize to the same three columns here: raw nanos (`ts_ns`),
+    * microseconds (`ts_us`, the parity unit — matches DuckDB's
+    * `epoch_us(ts::TIMESTAMP)`, which truncates ns and is identity on
+    * µs), and a proper TimestampType `ts` (the session runs UTC, so the
+    * NTZ→TZ cast is wall-clock-exact). */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "build the session via graft.Sessions.local (needs nanosAsLong=true for events.parquet)")
-    spread(spark, load(spark, dir, "events"))
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_us", expr("ts_ns div 1000")) // integer div: ns exceeds double's 2^53
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val raw = spread(spark, load(spark, dir, "events"))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts_us", expr("ts_ns div 1000")) // integer div: ns exceeds double's 2^53
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .withColumn("ts_ns", col("ts_us") * lit(1000L))
+    }
   }
 }

@@ -776,13 +776,17 @@ object Dedup {
     * stride-1 char-k-gram 60-bit md5 digests, same
     * (g mod 2^40)·2^20 + pos combined sort keys, same full-window minima
     * and distinct. None when the text is null, shorter than k + w - 1,
-    * or at/over 2^20 chars (the batch frame's guards). This is what the
-    * streaming ingest guard calls per document — no DataFrame machinery
-    * per row. */
+    * or at/over 2^20 chars (the batch frame's guards). Iterates by
+    * Unicode CODE POINTS, not UTF-16 units — Spark's `length`/`substring`
+    * count code points, so a Java `String.substring` mirror would select
+    * different grams (and apply the 2^20 guard differently) on non-BMP
+    * text. This is what the streaming ingest guard calls per document —
+    * no DataFrame machinery per row. */
   private[graft] def localWinnowedFingerprints(text: String, k: Int = 20,
                                                w: Int = 8): Option[Set[Long]] = {
     if (text == null) return None
-    val nLen = text.length
+    val cps = text.codePoints().toArray
+    val nLen = cps.length
     if (nLen < k + w - 1 || nLen >= (1 << PosBits)) return None
     val md = java.security.MessageDigest.getInstance("MD5")
     val nG = nLen - k + 1
@@ -793,7 +797,7 @@ object Dedup {
     var i = 0
     while (i < nG) {
       md.reset()
-      val d = md.digest(text.substring(i, i + k).getBytes("UTF-8"))
+      val d = md.digest(new String(cps, i, k).getBytes("UTF-8"))
       var v = 0L
       var b = 0
       while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }

@@ -229,6 +229,43 @@ object Similarity {
   def annIvfRefinedQuery(spark: SparkSession, dir: String): DataFrame =
     annIvfRefined(spark, dir).orderBy("q_id", "rank")
 
+  /** FILTERED ANN — the metadata-constrained serving shape every RAG /
+    * retrieval stack needs ("nearest neighbors WHERE lang='en'"); here
+    * the predicate is label-equality with the query, the classic
+    * filtered-search benchmark form. Strategy is POST-FILTER on the IVF
+    * candidate lists: ONE shared index serves every predicate value (a
+    * pre-filtered corpus would need an index per value), the `label`
+    * rides the candidate join as a payload column ([[ivfCandidatesWith]]
+    * passes extra corpus columns through), and the predicate applies
+    * BEFORE scoring — so the exact-cosine work is done only on matching
+    * candidates. The known trade: the filter thins the probed lists
+    * (expected match rate 1/|labels|), so the filtered form probes more
+    * lists than the unfiltered one (`nProbe` default 8 vs 4) — the
+    * standard practice, and at scale nProbe rises with predicate
+    * selectivity, not with corpus size. */
+  def annIvfFiltered(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+                     nLists: Int = 16, nProbe: Int = 8): DataFrame = {
+    val embL = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"), col("label"))
+    val queries = embL.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val qLabels = embL.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+    val cand = ivfCandidatesWith(spark, embL, queries,
+      hashCentroids(embL, nLists), nProbe)
+    cand.join(broadcast(qLabels), Seq("q_id"))
+      .where(col("label") === col("q_label"))
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("qe"), col("e")), 4).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))).cast("long"))
+      .where(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cos")
+  }
+
+  def annIvfFilteredQuery(spark: SparkSession, dir: String): DataFrame =
+    annIvfFiltered(spark, dir).orderBy("q_id", "rank")
+
   /** Hash-sampled IVF centroid seeds to the driver: nLists × dims
     * doubles — model-parameter-sized, embedded as plan literals exactly
     * like fitted ridge weights, so nearest-list ASSIGNMENT is a pure
@@ -268,10 +305,23 @@ object Similarity {
     * argmax rows (map-side partial max collapses the centroid fan). */
   private def assignedLists(emb: DataFrame,
                             cents: Array[(Long, Array[Double])]): DataFrame =
-    if (cents.length <= 16)
-      emb.withColumn("list_id", listIdColFor(cents)(col("e")))
-        .select("vec_id", "e", "list_id")
-    else {
+    assignedListsScored(emb, cents).select("vec_id", "e", "list_id")
+
+  /** [[assignedLists]] plus the winning (rounded) centroid cosine as
+    * `cent_cos` — the extra column is free in both regimes (it is the
+    * `c` half of the argmax struct already being computed) and is what
+    * [[semanticDedup]]'s retention ordering keys on. Callers that only
+    * need the list id project it away and Catalyst prunes it. */
+  private def assignedListsScored(emb: DataFrame,
+                                  cents: Array[(Long, Array[Double])]): DataFrame =
+    if (cents.length <= 16) {
+      val scored = cents.toSeq.map { case (cid, ce) =>
+        struct(round(cosine(col("e"), typedLit(ce.toSeq)), 4).as("c"), lit(-cid).as("n"))
+      }
+      emb.withColumn("__w", array_max(array(scored: _*)))
+        .select(col("vec_id"), col("e"), (-col("__w").getField("n")).as("list_id"),
+          col("__w").getField("c").as("cent_cos"))
+    } else {
       val spark = emb.sparkSession
       val centDf = spark.createDataFrame(
         spark.sparkContext.parallelize(
@@ -285,7 +335,8 @@ object Similarity {
         .agg(first(col("e")).as("e"),
           max(struct(round(cosine(col("e"), col("ce")), 4).as("c"),
             (-col("c_id")).as("n"))).as("w"))
-        .select(col("vec_id"), col("e"), (-col("w.n")).as("list_id"))
+        .select(col("vec_id"), col("e"), (-col("w.n")).as("list_id"),
+          col("w.c").as("cent_cos"))
     }
 
   /** Per-list member counts under a given centroid set — the balance
@@ -404,6 +455,96 @@ object Similarity {
     Dedup.dupClusters(vecs, pairs)
       .select(col("doc_id").as("vec_id"), col("keeper"))
       .orderBy("vec_id")
+  }
+
+  /** SemDeDup (Abbas et al. 2023, "Semantic deduplication: data-efficient
+    * learning at web-scale", arXiv:2303.09540) — SEMANTIC dedup: prune
+    * documents that say the same thing in different words, the signal
+    * verbatim/near-verbatim dedup (exact, minhash, simhash, substring)
+    * cannot see. The tractability trick is the paper's: cluster the
+    * embeddings first, then go quadratic only WITHIN clusters —
+    * cross-cluster duplicates are the documented recall trade (the
+    * paper's too; k grows with N so cluster size N/k stays bounded, and
+    * the within-cluster join cost stays N·(N/k) instead of N²).
+    *
+    * Recipe, each step engine-replayable:
+    *  1. clusters = the IVF assignment ([[assignedListsScored]] under
+    *     [[hashCentroids]] seeds): one scan, corpus never shuffled by
+    *     embedding; past 16 lists the broadcast-join regime kicks in
+    *     unchanged.
+    *  2. retention order within a cluster = (cent_cos ASC, vec_id ASC) —
+    *     the paper's finding that keeping LOW-centroid-similarity
+    *     members (the outliers) beats keeping medoids.
+    *  3. a member is DROPPED iff some retained-order PREDECESSOR in its
+    *     cluster has rounded cosine ≥ `tau` with it — the paper's greedy
+    *     triangular sweep, expressed as one within-cluster dominance
+    *     semi-join: shuffle keys on `list_id` only, quadratic work
+    *     bounded by the largest cluster.
+    *
+    * Output: (vec_id, list_id, cent_cos, kept) — the full decision
+    * trace, so downstream joins can either filter `kept` or audit drops.
+    * τ defaults to 0.4 where this corpus's planted near-dup mass sits
+    * (real text embeddings: ~0.95+). */
+  def semanticDedup(spark: SparkSession, dir: String, nLists: Int = 16,
+                    tau: Double = 0.4): DataFrame =
+    semanticDedupOf(embeddingsD(spark, dir), nLists, tau)
+
+  /** [[semanticDedup]] over an arbitrary (vec_id, e) frame — the
+    * composable form the spec injects synthetic near-dup mass into. */
+  private[graft] def semanticDedupOf(emb: DataFrame, nLists: Int,
+                                     tau: Double): DataFrame = {
+    val cents = hashCentroids(emb, nLists)
+    // read three times (two join sides + output spine): eager cache, see
+    // Dedup.materialized
+    val m = assignedListsScored(emb, cents)
+    m.cache().count()
+    val pred = m.select(col("vec_id").as("p_id"), col("e").as("pe"),
+      col("list_id").as("p_list"), col("cent_cos").as("p_cc"))
+    val dropped = m.join(pred,
+        col("list_id") === col("p_list") &&
+          (col("p_cc") < col("cent_cos") ||
+            (col("p_cc") === col("cent_cos") && col("p_id") < col("vec_id"))) &&
+          round(cosine(col("e"), col("pe")), 4) >= tau)
+      .select("vec_id").distinct()
+    m.join(dropped.withColumn("__d", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id"), col("cent_cos"),
+        col("__d").isNull.as("kept"))
+  }
+
+  def semanticDedupQuery(spark: SparkSession, dir: String): DataFrame =
+    semanticDedup(spark, dir).orderBy("vec_id")
+
+  /** Row-local JVM mirror of [[assignedListsScored]]'s rounded-cosine
+    * argmax (ties to smaller centroid id) — what the streaming semantic
+    * guard calls per arriving vector. The cosine fold accumulates in
+    * index order, matching the `cosine_sim` expression's sequential
+    * aggregate (bit-equality of that fold is spec-asserted), and the
+    * rounding is the same HALF_UP-at-4 both engines apply. None when the
+    * vector's length differs from the centroids' (the expression's NULL
+    * on dim mismatch). */
+  private[graft] def localListAssign(v: Array[Double],
+      cents: Array[(Long, Array[Double])]): Option[(Long, Double)] = {
+    if (cents.isEmpty || v == null || v.length != cents.head._2.length) return None
+    var bestC = Double.NegativeInfinity
+    var bestId = Long.MaxValue
+    cents.foreach { case (cid, ce) =>
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < v.length) { d += v(i) * ce(i); na += v(i) * v(i); nb += ce(i) * ce(i); i += 1 }
+      val c = BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (c > bestC || (c == bestC && cid < bestId)) { bestC = c; bestId = cid }
+    }
+    Some((bestId, bestC))
+  }
+
+  /** Exact rounded cosine between two JVM vectors — the same fold order
+    * and HALF_UP-at-4 rounding as `round(cosine_sim(a, b), 4)`; used by
+    * the streaming semantic guard's within-cluster comparisons. */
+  private[graft] def localCosine4(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
   /** Int8 scalar quantization (SQ8) — the vector-compression step a

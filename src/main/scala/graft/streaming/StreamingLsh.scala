@@ -164,6 +164,66 @@ object StreamingLsh {
     candidatesFromBanded(banded, threshold = 1.0, capacity)
   }
 
+  /** A semantic-dup candidate surfaced at ingest: `vec_a < vec_b` landed
+    * in the same semantic cluster (`list_id`) with exact rounded cosine
+    * ≥ τ. Unlike the signature stages the estimate here IS the exact
+    * batch-side similarity, so precision vs the batch dominance join's
+    * candidate condition is 1. */
+  final case class StreamSemanticCandidate(vec_a: Long, vec_b: Long,
+                                           list_id: Long, cos: Double)
+
+  final case class VecBucketState(docs: Seq[(Long, Seq[Double])])
+
+  /** SEMANTIC dedup guard at ingest — the streaming counterpart of
+    * [[graft.analytics.Similarity.semanticDedup]] (SemDeDup): paraphrase
+    * mass the exact/minhash/substring/embedding-LSH stages cannot see.
+    * The cluster index (`cents`) is a MODEL PARAMETER trained by the
+    * batch side (hash seeds or Lloyd-refined — both deterministic), the
+    * same way the serving ANN paths receive their centroids: each
+    * arriving vector is assigned row-locally with the batch argmax
+    * mirror ([[graft.analytics.Similarity.localListAssign]], same
+    * rounded-cosine fold), buckets on its `list_id` — the SAME key the
+    * batch dominance join shuffles on — and compares by EXACT rounded
+    * cosine against the cluster's bounded FIFO residents. A pair emits
+    * at-or-over `tau`, the batch candidate condition verbatim; the FIFO
+    * window is the documented recall trade every bounded-state ingest
+    * stage makes (the batch sweep stays exhaustive). Per-cluster state
+    * is O(capacity × dims) doubles regardless of stream length; rows
+    * fold in vec_id order within a micro-batch for determinism. */
+  def semanticCandidates(vecs: Dataset[(Long, Seq[Double])],
+                         cents: Array[(Long, Array[Double])],
+                         tau: Double = 0.4,
+                         capacity: Int = 256): Dataset[StreamSemanticCandidate] = {
+    require(capacity > 0)
+    import vecs.sparkSession.implicits._
+    import graft.analytics.Similarity
+    val assigned = vecs.flatMap { case (id, v) =>
+      Similarity.localListAssign(if (v == null) null else v.toArray, cents)
+        .map { case (listId, _) => (listId, id, v) }
+    }
+    assigned.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (listId: Long, rows: Iterator[(Long, Long, Seq[Double])],
+         state: GroupState[VecBucketState]) =>
+          var stored = state.getOption.map(_.docs).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[StreamSemanticCandidate]
+          rows.toSeq.sortBy(_._2).foreach { case (_, id, vec) =>
+            val va = vec.toArray
+            stored.foreach { case (oid, ovec) =>
+              if (oid != id) {
+                val c = Similarity.localCosine4(va, ovec.toArray)
+                if (c >= tau)
+                  out += StreamSemanticCandidate(math.min(oid, id), math.max(oid, id),
+                    listId, c)
+              }
+            }
+            stored = (stored.filterNot(_._1 == id) :+ (id -> vec)).takeRight(capacity)
+          }
+          state.update(VecBucketState(stored))
+          out.result().iterator
+      }
+  }
+
   /** Embedding near-dup at ingest — the vector counterpart: signatures
     * are the SAME banded hyperplane sign bits the batch `hyperplane_sig`
     * expression computes (JVM mirror, spec-asserted bit-identical), the

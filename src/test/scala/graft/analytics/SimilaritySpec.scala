@@ -297,4 +297,101 @@ class SimilaritySpec extends SparkSpec {
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
     assert(ivfAll == brute, "nProbe=nLists IVF-PQ diverged from the brute-force ADC scan")
   }
+
+  test("SemDeDup: local greedy replay matches exactly; injected trio keeps its low-centroid-sim member") {
+    import org.apache.spark.sql.functions._
+    // synthetic corpus: 120 well-spread vectors + a trio of near-identical
+    // ones (ids 200..202) that only SEMANTIC dedup can see
+    val rnd = new scala.util.Random(11)
+    def unit(v: Array[Double]) = { val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+    val base = (0L until 120L).map(i => i -> unit(Array.fill(16)(rnd.nextGaussian())))
+    val proto = unit(Array.fill(16)(rnd.nextGaussian()))
+    val trio = (200L to 202L).map { i =>
+      i -> unit(proto.zipWithIndex.map { case (x, d) => x + 0.02 * rnd.nextGaussian() * (d % 3) })
+    }
+    val vecs = (base ++ trio).toMap
+    val emb = vecs.toSeq.sortBy(_._1).map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "e")
+    val tau = 0.9
+    val out = Similarity.semanticDedupOf(emb, nLists = 4, tau = tau)
+      .select("vec_id", "list_id", "cent_cos", "kept")
+      .as[(Long, Long, Double, Boolean)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+
+    // local replay: same rounded-argmax assignment (ties to smaller c_id),
+    // same (cent_cos ASC, vec_id ASC) retention order, same triangular sweep
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cents = Similarity.hashCentroids(emb, 4)
+    val assigned = vecs.map { case (id, v) =>
+      val (cid, cc) = cents.map { case (c, ce) => (c, r4(cos(v, ce))) }
+        .sortBy { case (c, s) => (-s, c) }.head
+      id -> (cid, cc)
+    }
+    val kept = scala.collection.mutable.Map[Long, Boolean]()
+    assigned.groupBy(_._2._1).foreach { case (_, members) =>
+      val order = members.toSeq.map { case (id, (_, cc)) => (id, cc) }
+        .sortBy { case (id, cc) => (cc, id) }
+      order.zipWithIndex.foreach { case ((id, _), i) =>
+        kept(id) = !order.take(i).exists { case (p, _) => r4(cos(vecs(p), vecs(id))) >= tau }
+      }
+    }
+    vecs.keys.foreach { id =>
+      val (cid, cc) = assigned(id)
+      assert(out(id) == ((cid, cc, kept(id))),
+        s"vec $id: operator ${out(id)} != local replay ${(cid, cc, kept(id))}")
+    }
+    // the trio: at least two members collapse, and among trio members in
+    // the SAME cluster the survivor is the (cent_cos ASC, id ASC) head —
+    // the paper's keep-the-outlier policy, visible from the output alone
+    val trioOut = (200L to 202L).map(i => i -> out(i)).toMap
+    assert(trioOut.count(_._2._3) < 3, s"no trio member was dropped: $trioOut")
+    trioOut.groupBy(_._2._1).foreach { case (_, ms) =>
+      val head = ms.toSeq.map { case (id, (_, cc, _)) => (cc, id) }.min._2
+      assert(ms(head)._3, s"cluster head $head of trio cluster was not kept: $ms")
+    }
+  }
+
+  test("filtered ANN: label law, rank contiguity, full probing == exact filtered top-k") {
+    import org.apache.spark.sql.functions._
+    val labels = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val res = Similarity.annIvfFiltered(spark, sfDir)
+      .select("q_id", "n_id", "rank", "cos").as[(Long, Long, Long, Double)].collect()
+    // law 1: every neighbor satisfies the predicate (shares the query label)
+    res.foreach { case (q, n, _, _) =>
+      assert(labels(n) == labels(q), s"neighbor $n of query $q violates the label filter")
+    }
+    // law 2: ranks are 1..m contiguous per query and cos is non-increasing
+    res.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1L to sorted.length).toSeq, s"rank gap for query $q")
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-_).toSeq, s"cos not descending for $q")
+    }
+    // law 3: probing every list removes the ANN approximation — must equal
+    // the brute-force filtered exact top-5 under identical tie rules
+    val full = Similarity.annIvfFiltered(spark, sfDir, nProbe = 16)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val brute = (0L until 10L).flatMap { q =>
+      vecs.keys.filter(n => n != q && labels(n) == labels(q)).toSeq
+        .map(n => (n, r4(cos(vecs(q), vecs(n)))))
+        .sortBy { case (n, c) => (-c, n) }.take(5).map(t => (q, t._1))
+    }.toSet
+    assert(full == brute, "nProbe=nLists filtered ANN diverged from brute-force filtered top-k")
+    // recall at the serving shape (nProbe=8) vs the filtered exact set
+    val recall = (res.map(r => (r._1, r._2)).toSet intersect brute).size.toDouble / brute.size
+    info(f"filtered ANN recall@5 nProbe=8: $recall%.3f")
+    assert(recall >= 0.5, f"filtered ANN recall collapsed: $recall%.3f")
+  }
 }

@@ -183,6 +183,57 @@ class StreamingLshSpec extends SparkSpec {
     assert(out.forall(_.est_jaccard >= 0.875), s"twin bit agreement low: $out")
   }
 
+  test("semantic guard: local assignment mirror == batch semanticDedup trace on the real corpus") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val batch = graft.analytics.Similarity.semanticDedupOf(emb, nLists = 16, tau = 0.4)
+      .select("vec_id", "list_id", "cent_cos")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val cents = graft.analytics.Similarity.hashCentroids(emb, 16)
+    val local = emb.as[(Long, Seq[Double])].collect().map { case (id, v) =>
+      id -> graft.analytics.Similarity.localListAssign(v.toArray, cents).get
+    }.toMap
+    assert(local.nonEmpty && local.keySet == batch.keySet)
+    local.foreach { case (id, a) =>
+      assert(a == batch(id), s"assignment mismatch vec $id: local $a vs batch ${batch(id)}")
+    }
+  }
+
+  test("streaming semantic guard: paraphrase trio collides in its cluster, unrelated vectors stay silent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val rnd = new scala.util.Random(23)
+    def unit(v: Array[Double]) = { val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n).toSeq }
+    val spreadV = (0L until 40L).map(i => i -> unit(Array.fill(16)(rnd.nextGaussian())))
+    val proto = Array.fill(16)(rnd.nextGaussian())
+    val trio = (100L to 102L).map { i =>
+      i -> unit(proto.zipWithIndex.map { case (x, d) => x + 0.02 * rnd.nextGaussian() * (d % 3) })
+    }
+    // the cluster index is a batch-trained model parameter: centroids come
+    // from the batch frame of the same corpus, as serving would load them
+    val corpus = (spreadV ++ trio).map { case (i, v) => (i, v) }.toDF("vec_id", "e")
+    val cents = graft.analytics.Similarity.hashCentroids(corpus, 4)
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val name = s"sem_stream_${System.nanoTime()}"
+    val q = StreamingLsh.semanticCandidates(ms.toDS(), cents, tau = 0.9)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      ms.addData(spreadV :+ (100L -> trio.head._2): _*); q.processAllAvailable()
+      ms.addData(Seq(101L -> trio(1)._2, 102L -> trio(2)._2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(name).as[StreamingLsh.StreamSemanticCandidate].collect().toSeq
+    val pairs = out.map(c => (c.vec_a, c.vec_b)).toSet
+    assert(pairs == Set((100L, 101L), (100L, 102L), (101L, 102L)),
+      s"expected exactly the trio pairs (cross-batch included), got $out")
+    // the emitted cos IS the batch-side exact rounded cosine
+    val vecs = (spreadV ++ trio).toMap
+    out.foreach { c =>
+      val expect = graft.analytics.Similarity.localCosine4(
+        vecs(c.vec_a).toArray, vecs(c.vec_b).toArray)
+      assert(c.cos == expect && c.cos >= 0.9, s"cos mismatch for $c (expected $expect)")
+    }
+  }
+
   test("FIFO capacity bounds bucket state: evicted docs no longer pair") {
     val text = (1 to 20).map(i => s"t$i").mkString(" ")
     // capacity 1 per bucket: doc 1 is evicted by doc 2, so doc 3 pairs
