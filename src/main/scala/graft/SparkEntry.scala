@@ -149,6 +149,7 @@ object SparkEntry {
     "pipe_prep" -> (PrepPipeline.manifest _), // flagship composition: gate -> dedup -> split -> decontam -> pack
     "pipe_prep_quality" -> (PrepPipeline.manifestQuality _), // v2: near-dup clusters + argmax-quality keeper (FineWeb-style)
     "pipe_prep_clean" -> (PrepPipeline.manifestClean _), // v3: + substring EXCISION before clustering (dedup the bytes, then the docs)
+    "pipe_prep_semantic" -> (PrepPipeline.manifestSemantic _), // v4: + SemDeDup prune over the survivors' embeddings (paraphrase mass)
     "chunk_overlap" -> (TextAnalysis.chunkQuery _), // overlapping token-window training chunks
     // --- similarity search over embeddings ---
     "knn_exact" -> (Similarity.knnExactQuery _),
@@ -156,6 +157,7 @@ object SparkEntry {
     "knn_ann_ivf" -> (Similarity.annIvfQuery _), // deterministic IVF-Flat => full hash oracle
     "knn_ann_ivf_refined" -> (Similarity.annIvfRefinedQuery _), // Lloyd-refined centroids: balanced lists = bounded probe cost
     "knn_ann_filtered" -> (Similarity.annIvfFilteredQuery _), // metadata-constrained ANN: post-filter on shared index, probe 2x
+    "knn_ann_prefiltered" -> (Similarity.annIvfPrefilteredQuery _), // partition-per-label regime: (label, list_id) probe key, prunes before IO
     "emb_quantize" -> (Similarity.quantizeStatsQuery _), // SQ8 codebook + integer fingerprint (scan-shaped)
     "knn_quantized" -> ((s: SparkSession, d: String) => Similarity.knnQuantized(s, d)), // SQ8 accuracy baseline (quadratic, like knn_exact)
     "knn_ann_ivf_sq8" -> (Similarity.annIvfSq8Query _), // IVF probing over SQ8-coded residents: the compressed-index serving path
@@ -1736,6 +1738,61 @@ object SparkEntry {
                      FROM cl JOIN q USING (doc_id)) b WHERE rn = 1),
           dd AS MATERIALIZED (SELECT kc.doc_id, kc.text FROM kc JOIN best USING (doc_id)),
           $prepTailSql""",
+    "pipe_prep_semantic" ->
+      // v4 mirror: the pipe_prep_clean chain with the SemDeDup CTEs
+      // (the dedup_semantic oracle, scoped to the near-dup SURVIVORS'
+      // embeddings — centroid sample included) spliced between `best`
+      // and `dd`. A survivor with no embedding row is never in sdrp, so
+      // the anti-join keeps it — the pass-through the Spark side unions
+      // in explicitly
+      s"""WITH RECURSIVE $prepGateCtes,
+          ${substringCutCtes("k", "x_")},
+          kc AS MATERIALIZED (SELECT doc_id, text FROM (
+                   SELECT k.doc_id, coalesce(c.ct, k.text) AS text
+                   FROM k LEFT JOIN x_clean c USING (doc_id)) kt
+                 WHERE length(text) > 0),
+          ${simhashCteOver("kc")},
+          $simhashPairsCte,
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM shp
+                    UNION ALL SELECT doc_b, doc_a FROM shp),
+          reach(id, lbl) AS (
+            SELECT doc_id, doc_id FROM kc
+            UNION
+            SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.id),
+          cl AS (SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id),
+          q AS (SELECT doc_id,
+                  round(round(len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is)\\b'))
+                              / len($toksSql), 4) * 2.0
+                        - round(len(regexp_extract_all(text, '[.!?,;:]'))
+                                / length(text), 4), 4) AS quality
+                FROM kc),
+          best AS (SELECT doc_id FROM (
+                     SELECT cl.doc_id,
+                       row_number() OVER (PARTITION BY cl.cluster
+                         ORDER BY q.quality DESC NULLS LAST, cl.doc_id) AS rn
+                     FROM cl JOIN q USING (doc_id)) b WHERE rn = 1),
+          es AS MATERIALIZED (SELECT e.vec_id, e.embedding::DOUBLE[] AS ev
+                 FROM embeddings e JOIN best b ON e.vec_id = b.doc_id),
+          scent AS (SELECT vec_id AS c_id, ev AS ce FROM es
+                    ORDER BY ${md5L60("vec_id::VARCHAR")}, vec_id LIMIT 16),
+          sm AS MATERIALIZED (
+            SELECT vec_id, ev, c_id AS list_id, c AS cent_cos FROM (
+              SELECT v.vec_id, v.ev, c.c_id,
+                     round(list_cosine_similarity(v.ev, c.ce), 4) AS c,
+                     row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(v.ev, c.ce), 4) DESC,
+                                c.c_id) AS rk
+              FROM es v, scent c) t WHERE rk = 1),
+          sdrp AS (SELECT DISTINCT a.vec_id FROM sm a JOIN sm b
+                     ON a.list_id = b.list_id
+                    AND (b.cent_cos < a.cent_cos
+                         OR (b.cent_cos = a.cent_cos AND b.vec_id < a.vec_id))
+                    AND round(list_cosine_similarity(a.ev, b.ev), 4) >= 0.4),
+          semk AS MATERIALIZED (SELECT b.doc_id FROM best b
+                   LEFT JOIN sdrp d ON b.doc_id = d.vec_id
+                   WHERE d.vec_id IS NULL),
+          dd AS MATERIALIZED (SELECT kc.doc_id, kc.text FROM kc JOIN semk USING (doc_id)),
+          $prepTailSql""",
     "chunk_overlap" ->
       // 1-based inclusive list slices in DuckDB == slice(toks, s+1, 32)
       // in Spark; range(0, n, 24) == sequence(0, n-1, 24) for n >= 1
@@ -1852,6 +1909,35 @@ object SparkEntry {
               row_number() OVER (PARTITION BY q_id
                 ORDER BY round(list_cosine_similarity(qe, e), 4) DESC, n_id)::BIGINT AS rank
             FROM cand WHERE label = q_label) t
+          WHERE rank <= 5"""
+    },
+    "knn_ann_prefiltered" -> {
+      // mirror of Similarity.annIvfPrefiltered: the knn_ann_filtered
+      // chain with the label equality moved INTO the candidate join (the
+      // (label, list_id) partition key) — same centroids, same nProbe,
+      // same ties, so the result is row-identical to post-filter; only
+      // the join order (prune-before-fetch) differs
+      def nn(filter: String, keep: Int, idAs: String, eAs: String, lbl: String) =
+        s"""SELECT $idAs, $eAs, $lbl, c_id AS list_id FROM (
+              SELECT v.vec_id AS $idAs, v.embedding::DOUBLE[] AS $eAs, v.label AS $lbl, c.c_id,
+                row_number() OVER (PARTITION BY v.vec_id
+                  ORDER BY round(list_cosine_similarity(v.embedding::DOUBLE[], c.ce), 4) DESC,
+                           c.c_id) AS rk
+              FROM embeddings v, cent c $filter) t WHERE rk <= $keep"""
+      s"""WITH cent AS (
+            SELECT vec_id AS c_id, embedding::DOUBLE[] AS ce FROM embeddings
+            ORDER BY ${md5L60("vec_id::VARCHAR")}, vec_id LIMIT 16),
+          lists AS (${nn("", 1, "vec_id", "e", "label")}),
+          probes AS (${nn("WHERE v.vec_id < 10", 8, "q_id", "qe", "q_label")}),
+          cand AS (SELECT DISTINCT p.q_id, p.qe, l.vec_id AS n_id, l.e
+                   FROM lists l JOIN probes p ON p.list_id = l.list_id
+                                             AND l.label = p.q_label
+                                             AND l.vec_id <> p.q_id)
+          SELECT q_id, n_id, rank, cos FROM (
+            SELECT q_id, n_id, round(list_cosine_similarity(qe, e), 4) AS cos,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY round(list_cosine_similarity(qe, e), 4) DESC, n_id)::BIGINT AS rank
+            FROM cand) t
           WHERE rank <= 5"""
     },
     "knn_ann_ivf_refined" -> {

@@ -80,6 +80,14 @@ object Tables {
           .withColumn("ts_us", expr("ts_ns div 1000")) // integer div: ns exceeds double's 2^53
           .withColumn("ts", timestamp_micros(col("ts_us")))
       case _ =>
+        // the NTZ→TZ cast interprets the wall clock in the SESSION time
+        // zone: only UTC reproduces the oracle's epoch_us. Fail fast with
+        // an actionable message rather than silently shifting timestamps
+        // (the nanos branch above is timezone-invariant; this one is not).
+        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          "Tables.events needs spark.sql.session.timeZone=UTC to normalize " +
+            "TIMESTAMP(MICROS) events deterministically - build the session " +
+            "via graft.Sessions.local or set the conf before loading")
         raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
           .withColumn("ts_us", unix_micros(col("ts")))
           .withColumn("ts_ns", col("ts_us") * lit(1000L))

@@ -98,6 +98,48 @@ object PrepPipeline {
         .select(col("best_doc_id").as("doc_id")))
   }
 
+  def manifestSemantic(spark: SparkSession, dir: String): DataFrame =
+    manifestSemanticOf(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+
+  /** The v4 chain — the full modern curation recipe (the one SemDeDup
+    * is published as a stage OF): gate → substring excision → near-dup
+    * clustering with the argmax-quality keeper → SEMANTIC PRUNE → split
+    * → decontam → pack. The semantic stage runs [[Similarity
+    * .semanticDedupOf]] over the embeddings OF THE NEAR-DUP SURVIVORS
+    * (`embeddings.vec_id` is the document id): verbatim and
+    * near-verbatim copies are already gone, so what collapses here is
+    * the mass the byte-level stages cannot see — paraphrases, the same
+    * content re-worded. Running it LAST is the published order (SemDeDup
+    * prunes after verbatim dedup, so its quadratic-within-cluster work
+    * sees the smallest corpus) and makes the centroid sample itself a
+    * function of the survivor set, exactly like a staged production run.
+    * A survivor with no embedding row passes through (no basis to judge
+    * semantics — curation never drops what it cannot score).
+    *
+    * Scale: the semantic stage adds one IVF assignment scan of the
+    * survivor embeddings plus the cluster-bounded dominance join keyed
+    * on `list_id` — ids in, ids out; document text never rides a
+    * semantic-stage shuffle. */
+  def manifestSemanticOf(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val kept = gated(docs)
+    val cleaned = Dedup.substringCut(kept).select("doc_id", "text")
+      .where(length(col("text")) > 0)
+    // same eager checkpoint as manifestCleanOf: the excision feeds every
+    // downstream stage (near-dup clustering AND the semantic prune's
+    // survivor join), each with its own eager actions
+    cleaned.cache().count()
+    val best = Dedup.keepBest(cleaned, Dedup.simhashPairs(cleaned))
+      .select(col("best_doc_id").as("doc_id"))
+    val embD = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    val embSurv = embD.join(best.select(col("doc_id").as("vec_id")), "vec_id")
+    val semKept = Similarity.semanticDedupOf(embSurv, nLists = 16, tau = 0.4)
+      .where(col("kept")).select(col("vec_id").as("doc_id"))
+    val noEmb = best.join(embD.select(col("vec_id").as("doc_id")),
+      Seq("doc_id"), "left_anti")
+    assemble(cleaned, semKept.unionByName(noEmb))
+  }
+
   /** Stage 1: the c4 quality gate. */
   private def gated(docs: DataFrame): DataFrame =
     docs.select("doc_id", "text")

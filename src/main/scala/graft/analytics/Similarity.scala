@@ -266,6 +266,66 @@ object Similarity {
   def annIvfFilteredQuery(spark: SparkSession, dir: String): DataFrame =
     annIvfFiltered(spark, dir).orderBy("q_id", "rank")
 
+  /** PRE-FILTERED ANN — the partition-per-label counterpart of
+    * [[annIvfFiltered]], the other standard filtered-search regime. The
+    * centroid set is SHARED with the post-filter form (one trained
+    * model), but the posting lists are keyed by (label, list_id): the
+    * probe join carries the query's label INTO the join key, so a probe
+    * touches only rows that already satisfy the predicate — no candidate
+    * is ever fetched, joined, or cosine-scored just to be discarded.
+    *
+    * Same centroids + same nProbe + same tie rules ⇒ candidate sets are
+    * IDENTICAL to post-filter (the label filter commutes with the list
+    * equi-join), so results match row-for-row — `SimilaritySpec` asserts
+    * the equivalence and the oracle replays this form's join order.
+    *
+    * Selectivity crossover (when to pick which): post-filter keeps ONE
+    * index and thins candidates at match rate s, so surfacing k matches
+    * needs nProbe ∝ k/(s·listSize) — fine while s is mild (≳1/nProbe),
+    * ruinous when s ≪ 1 (rare label: most probed bytes are discarded).
+    * Pre-filter's probed partitions are already 100% matching, so nProbe
+    * stays O(k)-driven at ANY selectivity; the cost is index fan-out
+    * (|labels|×nLists partitions — labels must be low-cardinality
+    * categorical) and per-label write amplification on ingest. At 100 TB
+    * the (label, list_id) key is exactly a partition-pruned scan: the
+    * predicate prunes before any IO, the serving win that motivates
+    * per-label indexes in production vector stores. */
+  def annIvfPrefiltered(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+                        nLists: Int = 16, nProbe: Int = 8): DataFrame = {
+    val embL = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"), col("label"))
+    val cents = hashCentroids(embL, nLists)
+    // posting lists keyed (label, list_id) — the pre-filtered partitions
+    val lists = embL.withColumn("list_id", listIdColFor(cents)(col("e")))
+    val cent = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        cents.toSeq.map { case (cid, ce) => org.apache.spark.sql.Row(cid, ce.toSeq) }, 1),
+      new org.apache.spark.sql.types.StructType()
+        .add("c_id", "long", nullable = false)
+        .add("ce", "array<double>"))
+    val probes = embL.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("label"))
+      .join(broadcast(cent), lit(true))
+      .select(col("q_id"), col("qe"), col("label"), col("c_id"),
+        round(cosine(col("qe"), col("ce")), 4).as("__cos"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("__cos").desc, col("c_id"))))
+      .where(col("__rk") <= nProbe)
+      .select(col("q_id"), col("qe"), col("c_id").as("list_id"), col("label"))
+    lists.join(broadcast(probes), Seq("label", "list_id"))
+      .where(col("vec_id") =!= col("q_id"))
+      .dropDuplicates("q_id", "vec_id")
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(cosine(col("qe"), col("e")), 4).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))).cast("long"))
+      .where(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cos")
+  }
+
+  def annIvfPrefilteredQuery(spark: SparkSession, dir: String): DataFrame =
+    annIvfPrefiltered(spark, dir).orderBy("q_id", "rank")
+
   /** Hash-sampled IVF centroid seeds to the driver: nLists × dims
     * doubles — model-parameter-sized, embedded as plan literals exactly
     * like fitted ridge weights, so nearest-list ASSIGNMENT is a pure
@@ -528,13 +588,16 @@ object Similarity {
     var bestC = Double.NegativeInfinity
     var bestId = Long.MaxValue
     cents.foreach { case (cid, ce) =>
-      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < v.length) { d += v(i) * ce(i); na += v(i) * v(i); nb += ce(i) * ce(i); i += 1 }
-      val c = BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-      if (c > bestC || (c == bestC && cid < bestId)) { bestC = c; bestId = cid }
+      val c = localCosine4(v, ce)
+      // NaN cosine (zero-norm vector or centroid): never a winner. The
+      // batch expression yields NaN there too, but Spark's NaN-is-largest
+      // ordering would make it win the argmax — a zero-norm ARRIVAL is
+      // instead rejected outright below (None), which the streaming
+      // callers treat as "skip this vector"; crashing on
+      // BigDecimal(NaN) (the pre-r10 behavior) is never right.
+      if (!c.isNaN && (c > bestC || (c == bestC && cid < bestId))) { bestC = c; bestId = cid }
     }
-    Some((bestId, bestC))
+    if (bestId == Long.MaxValue) None else Some((bestId, bestC))
   }
 
   /** Exact rounded cosine between two JVM vectors — the same fold order
@@ -543,8 +606,11 @@ object Similarity {
   private[graft] def localCosine4(a: Array[Double], b: Array[Double]): Double = {
     var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-    BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val raw = d / (math.sqrt(na) * math.sqrt(nb))
+    // zero-norm input → NaN, same as the batch `cosine_sim` expression;
+    // BigDecimal(NaN) would throw, so pass it through un-rounded
+    if (raw.isNaN) Double.NaN
+    else BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
   /** Int8 scalar quantization (SQ8) — the vector-compression step a

@@ -61,8 +61,13 @@ object StreamingLsh {
           var stored = state.getOption.map(_.docs).getOrElse(Seq.empty)
           val out = Seq.newBuilder[StreamDupCandidate]
           rows.toSeq.sortBy(_._2).foreach { case (_, id, sig) =>
-            stored.foreach { case (oid, osig) =>
-              if (oid != id) { // replays of one doc are not a pair
+            // pure FIFO: a RESIDENT id re-arriving is ignored outright —
+            // no duplicate pair emissions, no eviction-position refresh
+            // (ADVICE r9: the old remove-and-append was LRU-like). An id
+            // already evicted is indistinguishable from new — the
+            // documented bounded-state recall trade.
+            if (!stored.exists(_._1 == id)) {
+              stored.foreach { case (oid, osig) =>
                 var m = 0; var j = 0
                 val k = sig.size
                 while (j < k) {
@@ -74,9 +79,8 @@ object StreamingLsh {
                   out += StreamDupCandidate(math.min(oid, id), math.max(oid, id),
                     band, math.rint(est * 10000) / 10000)
               }
+              stored = (stored :+ (id -> sig)).takeRight(capacity)
             }
-            stored = (stored.filterNot(_._1 == id) :+ (id -> sig))
-              .takeRight(capacity)
           }
           state.update(BucketState(stored))
           out.result().iterator
@@ -208,16 +212,18 @@ object StreamingLsh {
           var stored = state.getOption.map(_.docs).getOrElse(Seq.empty)
           val out = Seq.newBuilder[StreamSemanticCandidate]
           rows.toSeq.sortBy(_._2).foreach { case (_, id, vec) =>
-            val va = vec.toArray
-            stored.foreach { case (oid, ovec) =>
-              if (oid != id) {
+            // pure FIFO, like candidatesFromBanded: resident re-arrivals
+            // are ignored (no duplicate emissions, no position refresh)
+            if (!stored.exists(_._1 == id)) {
+              val va = vec.toArray
+              stored.foreach { case (oid, ovec) =>
                 val c = Similarity.localCosine4(va, ovec.toArray)
                 if (c >= tau)
                   out += StreamSemanticCandidate(math.min(oid, id), math.max(oid, id),
                     listId, c)
               }
+              stored = (stored :+ (id -> vec)).takeRight(capacity)
             }
-            stored = (stored.filterNot(_._1 == id) :+ (id -> vec)).takeRight(capacity)
           }
           state.update(VecBucketState(stored))
           out.result().iterator

@@ -116,4 +116,47 @@ class PrepPipelineSpec extends SparkSpec {
     assert(m(2L) == nTokClean.toLong,
       s"manifest must count CLEANED tokens: ${m(2L)} vs $nTokClean")
   }
+
+  test("pipe_prep_semantic: a paraphrase survives every verbatim stage and collapses at the semantic stage") {
+    // the motivating SemDeDup case: two documents that say the same
+    // thing in DIFFERENT words — no shared bytes, no shared grams, no
+    // simhash collision — whose embeddings are near-identical. Every
+    // verbatim stage (gate, substring cut, near-dup keeper) must keep
+    // both; only the semantic stage can see the duplication.
+    // each doc: one gate-passing "the"-heavy sentence + 40 doc-UNIQUE
+    // filler tokens, so the doc-unique token mass dominates the shared
+    // stopword skeleton in the TF-weighted simhash (repeating one
+    // sentence x10 instead makes ALL such docs simhash-collide — the
+    // skeleton outweighs the content words)
+    def fill(p: String) = (1 to 40).map(i => p + i).mkString(" ")
+    val a = "the cat sat on the mat and the dog ran to " +
+      "the tree in the yard of the house is fine " + fill("alpha")
+    val b = "the bird flew over the lake and the fish " +
+      "swam in the water of the pond is calm " + fill("bravo")
+    val c = "the horse stood near the fence and the goat " +
+      "walked along the path by the barn is old " + fill("charlie")
+    val d = "the mouse hid under the floor and the owl " +
+      "watched from the beam of the roof is high " + fill("delta")
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, d)).toDF("doc_id", "text")
+    // embeddings: 1 and 2 are the paraphrase pair (cosine rounds to 1.0
+    // at 4 digits — forced into one list by the smaller-centroid tie
+    // rule); 3 is orthogonal; 4 has NO embedding row (pass-through law)
+    val e1 = Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val e2 = Seq(1.0, 1e-4, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val e3 = Seq(0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val emb = Seq((1L, e1), (2L, e2), (3L, e3)).toDF("vec_id", "embedding")
+    // the paraphrases pass the gate and do NOT collide on any verbatim
+    // signal: the v3 (clean) manifest keeps both
+    val verbatim = PrepPipeline.manifestCleanOf(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(verbatim == Set(1L, 2L, 3L, 4L),
+      s"verbatim stages must keep the paraphrase pair intact; got $verbatim")
+    // the v4 manifest collapses the pair at the semantic stage: retention
+    // order (cent_cos ASC, vec_id ASC) keeps doc 1, drops doc 2; the
+    // orthogonal doc and the embedding-less doc survive
+    val ids = PrepPipeline.manifestSemanticOf(docs, emb)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L, 4L),
+      s"semantic manifest must keep {1,3,4} and drop the paraphrase 2; got $ids")
+  }
 }

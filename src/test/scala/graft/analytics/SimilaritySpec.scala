@@ -394,4 +394,33 @@ class SimilaritySpec extends SparkSpec {
     info(f"filtered ANN recall@5 nProbe=8: $recall%.3f")
     assert(recall >= 0.5, f"filtered ANN recall collapsed: $recall%.3f")
   }
+
+  test("pre-filtered ANN: row-identical to post-filter at every nProbe (the regimes differ only in join order)") {
+    import org.apache.spark.sql.functions._
+    // same centroids + same nProbe + same tie rules ⇒ the label filter
+    // commutes with the list equi-join, so the two regimes must agree
+    // row-for-row — at the serving nProbe, at a thin probe, and at full
+    // probing (where both equal the exact filtered top-k). The choice
+    // between them is purely a selectivity/IO trade, never a result
+    // change — that is the property a user migrating post→pre relies on.
+    for (nProbe <- Seq(2, 8, 16)) {
+      val post = Similarity.annIvfFiltered(spark, sfDir, nProbe = nProbe)
+        .select("q_id", "n_id", "rank", "cos")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val pre = Similarity.annIvfPrefiltered(spark, sfDir, nProbe = nProbe)
+        .select("q_id", "n_id", "rank", "cos")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(pre == post,
+        s"pre/post-filter divergence at nProbe=$nProbe: " +
+          s"only-pre=${(pre -- post).take(3)} only-post=${(post -- pre).take(3)}")
+    }
+    // and the pre-filtered form still satisfies the label predicate
+    val labels = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    Similarity.annIvfPrefiltered(spark, sfDir)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+      .foreach { case (q, n) =>
+        assert(labels(n) == labels(q), s"neighbor $n of query $q violates the label partition")
+      }
+  }
 }

@@ -234,6 +234,24 @@ class StreamingLshSpec extends SparkSpec {
     }
   }
 
+  test("pure FIFO: a resident re-arrival emits nothing and keeps its eviction position") {
+    val text = (1 to 20).map(i => s"f$i").mkString(" ")
+    // capacity 2: state [1,2]; re-ingesting 1 must NOT re-emit (1,2) nor
+    // refresh 1's position (LRU would). Doc 3 then evicts 1 (FIFO), so
+    // doc 4 pairs with {2,3} — under the old refresh semantics it would
+    // have paired with {1,3} and (1,2) would appear twice per band.
+    val out = runBatches(
+      Seq(Seq(1L -> text), Seq(2L -> text), Seq(1L -> text), Seq(3L -> text),
+        Seq(4L -> text)),
+      threshold = 0.99, capacity = 2)
+    val pairs = out.map(c => (c.doc_a, c.doc_b)).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)),
+      s"FIFO re-arrival semantics violated: $out")
+    val perBand = out.groupBy(c => (c.doc_a, c.doc_b, c.band)).view.mapValues(_.size)
+    assert(perBand.values.forall(_ == 1),
+      s"duplicate emissions on re-arrival: ${perBand.filter(_._2 > 1)}")
+  }
+
   test("FIFO capacity bounds bucket state: evicted docs no longer pair") {
     val text = (1 to 20).map(i => s"t$i").mkString(" ")
     // capacity 1 per bucket: doc 1 is evicted by doc 2, so doc 3 pairs
