@@ -376,7 +376,7 @@ object ScaleProbe {
     * purpose is to show the τ dial WORKS on clustered mass). */
   private def probeSemTau(spark: org.apache.spark.sql.SparkSession, n: Long): Boolean = {
     import graft.analytics.Similarity
-    val emb = mixtureCorpus(spark, n, noise = 0.25)
+    val emb = mixtureCorpus(spark, n, noise = 0.35)
     emb.cache().count()
     val k = 64
     val taus = Seq(0.90, 0.95, 0.99)
@@ -472,7 +472,11 @@ object ScaleProbe {
     * join is N·(N/k) so 200k at k=128 is already ~150M cosine pairs. */
   private val defaults = Map(
     "quartiles" -> 10000000L, "asof" -> 10000000L, "clusters" -> 10000000L,
-    "ivfbalance" -> 1000000L, "substring" -> 1000000L, "semantic" -> 200000L)
+    "ivfbalance" -> 1000000L, "substring" -> 1000000L, "semantic" -> 200000L,
+    // semtau: 3 τs at k=64 ≈ 3 × N·(N/k)/2 cosine pairs; semrecall: the
+    // k=16 run dominates (N·(N/16)/2) — both sized to the semantic arm's
+    // pair-volume order
+    "semtau" -> 100000L, "semrecall" -> 50000L)
 
   def main(args: Array[String]): Unit = {
     val (which, nOpt) = args.toList match {
@@ -489,6 +493,8 @@ object ScaleProbe {
       case "ivfbalance" => probeIvfBalance(spark, size)
       case "substring" => probeSubstring(spark, size)
       case "semantic" => probeSemantic(spark, size)
+      case "semtau" => probeSemTau(spark, size)
+      case "semrecall" => probeSemRecall(spark, size)
       case other =>
         System.err.println(
           s"unknown arm '$other'; known arms: ${defaults.keysIterator.toSeq.sorted.mkString(", ")} (or 'all')")

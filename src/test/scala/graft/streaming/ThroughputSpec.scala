@@ -57,4 +57,63 @@ class ThroughputSpec extends SparkSpec {
     if (sys.env.contains("GRAFT_PERF_ASSERT"))
       assert(rate > 1000, f"throughput below perf gate: $rate%.0f ticks/s")
   }
+
+  test("retrain loop latency stays flat across 10k ticks (reference degrades quadratically)") {
+    // The reference's loop refits on FULL history every 10 ticks
+    // (`lvmh_forecaster2.py:349-374`), so its per-cycle cost grows
+    // linearly and the run degrades quadratically — BASELINE.md's
+    // port-specific bar. The engine's production config caps refit
+    // history (`maxHistory`, the sliding-refit window), so per-batch
+    // latency must NOT trend with stream position. 10k ticks on ONE
+    // ticker (maximum retrain pressure: every batch refits 10×) in 100
+    // micro-batches, each wall-clocked; the gate compares late-window
+    // p95 against the post-warmup window — a sustained 2× drift across
+    // 45-batch windows is real degradation, while the reference's
+    // linear per-batch growth would show ~2.4× here.
+    implicit val sql = spark.sqlContext
+    val rnd = new scala.util.Random(22)
+    val n = 10000
+    val batchSize = 100
+    val ticks = (0 until n).map { i =>
+      RawTick("SOLO", new Timestamp(1700000000000L + i * 1000L),
+        math.max(1.0, 100.0 + math.round(rnd.nextGaussian() * 100) / 100.0 * 10))
+    }
+    def run(): (Seq[Double], Long) = {
+      val ms = MemoryStream[RawTick]
+      val name = s"rt_${System.nanoTime()}"
+      val q = StreamingPipeline.events(ms.toDS(),
+          StreamingPipeline.Config(maxHistory = 500))
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      val times = Seq.newBuilder[Double]
+      try {
+        ticks.grouped(batchSize).foreach { b =>
+          val t0 = System.nanoTime()
+          ms.addData(b); q.processAllAvailable()
+          times += (System.nanoTime() - t0) / 1e9
+        }
+      } finally q.stop()
+      (times.result(), spark.table(name).where($"kind" === "forecast").count())
+    }
+    def p95(xs: Seq[Double]): Double = xs.sorted.apply((xs.size * 95) / 100 - 1)
+    def ratioOf(): (Double, Long) = {
+      val (times, forecasts) = run()
+      val base = times.slice(10, 55) // skip JVM/codegen warmup
+      val late = times.slice(55, 100)
+      val r = p95(late) / p95(base)
+      info(f"p95 base=${p95(base)}%.3f s late=${p95(late)}%.3f s ratio=$r%.2f " +
+        f"($forecasts forecasts)")
+      (r, forecasts)
+    }
+    val (r1, f1) = ratioOf()
+    // the retrain loop really ran: ~999 refits, each emitting a forecast
+    assert(f1 >= 500, s"retrain loop barely fired: $f1 forecasts")
+    val ratio = if (r1 <= 2.0) r1 else {
+      info(f"ratio miss at $r1%.2f — retrying once (host contention?)")
+      ratioOf()._1
+    }
+    assert(ratio <= 2.0,
+      f"per-batch latency trends with stream position: late/base p95 = $ratio%.2f " +
+        "(bounded-history refit must stay flat; the reference's full-history " +
+        "refit grows linearly per batch)")
+  }
 }
