@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Dedup, ForecastQueries, Layout, Multimodal, PrepPipeline, Relational, Sampling, SeriesQueries, Similarity, TextAnalysis}
+import graft.analytics.{Dedup, ForecastQueries, Hybrid, Layout, Multimodal, PrepPipeline, Relational, Sampling, SeriesQueries, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -132,6 +132,7 @@ object SparkEntry {
     "dedup_substring_winnow" -> (Dedup.substringWinnowQuery _), // MOSS winnowing: the ~2/(w+1)-density scale path
     "dedup_substring_cut" -> (Dedup.substringCutQuery _), // span EXCISION: first occurrence kept, rest cut, text reassembled
     "dedup_keep_best" -> (Dedup.keepBestQuery _), // FineWeb-style canonicalization: keep the best-quality cluster member
+    "dedup_reweight" -> (Dedup.reweightQuery _), // SoftDedup: down-weight near-dup clusters to unit mass instead of dropping
     // --- text analysis over documents ---
     "txt_redact" -> (TextAnalysis.redactQuery _),
     "txt_token_stats" -> (TextAnalysis.tokenStatsQuery _),
@@ -166,6 +167,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> (Similarity.embeddingDupLshQuery _), // oracled (same sig CTEs) + recall spec
     "dedup_embedding_clusters" -> (Similarity.embeddingClustersQuery _),
     "dedup_semantic" -> (Similarity.semanticDedupQuery _), // SemDeDup: cluster-scoped greedy pruning, keep low-centroid-sim members
+    "knn_hybrid_rrf" -> (Hybrid.hybridRrfQuery _), // lexical + vector arms fused by reciprocal-rank: the RAG hybrid serving shape
     // --- dataset assembly: deterministic splits + sequence packing ---
     "split_folds" -> (Sampling.splitQuery _),
     "split_assign" -> (Sampling.splitAssignQuery _),
@@ -1337,6 +1339,22 @@ object SparkEntry {
             UNION
             SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.id)
           SELECT id AS doc_id, min(lbl) AS keeper FROM reach GROUP BY id""",
+    "dedup_reweight" ->
+      // same recursive-CTE cluster base as dedup_clusters; weight is the
+      // reciprocal of the window count over the resolved cluster label
+      s"""WITH RECURSIVE $simhashCte,
+          $simhashPairsCte,
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM shp
+                    UNION ALL SELECT doc_b, doc_a FROM shp),
+          reach(id, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.id),
+          cl AS (SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id)
+          SELECT doc_id, cluster,
+                 count(*) OVER (PARTITION BY cluster)::BIGINT AS cluster_size,
+                 round(1.0::DOUBLE / count(*) OVER (PARTITION BY cluster), 6) AS weight
+          FROM cl""",
     "dedup_keep_best" ->
       // same recursive-CTE cluster base as dedup_clusters, keeper chosen
       // by the txt_quality score (argmax quality, ties to smaller doc_id)
@@ -1857,6 +1875,62 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
            FROM c) t
          WHERE rank <= 5""",
+    "knn_hybrid_rrf" -> {
+      // mirror of Hybrid.hybridRrfQuery: lexical arm = distinct-token
+      // postings joined on term with the BM25-idf integer weight (the
+      // txt_bm25 two-step quantization, so the per-pair score is a BIGINT
+      // sum), vector arm = the knn_ann_ivf chain truncated at 20, fused
+      // by 1/(60+rank) reciprocal ranks (IEEE-identical divisions both
+      // engines), ties to the smaller neighbor id at every ranking
+      def nn(filter: String, keep: Int, idAs: String, eAs: String) =
+        s"""SELECT $idAs, $eAs, c_id AS list_id FROM (
+              SELECT v.vec_id AS $idAs, v.embedding::DOUBLE[] AS $eAs, c.c_id,
+                row_number() OVER (PARTITION BY v.vec_id
+                  ORDER BY round(list_cosine_similarity(v.embedding::DOUBLE[], c.ce), 4) DESC,
+                           c.c_id) AS rk
+              FROM embeddings v, cent c $filter) t WHERE rk <= $keep"""
+      s"""WITH toks AS MATERIALIZED (
+            SELECT doc_id, unnest(list_distinct($toksSql)) AS term FROM documents),
+          st AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+          iw AS MATERIALIZED (
+            SELECT term, CAST(round(round(ln((n_docs - count(*) + 0.5)
+                     / (count(*) + 0.5) + 1), 8) * 1e6) AS BIGINT) AS iw
+            FROM toks, st GROUP BY term, n_docs),
+          lex AS (SELECT q.doc_id AS q_id, d.doc_id AS n_id, sum(i.iw)::BIGINT AS lex_i
+                  FROM toks q JOIN toks d ON d.term = q.term AND d.doc_id <> q.doc_id
+                  JOIN iw i ON i.term = q.term
+                  WHERE q.doc_id < 10
+                  GROUP BY 1, 2),
+          lexr AS (SELECT q_id, n_id, rank_lex FROM (
+            SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+              ORDER BY lex_i DESC, n_id)::BIGINT AS rank_lex FROM lex) t
+            WHERE rank_lex <= 20),
+          cent AS (
+            SELECT vec_id AS c_id, embedding::DOUBLE[] AS ce FROM embeddings
+            ORDER BY ${md5L60("vec_id::VARCHAR")}, vec_id LIMIT 16),
+          lists AS (${nn("", 1, "vec_id", "e")}),
+          probes AS (${nn("WHERE v.vec_id < 10", 4, "q_id", "qe")}),
+          cand AS (SELECT DISTINCT p.q_id, p.qe, l.vec_id AS n_id, l.e
+                   FROM lists l JOIN probes p ON p.list_id = l.list_id
+                                             AND l.vec_id <> p.q_id),
+          vecr AS (SELECT q_id, n_id, rank_vec FROM (
+            SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+              ORDER BY round(list_cosine_similarity(qe, e), 4) DESC,
+                       n_id)::BIGINT AS rank_vec FROM cand) t
+            WHERE rank_vec <= 20),
+          fused AS (
+            SELECT coalesce(v.q_id, l.q_id) AS q_id, coalesce(v.n_id, l.n_id) AS n_id,
+                   v.rank_vec, l.rank_lex,
+                   coalesce(1.0::DOUBLE / (60 + v.rank_vec), 0)
+                     + coalesce(1.0::DOUBLE / (60 + l.rank_lex), 0) AS rrf
+            FROM vecr v FULL JOIN lexr l ON l.q_id = v.q_id AND l.n_id = v.n_id)
+          SELECT q_id, n_id, rank, round(rrf, 6) AS rrf,
+                 coalesce(rank_vec, 0)::BIGINT AS rank_vec,
+                 coalesce(rank_lex, 0)::BIGINT AS rank_lex
+          FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                  ORDER BY rrf DESC, n_id)::BIGINT AS rank FROM fused) t
+          WHERE rank <= 5"""
+    },
     "knn_ann_ivf" -> {
       // deterministic IVF-Flat: hash-sampled centroids -> nearest-list
       // assignment -> probe 4 lists -> exact cosine rank (mirror of

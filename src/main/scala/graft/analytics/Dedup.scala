@@ -589,6 +589,27 @@ object Dedup {
         col("quality").as("best_quality"), col("n_members"))
   }
 
+  /** Duplicate-aware SOFT dedup — reweight instead of remove (SoftDedup,
+    * arXiv:2407.06654: hard removal throws away the signal that duplicated
+    * content is often high-demand content; down-weighting keeps every
+    * document trainable while equalizing each near-dup cluster's total
+    * gradient mass). The simplest principled instantiation: every member
+    * of a resolved near-dup cluster gets weight 1/|cluster| so each
+    * cluster — not each copy — contributes unit sampling mass
+    * (Σ weights = number of clusters, the law `ReweightSpec` pins).
+    *
+    * Scale shape: [[dupClusters]]' resolution (subgraph-sized shuffles)
+    * plus ONE window over `keeper` — the cluster key the resolution
+    * already co-partitioned by. Singleton documents (the overwhelming
+    * mass at corpus scale) pass through at weight 1.0 untouched. */
+  def reweight(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val clusters = dupClusters(docs, pairs) // (doc_id, keeper)
+    clusters
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("keeper")))
+      .select(col("doc_id"), col("keeper").as("cluster"), col("cluster_size"),
+        round(lit(1.0) / col("cluster_size"), 6).as("weight"))
+  }
+
   // -- cross-document exact-substring duplication --
 
   /** Character k-gram start positions fingerprinted with the engine-
@@ -891,6 +912,14 @@ object Dedup {
   def clustersQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     dupClusters(docs, simhashPairs(docs)).orderBy("doc_id")
+  }
+
+  /** Duplicate-aware soft reweighting over the (deterministic, oracled)
+    * simhash pairs — the same cluster base as [[clustersQuery]], emitting
+    * per-document training weights instead of keep/drop decisions. */
+  def reweightQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    reweight(docs, simhashPairs(docs)).orderBy("doc_id")
   }
 
   /** Quality-aware canonicalization over the (deterministic, oracled)

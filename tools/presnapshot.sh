@@ -1,0 +1,17 @@
+#!/usr/bin/env bash
+# Pre-snapshot guard (VERDICT r9 #1): a surface addition must never ship
+# without its regenerated artifacts. Run this before every end-of-round
+# snapshot / commit that touches SparkEntry.queries.
+#
+# Checks, cheapest first:
+#   1. bench-ref-sf01.properties keys == SparkEntry.queries.keySet
+#      (BenchRefSpec) and the surface count contract (SurfaceContractSpec)
+#   2. plan-counter golden snapshot covers the surface (ExplainSnapshotSpec)
+#
+# If 1 fails: regenerate with the SPARK_GRAFT_EMIT_REF sweep (command in
+# the resource header). If 2 fails: SPARK_GRAFT_REGEN_PLAN_GOLDEN=1
+# sbt 'testOnly graft.ExplainSnapshotSpec'.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+sbt 'testOnly graft.BenchRefSpec graft.SurfaceContractSpec graft.ExplainSnapshotSpec'
+echo "presnapshot: surface/resource/golden all in sync"
