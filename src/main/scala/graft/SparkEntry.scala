@@ -157,6 +157,7 @@ object SparkEntry {
     "knn_ann_lsh" -> (Similarity.annLshQuery _), // oracled: md5 planes + list_reduce replay the sign bits exactly (+ recall spec)
     "knn_ann_ivf" -> (Similarity.annIvfQuery _), // deterministic IVF-Flat => full hash oracle
     "knn_ann_ivf_refined" -> (Similarity.annIvfRefinedQuery _), // Lloyd-refined centroids: balanced lists = bounded probe cost
+    "knn_ann_ivf_balanced" -> (Similarity.annIvfBalancedQuery _), // size-penalized Lloyd: heavy lists repel boundary vectors, probe cost equalized
     "knn_ann_filtered" -> (Similarity.annIvfFilteredQuery _), // metadata-constrained ANN: post-filter on shared index, probe 2x
     "knn_ann_prefiltered" -> (Similarity.annIvfPrefilteredQuery _), // partition-per-label regime: (label, list_id) probe key, prunes before IO
     "emb_quantize" -> (Similarity.quantizeStatsQuery _), // SQ8 codebook + integer fingerprint (scan-shaped)
@@ -2046,6 +2047,61 @@ object SparkEntry {
                       SELECT v.vec_id, v.e, c.c_id,
                         row_number() OVER (PARTITION BY v.vec_id
                           ORDER BY round(list_cosine_similarity(v.e, c.ce), 4) DESC, c.c_id) AS rk
+                      FROM d v, cent c) t WHERE rk <= 1),
+          probes AS MATERIALIZED (SELECT q_id, qe, c_id AS list_id FROM (
+                      SELECT v.vec_id AS q_id, v.e AS qe, c.c_id,
+                        row_number() OVER (PARTITION BY v.vec_id
+                          ORDER BY round(list_cosine_similarity(v.e, c.ce), 4) DESC, c.c_id) AS rk
+                      FROM d v, cent c WHERE v.vec_id < 10) t WHERE rk <= 4),
+          cand AS (SELECT DISTINCT p.q_id, p.qe, l.vec_id AS n_id, l.e
+                   FROM lists l JOIN probes p ON p.list_id = l.list_id
+                                             AND l.vec_id <> p.q_id)
+          SELECT q_id, n_id, rank, cos FROM (
+            SELECT q_id, n_id, round(list_cosine_similarity(qe, e), 4) AS cos,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY round(list_cosine_similarity(qe, e), 4) DESC, n_id)::BIGINT AS rank
+            FROM cand) t
+          WHERE rank <= 5 ORDER BY q_id, rank"""
+    },
+    "knn_ann_ivf_balanced" -> {
+      // mirror of Similarity.annIvfBalanced: the knn_ann_ivf_refined CTE
+      // chain with SIZE-PENALIZED assignment — per round (and for the
+      // final resident lists) the argmax is over the BIGINT score
+      // round(cos*1e4) - pen, where pen = round(5000 * prev list share)
+      // carried on the centroid row; probes rank by PLAIN cosine (a
+      // query has no load to shed). Same rounds/ties as the refined
+      // chain; λ=0 degenerates to it exactly (BalancedIvfSpec law).
+      val grid = 1L << 20; val rounds = 3; val dims = 64; val lambdaI = 5000L
+      def refineRound(r: Int): String =
+        s"""asg$r AS MATERIALIZED (SELECT vec_id, e, c_id FROM (
+           |              SELECT v.vec_id, v.e, c.c_id,
+           |                row_number() OVER (PARTITION BY v.vec_id
+           |                  ORDER BY CAST(round(list_cosine_similarity(v.e, c.ce) * 10000) AS BIGINT)
+           |                             - c.pen DESC, c.c_id) AS rk
+           |              FROM d v, cent$r c) t WHERE rk <= 1),
+           |          cnt$r AS MATERIALIZED (SELECT c_id, count(*)::BIGINT AS n
+           |            FROM asg$r GROUP BY c_id),
+           |          upd$r AS MATERIALIZED (SELECT c_id, dd.d AS d, count(*) AS n,
+           |              sum(floor(e[dd.d] * $grid)::BIGINT) AS s
+           |            FROM asg$r, LATERAL (SELECT unnest(range(1, ${dims + 1})) AS d) dd
+           |            GROUP BY c_id, dd.d),
+           |          cent${r + 1} AS MATERIALIZED (SELECT c.c_id, coalesce(u.ce, c.ce) AS ce,
+           |            coalesce(CAST(round($lambdaI * cnt.n::DOUBLE
+           |                                / (SELECT count(*) FROM d)) AS BIGINT), 0) AS pen
+           |            FROM cent$r c LEFT JOIN (
+           |              SELECT c_id, list(s::DOUBLE / (n * $grid)::DOUBLE ORDER BY d) AS ce
+           |              FROM upd$r GROUP BY c_id) u ON u.c_id = c.c_id
+           |            LEFT JOIN cnt$r cnt ON cnt.c_id = c.c_id)""".stripMargin
+      s"""WITH d AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          cent0 AS MATERIALIZED (SELECT vec_id AS c_id, e AS ce, 0::BIGINT AS pen FROM d
+                   ORDER BY ${md5L60("vec_id::VARCHAR")}, vec_id LIMIT 16),
+          ${(0 until rounds).map(refineRound).mkString(",\n          ")},
+          cent AS MATERIALIZED (SELECT c_id, ce, pen FROM cent$rounds),
+          lists AS MATERIALIZED (SELECT vec_id, e, c_id AS list_id FROM (
+                      SELECT v.vec_id, v.e, c.c_id,
+                        row_number() OVER (PARTITION BY v.vec_id
+                          ORDER BY CAST(round(list_cosine_similarity(v.e, c.ce) * 10000) AS BIGINT)
+                                     - c.pen DESC, c.c_id) AS rk
                       FROM d v, cent c) t WHERE rk <= 1),
           probes AS MATERIALIZED (SELECT q_id, qe, c_id AS list_id FROM (
                       SELECT v.vec_id AS q_id, v.e AS qe, c.c_id,

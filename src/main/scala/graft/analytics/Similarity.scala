@@ -446,6 +446,97 @@ object Similarity {
     cent
   }
 
+  /** Penalized nearest-list id — the BALANCED assignment rule: argmax of
+    * `round(cos·1e4) − pen(list)` (exact BIGINT score; ties to smaller
+    * c_id). `pen` is a load penalty in 1e-4-cosine units, a PLAN
+    * CONSTANT like the centroids themselves — assignment stays one
+    * codegen'd scan, no running counts, no order dependence, so the rule
+    * is engine-replayable and parallel at any partitioning. With all-zero
+    * penalties the integer argmax equals [[listIdColFor]]'s 4-dp argmax
+    * exactly (same quantization, same tie-break) — the λ=0 equivalence
+    * `BalancedIvfSpec` pins. */
+  private[graft] def listIdColPenalized(cents: Array[(Long, Array[Double])],
+                                        pen: Map[Long, Long])(e: Column): Column = {
+    val scored = cents.toSeq.map { case (cid, ce) =>
+      struct((round(cosine(e, typedLit(ce.toSeq)) * 1e4, 0).cast("long")
+        - lit(pen.getOrElse(cid, 0L))).as("s"), lit(-cid).as("n"))
+    }
+    -array_max(array(scored: _*)).getField("n")
+  }
+
+  /** Size-penalized (balanced) Lloyd refinement — the rung after
+    * [[ivfLloydRefine]] that the `ScaleProbe ivfbalance` measurement
+    * motivates: plain Lloyd optimizes distortion and will happily grow a
+    * hot list (max 57k → 73k of 1M there), and at serving time probe
+    * cost is bounded by the LARGEST probed list. Balanced k-means
+    * (Malinen & Fränti 2014) fixes this with capacity constraints; the
+    * scalable deterministic variant here penalizes each round's
+    * assignment by the PREVIOUS round's list load — `pen(list) =
+    * round(λ·1e4·share)`, subtracted from the integer-quantized cosine —
+    * so heavy lists repel boundary vectors next round. Everything stays
+    * one scan + one (nLists × dims)-cell aggregate per round (the
+    * penalty map rides the same collect the mean update already does),
+    * no shuffle of the corpus, fixed rounds ⇒ CTE-replayable.
+    * Returns the refined centroids AND the final penalty map (the index
+    * metadata a balanced index stores beside its centroids). λ = 0
+    * degenerates to [[ivfLloydRefine]] exactly. */
+  private[graft] def ivfLloydRefineBalanced(emb: DataFrame, cent0: Array[(Long, Array[Double])],
+      rounds: Int, lambdaI: Long): (Array[(Long, Array[Double])], Map[Long, Long]) = {
+    val dims = cent0.head._2.length
+    var cent = cent0
+    var pen: Map[Long, Long] = cent0.map(_._1 -> 0L).toMap
+    for (_ <- 0 until rounds) {
+      val sums = (1 to dims).map(d =>
+        sum(floor(element_at(col("e"), d) * lit(LloydGrid))).as(s"s$d"))
+      val rows = emb.withColumn("list_id", listIdColPenalized(cent, pen)(col("e")))
+        .groupBy("list_id")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+      val byId = rows.map(r => r.getLong(0) -> r).toMap
+      val nTotal = rows.map(_.getLong(1)).sum
+      cent = cent.map { case (cid, ce) =>
+        byId.get(cid) match {
+          case Some(r) =>
+            val n = r.getLong(1)
+            (cid, Array.tabulate(dims)(d => r.getLong(2 + d).toDouble / (n * LloydGrid).toDouble))
+          case None => (cid, ce)
+        }
+      }
+      pen = cent.map { case (cid, _) =>
+        cid -> byId.get(cid).map(r =>
+          math.round(lambdaI.toDouble * r.getLong(1) / nTotal)).getOrElse(0L)
+      }.toMap
+    }
+    (cent, pen)
+  }
+
+  /** BALANCED IVF serving: residents assigned by the penalized rule
+    * under the balanced-refined centroids (so list sizes — and with them
+    * worst-case probe cost — are load-equalized), probes ranked by PLAIN
+    * cosine (a query has no load to shed; the asymmetry is the
+    * standard balanced-index serving shape). Exact cosine re-rank on the
+    * candidate lists, same round/tie discipline as the whole ANN
+    * family. */
+  def annIvfBalanced(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+                     nLists: Int = 16, nProbe: Int = 4, rounds: Int = 3,
+                     lambdaI: Long = 5000L): DataFrame = {
+    val emb = embeddingsD(spark, dir)
+    val queries = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val (cents, pen) = ivfLloydRefineBalanced(emb, hashCentroids(emb, nLists), rounds, lambdaI)
+    val lists = emb.withColumn("list_id", listIdColPenalized(cents, pen)(col("e")))
+    val cand = ivfCandidatesOver(spark, lists, queries, cents, nProbe)
+    cand.select(col("q_id"), col("n_id"),
+        round(cosine(col("qe"), col("e")), 4).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))).cast("long"))
+      .where(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cos")
+  }
+
+  def annIvfBalancedQuery(spark: SparkSession, dir: String): DataFrame =
+    annIvfBalanced(spark, dir).orderBy("q_id", "rank")
+
   /** The candidate-generation half of the IVF machinery, shared by the
     * Flat/SQ8 paths (exact-cosine scoring in [[annIvfCore]]) and the PQ
     * path (ADC scoring in [[annIvfPq]]): centroid sample → one-scan list
@@ -457,8 +548,15 @@ object Similarity {
     ivfCandidatesWith(spark, corpus, queries, hashCentroids(corpus, nLists), nProbe)
 
   private def ivfCandidatesWith(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+                                cents: Array[(Long, Array[Double])], nProbe: Int): DataFrame =
+    ivfCandidatesOver(spark,
+      corpus.withColumn("list_id", listIdColFor(cents)(col("e"))), queries, cents, nProbe)
+
+  /** [[ivfCandidatesWith]] over a PRE-ASSIGNED (…, e, list_id) lists
+    * frame — the balanced path assigns residents by its penalized rule
+    * but probes by plain cosine, so assignment and probing split here. */
+  private def ivfCandidatesOver(spark: SparkSession, lists: DataFrame, queries: DataFrame,
                                 cents: Array[(Long, Array[Double])], nProbe: Int): DataFrame = {
-    val lists = corpus.withColumn("list_id", listIdColFor(cents)(col("e")))
     // queries probe their nProbe nearest lists: tiny side, window is fine
     val cent = spark.createDataFrame(
       spark.sparkContext.parallelize(
@@ -474,7 +572,7 @@ object Similarity {
         Window.partitionBy("q_id").orderBy(col("__cos").desc, col("c_id"))))
       .where(col("__rk") <= nProbe)
       .select(col("q_id"), col("qe"), col("c_id").as("list_id"))
-    val extra = corpus.columns.filterNot(c => c == "vec_id" || c == "e").toSeq
+    val extra = lists.columns.filterNot(c => c == "vec_id" || c == "e" || c == "list_id").toSeq
     lists.join(broadcast(probes), Seq("list_id"))
       .where(col("vec_id") =!= col("q_id"))
       .select(Seq(col("q_id"), col("qe"), col("vec_id").as("n_id"), col("e")) ++
