@@ -466,6 +466,94 @@ object ScaleProbe {
     ok
   }
 
+  /** Lexical-arm volume probe for hybrid retrieval: the posting join's
+    * candidate volume is Σ_t df_q(t)·df(t), dominated at corpus scale by
+    * head (stopword-class) terms that carry near-zero idf mass. This arm
+    * builds `n` synthetic 30-token docs over a log-uniform (Zipf-like,
+    * df(r) ∝ 1/r) md5-deterministic vocabulary, runs
+    * [[graft.analytics.Hybrid.lexicalRanks]] UNCAPPED and df-capped at
+    * n/10 and n/100, and reports per cap the candidate-row volume, wall,
+    * and SCORE-MASS retention (of the uncapped top-`armK` pairs' lexical
+    * scores, the fraction carried by under-cap terms). ok = the trade
+    * dial works: volume cut ≥ 2× at every cap and retention strictly
+    * monotone in the cap. The measured POINT on the curve is
+    * corpus-dependent by construction — this corpus draws slots
+    * independently, so mid-df terms carry real top-pair mass (0.87 at
+    * n/10, 0.54 at n/100 observed); real text concentrates topical
+    * rare-term co-occurrence and sits far higher. Top-LIST overlap is
+    * deliberately NOT the gate: single-term tie pools in a synthetic
+    * Zipf corpus make the tie-broken tail of a top list arbitrary
+    * (observed 0.05 overlap at high score retention). */
+  private def probeHybrid(spark: org.apache.spark.sql.SparkSession, n: Long): Boolean = {
+    import graft.analytics.Hybrid
+    val vocab = 50000L
+    // token slot s of doc i: rank = floor(vocab^u) with u = md5-unit —
+    // log-uniform ranks give the 1/r df law; term = 't<rank>'
+    val docs = spark.range(n).select(col("id").as("doc_id"), expr(
+      s"""concat_ws(' ', transform(sequence(0, 29), s ->
+         |  concat('t', cast(floor(pow($vocab,
+         |    (cast(conv(substring(md5(concat('w:', cast(id as string), ':', cast(s as string))), 1, 15), 16, 10) as double)
+         |     / 1152921504606846976.0D))) as long))))""".stripMargin).as("text"))
+    docs.cache().count()
+    val armK = 20
+    def run(cap: Option[Long]): (Long, Array[(Long, Long)], Double) = {
+      val (ranks, t) = timed {
+        val r = Hybrid.lexicalRanks(docs, nQueries = 10, armK = armK, maxDf = cap)
+        r.cache().count()
+        r
+      }
+      val pairs = ranks.collect().map(r => (r.getLong(0), r.getLong(1)))
+      ranks.unpersist()
+      // candidate volume = matched posting rows BEFORE the (q, n) agg —
+      // recomputed relationally so the number is exact, not a plan guess
+      val post = docs.select(col("doc_id"),
+        explode(array_distinct(split(trim(col("text")), "\\s+"))).as("term"))
+      val dfs = post.groupBy("term").agg(count(lit(1)).as("df"))
+      val qterms = post.where(col("doc_id") < 10)
+        .join(cap.fold(dfs)(c => dfs.where(col("df") <= c)).select("term"), "term")
+      val vol = post.join(qterms.select(col("term"), col("doc_id").as("q_id")), "term")
+        .where(col("doc_id") =!= col("q_id")).count()
+      (vol, pairs, t)
+    }
+    val (volFull, topFull, tFull) = run(None)
+    // score-mass retention over the uncapped top pairs: recompute each
+    // pair's BIGINT score with and without the over-cap terms
+    val topDf = spark.createDataFrame(topFull.toSeq).toDF("q_id", "n_id")
+    val post = docs.select(col("doc_id"),
+      explode(array_distinct(split(trim(col("text")), "\\s+"))).as("term"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val iw = post.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"), col("df"),
+        round(round(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1), 8)
+          * 1e6, 0).cast("long").as("iw"))
+    val shared = post.where(col("doc_id") < 10).select(col("doc_id").as("q_id"), col("term"))
+      .join(post.select(col("doc_id").as("n_id"), col("term")), "term")
+      .join(broadcast(topDf), Seq("q_id", "n_id"))
+      .join(iw, "term")
+    shared.cache().count()
+    val caps = Seq(n / 10, n / 100)
+    val sweep = caps.map { cap =>
+      val (volCap, _, tCap) = run(Some(cap))
+      val m = shared.agg(
+        sum("iw").as("full_mass"),
+        sum(when(col("df") <= cap, col("iw")).otherwise(lit(0L))).as("cap_mass")).head()
+      (cap, volCap, tCap, m.getLong(1).toDouble / m.getLong(0))
+    }
+    shared.unpersist(); docs.unpersist()
+    val ok = sweep.forall { case (_, v, _, _) => v * 2 <= volFull } &&
+      sweep.map(_._4) == sweep.map(_._4).sorted.reverse &&
+      sweep.map(_._4).distinct.size == sweep.size
+    val rows = sweep.map { case (cap, v, t, r) =>
+      s"""{"cap":$cap,"cand_rows":$v,"cut":${f"${volFull.toDouble / v}%.1f"},""" +
+        s""""sec":${f"$t%.1f"},"top_pair_score_retention":${f"$r%.4f"}}"""
+    }.mkString(",")
+    println(s"""{"probe":"hybrid","n_docs":$n,"cand_rows_full":$volFull,"sec_full":${f"$tFull%.1f"},""" +
+      s""""sweep":[$rows],"ok":$ok}""")
+    if (!ok) System.err.println(s"[scaleprobe] hybrid NOT ok: sweep=$sweep")
+    ok
+  }
+
   /** Per-arm default sizes: the original three arms stress row volume
     * (10M); the round-8 arms carry 64-dim vectors / ~200-char text per
     * row, so 1M is the same order of work; the semantic arm's dominance
@@ -476,7 +564,10 @@ object ScaleProbe {
     // semtau: 3 τs at k=64 ≈ 3 × N·(N/k)/2 cosine pairs; semrecall: the
     // k=16 run dominates (N·(N/16)/2) — both sized to the semantic arm's
     // pair-volume order
-    "semtau" -> 100000L, "semrecall" -> 50000L)
+    "semtau" -> 100000L, "semrecall" -> 50000L,
+    // hybrid: candidate volume ≈ Σ_t df_q(t)·df(t) ≈ 300 query-term
+    // postings × mean df — 1M docs keeps the uncapped join ~10^7 rows
+    "hybrid" -> 1000000L)
 
   def main(args: Array[String]): Unit = {
     val (which, nOpt) = args.toList match {
@@ -495,6 +586,7 @@ object ScaleProbe {
       case "semantic" => probeSemantic(spark, size)
       case "semtau" => probeSemTau(spark, size)
       case "semrecall" => probeSemRecall(spark, size)
+      case "hybrid" => probeHybrid(spark, size)
       case other =>
         System.err.println(
           s"unknown arm '$other'; known arms: ${defaults.keysIterator.toSeq.sorted.mkString(", ")} (or 'all')")

@@ -51,19 +51,37 @@ object Hybrid {
   /** Idf-weighted distinct-token overlap ranks: for each query document
     * (`doc_id < nQueries`), every other document scored by
     * Σ_{shared distinct terms} round(idf·1e6) (BIGINT), ranked to depth
-    * `armK`, ties to the smaller doc_id. Output: (q_id, n_id, rank_lex). */
-  def lexicalRanks(docs: DataFrame, nQueries: Int, armK: Int): DataFrame = {
-    val postings = docs.select(col("doc_id"),
+    * `armK`, ties to the smaller doc_id. Output: (q_id, n_id, rank_lex).
+    *
+    * `maxDf` is the SCALE dial: the candidate volume of the posting join
+    * is Σ_t df_query(t)·df_corpus(t), and at corpus scale the head terms
+    * (stopwords) dominate that sum while contributing near-zero idf mass
+    * to the score. With `maxDf = Some(cap)` terms with df > cap drop out
+    * of matching entirely — the classic stopword/df-pruning every
+    * production lexical index applies (impact-ordered/WAND pruning is
+    * the same observation, dynamic). `ScaleProbe hybrid` measures the
+    * volume cut and top-k agreement at 1M docs; None (the registered
+    * query's exact form) matches the oracle with no pruning. */
+  def lexicalRanks(docs: DataFrame, nQueries: Int, armK: Int,
+                   maxDf: Option[Long] = None): DataFrame = {
+    val allPostings = docs.select(col("doc_id"),
       explode(array_distinct(TextAnalysis.tokens(col("text")))).as("term"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     // BM25-idf, quantized at 1e-8 then to an integer weight at 1e6: the
     // same two-step quantization txt_bm25 uses, so the per-pair sum is
     // exact BIGINT arithmetic in both engines
-    val idfW = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val idfAll = allPostings.groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
-      .select(col("term"),
+      .select(col("term"), col("df"),
         round(round(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1), 8)
           * 1e6, 0).cast("long").as("iw"))
+    // the cap is applied on the QUERY-side postings only: the candidate
+    // join matches corpus postings against query terms, so dropping head
+    // terms there prunes every head-term candidate row with no second
+    // corpus pass
+    val idfW = maxDf.fold(idfAll)(cap => idfAll.where(col("df") <= cap))
+      .select("term", "iw")
+    val postings = allPostings
     val qp = postings.where(col("doc_id") < nQueries)
       .join(idfW, "term")
       .select(col("doc_id").as("q_id"), col("term"), col("iw"))

@@ -54,6 +54,15 @@ class HybridSpec extends SparkSpec {
     assert(lex.map(_.getLong(1)).toSeq == Seq(3L, 1L, 2L))
   }
 
+  test("a df cap above every df is the identity on the lexical ranking") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val uncapped = Hybrid.lexicalRanks(docs, 10, 20).orderBy("q_id", "rank_lex").collect().toSeq
+    val capped = Hybrid.lexicalRanks(docs, 10, 20, maxDf = Some(n))
+      .orderBy("q_id", "rank_lex").collect().toSeq
+    assert(capped == uncapped)
+  }
+
   test("registered query: contiguous ranks, both arms contribute, lexical signal shifts the top-5") {
     val out = Hybrid.hybridRrfQuery(spark, sfDir).cache()
     val perQ = out.groupBy("q_id").agg(count(lit(1)).as("n"),
