@@ -31,7 +31,7 @@ class SurfaceContractSpec extends SparkSpec {
     // bookkeeping, so the number lives HERE and the docs must follow it
     assert(SparkEntry.queries.size == 125,
       s"surface is ${SparkEntry.queries.size} queries — update this spec AND " +
-        "README.md / docs/SCALING.md / SURVEY.md §8.3 together")
+        "README.md / docs/SCALING.md / SURVEY.md §8 together (tools/presnapshot.sh checks)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size)
   }
 
