@@ -83,16 +83,16 @@ object PrepPipeline {
     // a document whose every byte was a non-canonical duplicated span is
     // cut to nothing — no trainable bytes left, so it exits the pipeline
     // here (and its empty text would poison the ratio-based quality
-    // score downstream)
-    val cleaned = Dedup.substringCut(kept).select("doc_id", "text")
-      .where(length(col("text")) > 0)
-    // eager cache: the excision plan (gram detection + interval merge +
-    // per-doc reassembly) feeds EVERY downstream stage, and the
-    // clustering stage alone runs several eager actions — without
-    // materialization each one re-executes the whole cut (measured 33 s
-    // vs 12 s at sf0.1). At corpus scale this is the checkpoint a
-    // multi-stage curation run writes between phases.
-    cleaned.cache().count()
+    // score downstream).
+    // Materialized + lineage-truncated (see [[materialized]]): the
+    // excision plan (gram detection + interval merge + per-doc
+    // reassembly) feeds EVERY downstream stage, and the clustering stage
+    // alone runs several eager actions — without materialization each
+    // one re-executes the whole cut (measured 33 s vs 12 s at sf0.1).
+    // This is the one text-bearing checkpoint: the post-excision corpus,
+    // exactly what a multi-stage curation run writes between phases.
+    val cleaned = materialized(Dedup.substringCut(kept).select("doc_id", "text")
+      .where(length(col("text")) > 0))
     assemble(cleaned,
       Dedup.keepBest(cleaned, Dedup.simhashPairs(cleaned))
         .select(col("best_doc_id").as("doc_id")))
@@ -122,14 +122,20 @@ object PrepPipeline {
     * semantic-stage shuffle. */
   def manifestSemanticOf(docs: DataFrame, emb: DataFrame): DataFrame = {
     val kept = gated(docs)
-    val cleaned = Dedup.substringCut(kept).select("doc_id", "text")
-      .where(length(col("text")) > 0)
-    // same eager checkpoint as manifestCleanOf: the excision feeds every
+    // same checkpoint as manifestCleanOf: the excision feeds every
     // downstream stage (near-dup clustering AND the semantic prune's
     // survivor join), each with its own eager actions
-    cleaned.cache().count()
-    val best = Dedup.keepBest(cleaned, Dedup.simhashPairs(cleaned))
-      .select(col("best_doc_id").as("doc_id"))
+    val cleaned = materialized(Dedup.substringCut(kept).select("doc_id", "text")
+      .where(length(col("text")) > 0))
+    // checkpoint #2: the near-dup keeper set is a tiny id-only frame,
+    // but its PLAN is the whole simhash-pairs → clustering →
+    // quality-argmax chain — and it feeds THREE separate eager actions
+    // before the final query even runs (the semantic stage's centroid
+    // sample, its assignment cache, and the no-embedding passthrough).
+    // Unmaterialized, each action replays the clustering fixpoint
+    // (measured ~3× the stage cost at sf0.1). Ids only — never text.
+    val best = materialized(Dedup.keepBest(cleaned, Dedup.simhashPairs(cleaned))
+      .select(col("best_doc_id").as("doc_id")))
     val embD = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("e"))
     val embSurv = embD.join(best.select(col("doc_id").as("vec_id")), "vec_id")
@@ -138,6 +144,26 @@ object PrepPipeline {
     val noEmb = best.join(embD.select(col("vec_id").as("doc_id")),
       Seq("doc_id"), "left_anti")
     assemble(cleaned, semKept.unionByName(noEmb))
+  }
+
+  /** Materialize an inter-stage frame AND truncate its lineage
+    * (`localCheckpoint`, the [[Dedup.dupClusters]] idiom — on a cluster
+    * this is `checkpoint()` against reliable storage / the manifest
+    * parquet a staged curation run writes between phases). `cache()` is
+    * NOT enough here and was measured SLOWER than no caching at all:
+    * cache substitutes at execution but leaves the logical plan in
+    * place, and this pipeline's stages embed their inputs' plans
+    * multiplicatively — the final manifest plan reached 490k lines /
+    * 10.7k InMemoryTableScans, at which point CATALYST time (analysis +
+    * canonicalization per action) dominated the query. Checkpointing
+    * collapses each stage to a single LogicalRDD leaf; every
+    * materialized frame is ids + a few small columns, never text.
+    * Lazy checkpoint + count = one job to both run the stage and fill
+    * the checkpoint. */
+  private def materialized(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint(false)
+    cp.count()
+    cp
   }
 
   /** Stage 1: the c4 quality gate. */
@@ -149,22 +175,37 @@ object PrepPipeline {
     * split, TRAIN-side 13-gram decontamination, train packing, and the
     * final manifest projection. */
   private def assemble(kept: DataFrame, keepers: DataFrame): DataFrame = {
-    val dd = kept.join(keepers, "doc_id")
-    // 3. deterministic fold assignment
-    val folds = Sampling.split(dd.select("doc_id"), col("doc_id"))
-      .select("doc_id", "fold")
-    // 4. decontamination: drop leaking TRAIN docs, keep eval intact
+    // the keeper set is consumed (via `dd`) by FOUR downstream stages —
+    // folds, decontamination, packing, and the token count — and Spark
+    // does not CSE repeated subplans within one action, so an uncached
+    // keeper plan (exact-dedup groupBy at minimum; the full near-dup
+    // clustering chain for the quality/clean/semantic variants) replays
+    // once per stage. Materialize it: ids only, rows × 8 bytes.
+    val dd = kept.join(materialized(keepers), "doc_id")
+    // 3. deterministic fold assignment (id+fold, consumed by stages 4, 5
+    // and the final union — materialized like every inter-stage manifest)
+    val folds = materialized(Sampling.split(dd.select("doc_id"), col("doc_id"))
+      .select("doc_id", "fold"))
+    // 4. decontamination: drop leaking TRAIN docs, keep eval intact. The
+    // 13-gram explode inside contaminationPairs is the most expensive
+    // stage of the back half — materializing its id-only survivor set
+    // keeps it to ONE execution (stage 5's packing input AND the final
+    // union both read survTrain; uncached, each replayed the explode —
+    // measured 15.6 s vs ~3 s for the assemble tail at sf0.1).
     val contamTrain = Dedup.contaminationPairs(dd, folds)
       .select(col("train_doc").as("doc_id")).distinct()
-    val survTrain = folds.where(col("fold") === "train")
-      .join(contamTrain, Seq("doc_id"), "left_anti")
+    val survTrain = materialized(folds.where(col("fold") === "train")
+      .join(contamTrain, Seq("doc_id"), "left_anti"))
     val surv = survTrain.unionByName(folds.where(col("fold") =!= "train"))
-    // 5. pack the surviving train set into (shard, bin) addresses
-    val packed = Sampling.packSequences(dd.join(survTrain.select("doc_id"), "doc_id"))
+    // 5. pack the surviving train set into (shard, bin) addresses —
+    // (doc_id, shard, bin) only; the packing window replays otherwise
+    val packed = materialized(
+      Sampling.packSequences(dd.join(survTrain.select("doc_id"), "doc_id"))
+        .select("doc_id", "shard", "bin"))
     val nTok = dd.select(col("doc_id"),
       size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
     surv.join(nTok, "doc_id")
-      .join(packed.select("doc_id", "shard", "bin"), Seq("doc_id"), "left")
+      .join(packed, Seq("doc_id"), "left")
       .select("doc_id", "fold", "n_tokens", "shard", "bin")
       .orderBy("doc_id")
   }
