@@ -532,7 +532,11 @@ object ScaleProbe {
       .join(broadcast(topDf), Seq("q_id", "n_id"))
       .join(iw, "term")
     shared.cache().count()
-    val caps = Seq(n / 10, n / 100)
+    // floor at 1: for a user-supplied n < 100 a raw n/100 cap of 0 would
+    // drop every term, zero the candidate volume, and emit "cut":Infinity
+    // — invalid JSON (ADVICE r10). distinct: at tiny n both caps collapse
+    // to the same value; sweeping it twice adds nothing.
+    val caps = Seq(math.max(1L, n / 10), math.max(1L, n / 100)).distinct
     val sweep = caps.map { cap =>
       val (volCap, _, tCap) = run(Some(cap))
       val m = shared.agg(
@@ -545,7 +549,9 @@ object ScaleProbe {
       sweep.map(_._4) == sweep.map(_._4).sorted.reverse &&
       sweep.map(_._4).distinct.size == sweep.size
     val rows = sweep.map { case (cap, v, t, r) =>
-      s"""{"cap":$cap,"cand_rows":$v,"cut":${f"${volFull.toDouble / v}%.1f"},""" +
+      // v == 0 (every query term over-cap) would format cut as Infinity —
+      // not JSON; report the cut as the full volume (the max finite cut)
+      s"""{"cap":$cap,"cand_rows":$v,"cut":${f"${volFull.toDouble / math.max(1L, v)}%.1f"},""" +
         s""""sec":${f"$t%.1f"},"top_pair_score_retention":${f"$r%.4f"}}"""
     }.mkString(",")
     println(s"""{"probe":"hybrid","n_docs":$n,"cand_rows_full":$volFull,"sec_full":${f"$tFull%.1f"},""" +

@@ -2067,16 +2067,19 @@ object SparkEntry {
       // mirror of Similarity.annIvfBalanced: the knn_ann_ivf_refined CTE
       // chain with SIZE-PENALIZED assignment — per round (and for the
       // final resident lists) the argmax is over the BIGINT score
-      // round(cos*1e4) - pen, where pen = round(5000 * prev list share)
-      // carried on the centroid row; probes rank by PLAIN cosine (a
-      // query has no load to shed). Same rounds/ties as the refined
-      // chain; λ=0 degenerates to it exactly (BalancedIvfSpec law).
+      // round(round(cos,4)*1e4) - pen (the DECIMAL SHIFT of the refined
+      // chain's 4-dp quantization: inner round is the shared HALF_UP at
+      // 4 dp, outer round only snaps float shift error), where pen =
+      // round(5000 * prev list share) carried on the centroid row;
+      // probes rank by PLAIN cosine (a query has no load to shed). Same
+      // rounds/ties as the refined chain; λ=0 degenerates to it exactly
+      // (BalancedIvfSpec law).
       val grid = 1L << 20; val rounds = 3; val dims = 64; val lambdaI = 5000L
       def refineRound(r: Int): String =
         s"""asg$r AS MATERIALIZED (SELECT vec_id, e, c_id FROM (
            |              SELECT v.vec_id, v.e, c.c_id,
            |                row_number() OVER (PARTITION BY v.vec_id
-           |                  ORDER BY CAST(round(list_cosine_similarity(v.e, c.ce) * 10000) AS BIGINT)
+           |                  ORDER BY CAST(round(round(list_cosine_similarity(v.e, c.ce), 4) * 10000) AS BIGINT)
            |                             - c.pen DESC, c.c_id) AS rk
            |              FROM d v, cent$r c) t WHERE rk <= 1),
            |          cnt$r AS MATERIALIZED (SELECT c_id, count(*)::BIGINT AS n
@@ -2100,7 +2103,7 @@ object SparkEntry {
           lists AS MATERIALIZED (SELECT vec_id, e, c_id AS list_id FROM (
                       SELECT v.vec_id, v.e, c.c_id,
                         row_number() OVER (PARTITION BY v.vec_id
-                          ORDER BY CAST(round(list_cosine_similarity(v.e, c.ce) * 10000) AS BIGINT)
+                          ORDER BY CAST(round(round(list_cosine_similarity(v.e, c.ce), 4) * 10000) AS BIGINT)
                                      - c.pen DESC, c.c_id) AS rk
                       FROM d v, cent c) t WHERE rk <= 1),
           probes AS MATERIALIZED (SELECT q_id, qe, c_id AS list_id FROM (

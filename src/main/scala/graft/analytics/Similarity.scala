@@ -451,14 +451,20 @@ object Similarity {
     * c_id). `pen` is a load penalty in 1e-4-cosine units, a PLAN
     * CONSTANT like the centroids themselves — assignment stays one
     * codegen'd scan, no running counts, no order dependence, so the rule
-    * is engine-replayable and parallel at any partitioning. With all-zero
-    * penalties the integer argmax equals [[listIdColFor]]'s 4-dp argmax
-    * exactly (same quantization, same tie-break) — the λ=0 equivalence
-    * `BalancedIvfSpec` pins. */
+    * is engine-replayable and parallel at any partitioning. The integer
+    * score is a DECIMAL SHIFT of [[listIdColFor]]'s quantization —
+    * `round(round(cos, 4) · 1e4, 0)`: the inner round is the exact same
+    * 4-dp HALF_UP both argmaxes apply, and the outer round only snaps
+    * the shift's float error (the shifted value is within 1e-10 of an
+    * integer, so no rounding-mode ambiguity survives it). With all-zero
+    * penalties the argmax therefore equals [[listIdColFor]]'s exactly —
+    * the λ=0 equivalence `BalancedIvfSpec` pins. (A single
+    * `round(cos·1e4, 0)` is NOT that: multiplying before rounding can
+    * land a 4-dp half boundary on the other side.) */
   private[graft] def listIdColPenalized(cents: Array[(Long, Array[Double])],
                                         pen: Map[Long, Long])(e: Column): Column = {
     val scored = cents.toSeq.map { case (cid, ce) =>
-      struct((round(cosine(e, typedLit(ce.toSeq)) * 1e4, 0).cast("long")
+      struct((round(round(cosine(e, typedLit(ce.toSeq)), 4) * 1e4, 0).cast("long")
         - lit(pen.getOrElse(cid, 0L))).as("s"), lit(-cid).as("n"))
     }
     -array_max(array(scored: _*)).getField("n")
