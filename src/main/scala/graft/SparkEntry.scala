@@ -116,6 +116,7 @@ object SparkEntry {
     "agg4_rmse_history_mean" -> (ForecastQueries.rmseHistoryMean _),
     "ml1_ridge_forecast" -> (ForecastQueries.ridgeForecast(_, _)), // bit-stable fit (StableRidge) => full hash oracle
     "ml1_ridge_forecast_per_key" -> (ForecastQueries.ridgeForecastPerKey(_, _)), // per-ticker mirror of the reference model
+    "ml1_boost_forecast" -> (ForecastQueries.boostForecast(_, _)), // nonlinear rung: bit-stable boosted stumps (StableBoost), full hash oracle
     // --- LLM-data-pipeline track: dedup over documents ---
     "dedup_exact" -> (Dedup.exactQuery _),
     "dedup_incremental" -> (Dedup.incrementalQuery _), // bloom-pruned anti join: novel mass never shuffles
@@ -168,6 +169,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> (Similarity.embeddingDupLshQuery _), // oracled (same sig CTEs) + recall spec
     "dedup_embedding_clusters" -> (Similarity.embeddingClustersQuery _),
     "dedup_semantic" -> (Similarity.semanticDedupQuery _), // SemDeDup: cluster-scoped greedy pruning, keep low-centroid-sim members
+    "dedup_semantic_multi" -> (Similarity.semanticDedupMultiQuery _), // spill-band top-2 assignment: recovers list-straddling paraphrase pairs
     "knn_hybrid_rrf" -> (Hybrid.hybridRrfQuery _), // lexical + vector arms fused by reciprocal-rank: the RAG hybrid serving shape
     // --- dataset assembly: deterministic splits + sequence packing ---
     "split_folds" -> (Sampling.splitQuery _),
@@ -486,6 +488,70 @@ object SparkEntry {
         $finalFrom"""
   }
 
+  /** Generated DuckDB mirror of [[graft.model.StableBoost]]'s
+    * `ml1_boost_forecast`: quantize the scaled windows to the 2^-26 grid
+    * as BIGINTs, then replay each boosting round as three CTEs —
+    * exact-integer per-candidate residual sums over the fixed (lag,
+    * threshold) grid, the grid-snapped leaf means + integer split score
+    * with the (gain DESC, j, k) argmax as ORDER BY ... LIMIT 1, and the
+    * integer residual update — and finally the same stump-sum projection
+    * over each user's latest quantized window. Every float op
+    * (the two per-leaf divides and the final scale-back) is replayed in
+    * [[graft.model.StableBoost]]'s canonical order, so predictions are
+    * bit-identical across engines. */
+  private def ml1BoostOracleSql: String = {
+    import graft.model.{StableBoost, StableRidge}
+    val seqLen = 10; val horizon = 5; val rounds = 4
+    val leads = (1 to seqLen + horizon - 1).map { k =>
+      val name = if (k < seqLen) f"f${k + 1}%02d" else s"l${k - seqLen + 1}"
+      s"lead(value,$k) OVER w AS $name"
+    }.mkString(",\n             ")
+    val fcols = (1 to seqLen).map(k => f"f$k%02d")
+    val lcols = (1 to horizon).map(h => s"l$h")
+    def scale(c: String) = s"(CASE WHEN mx > mn THEN ($c - mn)/(mx - mn) ELSE 0.0 END)"
+    def qexpr(c: String) = s"CAST(floor(${scale(c)} * ${StableRidge.Q} + 0.5) AS BIGINT)"
+    val qxs = (fcols.zipWithIndex.map { case (c, i) => s"${qexpr(c)} AS qx_${i + 1}" } ++
+      lcols.zipWithIndex.map { case (c, h) => s"${qexpr(c)} AS qy_${h + 1}" })
+      .mkString(",\n             ")
+    val (boostStages, stumpSum) = StableBoost.sqlBoostStages(seqLen, horizon, rounds)
+    val us = (1 to seqLen).map { k =>
+      s"CAST(floor(${scale(s"max(CASE WHEN rn = ${seqLen + 1 - k} THEN value END)")} * ${StableRidge.Q} + 0.5) AS BIGINT) AS qu_$k"
+    }.mkString(",\n             ")
+    val stumpFroms = (for (h <- 1 to horizon; t <- 1 to rounds) yield s"s_${h}_$t").mkString(", ")
+    val preds = (1 to horizon).map { h =>
+      // window slot j of the latest window is qu_j — rebind the stump
+      // sum's qx_j names to qu_j
+      // descending so "qx_1" cannot clobber the prefix of "qx_10"
+      val ss = (seqLen to 1 by -1).foldLeft(stumpSum(h)) { (acc, j) =>
+        acc.replace(s"qx_$j", s"qu_$j")
+      }
+      s"round(CASE WHEN mx > mn THEN (CAST(f0_$h + $ss AS DOUBLE)/${StableRidge.Q}.0) * (mx - mn) + mn ELSE mn END, 4) AS p$h"
+    }.mkString(",\n           ")
+    s"""WITH stats AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+        win AS (
+          SELECT ${(fcols ++ lcols).mkString(", ")} FROM (
+            SELECT user_id, value AS f01,
+             $leads
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+          WHERE l5 IS NOT NULL),
+        q AS (
+          SELECT $qxs
+          FROM win, stats),
+        ${boostStages.mkString(",\n        ")},
+        lastw AS (
+          SELECT t.user_id,
+             $us
+          FROM (SELECT user_id, value,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) t, stats
+          WHERE rn <= $seqLen
+          GROUP BY t.user_id, mn, mx
+          HAVING count(*) >= $seqLen)
+        SELECT l.user_id,
+           $preds
+        FROM lastw l, f0, $stumpFroms, stats st"""
+  }
+
   /** Hyperplane-LSH banded-signature CTEs (mirror of
     * `Similarity.bandedSignatures` / [[graft.functions.HyperplaneSig]]):
     * the plane matrix is embedded as VALUES literals (md5-derived doubles
@@ -516,6 +582,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "ml1_ridge_forecast" -> ml1OracleSql(perKey = false),
     "ml1_ridge_forecast_per_key" -> ml1OracleSql(perKey = true),
+    "ml1_boost_forecast" -> ml1BoostOracleSql,
     "knn_ann_lsh" ->
       s"""WITH ${lshSigCtes()},
           q AS (SELECT vec_id AS q_id, band, bucket FROM sig WHERE vec_id < 10),
@@ -589,6 +656,37 @@ object SparkEntry {
                         OR (b.cent_cos = a.cent_cos AND b.vec_id < a.vec_id))
                    AND round(list_cosine_similarity(a.e, b.e), 4) >= 0.4)
           SELECT m.vec_id, m.list_id, m.cent_cos, (d.vec_id IS NULL) AS kept
+          FROM m LEFT JOIN drp d ON m.vec_id = d.vec_id""",
+    "dedup_semantic_multi" ->
+      // spill-band top-2 mirror: rk 1 and 2 of the same rounded-argmax
+      // ranking; the second list survives iff its integer-shifted cosine
+      // (round(round(cos,4)*1e4) — exact decimal shift) is within 500
+      // (eps=0.05) of the winner's. Retention order stays GLOBAL on the
+      // primary cent_cos; a member drops iff a predecessor shares ANY
+      // assigned list within tau (DISTINCT = the pair-decision dedup).
+      s"""WITH cent AS (
+            SELECT vec_id AS c_id, embedding::DOUBLE[] AS ce FROM embeddings
+            ORDER BY ${md5L60("vec_id::VARCHAR")}, vec_id LIMIT 16),
+          sc AS (SELECT v.vec_id, v.embedding::DOUBLE[] AS e, c.c_id,
+                   round(list_cosine_similarity(v.embedding::DOUBLE[], c.ce), 4) AS c,
+                   row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY round(list_cosine_similarity(v.embedding::DOUBLE[], c.ce), 4) DESC,
+                              c.c_id) AS rk
+                 FROM embeddings v, cent c),
+          m AS MATERIALIZED (
+            SELECT p.vec_id, p.e, p.c_id AS list_id, p.c AS cent_cos,
+                   CASE WHEN round(p.c * 1e4, 0)::BIGINT - round(s.c * 1e4, 0)::BIGINT <= 500
+                        THEN s.c_id END AS list_id2
+            FROM sc p JOIN sc s ON p.vec_id = s.vec_id AND p.rk = 1 AND s.rk = 2),
+          ax AS (SELECT vec_id, e, cent_cos, list_id AS al FROM m
+                 UNION ALL
+                 SELECT vec_id, e, cent_cos, list_id2 AS al FROM m WHERE list_id2 IS NOT NULL),
+          drp AS (SELECT DISTINCT a.vec_id FROM ax a JOIN ax b
+                    ON a.al = b.al
+                   AND (b.cent_cos < a.cent_cos
+                        OR (b.cent_cos = a.cent_cos AND b.vec_id < a.vec_id))
+                   AND round(list_cosine_similarity(a.e, b.e), 4) >= 0.4)
+          SELECT m.vec_id, m.list_id, m.list_id2, m.cent_cos, (d.vec_id IS NULL) AS kept
           FROM m LEFT JOIN drp d ON m.vec_id = d.vec_id""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,

@@ -126,6 +126,46 @@ object ForecastQueries {
       .orderBy("user_id")
   }
 
+  /** The NONLINEAR ML-1 rung — same end-to-end contract as
+    * [[ridgeForecast]] (global min-max scale → WIN-1 sliding windows →
+    * one fit → per-user next-5 forecast from the latest window, inverse
+    * scaled), with [[graft.model.StableBoost]] as the model: boosted
+    * depth-1 trees over the lag features, the piecewise-constant
+    * nonlinear response a linear autoregression cannot represent (the
+    * reference capability gap — `lvmh_forecaster2.py:62-71`'s LSTM is
+    * nonlinear; ridge is not). The fit is bit-stable (all-integer
+    * residual pipeline), so this is a FULL hash-oracle query: the
+    * generated DuckDB mirror replays every round's split choice and leaf
+    * arithmetic token-for-token. */
+  def boostForecast(spark: SparkSession, dir: String, seqLen: Int = 10,
+                    horizon: Int = 5, rounds: Int = 4): DataFrame = {
+    import graft.model.StableBoost
+    val e = ev(spark, dir)
+    val statsRow = e.agg(min("value"), max("value")).head()
+    val (mn, mx) =
+      if (statsRow.isNullAt(0)) (0.0, 0.0)
+      else (statsRow.getDouble(0), statsRow.getDouble(1))
+    val scaled = e.withColumn("scaled",
+      TickOps.minMaxScaleExpr(col("value"), lit(mn), lit(mx)))
+    val samples = SeqWindows.slidingSamples(scaled, keys, order, "scaled", seqLen, horizon)
+    val model = StableBoost.fit(samples, seqLen, horizon, rounds)
+    // the fitted model becomes plan literals: per stump one integer
+    // compare + CASE over the quantized window slot — a pure codegen'd
+    // projection, same discipline as ModelColumns
+    val latest = SeqWindows.latestWindow(scaled, keys, order, "scaled", seqLen)
+      .where(size(col("window")) === seqLen)
+    val quCol: Int => Column = j =>
+      floor(element_at(col("window"), j) * StableRidge.Q + lit(0.5)).cast("long")
+    val preds = (0 until horizon).map { h =>
+      val sumQ = model.stumps(h).foldLeft(lit(model.base(h)): Column) { (acc, st) =>
+        acc + when(quCol(st.j) <= st.thrQ, lit(st.leafL)).otherwise(lit(st.leafR))
+      }
+      round(TickOps.minMaxInvert(sumQ.cast("double") / lit(StableRidge.Q.toDouble), mn, mx), 4)
+        .as(s"p${h + 1}")
+    }
+    latest.select(col("user_id") +: preds: _*).orderBy("user_id")
+  }
+
   /** Per-key ML-1 — one ridge model PER user, the honest batch mirror of
     * the reference's per-ticker model (`lvmh_forecaster2.py:90-104`) and
     * of the streaming state machine's per-key refit: each user's series is

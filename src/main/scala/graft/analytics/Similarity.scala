@@ -678,6 +678,146 @@ object Similarity {
   def semanticDedupQuery(spark: SparkSession, dir: String): DataFrame =
     semanticDedup(spark, dir).orderBy("vec_id")
 
+  /** Top-2 list assignment with a SPILL BAND — the [[semanticDedupMulti]]
+    * index shape. Output: (vec_id, e, list_id, cent_cos, list_id2) where
+    * `list_id`/`cent_cos` are EXACTLY [[assignedListsScored]]'s argmax
+    * (same rounded cosine, same ties-to-smaller-c_id), and `list_id2` is
+    * the SECOND-nearest list iff its rounded cosine is within `eps` of
+    * the winner's — NULL otherwise. The band comparison is done on the
+    * exact decimal shift `round(round(cos,4)·1e4) ∈ ℤ` (the
+    * [[listIdColPenalized]] idiom), so "within eps" is an integer
+    * predicate both engines replay bit-identically. Spill-tree style
+    * (Liu et al. 2004): only BOUNDARY vectors — the ones whose top-2
+    * cosines nearly tie, i.e. exactly the ones that straddle a list
+    * boundary — pay the second assignment, which is what keeps the
+    * duplicated mass (and the downstream quadratic) a small multiple of
+    * the single-assignment volume instead of SOAR's flat 2× storage/4×
+    * pair volume.
+    *
+    * Same two regimes as [[assignedListsScored]]: an all-literal sorted
+    * struct array for oracle-sized centroid sets (scan-only), and the
+    * broadcast join + per-vector top-2 aggregate past 16 lists (the
+    * collect_list buffer is nLists × 16-byte structs — bounded by the
+    * model size, not the corpus). */
+  private def assignedTop2Raw(emb: DataFrame,
+      cents: Array[(Long, Array[Double])]): DataFrame = {
+    require(cents.length >= 2, "top-2 spill assignment needs >= 2 centroids")
+    def shift(c: Column): Column = round(c * 1e4, 0).cast("long")
+    def unpack(sorted: Column): Seq[Column] = {
+      val t1 = element_at(sorted, -1)
+      val t2 = element_at(sorted, -2)
+      Seq((-t1.getField("n")).as("list_id"), t1.getField("c").as("cent_cos"),
+        (-t2.getField("n")).as("l2"),
+        (shift(t1.getField("c")) - shift(t2.getField("c"))).as("gap_i"))
+    }
+    if (cents.length <= 16) {
+      val scored = cents.toSeq.map { case (cid, ce) =>
+        struct(round(cosine(col("e"), typedLit(ce.toSeq)), 4).as("c"), lit(-cid).as("n"))
+      }
+      emb.withColumn("__s", array_sort(array(scored: _*)))
+        .select(col("vec_id") +: col("e") +: unpack(col("__s")): _*)
+    } else {
+      val spark = emb.sparkSession
+      val centDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          cents.toSeq.map { case (cid, ce) => org.apache.spark.sql.Row(cid, ce.toSeq) }, 1),
+        new org.apache.spark.sql.types.StructType()
+          .add("c_id", "long", nullable = false)
+          .add("ce", "array<double>"))
+      emb.join(broadcast(centDf), lit(true))
+        .groupBy("vec_id")
+        .agg(first(col("e")).as("e"),
+          slice(array_sort(collect_list(struct(
+            round(cosine(col("e"), col("ce")), 4).as("c"),
+            (-col("c_id")).as("n")))), -2, 2).as("__s"))
+        .select(col("vec_id") +: col("e") +: unpack(col("__s")): _*)
+    }
+  }
+
+  private def assignedTop2Spilled(emb: DataFrame,
+      cents: Array[(Long, Array[Double])], epsI: Long): DataFrame =
+    assignedTop2Raw(emb, cents)
+      .select(col("vec_id"), col("e"), col("list_id"), col("cent_cos"),
+        when(col("gap_i") <= epsI, col("l2")).as("list_id2"))
+
+  /** The `eps` that spills approximately a `frac` fraction of the corpus:
+    * the frac-quantile of the top-2 rounded-cosine GAP under the same
+    * centroids the dedup run will use. This is how the spill band is set
+    * in production — from a PAIR-VOLUME budget, not a magic constant:
+    * spilling a ρ fraction multiplies the within-list quadratic by at
+    * most ~(1+ρ)², so ρ = 0.35 keeps the multi-assignment pass under the
+    * 2× budget with margin (the semrecall probe measures the realized
+    * ratio). One extra assignment-shaped scan; the result is a single
+    * driver-side double (a model parameter, like the centroids). */
+  private[graft] def spillEpsForBudget(emb: DataFrame, nLists: Int,
+                                       frac: Double): Double = {
+    val cents = hashCentroids(emb, nLists)
+    val gI = assignedTop2Raw(emb, cents)
+      .agg(percentile_approx(col("gap_i"), lit(frac), lit(10000)).cast("long"))
+      .head().getLong(0)
+    gI / 1e4
+  }
+
+  /** MULTI-ASSIGNMENT SemDeDup — the recall knob for the operator's one
+    * documented blind spot: a paraphrase pair SPLIT ACROSS IVF lists
+    * (the semrecall probe measured co-assignment falling 0.90 → 0.33 as
+    * k grows 16 → 256; more lists = cheaper quadratic but more straddled
+    * pairs). Each vector is assigned to its nearest list ALWAYS and to
+    * its second-nearest list iff that cosine is within `eps` of the
+    * winner ([[assignedTop2Spilled]]) — so a boundary-straddling pair
+    * meets in the list between them and the greedy sweep sees it.
+    *
+    * Semantics: the retention order is GLOBAL — (primary cent_cos ASC,
+    * vec_id ASC), identical to [[semanticDedupOf]]'s — and a member is
+    * dropped iff some retained-order predecessor SHARES ANY assigned
+    * list with it at rounded cosine ≥ τ. Because every vector still
+    * carries its primary list, the single-assignment candidate pairs are
+    * a subset of these, so the drop set is a SUPERSET of
+    * [[semanticDedupOf]]'s (spec-asserted); with a negative `eps` no
+    * vector spills and the decisions coincide exactly.
+    *
+    * Scale: identical shuffle shape to the single-assignment form — ids
+    * + lists shuffle, embeddings ride only the within-list dominance
+    * join, and the pair volume grows by the SPILLED fraction only
+    * ((1+ρ)² with ρ the boundary fraction; the semrecall probe measures
+    * ρ and the realized volume vs the ≤2× budget). A pair reachable
+    * through BOTH a shared primary and a shared spill list is decided
+    * once (`distinct` on the dropped id — decision dedup). */
+  def semanticDedupMulti(spark: SparkSession, dir: String, nLists: Int = 16,
+                         tau: Double = 0.4, eps: Double = 0.05): DataFrame =
+    semanticDedupMultiOf(embeddingsD(spark, dir), nLists, tau, eps)
+
+  /** [[semanticDedupMulti]] over an arbitrary (vec_id, e) frame. */
+  private[graft] def semanticDedupMultiOf(emb: DataFrame, nLists: Int,
+      tau: Double, eps: Double): DataFrame = {
+    val cents = hashCentroids(emb, nLists)
+    val epsI = math.round(eps * 1e4)
+    val m = assignedTop2Spilled(emb, cents, epsI)
+    m.cache().count()
+    // the assignment relation: one row per (vector, assigned list) —
+    // 1 + spilled rows per vector, never a full 2× explode
+    def ax(f: DataFrame, idC: String, eC: String, ccC: String, alC: String) =
+      f.select(col("vec_id").as(idC), col("e").as(eC), col("cent_cos").as(ccC),
+          col("list_id").as(alC))
+        .unionByName(f.where(col("list_id2").isNotNull)
+          .select(col("vec_id").as(idC), col("e").as(eC), col("cent_cos").as(ccC),
+            col("list_id2").as(alC)))
+    val a = ax(m, "vec_id", "e", "cent_cos", "al")
+    val p = ax(m, "p_id", "pe", "p_cc", "p_al")
+    val dropped = a.join(p,
+        col("al") === col("p_al") &&
+          (col("p_cc") < col("cent_cos") ||
+            (col("p_cc") === col("cent_cos") && col("p_id") < col("vec_id"))) &&
+          round(cosine(col("e"), col("pe")), 4) >= tau)
+      .select("vec_id").distinct()
+    m.join(dropped.withColumn("__d", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id"), col("list_id2"), col("cent_cos"),
+        col("__d").isNull.as("kept"))
+  }
+
+  def semanticDedupMultiQuery(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupMulti(spark, dir).orderBy("vec_id")
+
   /** Row-local JVM mirror of [[assignedListsScored]]'s rounded-cosine
     * argmax (ties to smaller centroid id) — what the streaming semantic
     * guard calls per arriving vector. The cosine fold accumulates in

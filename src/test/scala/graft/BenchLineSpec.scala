@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench artifact's shed rung (VERDICT r10 #8): shedding must drop
+  * REPORTING of the cheapest entries only — never a measurement, never a
+  * failure marker — and the guard's threshold logic is independent of
+  * what gets reported. Pure-JVM (no Spark session): [[Bench.renderLine]]
+  * is the extracted renderer the main flow calls after all measuring and
+  * guard-retrying is done. */
+class BenchLineSpec extends AnyFunSuite {
+
+  private def results(n: Int): Seq[(String, Double)] =
+    (1 to n).map(i => (f"query_with_a_long_name_$i%03d", i * 0.1))
+
+  private def parseQueries(line: String): Map[String, Double] = {
+    // minimal extraction of the "queries" object — names are [a-z_0-9]
+    val m = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(line).get.group(1)
+    if (m.isEmpty) Map.empty
+    else m.split(",").map { kv =>
+      val Array(k, v) = kv.split(":")
+      k.drop(1).dropRight(1) -> v.toDouble
+    }.toMap
+  }
+
+  test("wide budget: every measured entry is reported, full precision") {
+    val all = results(50)
+    val line = Bench.renderLine(all, Map.empty, Map.empty, "/sf", Int.MaxValue)
+    val qs = parseQueries(line)
+    assert(qs.size == 50)
+    assert(line.contains(""""value":"""))
+    assert(!line.contains("qshed"))
+  }
+
+  test("tight budget sheds ONLY the cheapest entries' reporting; total still covers all") {
+    val all = results(120)
+    val line = Bench.renderLine(all, Map.empty, Map.empty, "/sf", 1850)
+    assert(line.length <= 1850)
+    val shed = """"qshed":(\d+)""".r.findFirstMatchIn(line).map(_.group(1).toInt)
+    assert(shed.nonEmpty, s"expected the shed rung to engage: $line")
+    val qs = parseQueries(line)
+    assert(qs.size == 120 - shed.get)
+    // the kept set is exactly the MOST expensive entries — reporting cut
+    // from the cheap end only
+    val keptExpected = all.sortBy(-_._2).take(qs.size).map(_._1).toSet
+    assert(qs.keySet == keptExpected, "shed did not cut from the cheap end")
+    // the total is computed over ALL measurements, shed or not
+    val total = """"value":([0-9.]+)""".r.findFirstMatchIn(line).get.group(1).toDouble
+    val expectTotal = all.map(_._2).sum
+    assert(math.abs(total - expectTotal) < 0.2, s"total $total != measured-sum $expectTotal")
+  }
+
+  test("a failed query (-1) is never shed, whatever its position") {
+    val all = results(120) :+ ("the_broken_one", -1.0)
+    val line = Bench.renderLine(all, Map("the_broken_one" -> "boom"), Map.empty, "/sf", 1850)
+    assert(line.contains(""""the_broken_one":-1"""), s"failure marker shed from: $line")
+  }
+
+  test("guard threshold is a pure function of the reference map — reported or shed alike") {
+    // the contract behind "a shed query still trips the guard": the flag
+    // condition compares MEASUREMENTS against the reference minima before
+    // any rendering happens; renderLine cannot influence it. Pin the
+    // threshold shape here so a refactor routing rendering into the guard
+    // would have to break this spec.
+    val ref = Bench.refSf01
+    assert(ref.contains("sample_weighted") && ref.contains("mm_decode_features"),
+      "explicitly-skipped queries must still carry reference minima (they are " +
+        "guard-covered whenever measured, e.g. under SPARK_GRAFT_BENCH_ALL)")
+    // retry provenance for a shed-cheap query still surfaces in nretry
+    val all = results(120)
+    val attempts = Map(all.head._1 -> Vector(9.9, all.head._2))
+    val line = Bench.renderLine(all, Map.empty, attempts, "/sf", 1850)
+    assert(line.contains(""""nretry":1"""),
+      "guard provenance lost when the retried query's entry is shed")
+  }
+}

@@ -354,6 +354,71 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("SemDeDup multi-assignment: spill-off == single; drop superset; planted straddle pair recovered") {
+    import org.apache.spark.sql.functions._
+    // --- laws on the real corpus (nLists=16, tau=0.4, the query's params)
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val single = Similarity.semanticDedupOf(emb, nLists = 16, tau = 0.4)
+      .select("vec_id", "list_id", "cent_cos", "kept")
+      .as[(Long, Long, Double, Boolean)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // eps < 0: no vector spills, decisions coincide exactly
+    val off = Similarity.semanticDedupMultiOf(emb, nLists = 16, tau = 0.4, eps = -1.0)
+      .select("vec_id", "list_id", "list_id2", "cent_cos", "kept").collect()
+    off.foreach { r =>
+      assert(r.isNullAt(2), s"eps<0 still spilled: $r")
+      assert(single(r.getLong(0)) == ((r.getLong(1), r.getDouble(3), r.getBoolean(4))),
+        s"eps<0 multi diverged from single on vec ${r.getLong(0)}")
+    }
+    // eps = 0.05: primary assignment unchanged, drop set is a superset
+    val multi = Similarity.semanticDedupMultiOf(emb, nLists = 16, tau = 0.4, eps = 0.05)
+      .select("vec_id", "list_id", "cent_cos", "kept")
+      .as[(Long, Long, Double, Boolean)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    single.foreach { case (id, (l, cc, kept)) =>
+      assert(multi(id)._1 == l && multi(id)._2 == cc,
+        s"primary assignment changed under spill on vec $id")
+      if (!kept) assert(!multi(id)._3,
+        s"vec $id dropped by single-assignment but kept by multi (superset law)")
+    }
+
+    // --- planted straddle: a near-identical pair split across two lists,
+    // both inside the spill band -> invisible to single, collapsed by multi
+    val rnd = new scala.util.Random(23)
+    def unit(v: Array[Double]) = { val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+    val base = (0L until 100L).map(i => i -> unit(Array.fill(16)(rnd.nextGaussian())))
+    val baseDf = base.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "e")
+    val cents = Similarity.hashCentroids(baseDf, 4)
+    // pick extra ids that do NOT displace the hash-selected seeds: their
+    // md5 keys must sort after the 4th-smallest seed key
+    val keyOf = (ids: Seq[Long]) => ids.map(_.toString).toDF("s")
+      .select(graft.functions.Hashes.md5Long60(col("s"))).as[Long].collect()
+    val seedMax = keyOf(cents.map(_._1).toSeq).max
+    val extras = (1000L until 1100L).filter { id => keyOf(Seq(id)).head > seedMax }.take(2)
+    assert(extras.size == 2)
+    val Array(ca, cb) = Array(cents(0)._2, cents(1)._2)
+    def mix(wa: Double, wb: Double) =
+      unit(ca.zip(cb).map { case (x, y) => wa * x + wb * y })
+    val v1 = mix(0.51, 0.49); val v2 = mix(0.49, 0.51)
+    val emb2 = (base ++ Seq(extras(0) -> v1, extras(1) -> v2))
+      .map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "e")
+    assert(Similarity.hashCentroids(emb2, 4).map(_._1).toSeq ==
+      cents.map(_._1).toSeq, "extras displaced the centroid seeds")
+    val tau = 0.9
+    val s2 = Similarity.semanticDedupOf(emb2, nLists = 4, tau = tau)
+      .select("vec_id", "list_id", "kept")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val m2 = Similarity.semanticDedupMultiOf(emb2, nLists = 4, tau = tau, eps = 0.05)
+      .select("vec_id", "list_id", "list_id2", "kept").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getBoolean(3))).toMap
+    val (p1, p2) = (extras(0), extras(1))
+    assert(s2(p1)._1 != s2(p2)._1, "planted pair did not straddle two lists")
+    assert(s2(p1)._2 && s2(p2)._2, "single-assignment already saw the straddled pair")
+    assert(m2(p1)._2.isDefined && m2(p2)._2.isDefined, "planted pair did not spill")
+    assert(m2(p1)._3 != m2(p2)._3,
+      s"multi-assignment did not collapse the straddled pair: ${m2(p1)} ${m2(p2)}")
+  }
+
   test("filtered ANN: label law, rank contiguity, full probing == exact filtered top-k") {
     import org.apache.spark.sql.functions._
     val labels = graft.Tables.embeddings(spark, sfDir)
