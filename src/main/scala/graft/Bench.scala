@@ -100,7 +100,8 @@ object Bench {
       // the artifact's missing entries are documented policy, not a
       // length accident; both remain in the CORRECTNESS gate
       "sample_weighted",       // md5-threshold scan sibling of the benched sample_stratified
-      "mm_decode_features"     // stub-decode projection; the REAL codec path mm_media_probe is benched
+      "mm_decode_features",    // stub-decode projection; the REAL codec path mm_media_probe is benched
+      "ml1_boost_forecast_per_key" // per-key variant of benched ml1_boost_forecast (mirrors the ridge pair's policy)
     )
 
   /** Warm sf0.1 per-query reference minima — the contention guard's

@@ -504,6 +504,40 @@ object ScaleProbe {
     ok
   }
 
+  /** StableBoost at probe scale: the two claims the small-SF spec cannot
+    * exercise are (a) the fit's cost is ONE linear pass per round (the
+    * MLlib GBT iteration shape — summary-sized shuffle, model stays on
+    * the driver) and (b) the all-integer pipeline's determinism holds
+    * under real partitioning (the Long-partial → BigInt folding engages
+    * past 1024 rows per partition, and partial merge order varies with
+    * the partition count). This arm fits md5-deterministic synthetic
+    * samples at n and n/10, reports the wall ratio (ok: ≤ 25× for 10×
+    * data — sublinear-to-linear with generous JIT/launch allowance), and
+    * refits at n under a different partition count demanding BIT-equal
+    * base scores and stumps. */
+  private def probeBoost(spark: org.apache.spark.sql.SparkSession, n: Long): Boolean = {
+    import graft.model.StableBoost
+    def unit(tag: String) =
+      s"(cast(conv(substring(md5(concat('$tag', cast(id as string), ':', cast(d as string))), 1, 15), 16, 10) as double) / 1152921504606846976.0D)"
+    def samples(m: Long, parts: Int) = spark.range(m).repartition(parts).select(
+      expr(s"transform(sequence(1, 10), d -> ${unit("f:")})").as("features"),
+      expr(s"transform(sequence(1, 5), d -> ${unit("l:")})").as("labels"))
+    def sig(m: StableBoost.BoostModel): Seq[Long] =
+      m.base.toSeq ++ m.stumps.flatMap(_.flatMap(s =>
+        Seq(s.j.toLong, s.k.toLong, s.leafL, s.leafR)))
+    val (mBig, tBig) = timed(StableBoost.fit(samples(n, 32), rounds = 4))
+    val (mSmall, tSmall) = timed(StableBoost.fit(samples(n / 10, 32), rounds = 4))
+    val (mRepart, tRepart) = timed(StableBoost.fit(samples(n, 7), rounds = 4))
+    val ratio = tBig / math.max(0.1, tSmall)
+    val deterministic = sig(mBig) == sig(mRepart)
+    val ok = deterministic && ratio <= 25.0
+    println(s"""{"probe":"boost","n":$n,"sec":${f"$tBig%.1f"},"sec_tenth":${f"$tSmall%.1f"},""" +
+      s""""ratio":${f"$ratio%.1f"},"sec_repart":${f"$tRepart%.1f"},"deterministic":$deterministic,"ok":$ok}""")
+    if (!ok) System.err.println(
+      s"[scaleprobe] boost NOT ok: deterministic=$deterministic ratio=$ratio")
+    ok
+  }
+
   /** Lexical-arm volume probe for hybrid retrieval: the posting join's
     * candidate volume is Σ_t df_q(t)·df(t), dominated at corpus scale by
     * head (stopword-class) terms that carry near-zero idf mass. This arm
@@ -661,7 +695,10 @@ object ScaleProbe {
     "hybrid" -> 1000000L,
     // hybridreal: size is the real corpus's (SPARK_GRAFT_SF_DIR); the
     // value here only keeps the 'all' loop uniform
-    "hybridreal" -> 0L)
+    "hybridreal" -> 0L,
+    // boost: 2M samples ≈ the fit cost of one 4-round pass over ~120M
+    // quantized feature cells plus the n/10 and repartitioned refits
+    "boost" -> 2000000L)
 
   def main(args: Array[String]): Unit = {
     val (which, nOpt) = args.toList match {
@@ -682,6 +719,7 @@ object ScaleProbe {
       case "semrecall" => probeSemRecall(spark, size)
       case "hybrid" => probeHybrid(spark, size)
       case "hybridreal" => probeHybridReal(spark)
+      case "boost" => probeBoost(spark, size)
       case other =>
         System.err.println(
           s"unknown arm '$other'; known arms: ${defaults.keysIterator.toSeq.sorted.mkString(", ")} (or 'all')")

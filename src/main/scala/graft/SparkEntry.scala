@@ -117,6 +117,7 @@ object SparkEntry {
     "ml1_ridge_forecast" -> (ForecastQueries.ridgeForecast(_, _)), // bit-stable fit (StableRidge) => full hash oracle
     "ml1_ridge_forecast_per_key" -> (ForecastQueries.ridgeForecastPerKey(_, _)), // per-ticker mirror of the reference model
     "ml1_boost_forecast" -> (ForecastQueries.boostForecast(_, _)), // nonlinear rung: bit-stable boosted stumps (StableBoost), full hash oracle
+    "ml1_boost_forecast_per_key" -> (ForecastQueries.boostForecastPerKey(_, _)), // per-ticker nonlinear mirror (one boost fit per user)
     // --- LLM-data-pipeline track: dedup over documents ---
     "dedup_exact" -> (Dedup.exactQuery _),
     "dedup_incremental" -> (Dedup.incrementalQuery _), // bloom-pruned anti join: novel mass never shuffles
@@ -499,7 +500,7 @@ object SparkEntry {
     * (the two per-leaf divides and the final scale-back) is replayed in
     * [[graft.model.StableBoost]]'s canonical order, so predictions are
     * bit-identical across engines. */
-  private def ml1BoostOracleSql: String = {
+  private def ml1BoostOracleSql(perKey: Boolean): String = {
     import graft.model.{StableBoost, StableRidge}
     val seqLen = 10; val horizon = 5; val rounds = 4
     val leads = (1 to seqLen + horizon - 1).map { k =>
@@ -513,11 +514,10 @@ object SparkEntry {
     val qxs = (fcols.zipWithIndex.map { case (c, i) => s"${qexpr(c)} AS qx_${i + 1}" } ++
       lcols.zipWithIndex.map { case (c, h) => s"${qexpr(c)} AS qy_${h + 1}" })
       .mkString(",\n             ")
-    val (boostStages, stumpSum) = StableBoost.sqlBoostStages(seqLen, horizon, rounds)
+    val (boostStages, stumpSum) = StableBoost.sqlBoostStages(seqLen, horizon, rounds, perKey)
     val us = (1 to seqLen).map { k =>
       s"CAST(floor(${scale(s"max(CASE WHEN rn = ${seqLen + 1 - k} THEN value END)")} * ${StableRidge.Q} + 0.5) AS BIGINT) AS qu_$k"
     }.mkString(",\n             ")
-    val stumpFroms = (for (h <- 1 to horizon; t <- 1 to rounds) yield s"s_${h}_$t").mkString(", ")
     val preds = (1 to horizon).map { h =>
       // window slot j of the latest window is qu_j — rebind the stump
       // sum's qx_j names to qu_j
@@ -527,29 +527,43 @@ object SparkEntry {
       }
       s"round(CASE WHEN mx > mn THEN (CAST(f0_$h + $ss AS DOUBLE)/${StableRidge.Q}.0) * (mx - mn) + mn ELSE mn END, 4) AS p$h"
     }.mkString(",\n           ")
-    s"""WITH stats AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+    val stats =
+      if (perKey) "SELECT user_id, min(value) AS mn, max(value) AS mx FROM events GROUP BY user_id"
+      else "SELECT min(value) AS mn, max(value) AS mx FROM events"
+    val winCols = (if (perKey) Seq("t.user_id") else Nil) ++ fcols ++ lcols
+    val qSel = if (perKey) "w.user_id,\n             " else ""
+    val qFrom = if (perKey) "FROM win w JOIN stats s ON s.user_id = w.user_id" else "FROM win, stats"
+    val lastFrom = if (perKey) "JOIN stats s ON s.user_id = t.user_id" else ", stats"
+    val stumpNames = for (h <- 1 to horizon; t <- 1 to rounds) yield s"s_${h}_$t"
+    val finalFrom =
+      if (perKey)
+        "FROM lastw l JOIN f0 ON f0.user_id = l.user_id " +
+          stumpNames.map(s => s"JOIN $s ON $s.user_id = l.user_id").mkString(" ") +
+          " JOIN stats st ON st.user_id = l.user_id"
+      else s"FROM lastw l, f0, ${stumpNames.mkString(", ")}, stats st"
+    s"""WITH stats AS ($stats),
         win AS (
-          SELECT ${(fcols ++ lcols).mkString(", ")} FROM (
+          SELECT ${winCols.mkString(", ")} FROM (
             SELECT user_id, value AS f01,
              $leads
             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
           WHERE l5 IS NOT NULL),
         q AS (
-          SELECT $qxs
-          FROM win, stats),
+          SELECT $qSel$qxs
+          $qFrom),
         ${boostStages.mkString(",\n        ")},
         lastw AS (
           SELECT t.user_id,
              $us
           FROM (SELECT user_id, value,
                 row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-                FROM events) t, stats
+                FROM events) t $lastFrom
           WHERE rn <= $seqLen
           GROUP BY t.user_id, mn, mx
           HAVING count(*) >= $seqLen)
         SELECT l.user_id,
            $preds
-        FROM lastw l, f0, $stumpFroms, stats st"""
+        $finalFrom"""
   }
 
   /** Hyperplane-LSH banded-signature CTEs (mirror of
@@ -582,7 +596,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "ml1_ridge_forecast" -> ml1OracleSql(perKey = false),
     "ml1_ridge_forecast_per_key" -> ml1OracleSql(perKey = true),
-    "ml1_boost_forecast" -> ml1BoostOracleSql,
+    "ml1_boost_forecast" -> ml1BoostOracleSql(perKey = false),
+    "ml1_boost_forecast_per_key" -> ml1BoostOracleSql(perKey = true),
     "knn_ann_lsh" ->
       s"""WITH ${lshSigCtes()},
           q AS (SELECT vec_id AS q_id, band, bucket FROM sig WHERE vec_id < 10),

@@ -166,6 +166,46 @@ object ForecastQueries {
     latest.select(col("user_id") +: preds: _*).orderBy("user_id")
   }
 
+  /** Per-key nonlinear ML-1 — one [[graft.model.StableBoost]] fit PER
+    * user (the reference's per-ticker semantics with the nonlinear
+    * model), same shape as [[ridgeForecastPerKey]]: `groupByKey(user)
+    * .flatMapGroups`, each key scales on its OWN history, windows, fits
+    * the boosted stumps locally ([[graft.model.StableBoost.fitLocal]] —
+    * all-integer, so group iteration order cannot matter), and forecasts
+    * from its latest window. Keys with < seqLen+horizon points emit
+    * nothing. The per-user fit is bit-identical to what the streaming
+    * state machine's boost mode replays per retrain, which is what makes
+    * the stream/batch parity spec exact rather than approximate. */
+  def boostForecastPerKey(spark: SparkSession, dir: String, seqLen: Int = 10,
+                          horizon: Int = 5, rounds: Int = 4): DataFrame = {
+    require(horizon == 5, "per-key variant emits a fixed 5-step tuple row")
+    import graft.model.StableBoost
+    import spark.implicits._
+    val rows = ev(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
+    rows.groupByKey(_._1)
+      .flatMapGroups { (uid: Long, it: Iterator[(Long, Long, Long, Double)]) =>
+        val vals = it.toArray.sortBy(r => (r._2, r._3)).map(_._4)
+        if (vals.length < seqLen + horizon) Iterator.empty
+        else {
+          val mn = vals.min; val mx = vals.max
+          val scaled = vals.map(v => if (mx > mn) (v - mn) / (mx - mn) else 0.0)
+          val samples = (0 to scaled.length - seqLen - horizon).map { i =>
+            (scaled.slice(i, i + seqLen), scaled.slice(i + seqLen, i + seqLen + horizon))
+          }
+          val m = StableBoost.fitLocal(samples, seqLen, horizon, rounds)
+          val p = m.predict(scaled.takeRight(seqLen))
+            .map(s => if (mx > mn) s * (mx - mn) + mn else mn) // NRM-3, SQL op order
+          Iterator((uid, p(0), p(1), p(2), p(3), p(4)))
+        }
+      }
+      .toDF("user_id", "p1", "p2", "p3", "p4", "p5")
+      .select(col("user_id") +: (1 to horizon).map(h =>
+        round(col(s"p$h"), 4).as(s"p$h")): _*)
+      .orderBy("user_id")
+  }
+
   /** Per-key ML-1 — one ridge model PER user, the honest batch mirror of
     * the reference's per-ticker model (`lvmh_forecaster2.py:90-104`) and
     * of the streaming state machine's per-key refit: each user's series is

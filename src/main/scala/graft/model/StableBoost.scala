@@ -231,8 +231,12 @@ object StableBoost {
   }
 
   /** Sequential local fit — the spec's replay twin of [[fit]] (identical
-    * arithmetic, no Spark), and the shape a streaming per-key refit would
-    * use. */
+    * arithmetic, no Spark) and the per-key engine behind
+    * `ml1_boost_forecast_per_key` and the streaming loop's boost mode.
+    * Same one-pass-per-round accumulation as the distributed seqOp (the
+    * naive per-candidate rescan was measured 6× slower across the per-key
+    * query's 150 fits); sums accumulate in Long with a BigInt fold every
+    * 1024 samples — exact at any history length, like the Acc class. */
   def fitLocal(samples: Seq[(Array[Double], Array[Double])], seqLen: Int,
                horizon: Int, rounds: Int): BoostModel = {
     val nc = nCand(seqLen)
@@ -246,22 +250,37 @@ object StableBoost {
     var t = 0
     while (t < rounds) {
       val model = stumps.map(_.result())
-      val resid = qs.map { case (qx, qy) =>
-        (qx, Array.tabulate(horizon)(h => qy(h) - base(h) - model(h).map(_(qx)).sum))
+      val len = nc + horizon * nc + horizon
+      val acc = new Acc(len)
+      qs.foreach { case (qx, qy) =>
+        val rq = Array.tabulate(horizon) { h =>
+          var r = qy(h) - base(h)
+          var i = 0
+          while (i < model(h).length) { r -= model(h)(i)(qx); i += 1 }
+          r
+        }
+        var c = 0
+        while (c < nc) {
+          val j = c / (ThresholdDenom - 1)
+          val k = c % (ThresholdDenom - 1)
+          if (qx(j) <= ThrQ(k)) {
+            acc.part(c) += 1L
+            var h = 0
+            while (h < horizon) { acc.part(nc + h * nc + c) += rq(h); h += 1 }
+          }
+          c += 1
+        }
+        var h = 0
+        while (h < horizon) { acc.part(nc + horizon * nc + h) += rq(h); h += 1 }
+        acc.n += 1
+        if (acc.n == 1024) acc.fold()
       }
-      val cnt = Array.tabulate(nc) { c =>
-        val j = c / (ThresholdDenom - 1); val k = c % (ThresholdDenom - 1)
-        resid.count(_._1(j) <= ThrQ(k)).toLong
-      }
+      acc.fold()
+      val cnt = Array.tabulate(nc)(c => acc.big(c).toLong)
       var h = 0
       while (h < horizon) {
-        val sl = (0 until nc).map { c =>
-          val j = c / (ThresholdDenom - 1); val k = c % (ThresholdDenom - 1)
-          resid.collect { case (qx, rq) if qx(j) <= ThrQ(k) => BigInt(rq(h)) }
-            .foldLeft(BigInt(0))(_ + _)
-        }
-        val tot = resid.map(r => BigInt(r._2(h))).foldLeft(BigInt(0))(_ + _)
-        stumps(h) += bestStump(seqLen, n, cnt, sl, tot)
+        val sl = (0 until nc).map(c => acc.big(nc + h * nc + c))
+        stumps(h) += bestStump(seqLen, n, cnt, sl, acc.big(nc + horizon * nc + h))
         h += 1
       }
       t += 1
@@ -278,34 +297,44 @@ object StableBoost {
       (1 to seqLen).map(j => s"WHEN $j THEN qx_$j").mkString(" ") + " END"
 
   /** The per-horizon boosting chain as unrolled CTEs. Expects a CTE
-    * `q(qx_1..qx_seqLen, qy_1..qy_horizon)` of quantized samples and
-    * emits `f0(n, f0_1..f0_horizon)` plus `b_{h}_{t}` one-row stump CTEs;
-    * returns (ctes, stumpSumSql(h)). */
-  def sqlBoostStages(seqLen: Int, horizon: Int,
-                     rounds: Int): (Seq[String], Int => String) = {
+    * `q(qx_1..qx_seqLen, qy_1..qy_horizon)` of quantized samples (plus
+    * `user_id` when `perKey`) and emits `f0` plus `s_{h}_{t}` stump CTEs;
+    * returns (ctes, stumpSumSql(h)). With `perKey`, every stage carries
+    * `user_id` and the per-round argmax is a per-user row_number — ONE
+    * fit per user, the reference's per-ticker semantics. */
+  def sqlBoostStages(seqLen: Int, horizon: Int, rounds: Int,
+                     perKey: Boolean = false): (Seq[String], Int => String) = {
+    val uid = if (perKey) "user_id, " else ""
     val thrList = ThrQ.zipWithIndex
       .map { case (thr, i) => s"(${i + 1}, ${thr}::BIGINT)" }.mkString(", ")
     val candCte =
       (1 to seqLen).map(j => s"SELECT $j AS j, k, thr FROM (VALUES $thrList) tk(k, thr)")
         .mkString("\n           UNION ALL ")
-    val f0 = "f0 AS (SELECT count(*) AS n, " +
+    val f0Group = if (perKey) " GROUP BY user_id" else ""
+    val f0 = s"f0 AS (SELECT ${uid}count(*) AS n, " +
       (1 to horizon).map(h =>
         s"CAST(floor(CAST(sum(qy_$h) AS DOUBLE)/count(*) + 0.5) AS BIGINT) AS f0_$h")
-        .mkString(", ") + " FROM q)"
+        .mkString(", ") + s" FROM q$f0Group)"
+    // stage-to-stage combination: a plain cross join globally; an
+    // equi-join on user_id per key
+    def comb(left: String, right: String, leftAlias: String = ""): String =
+      if (perKey) s"FROM $left JOIN $right ON $right.user_id = ${if (leftAlias.nonEmpty) leftAlias else left}.user_id"
+      else s"FROM $left, $right"
+    val qxCols = (1 to seqLen).map(j => s"qx_$j").mkString(", ")
     val chains = for (h <- 1 to horizon; t <- 1 to rounds) yield {
       val prev =
         if (t == 1)
-          s"r_${h}_1 AS (SELECT ${(1 to seqLen).map(j => s"qx_$j").mkString(", ")}, " +
-            s"qy_$h - f0_$h AS rq FROM q, f0)"
+          s"r_${h}_1 AS (SELECT ${if (perKey) "q.user_id, " else ""}$qxCols, " +
+            s"qy_$h - f0_$h AS rq ${comb("q", "f0")})"
         else {
           val s = s"s_${h}_${t - 1}"
-          s"r_${h}_$t AS (SELECT ${(1 to seqLen).map(j => s"qx_$j").mkString(", ")}, " +
+          s"r_${h}_$t AS (SELECT ${if (perKey) s"r_${h}_${t - 1}.user_id, " else ""}$qxCols, " +
             s"rq - (CASE WHEN ${qxCase(seqLen, s"$s.j")} <= $s.thr THEN $s.leafl ELSE $s.leafr END) AS rq " +
-            s"FROM r_${h}_${t - 1}, $s)"
+            s"${comb(s"r_${h}_${t - 1}", s)})"
         }
       val cand =
         s"""c_${h}_$t AS (
-           SELECT j, k, thr,
+           SELECT ${uid}j, k, thr,
              CASE WHEN nl = 0 OR nn - nl = 0 THEN 0 ELSE
                CAST(floor(CAST(sl AS DOUBLE)/nl + 0.5) AS BIGINT) END AS leafl,
              CASE WHEN nl = 0 OR nn - nl = 0 THEN 0 ELSE
@@ -316,23 +345,30 @@ object StableBoost {
                + CAST(floor(CAST(st - sl AS DOUBLE)/(nn - nl) + 0.5) AS HUGEINT)
                  * CAST(floor(CAST(st - sl AS DOUBLE)/(nn - nl) + 0.5) AS BIGINT) * (nn - nl)
               END) AS gain
-           FROM (SELECT j, k, thr,
+           FROM (SELECT ${uid}j, k, thr,
                    count(*) FILTER (WHERE qx <= thr) AS nl,
                    COALESCE(sum(rq) FILTER (WHERE qx <= thr), 0)::HUGEINT AS sl,
                    count(*) AS nn, sum(rq)::HUGEINT AS st
-                 FROM (SELECT c.j, c.k, c.thr, ${qxCase(seqLen, "c.j")} AS qx, rq
+                 FROM (SELECT ${if (perKey) s"r_${h}_$t.user_id, " else ""}c.j, c.k, c.thr, ${qxCase(seqLen, "c.j")} AS qx, rq
                        FROM r_${h}_$t, ($candCte) c)
-                 GROUP BY j, k, thr))"""
+                 GROUP BY ${uid}j, k, thr))"""
       val best =
-        s"""b_${h}_$t AS (
-           SELECT j, k, thr, leafl, leafr, gain
-           FROM c_${h}_$t
-           ORDER BY (CASE WHEN gain <= 0 THEN 1 ELSE 0 END), gain DESC, j, k LIMIT 1)"""
+        if (perKey)
+          s"""b_${h}_$t AS (
+             SELECT user_id, j, k, thr, leafl, leafr, gain FROM (
+               SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY (CASE WHEN gain <= 0 THEN 1 ELSE 0 END), gain DESC, j, k) AS rk
+               FROM c_${h}_$t) WHERE rk = 1)"""
+        else
+          s"""b_${h}_$t AS (
+             SELECT j, k, thr, leafl, leafr, gain
+             FROM c_${h}_$t
+             ORDER BY (CASE WHEN gain <= 0 THEN 1 ELSE 0 END), gain DESC, j, k LIMIT 1)"""
       // a degenerate round (best gain <= 0) must be the (1,1) no-op stump,
       // matching bestStump's fallback
       val bestFixed =
         s"""s_${h}_$t AS (
-           SELECT CASE WHEN gain <= 0 THEN 1 ELSE j END AS j,
+           SELECT ${uid}CASE WHEN gain <= 0 THEN 1 ELSE j END AS j,
                   CASE WHEN gain <= 0 THEN ${ThrQ(0)}::BIGINT ELSE thr END AS thr,
                   CASE WHEN gain <= 0 THEN 0 ELSE leafl END AS leafl,
                   CASE WHEN gain <= 0 THEN 0 ELSE leafr END AS leafr

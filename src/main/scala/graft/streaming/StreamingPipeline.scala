@@ -95,7 +95,43 @@ object StreamingPipeline {
       horizon: Int = 5,
       updateInterval: Int = 10,
       labelIntervalMs: Long = 60000L, // reference: timedelta(minutes=step)
-      maxHistory: Int = Int.MaxValue)
+      maxHistory: Int = Int.MaxValue,
+      /** Which Forecaster refits in the loop: "ridge" (closed-form linear,
+        * the default) or "boost" ([[graft.model.StableBoost]] — the
+        * NONLINEAR in-loop model, the role the reference's LSTM plays in
+        * its own retrain cycle, `lvmh_forecaster2.py:62-71,355-357`).
+        * Like seqLen/horizon this must be stable across a restart: the
+        * state's weights slot is interpreted under the configured model. */
+      model: String = "ridge",
+      boostRounds: Int = 4)
+
+  /** Boost-model round-trip through the state's `weights` slot. The slot
+    * is `Seq[Seq[Double]]` (one row per horizon step) for ridge; the
+    * boost fit serializes into the SAME shape — row h = (base(h), then
+    * per stump: j, k, leafL, leafR) — because every parameter is an
+    * integer ≤ ~2^28 and hence EXACT in a double. Reusing the slot keeps
+    * the state-store schema identical across both models: a production
+    * stream can switch model at a planned restart without a state
+    * migration, and checkpoints never fork on schema. */
+  private[streaming] def encodeBoost(m: graft.model.StableBoost.BoostModel): Seq[Seq[Double]] =
+    (0 until m.horizon).map { h =>
+      m.base(h).toDouble +: m.stumps(h).toSeq.flatMap(st =>
+        Seq(st.j.toDouble, st.k.toDouble, st.leafL.toDouble, st.leafR.toDouble))
+    }
+
+  /** Scaled-space grid-units prediction for step h from an encoded boost
+    * row — the state-side mirror of `BoostModel.predictQ`. */
+  private[streaming] def boostPredictQ(row: Seq[Double], qx: Array[Long]): Long = {
+    var s = row.head.toLong
+    var i = 1
+    while (i + 4 <= row.length) {
+      val j = row(i).toInt; val k = row(i + 1).toInt
+      val leafL = row(i + 2).toLong; val leafR = row(i + 3).toLong
+      s += (if (qx(j - 1) <= graft.model.StableBoost.ThrQ(k - 1)) leafL else leafR)
+      i += 4
+    }
+    s
+  }
 
   /** One reference cycle for one accepted (post-TR-1) tick. Returns the
     * updated state and the events to emit. */
@@ -121,10 +157,19 @@ object StreamingPipeline {
         (scaled.slice(i, i + cfg.seqLen).toArray,
           scaled.slice(i + cfg.seqLen, i + cfg.seqLen + cfg.horizon).toArray)
       }
-      val model = new RidgeForecaster(cfg.seqLen, cfg.horizon).fitLocal(samples)
+      weights = cfg.model match {
+        case "boost" =>
+          // the nonlinear in-loop refit: StableBoost.fitLocal is the exact
+          // arithmetic the batch ml1_boost_forecast_per_key query runs per
+          // key, so stream-vs-batch parity is bit-level (StreamingBoostSpec)
+          Some(encodeBoost(graft.model.StableBoost.fitLocal(
+            samples, cfg.seqLen, cfg.horizon, cfg.boostRounds)))
+        case _ =>
+          val model = new RidgeForecaster(cfg.seqLen, cfg.horizon).fitLocal(samples)
+          Some(model.asInstanceOf[graft.model.LinearModel].weights
+            .map(_.toSeq).toSeq)
+      }
       scaler = Some(s)
-      weights = Some(model.asInstanceOf[graft.model.LinearModel].weights
-        .map(_.toSeq).toSeq)
       ticksSinceFit = 0
     }
 
@@ -149,11 +194,19 @@ object StreamingPipeline {
     (weights, scaler) match {
       case (Some(w), Some(s)) if history.size >= cfg.seqLen =>
         val window = history.takeRight(cfg.seqLen).map(s.scale).toArray
-        val preds = w.map { wh =>
-          var acc = wh.head
-          var i = 0
-          while (i < cfg.seqLen) { acc += wh(i + 1) * window(i); i += 1 }
-          s.invert(acc) // NRM-3
+        val preds = cfg.model match {
+          case "boost" =>
+            val qx = window.map(graft.model.StableRidge.quantizeLong)
+            w.map { row =>
+              s.invert(boostPredictQ(row, qx).toDouble /
+                graft.model.StableRidge.Q.toDouble) // NRM-3
+            }
+          case _ => w.map { wh =>
+            var acc = wh.head
+            var i = 0
+            while (i < cfg.seqLen) { acc += wh(i + 1) * window(i); i += 1 }
+            s.invert(acc) // NRM-3
+          }
         }
         val steps = if (st.bootstrapped) Seq(cfg.horizon) else 1 to cfg.horizon
         var enq = st.nEnqueued
