@@ -58,18 +58,20 @@ class ThroughputSpec extends SparkSpec {
       assert(rate > 1000, f"throughput below perf gate: $rate%.0f ticks/s")
   }
 
-  test("retrain loop latency stays flat across 10k ticks (reference degrades quadratically)") {
-    // The reference's loop refits on FULL history every 10 ticks
-    // (`lvmh_forecaster2.py:349-374`), so its per-cycle cost grows
-    // linearly and the run degrades quadratically — BASELINE.md's
-    // port-specific bar. The engine's production config caps refit
-    // history (`maxHistory`, the sliding-refit window), so per-batch
-    // latency must NOT trend with stream position. 10k ticks on ONE
-    // ticker (maximum retrain pressure: every batch refits 10×) in 100
-    // micro-batches, each wall-clocked; the gate compares late-window
-    // p95 against the post-warmup window — a sustained 2× drift across
-    // 45-batch windows is real degradation, while the reference's
-    // linear per-batch growth would show ~2.4× here.
+  // The reference's loop refits on FULL history every 10 ticks
+  // (`lvmh_forecaster2.py:349-374`), so its per-cycle cost grows
+  // linearly and the run degrades quadratically — BASELINE.md's
+  // port-specific bar. The engine's production config caps refit
+  // history (`maxHistory`, the sliding-refit window), so per-batch
+  // latency must NOT trend with stream position. 10k ticks on ONE
+  // ticker (maximum retrain pressure: every batch refits 10×) in 100
+  // micro-batches, each wall-clocked; the gate compares late-window
+  // p95 against the post-warmup window — a sustained 2× drift across
+  // 45-batch windows is real degradation, while the reference's
+  // linear per-batch growth would show ~2.4× here. Runs once per
+  // in-loop model: the flat-latency property must survive the model
+  // swap (boost refits cost more per fit but are equally bounded).
+  private def retrainSoak(cfg: StreamingPipeline.Config): Unit = {
     implicit val sql = spark.sqlContext
     val rnd = new scala.util.Random(22)
     val n = 10000
@@ -81,8 +83,7 @@ class ThroughputSpec extends SparkSpec {
     def run(): (Seq[Double], Long) = {
       val ms = MemoryStream[RawTick]
       val name = s"rt_${System.nanoTime()}"
-      val q = StreamingPipeline.events(ms.toDS(),
-          StreamingPipeline.Config(maxHistory = 500))
+      val q = StreamingPipeline.events(ms.toDS(), cfg)
         .writeStream.format("memory").queryName(name).outputMode("append").start()
       val times = Seq.newBuilder[Double]
       try {
@@ -115,5 +116,13 @@ class ThroughputSpec extends SparkSpec {
       f"per-batch latency trends with stream position: late/base p95 = $ratio%.2f " +
         "(bounded-history refit must stay flat; the reference's full-history " +
         "refit grows linearly per batch)")
+  }
+
+  test("retrain loop latency stays flat across 10k ticks (reference degrades quadratically)") {
+    retrainSoak(StreamingPipeline.Config(maxHistory = 500))
+  }
+
+  test("retrain loop latency stays flat with the NONLINEAR in-loop model (boost mode)") {
+    retrainSoak(StreamingPipeline.Config(maxHistory = 500, model = "boost"))
   }
 }
