@@ -101,7 +101,8 @@ object Bench {
       // length accident; both remain in the CORRECTNESS gate
       "sample_weighted",       // md5-threshold scan sibling of the benched sample_stratified
       "mm_decode_features",    // stub-decode projection; the REAL codec path mm_media_probe is benched
-      "ml1_boost_forecast_per_key" // per-key variant of benched ml1_boost_forecast (mirrors the ridge pair's policy)
+      "ml1_boost_forecast_per_key", // per-key variant of benched ml1_boost_forecast (mirrors the ridge pair's policy)
+      "mix_temperature"        // scan-speed hash-filter family (like the skipped mix_sources): sample_stratified benched
     )
 
   /** Warm sf0.1 per-query reference minima — the contention guard's

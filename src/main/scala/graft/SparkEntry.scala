@@ -178,6 +178,7 @@ object SparkEntry {
     "pack_sequences" -> (Sampling.packQuery _),
     "sample_stratified" -> (Sampling.stratifiedSampleQuery _),
     "mix_sources" -> (Sampling.mixSourcesQuery _), // deterministic static domain reweighting (DoReMi-style)
+    "mix_temperature" -> (Sampling.mixTemperatureQuery _), // alpha=0.5 temperature-flattened source sampling (XLM-R recipe; sqrt is IEEE-exact)
     "sample_weighted" -> (Sampling.weightedSampleQuery _),
     // --- multimodal binary-column plumbing ---
     "mm_payload_stats" -> (Multimodal.payloadStatsQuery _),
@@ -1574,6 +1575,19 @@ object SparkEntry {
           SELECT d.doc_id, d.source, r.rate_pm
           FROM documents d JOIN r ON d.source = r.source
           WHERE $docBucketSql < rate_pm""",
+    "mix_temperature" ->
+      // alpha = 0.5: rate_s = sqrt(n_min/n_s) — the only temperature
+      // whose rate is an IEEE-correctly-rounded single op (sqrt) rather
+      // than a libm-dependent pow, hence cross-engine exact
+      """WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+          mn AS (SELECT min(n_s) AS n_min FROM c),
+          r AS (SELECT source,
+                  CAST(floor(1000 * sqrt(CAST(n_min AS DOUBLE)/n_s)) AS BIGINT) AS rate_pm
+                FROM c, mn)
+          SELECT d.doc_id, d.source, r.rate_pm
+          FROM documents d JOIN r USING (source)
+          WHERE ('0x'||substr(md5('mt:'||d.doc_id::VARCHAR),1,15))::UBIGINT::BIGINT % 1000
+                < r.rate_pm""",
     "sample_stratified" ->
       """SELECT event_id, event_type, bucket AS keep_bucket FROM (
            SELECT event_id, event_type,

@@ -140,6 +140,42 @@ object Sampling {
       .select("doc_id", "source", "rate_pm")
   }
 
+  /** Temperature-flattened source sampling — the multilingual/source
+    * α-sampling recipe (XLM-R §5.1 style: sample source s with
+    * probability ∝ n_s^α so low-resource sources are up-weighted
+    * relative to their raw share). At α = 0.5 (temperature 2) the
+    * per-source keep rate has a CLOSED integer-friendly form: the
+    * realized share must be ∝ √n_s with the smallest source kept whole,
+    * so `rate_s = √(n_min/n_s)` — and IEEE sqrt is CORRECTLY ROUNDED
+    * (unlike pow(x, α) for general α, which is libm-dependent and could
+    * never hash-match an oracle), so `floor(1000·√(n_min/n_s))` is
+    * bit-identical on every engine. α is therefore fixed at 0.5 by
+    * design here; other temperatures belong to [[mixSources]]' explicit
+    * per-mille targets.
+    *
+    * Same 100 TB shape as [[mixSources]]: one tiny per-source count
+    * aggregate, rates broadcast back, scan-speed salted-hash filter —
+    * the corpus never shuffles. The hash salt ("mt:") decorrelates this
+    * filter from [[mixSources]]' buckets so composing both never
+    * systematically double-drops. */
+  def mixTemperature(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val mn = counts.agg(min("n_s").as("n_min"))
+    // coalesce: floor() can never be null here (n_s >= 1 per group), but
+    // its NULLABLE type makes the downstream rate filter push an
+    // isnotnull condition INTO the one-row broadcast cross join, tripping
+    // the product-free plan law; the non-nullable form keeps the
+    // broadcast condition-free
+    val rates = counts.crossJoin(broadcast(mn))
+      .select(col("source"),
+        coalesce(floor(lit(1000) * sqrt(col("n_min").cast("double") / col("n_s")))
+          .cast("long"), lit(0L)).as("rate_pm"))
+    docs.join(broadcast(rates), "source")
+      .where(Hashes.md5Long60(concat(lit("mt:"), col("doc_id").cast("string"))) % 1000
+        < col("rate_pm"))
+      .select("doc_id", "source", "rate_pm")
+  }
+
   // -- query entry points --
 
   def splitQuery(spark: SparkSession, dir: String): DataFrame =
@@ -179,5 +215,9 @@ object Sampling {
   def mixSourcesQuery(spark: SparkSession, dir: String): DataFrame =
     mixSources(Tables.documents(spark, dir).select("doc_id", "source"),
       Seq("src0" -> 400, "src1" -> 250, "src2" -> 200, "src3" -> 150))
+      .orderBy("doc_id")
+
+  def mixTemperatureQuery(spark: SparkSession, dir: String): DataFrame =
+    mixTemperature(Tables.documents(spark, dir).select("doc_id", "source"))
       .orderBy("doc_id")
 }
