@@ -844,6 +844,36 @@ object Similarity {
     if (bestId == Long.MaxValue) None else Some((bestId, bestC))
   }
 
+  /** Row-local JVM mirror of [[assignedTop2Spilled]] — the spill-band
+    * top-2 assignment the streaming multi-assignment guard applies per
+    * arriving vector: the primary list ALWAYS, plus the second-nearest
+    * list iff the exact decimal shifts of the two rounded cosines are
+    * within `epsI` (the same integer predicate as the batch column,
+    * spec-asserted bit-identical). Returns the assigned list ids,
+    * primary first; None mirrors [[localListAssign]]'s dim-mismatch /
+    * all-NaN rejection. */
+  private[graft] def localListAssignTop2(v: Array[Double],
+      cents: Array[(Long, Array[Double])], epsI: Long): Option[Seq[Long]] = {
+    if (cents.length < 2 || v == null || v.length != cents.head._2.length) return None
+    def shift(c: Double): Long =
+      BigDecimal(c * 1e4).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    var c1 = Double.NegativeInfinity; var id1 = Long.MaxValue
+    var c2 = Double.NegativeInfinity; var id2 = Long.MaxValue
+    cents.foreach { case (cid, ce) =>
+      val c = localCosine4(v, ce)
+      if (!c.isNaN) {
+        if (c > c1 || (c == c1 && cid < id1)) {
+          c2 = c1; id2 = id1; c1 = c; id1 = cid
+        } else if (c > c2 || (c == c2 && cid < id2)) {
+          c2 = c; id2 = cid
+        }
+      }
+    }
+    if (id1 == Long.MaxValue) None
+    else if (id2 == Long.MaxValue) Some(Seq(id1))
+    else Some(if (shift(c1) - shift(c2) <= epsI) Seq(id1, id2) else Seq(id1))
+  }
+
   /** Exact rounded cosine between two JVM vectors — the same fold order
     * and HALF_UP-at-4 rounding as `round(cosine_sim(a, b), 4)`; used by
     * the streaming semantic guard's within-cluster comparisons. */

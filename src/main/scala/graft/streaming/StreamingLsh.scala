@@ -198,13 +198,50 @@ object StreamingLsh {
                          cents: Array[(Long, Array[Double])],
                          tau: Double = 0.4,
                          capacity: Int = 256): Dataset[StreamSemanticCandidate] = {
-    require(capacity > 0)
     import vecs.sparkSession.implicits._
     import graft.analytics.Similarity
-    val assigned = vecs.flatMap { case (id, v) =>
+    semanticBucketSweep(vecs.flatMap { case (id, v) =>
       Similarity.localListAssign(if (v == null) null else v.toArray, cents)
         .map { case (listId, _) => (listId, id, v) }
-    }
+    }, tau, capacity)
+  }
+
+  /** MULTI-ASSIGNMENT semantic guard — the ingest mirror of
+    * [[graft.analytics.Similarity.semanticDedupMulti]]'s spill band: an
+    * arriving vector buckets into its primary list ALWAYS and into its
+    * second-nearest list iff the top-2 rounded cosines sit within `eps`
+    * (the exact integer decimal-shift predicate, row-local via
+    * [[graft.analytics.Similarity.localListAssignTop2]] —
+    * spec-asserted bit-identical to the batch assignment columns). A
+    * straddling paraphrase pair that single-assignment ingest NEVER
+    * compares meets in the list between them here, exactly like the
+    * batch operator; the state cost grows by the spilled fraction only
+    * (a spilled vector is resident in two FIFO buckets). A pair sharing
+    * BOTH lists can emit its candidate from each — consumers dedup on
+    * (vec_a, vec_b), the same decision dedup the batch `distinct`
+    * applies. */
+  def semanticCandidatesSpilled(vecs: Dataset[(Long, Seq[Double])],
+                                cents: Array[(Long, Array[Double])],
+                                tau: Double = 0.4,
+                                eps: Double = 0.05,
+                                capacity: Int = 256): Dataset[StreamSemanticCandidate] = {
+    import vecs.sparkSession.implicits._
+    import graft.analytics.Similarity
+    val epsI = math.round(eps * 1e4)
+    semanticBucketSweep(vecs.flatMap { case (id, v) =>
+      Similarity.localListAssignTop2(if (v == null) null else v.toArray, cents, epsI)
+        .toSeq.flatten.map(listId => (listId, id, v))
+    }, tau, capacity)
+  }
+
+  /** The shared per-cluster FIFO sweep both semantic guards run over
+    * their (list_id, vec_id, vec) assignment stream. */
+  private def semanticBucketSweep(assigned: Dataset[(Long, Long, Seq[Double])],
+                                  tau: Double,
+                                  capacity: Int): Dataset[StreamSemanticCandidate] = {
+    require(capacity > 0)
+    import assigned.sparkSession.implicits._
+    import graft.analytics.Similarity
     assigned.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (listId: Long, rows: Iterator[(Long, Long, Seq[Double])],

@@ -234,6 +234,69 @@ class StreamingLshSpec extends SparkSpec {
     }
   }
 
+  test("spill guard: local top-2 mirror == batch semanticDedupMulti assignment on the real corpus") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val cents = graft.analytics.Similarity.hashCentroids(emb, 16)
+    val vecs = emb.as[(Long, Seq[Double])].collect()
+    for (eps <- Seq(0.05, -1.0)) {
+      val batch = graft.analytics.Similarity
+        .semanticDedupMultiOf(emb, nLists = 16, tau = 0.4, eps = eps)
+        .select("vec_id", "list_id", "list_id2").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+      val epsI = math.round(eps * 1e4)
+      vecs.foreach { case (id, v) =>
+        val local = graft.analytics.Similarity
+          .localListAssignTop2(v.toArray, cents, epsI).get
+        val (bl, bl2) = batch(id)
+        assert(local.head == bl && local.drop(1).headOption == bl2,
+          s"eps=$eps vec $id: local $local vs batch ($bl, $bl2)")
+      }
+    }
+  }
+
+  test("spill guard e2e: a list-straddling pair is invisible to the single guard, caught by the spilled one") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val rnd = new scala.util.Random(31)
+    def unit(v: Array[Double]) = { val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+    val base = (0L until 100L).map(i => i -> unit(Array.fill(16)(rnd.nextGaussian())))
+    val baseDf = base.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "e")
+    val cents = graft.analytics.Similarity.hashCentroids(baseDf, 4)
+    val Array(ca, cb) = Array(cents(0)._2, cents(1)._2)
+    def mix(wa: Double, wb: Double): Seq[Double] =
+      unit(ca.zip(cb).map { case (x, y) => wa * x + wb * y }).toSeq
+    val (v1, v2) = (mix(0.51, 0.49), mix(0.49, 0.51))
+    // sanity: the pair truly straddles (different primaries) and both spill
+    val a1 = graft.analytics.Similarity.localListAssignTop2(v1.toArray, cents, 500).get
+    val a2 = graft.analytics.Similarity.localListAssignTop2(v2.toArray, cents, 500).get
+    assert(a1.head != a2.head, "planted pair does not straddle")
+    assert(a1.size == 2 && a2.size == 2, "planted pair does not spill")
+    def run(spilled: Boolean): Seq[StreamingLsh.StreamSemanticCandidate] = {
+      val ms = MemoryStream[(Long, Seq[Double])]
+      val name = s"spill_${spilled}_${System.nanoTime()}"
+      val src =
+        if (spilled) StreamingLsh.semanticCandidatesSpilled(ms.toDS(), cents, tau = 0.9, eps = 0.05)
+        else StreamingLsh.semanticCandidates(ms.toDS(), cents, tau = 0.9)
+      val q = src.writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        ms.addData(Seq(1000L -> v1)); q.processAllAvailable()
+        ms.addData(Seq(1001L -> v2)); q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).as[StreamingLsh.StreamSemanticCandidate].collect().toSeq
+    }
+    assert(run(spilled = false).isEmpty,
+      "single-assignment guard saw the straddled pair — the planting is broken")
+    val out = run(spilled = true)
+    assert(out.map(c => (c.vec_a, c.vec_b)).toSet == Set((1000L, 1001L)),
+      s"spilled guard missed the straddled pair: $out")
+    // shared-in-both-lists pairs may emit once per shared list; consumers
+    // dedup on (vec_a, vec_b) like the batch distinct
+    assert(out.size <= 2, s"more emissions than shared lists: $out")
+    out.foreach(c => assert(c.cos >= 0.9))
+  }
+
   test("pure FIFO: a resident re-arrival emits nothing and keeps its eviction position") {
     val text = (1 to 20).map(i => s"f$i").mkString(" ")
     // capacity 2: state [1,2]; re-ingesting 1 must NOT re-emit (1,2) nor
