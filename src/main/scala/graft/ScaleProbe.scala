@@ -538,6 +538,39 @@ object ScaleProbe {
     ok
   }
 
+  /** The two cost phases of the BPE trainer ([[graft.analytics.Bpe]]),
+    * separated at 10× the driver's corpus scale: the word-count
+    * aggregation (the only corpus-scale term) vs the merge rounds
+    * (vocabulary-bounded). Corpus: `n` docs × 40 words drawn md5-uniform
+    * from a 200k-word vocabulary — ~1000× the sf corpus vocabulary, so
+    * the rounds arm is stressed, not flattered. The ×10 arm REPLICATES
+    * the same corpus 10 times (doc_id % n seeds the generator), which
+    * pins an exact law alongside the timings: pair frequencies scale by
+    * exactly 10, so the merge SEQUENCE must be identical and every
+    * pair_count exactly 10×. ok = that law; the timing split (agg grows
+    * ~linearly, rounds ~flat) is the reported evidence. */
+  private def probeBpe(spark: org.apache.spark.sql.SparkSession, n: Long): Boolean = {
+    import graft.analytics.Bpe
+    val vocab = 200000L
+    val wpd = 40
+    def corpus(nDocs: Long, base: Long) =
+      spark.range(nDocs).selectExpr("id AS doc_id",
+        s"""concat_ws(' ', transform(sequence(0, ${wpd - 1}), j ->
+              concat('w', lower(conv(pmod(cast(conv(substring(md5(cast((id % $base) * $wpd + j AS STRING)), 1, 15), 16, 10) AS BIGINT), $vocab), 10, 36))))) AS text""")
+    val (agg1, rounds1, m1) = Bpe.trainInstrumented(corpus(n, n), Bpe.Rounds)
+    spark.sharedState.cacheManager.clearCache()
+    val (agg10, rounds10, m10) = Bpe.trainInstrumented(corpus(n * 10, n), Bpe.Rounds)
+    val agree = m1.map(t => (t._1, t._2)) == m10.map(t => (t._1, t._2)) &&
+      m1.map(_._3 * 10) == m10.map(_._3)
+    println(s"""{"probe":"bpe","n_docs":$n,"vocab":$vocab,"rounds":${Bpe.Rounds},""" +
+      s""""agg_sec":${f"$agg1%.1f"},"agg_sec_x10":${f"$agg10%.1f"},""" +
+      s""""rounds_sec":${f"$rounds1%.1f"},"rounds_sec_x10":${f"$rounds10%.1f"},""" +
+      s""""merges_agree_x10":$agree}""")
+    if (!agree) System.err.println(
+      s"[scaleprobe] BPE ×10 replication law broken: $m1 vs $m10")
+    agree
+  }
+
   /** Lexical-arm volume probe for hybrid retrieval: the posting join's
     * candidate volume is Σ_t df_q(t)·df(t), dominated at corpus scale by
     * head (stopword-class) terms that carry near-zero idf mass. This arm
@@ -698,7 +731,11 @@ object ScaleProbe {
     "hybridreal" -> 0L,
     // boost: 2M samples ≈ the fit cost of one 4-round pass over ~120M
     // quantized feature cells plus the n/10 and repartitioned refits
-    "boost" -> 2000000L)
+    "boost" -> 2000000L,
+    // bpe: n docs × 40 words over a 200k-word vocabulary; the ×10
+    // replicated arm pushes the word-count aggregation to 10× the
+    // instances while the merge rounds stay vocabulary-bounded
+    "bpe" -> 250000L)
 
   def main(args: Array[String]): Unit = {
     val (which, nOpt) = args.toList match {
@@ -720,6 +757,7 @@ object ScaleProbe {
       case "hybrid" => probeHybrid(spark, size)
       case "hybridreal" => probeHybridReal(spark)
       case "boost" => probeBoost(spark, size)
+      case "bpe" => probeBpe(spark, size)
       case other =>
         System.err.println(
           s"unknown arm '$other'; known arms: ${defaults.keysIterator.toSeq.sorted.mkString(", ")} (or 'all')")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Dedup, ForecastQueries, Hybrid, Layout, Multimodal, PrepPipeline, Relational, Sampling, SeriesQueries, Similarity, TextAnalysis}
+import graft.analytics.{Bpe, Dedup, ForecastQueries, Hybrid, Layout, Multimodal, PrepPipeline, Relational, Sampling, SeriesQueries, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -149,6 +149,8 @@ object SparkEntry {
     "txt_c4_filter" -> (TextAnalysis.c4FilterQuery _),
     "txt_reps" -> (TextAnalysis.repetitionQuery _), // Gopher-style intra-doc n-gram repetition signals
     "txt_bm25" -> (TextAnalysis.bm25Query _), // BM25 scoring vs a fixed query-term set
+    "txt_bpe_train" -> (Bpe.trainQuery _), // distributed BPE tokenizer training: 12 greedy merge rounds over the word-frequency state
+    "txt_bpe_encode" -> (Bpe.encodeQuery _), // corpus tokenization with the learned merges: scan-shaped, zero shuffle
     "pipe_prep" -> (PrepPipeline.manifest _), // flagship composition: gate -> dedup -> split -> decontam -> pack
     "pipe_prep_quality" -> (PrepPipeline.manifestQuality _), // v2: near-dup clusters + argmax-quality keeper (FineWeb-style)
     "pipe_prep_clean" -> (PrepPipeline.manifestClean _), // v3: + substring EXCISION before clustering (dedup the bytes, then the docs)
@@ -208,6 +210,66 @@ object SparkEntry {
   /** [[graft.analytics.Sampling.hashBucket]] of doc_id over 1000 buckets. */
   private val docBucketSql =
     "(('0x'||substr(md5(doc_id::VARCHAR),1,15))::UBIGINT::BIGINT % 1000)"
+
+  /** BPE trainer mirror ([[graft.analytics.Bpe]]): `rounds` chained merge
+    * rounds as CTEs. w0 is the word-frequency state with every character
+    * wrapped chr(1)·c·chr(2); each round is pair-count (pN) → argmax (mN,
+    * ties count DESC then pair ASC — same as the Spark `orderBy`) → greedy
+    * replace (wN). The COALESCE(..., chr(3)) arms make a dry round (no
+    * pair left) a no-op replace, mirroring the trainer's early stop. All
+    * CTEs MATERIALIZED: each wN is referenced twice and the chain would
+    * otherwise inline exponentially. */
+  private def bpeTrainCtes(rounds: Int): String = {
+    val w0 =
+      """w0 AS MATERIALIZED (
+           SELECT count(*)::BIGINT AS freq,
+                  regexp_replace(w, '(.)', chr(1)||'\1'||chr(2), 'g') AS seq
+           FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
+           WHERE len(w) > 0 GROUP BY w)"""
+    val perRound = (1 to rounds).map { n =>
+      s"""p$n AS MATERIALIZED (
+            SELECT s[i] AS lhs, s[i+1] AS rhs, sum(freq)::BIGINT AS cnt
+            FROM (SELECT freq, string_split(substr(seq, 2, len(seq) - 2),
+                                            chr(2)||chr(1)) AS s FROM w${n - 1}) t,
+                 LATERAL (SELECT unnest(range(1, len(s))) AS i) r
+            GROUP BY 1, 2),
+          m$n AS MATERIALIZED (
+            SELECT lhs, rhs, cnt FROM p$n ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+          w$n AS MATERIALIZED (
+            SELECT freq, ${bpeApplySql(n, "seq")} AS seq FROM w${n - 1})"""
+    }
+    (w0 +: perRound).mkString(",\n")
+  }
+
+  /** One greedy merge application: replace round-N's wrapped pair with the
+    * wrapped concatenation (no-op via chr(3) when the round was dry). */
+  private def bpeApplySql(n: Int, src: String): String =
+    s"""replace($src,
+          coalesce((SELECT chr(1)||lhs||chr(2)||chr(1)||rhs||chr(2) FROM m$n), chr(3)),
+          coalesce((SELECT chr(1)||lhs||rhs||chr(2) FROM m$n), chr(3)))"""
+
+  /** The learned merge table (round, lhs, rhs, merged, pair_count). */
+  private def bpeMergeUnion(rounds: Int): String =
+    (1 to rounds).map { n =>
+      s"""SELECT $n::BIGINT AS round, lhs, rhs, lhs||rhs AS merged,
+                 cnt AS pair_count FROM m$n"""
+    }.mkString(" UNION ALL ")
+
+  /** Corpus encoding with the learned merges: e0 wraps every non-space
+    * char of the trimmed text (spaces stay bare, so merges never cross a
+    * word boundary), then one replace per round. */
+  private def bpeEncodeCtes(rounds: Int): String = {
+    val e0 =
+      """e0 AS MATERIALIZED (
+           SELECT doc_id, trim(text) AS raw,
+                  regexp_replace(trim(text), '(\S)', chr(1)||'\1'||chr(2), 'g') AS s
+           FROM documents WHERE len(trim(text)) > 0)"""
+    val perRound = (1 to rounds).map { n =>
+      s"""e$n AS MATERIALIZED (
+            SELECT doc_id, raw, ${bpeApplySql(n, "s")} AS s FROM e${n - 1})"""
+    }
+    (e0 +: perRound).mkString(",\n")
+  }
   /** 60-bit / 32-bit md5-derived ints (mirror of graft.functions.Hashes). */
   private def md5L60(x: String) = s"('0x'||substr(md5($x),1,15))::UBIGINT::BIGINT"
   private def md5L32(x: String) = s"('0x'||substr(md5($x),1,8))::UBIGINT::BIGINT"
@@ -1770,6 +1832,19 @@ object SparkEntry {
           SELECT doc_id, dl, tf_0 AS tf_spark, tf_1 AS tf_join, tf_2 AS tf_window,
                  (c0 + c1 + c2) / 1e6 AS bm25
           FROM s""",
+    "txt_bpe_train" ->
+      s"""WITH ${bpeTrainCtes(graft.analytics.Bpe.Rounds)}
+          SELECT * FROM (${bpeMergeUnion(graft.analytics.Bpe.Rounds)}) ORDER BY round""",
+    "txt_bpe_encode" ->
+      s"""WITH ${bpeTrainCtes(graft.analytics.Bpe.Rounds)},
+          ${bpeEncodeCtes(graft.analytics.Bpe.Rounds)}
+          SELECT doc_id,
+                 len(string_split_regex(raw, '\\s+'))::BIGINT AS n_ws_tokens,
+                 len(regexp_replace(raw, '\\s', '', 'g'))::BIGINT AS n_chars,
+                 (len(s) - len(replace(s, chr(1), '')))::BIGINT AS n_bpe_tokens,
+                 round(len(regexp_replace(raw, '\\s', '', 'g'))::DOUBLE
+                       / (len(s) - len(replace(s, chr(1), ''))), 4) AS bpe_ratio
+          FROM e${graft.analytics.Bpe.Rounds} ORDER BY doc_id""",
     "txt_rolling_fp" ->
       // Horner-rule rolling hash: DuckDB's list_reduce has no seed, but
       // starting from the first element equals seeding with 0 since

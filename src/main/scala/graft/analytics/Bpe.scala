@@ -1,0 +1,173 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Distributed BPE tokenizer training + corpus encoding — the missing
+  * first stage of an LLM data pipeline (the reference's token handling
+  * stops at whitespace counts; real pipelines train a subword tokenizer
+  * ON the curated corpus, then tokenize the corpus WITH it).
+  *
+  * Algorithm (Sennrich et al. 2016, word-frequency form): pre-tokenize
+  * to whitespace words; the training state is the DISTINCT-WORD
+  * frequency table with each word as a sequence of symbols (initially
+  * characters). Each merge round counts adjacent symbol pairs weighted
+  * by word frequency, picks the most frequent pair (ties: count DESC,
+  * lhs ASC, rhs ASC — fully deterministic), and greedily merges every
+  * left-to-right non-overlapping occurrence.
+  *
+  * Scale shape — why this works at 100 TB:
+  *  - the ONLY corpus-scale shuffle is the initial word-count
+  *    aggregation (map-side combinable, digest-sized rows); every merge
+  *    round shuffles the VOCABULARY-sized state (≤ millions of rows on a
+  *    web corpus — thousands of times smaller than the corpus);
+  *  - the learned merge table is MODEL PARAMETERS (rounds × 4 small
+  *    values), collected to the driver exactly like the IVF centroids /
+  *    PQ codebooks in [[Similarity]] — never a data-sized collect;
+  *  - [[encode]] applies the merges as a chain of per-row string
+  *    replaces: scan-shaped, zero shuffle, whole-stage codegen'd.
+  *
+  * Greedy-merge mechanics: a symbol sequence is carried as ONE string
+  * with every symbol wrapped as \u0001sym\u0002. A pair merge is then a
+  * plain `replace(seq, \u0001a\u0002\u0001b\u0002, \u0001ab\u0002)`:
+  * because each symbol owns its own delimiters, matches always align to
+  * whole symbols, and left-to-right non-overlapping `replace` (the
+  * semantics of BOTH Spark's and DuckDB's `replace`) IS exactly the
+  * greedy BPE merge — e.g. [a,a,a] under merge (a,a) becomes [aa,a],
+  * never [a,aa] and never a double-consume. The wrappers also make the
+  * per-round pair scan trivial: strip the outer pair, split on
+  * \u0002\u0001. (The corpus is guarded to never contain \u0001/\u0002;
+  * see [[BpeSpec]].)
+  */
+object Bpe {
+
+  /** Symbol wrappers. \u0003 is the never-occurring no-op pattern used
+    * when a round has no pair left to merge (mirrored by chr(3) in the
+    * oracle's COALESCE). */
+  private val W1 = "\u0001"
+  private val W2 = "\u0002"
+  private def wrap(sym: String): String = W1 + sym + W2
+
+  /** Default merge-round count for the oracled queries (enough depth on
+    * the driver corpus to produce multi-char subwords like `join`). */
+  val Rounds = 12
+
+  /** Initial training state: distinct words with corpus frequency, each
+    * word exploded to wrapped characters. This is the one corpus-scale
+    * aggregation of the whole trainer. */
+  private def wordState(docs: DataFrame): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        regexp_replace(col("w"), "(.)", W1 + "$1" + W2).as("seq"))
+
+  /** Adjacent-pair counts of a (freq, seq) state frame — one
+    * vocabulary-sized shuffle. */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words
+      .select(col("freq"),
+        split(expr("substring(seq, 2, length(seq) - 2)"), W2 + W1).as("s"))
+      .where(size(col("s")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, size(s) - 1), i -> struct(s[i-1] AS lhs, s[i] AS rhs))"))
+        .as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum("freq").as("cnt"))
+
+  /** Train `rounds` merges over the corpus. Returns (lhs, rhs, pairCount)
+    * in merge order — model parameters, rounds × 3 values. Stops early if
+    * the corpus merges dry (no adjacent pair left). */
+  def trainMerges(docs: DataFrame, rounds: Int = Rounds): Seq[(String, String, Long)] =
+    trainInstrumented(docs, rounds)._3
+
+  /** [[trainMerges]] with the two cost phases timed separately —
+    * (wordCountSec, mergeRoundsSec, merges). The split is the scale
+    * claim itself (`ScaleProbe bpe`): the word-count aggregation is the
+    * only term that grows with the corpus; the rounds are bounded by the
+    * vocabulary. */
+  private[graft] def trainInstrumented(docs: DataFrame, rounds: Int): (Double, Double, Seq[(String, String, Long)]) = {
+    val t0 = System.nanoTime()
+    // the base state feeds every round's pair scan — materialize it once
+    // (vocabulary-sized: freq + wrapped word, never documents)
+    val base = wordState(docs).localCheckpoint(false)
+    base.count()
+    val tAgg = (System.nanoTime() - t0) / 1e9
+    var cur = base
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var r = 0
+    var dry = false
+    val t1 = System.nanoTime()
+    while (r < rounds && !dry) {
+      val top = pairCounts(cur)
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty) dry = true
+      else {
+        val (l, rr, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((l, rr, c))
+        // each round is one cheap projection over the vocab-sized leaf;
+        // round k's scan replays k replaces over it — O(rounds²) string
+        // ops on the vocabulary, negligible beside the corpus scan
+        cur = cur.withColumn("seq",
+          replaceAll(col("seq"), wrap(l) + wrap(rr), wrap(l + rr)))
+      }
+      r += 1
+    }
+    val tRounds = (System.nanoTime() - t1) / 1e9
+    base.unpersist()
+    (tAgg, tRounds, merges.result())
+  }
+
+  /** Left-to-right non-overlapping replace-all (SQL `replace`; exposed
+    * here because `functions._` routes string replace through
+    * `regexp_replace`, whose metachar escaping we must not depend on). */
+  private def replaceAll(src: Column, search: String, rep: Column): Column =
+    call_function("replace", src, lit(search), rep)
+  private def replaceAll(src: Column, search: String, rep: String): Column =
+    replaceAll(src, search, lit(rep))
+
+  /** The merge table as a DataFrame: (round, lhs, rhs, merged,
+    * pair_count) — `txt_bpe_train`. */
+  def train(docs: DataFrame, rounds: Int = Rounds): DataFrame = {
+    val spark = docs.sparkSession
+    val rows = trainMerges(docs, rounds).zipWithIndex.map {
+      case ((l, r, c), i) => ((i + 1).toLong, l, r, l + r, c)
+    }
+    spark.createDataFrame(rows)
+      .toDF("round", "lhs", "rhs", "merged", "pair_count")
+      .orderBy("round")
+  }
+
+  /** Tokenize the corpus with the learned merges — `txt_bpe_encode`.
+    * Output per doc: whitespace-token count, non-space char count, BPE
+    * token count, and chars-per-BPE-token compression ratio. The merge
+    * chain is `rounds` string replaces per row over the char-wrapped
+    * text (spaces stay bare, so merges never cross a word boundary —
+    * the same word-internal scope the trainer learned on): scan-shaped,
+    * zero shuffle. */
+  def encode(docs: DataFrame, rounds: Int = Rounds): DataFrame = {
+    val merges = trainMerges(docs, rounds)
+    val base = docs.where(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), trim(col("text")).as("raw"))
+      .withColumn("s", regexp_replace(col("raw"), "(\\S)", W1 + "$1" + W2))
+    val enc = merges.foldLeft(base) { case (df, (l, r, _)) =>
+      df.withColumn("s", replaceAll(col("s"), wrap(l) + wrap(r), wrap(l + r)))
+    }
+    enc.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("raw"))).cast("long").as("n_ws_tokens"),
+        length(regexp_replace(col("raw"), "\\s", "")).cast("long").as("n_chars"),
+        (length(col("s")) - length(replaceAll(col("s"), W1, "")))
+          .cast("long").as("n_bpe_tokens"))
+      .withColumn("bpe_ratio", round(col("n_chars") / col("n_bpe_tokens"), 4))
+      .orderBy("doc_id")
+  }
+
+  // --- SparkEntry query adapters ---
+  def trainQuery(spark: SparkSession, dir: String): DataFrame =
+    train(Tables.documents(spark, dir))
+  def encodeQuery(spark: SparkSession, dir: String): DataFrame =
+    encode(Tables.documents(spark, dir))
+}

@@ -96,6 +96,30 @@ class PlanShapeSpec extends SparkSpec {
       s"q6 scan reads more columns than the query needs: $readSchemas")
   }
 
+  test("BPE encode is a zero-shuffle scan; a trainer round is one vocab-sized shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // the 100 TB tokenization pass must stay scan-shaped: the merge chain
+    // is per-row string replaces, so the ONLY exchange allowed in
+    // txt_bpe_encode's final plan is the output orderBy's range exchange —
+    // no aggregation/join shuffle may creep into the encode path
+    val encEx = nodes(planOf("txt_bpe_encode"))
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(encEx.size <= 1,
+      s"txt_bpe_encode plans ${encEx.size} shuffles — the encode path must be scan-shaped")
+    // and the trainer's per-round pair count shuffles the VOCABULARY
+    // state, never documents: its plan is pair-agg over the checkpointed
+    // word leaf (LogicalRDD), with no parquet scan left in it
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val docsDf = Tables.documents(spark, sfDir)
+    val merges = analytics.Bpe.trainMerges(docsDf, rounds = 1)
+    assert(merges.nonEmpty) // the round above ran; its plan law is pinned
+    // structurally by the golden plan counters (txt_bpe_train row) — here
+    // assert the encode scan reads only what it needs
+    val scans = nodes(planOf("txt_bpe_encode")).collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty && scans.forall(_.requiredSchema.fieldNames.length <= 2),
+      "txt_bpe_encode must read only (doc_id, text) from parquet")
+  }
+
   test("bench headline-skip names refer to real queries (a rename cannot silently shrink the bench)") {
     // Bench's skip set is private; reproduce the contract from the env
     // side instead: run the selection logic the way Bench does
