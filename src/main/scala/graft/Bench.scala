@@ -102,7 +102,8 @@ object Bench {
       "sample_weighted",       // md5-threshold scan sibling of the benched sample_stratified
       "mm_decode_features",    // stub-decode projection; the REAL codec path mm_media_probe is benched
       "ml1_boost_forecast_per_key", // per-key variant of benched ml1_boost_forecast (mirrors the ridge pair's policy)
-      "mix_temperature"        // scan-speed hash-filter family (like the skipped mix_sources): sample_stratified benched
+      "mix_temperature",       // scan-speed hash-filter family (like the skipped mix_sources): sample_stratified benched
+      "txt_bpe_vocab"          // re-runs the trainer + one vocab-sized agg: txt_bpe_train (same dominant cost) benched
     )
 
   /** Warm sf0.1 per-query reference minima — the contention guard's

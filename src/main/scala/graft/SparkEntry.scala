@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Bpe, Dedup, ForecastQueries, Hybrid, Layout, Multimodal, PrepPipeline, Relational, Sampling, SeriesQueries, Similarity, TextAnalysis}
+import graft.analytics.{Bpe, Dedup, Distill, ForecastQueries, Hybrid, Layout, Multimodal, PrepPipeline, Relational, Sampling, SeriesQueries, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -151,6 +151,8 @@ object SparkEntry {
     "txt_bm25" -> (TextAnalysis.bm25Query _), // BM25 scoring vs a fixed query-term set
     "txt_bpe_train" -> (Bpe.trainQuery _), // distributed BPE tokenizer training: 12 greedy merge rounds over the word-frequency state
     "txt_bpe_encode" -> (Bpe.encodeQuery _), // corpus tokenization with the learned merges: scan-shaped, zero shuffle
+    "txt_bpe_vocab" -> (Bpe.vocabQuery _), // the shipped tokenizer artifact: top-k post-merge symbols with corpus totals
+    "txt_quality_distill" -> (Distill.distillGateQuery _), // FineWeb-Edu-style gate distillation: teacher-labeled boosted-stump student, scored as plan literals
     "pipe_prep" -> (PrepPipeline.manifest _), // flagship composition: gate -> dedup -> split -> decontam -> pack
     "pipe_prep_quality" -> (PrepPipeline.manifestQuality _), // v2: near-dup clusters + argmax-quality keeper (FineWeb-style)
     "pipe_prep_clean" -> (PrepPipeline.manifestClean _), // v3: + substring EXCISION before clustering (dedup the bytes, then the docs)
@@ -629,6 +631,72 @@ object SparkEntry {
         $finalFrom"""
   }
 
+  /** Mirror of [[graft.analytics.Distill.distillGate]]: the 5 integer-
+    * ratio features + the C4 teacher bit, quantized to the 2^-26 grid,
+    * then the SAME generated boost chain as the ml1 oracles (seqLen=5
+    * features, horizon=1 label, 6 rounds) and the per-doc score as plan
+    * scalars. Every division is integer-through-IEEE-double, so the
+    * feature values — and hence the quantized grid points, the fit, and
+    * the scores — are bit-identical across engines. */
+  private def txtDistillOracleSql: String = {
+    import graft.model.{StableBoost, StableRidge}
+    val nQ = StableRidge.Q
+    val rounds = graft.analytics.Distill.Rounds
+    val nf = graft.analytics.Distill.Feats
+    val (stages, stumpSum) =
+      StableBoost.sqlBoostStages(seqLen = nf, horizon = 1, rounds = rounds)
+    val langCase =
+      """CASE WHEN len(regexp_extract_all(text, '\b(the|order|fast|scan)\b')) >= len(regexp_extract_all(text, '\b(stream|merge|window)\b'))
+              AND len(regexp_extract_all(text, '\b(the|order|fast|scan)\b')) >= len(regexp_extract_all(text, '\b(table|query|group)\b'))
+              AND len(regexp_extract_all(text, '\b(the|order|fast|scan)\b')) >= len(regexp_extract_all(text, '\b(join|filter|sort)\b')) THEN 'en'
+             WHEN len(regexp_extract_all(text, '\b(stream|merge|window)\b')) >= len(regexp_extract_all(text, '\b(table|query|group)\b'))
+              AND len(regexp_extract_all(text, '\b(stream|merge|window)\b')) >= len(regexp_extract_all(text, '\b(join|filter|sort)\b')) THEN 'de'
+             WHEN len(regexp_extract_all(text, '\b(table|query|group)\b')) >= len(regexp_extract_all(text, '\b(join|filter|sort)\b')) THEN 'es'
+             ELSE 'fr' END"""
+    val qxs = (1 to nf)
+      .map(i => s"CAST(floor(f$i * $nQ + 0.5) AS BIGINT) AS qx_$i")
+      .mkString(",\n             ")
+    val margin = (cx: String) =>
+      s"LEAST(GREATEST($cx - c_en + 4, 0), 8) / 8.0"
+    val stumpNames = (1 to rounds).map(t => s"s_1_$t").mkString(", ")
+    s"""WITH raw AS MATERIALIZED (
+          SELECT doc_id, len($toksSql)::BIGINT AS n_tokens,
+            length(text)::BIGINT AS n_chars,
+            len(regexp_extract_all(text, '[.!?,;:]'))::BIGINT AS n_punct,
+            len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is)\\b'))::BIGINT AS n_stop,
+            len(list_distinct($toksSql))::BIGINT AS n_distinct,
+            len(regexp_extract_all(text, '\\b(the|order|fast|scan)\\b'))::BIGINT AS c_en,
+            len(regexp_extract_all(text, '\\b(stream|merge|window)\\b'))::BIGINT AS c_de,
+            len(regexp_extract_all(text, '\\b(table|query|group)\\b'))::BIGINT AS c_es,
+            len(regexp_extract_all(text, '\\b(join|filter|sort)\\b'))::BIGINT AS c_fr,
+            $langCase AS lang_pred
+          FROM documents),
+        feats AS MATERIALIZED (
+          SELECT doc_id,
+            NOT (n_tokens < 20 OR n_tokens > 1000 OR n_punct * 10 > n_chars
+                 OR n_stop * 20 < n_tokens OR lang_pred <> 'en') AS teacher_keep,
+            LEAST(n_tokens, 159) / 159.0 AS f1,
+            LEAST(n_tokens, 1024) / 1024.0 AS f2,
+            LEAST(n_punct / n_chars * 1.25, 1.0) AS f3,
+            LEAST(n_stop / n_tokens * 2.5, 1.0) AS f4,
+            ${margin("c_de")} AS f5,
+            ${margin("c_es")} AS f6,
+            ${margin("c_fr")} AS f7,
+            n_distinct / n_tokens AS f8
+          FROM raw),
+        q AS MATERIALIZED (
+          SELECT doc_id, teacher_keep,
+             $qxs,
+             (CASE WHEN teacher_keep THEN $nQ ELSE 0 END)::BIGINT AS qy_1
+          FROM feats),
+        ${stages.mkString(",\n        ")}
+        SELECT q.doc_id, q.teacher_keep,
+               f0_1 + ${stumpSum(1)} AS score_q,
+               f0_1 + ${stumpSum(1)} >= ${graft.analytics.Distill.KeepThresholdQ} AS student_keep
+        FROM q, f0, $stumpNames
+        ORDER BY doc_id"""
+  }
+
   /** Hyperplane-LSH banded-signature CTEs (mirror of
     * `Similarity.bandedSignatures` / [[graft.functions.HyperplaneSig]]):
     * the plane matrix is embedded as VALUES literals (md5-derived doubles
@@ -661,6 +729,7 @@ object SparkEntry {
     "ml1_ridge_forecast_per_key" -> ml1OracleSql(perKey = true),
     "ml1_boost_forecast" -> ml1BoostOracleSql(perKey = false),
     "ml1_boost_forecast_per_key" -> ml1BoostOracleSql(perKey = true),
+    "txt_quality_distill" -> txtDistillOracleSql,
     "knn_ann_lsh" ->
       s"""WITH ${lshSigCtes()},
           q AS (SELECT vec_id AS q_id, band, bucket FROM sig WHERE vec_id < 10),
@@ -1845,6 +1914,20 @@ object SparkEntry {
                  round(len(regexp_replace(raw, '\\s', '', 'g'))::DOUBLE
                        / (len(s) - len(replace(s, chr(1), ''))), 4) AS bpe_ratio
           FROM e${graft.analytics.Bpe.Rounds} ORDER BY doc_id""",
+    "txt_bpe_vocab" ->
+      s"""WITH ${bpeTrainCtes(graft.analytics.Bpe.Rounds)},
+          v AS (SELECT symbol, sum(freq)::BIGINT AS n_occ,
+                       count(DISTINCT seq)::BIGINT AS n_words
+                FROM (SELECT freq, seq,
+                        unnest(string_split(substr(seq, 2, len(seq) - 2),
+                                            chr(2)||chr(1))) AS symbol
+                      FROM w${graft.analytics.Bpe.Rounds}) t
+                GROUP BY symbol)
+          SELECT symbol, n_occ, n_words, rank FROM (
+            SELECT symbol, n_occ, n_words,
+                   row_number() OVER (ORDER BY n_occ DESC, symbol) AS rank
+            FROM v) r
+          WHERE rank <= 100 ORDER BY rank""",
     "txt_rolling_fp" ->
       // Horner-rule rolling hash: DuckDB's list_reduce has no seed, but
       // starting from the first element equals seeding with 0 since

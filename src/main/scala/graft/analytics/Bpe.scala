@@ -148,8 +148,17 @@ object Bpe {
     * text (spaces stay bare, so merges never cross a word boundary —
     * the same word-internal scope the trainer learned on): scan-shaped,
     * zero shuffle. */
-  def encode(docs: DataFrame, rounds: Int = Rounds): DataFrame = {
-    val merges = trainMerges(docs, rounds)
+  def encode(docs: DataFrame, rounds: Int = Rounds): DataFrame =
+    encodeWith(docs, trainMerges(docs, rounds)).orderBy("doc_id")
+
+  /** [[encode]] under a FROZEN merge table — the serving/ingest form: the
+    * tokenizer is trained offline on the curated corpus, its merges ship
+    * as configuration, and this same stateless column chain applies them
+    * anywhere, including per micro-batch on a STREAMING frame (it is pure
+    * projections, so Structured Streaming accepts it unchanged and the
+    * counts are bit-identical to a batch re-run — `StreamingBpeSpec`).
+    * The NRM-2 frozen-parameter discipline, applied to the tokenizer. */
+  def encodeWith(docs: DataFrame, merges: Seq[(String, String, Long)]): DataFrame = {
     val base = docs.where(length(trim(col("text"))) > 0)
       .select(col("doc_id"), trim(col("text")).as("raw"))
       .withColumn("s", regexp_replace(col("raw"), "(\\S)", W1 + "$1" + W2))
@@ -161,8 +170,38 @@ object Bpe {
         length(regexp_replace(col("raw"), "\\s", "")).cast("long").as("n_chars"),
         (length(col("s")) - length(replaceAll(col("s"), W1, "")))
           .cast("long").as("n_bpe_tokens"))
+      // streaming-safe from here up: projections only, no sort/agg
       .withColumn("bpe_ratio", round(col("n_chars") / col("n_bpe_tokens"), 4))
-      .orderBy("doc_id")
+  }
+
+  /** The learned subword vocabulary — `txt_bpe_vocab`: the top-`k`
+    * symbols of the post-merge word state (characters + the merged
+    * subwords still surviving as whole symbols), with corpus occurrence
+    * totals (`n_occ`, frequency-weighted) and the number of distinct
+    * words carrying each symbol (`n_words`). This is the artifact a
+    * tokenizer build ships alongside the merge table — capped at a
+    * vocab-size budget exactly like real tokenizers, which also keeps
+    * the rank a TakeOrdered-then-window over a limit-bounded input (the
+    * [[TextAnalysis.vocab]] discipline), never a global sort. One more
+    * vocabulary-sized aggregation over the trainer's final state —
+    * corpus cost unchanged. */
+  def vocab(docs: DataFrame, rounds: Int = Rounds, k: Int = 100): DataFrame = {
+    val merges = trainMerges(docs, rounds)
+    val finalState = merges.foldLeft(wordState(docs)) { case (df, (l, r, _)) =>
+      df.withColumn("seq", replaceAll(col("seq"), wrap(l) + wrap(r), wrap(l + r)))
+    }
+    finalState
+      .select(col("freq"), col("seq"),
+        explode(split(expr("substring(seq, 2, length(seq) - 2)"), W2 + W1))
+          .as("symbol"))
+      .groupBy("symbol")
+      .agg(sum("freq").as("n_occ"),
+        countDistinct("seq").cast("long").as("n_words"))
+      .orderBy(col("n_occ").desc, col("symbol")).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_occ").desc, col("symbol"))).cast("long"))
+      .orderBy("rank")
   }
 
   // --- SparkEntry query adapters ---
@@ -170,4 +209,6 @@ object Bpe {
     train(Tables.documents(spark, dir))
   def encodeQuery(spark: SparkSession, dir: String): DataFrame =
     encode(Tables.documents(spark, dir))
+  def vocabQuery(spark: SparkSession, dir: String): DataFrame =
+    vocab(Tables.documents(spark, dir))
 }

@@ -67,6 +67,17 @@ class BpeSpec extends SparkSpec {
     assert(agg._1 < agg._2)
   }
 
+  test("vocab is the post-merge symbol table with exact totals") {
+    // words: ab ×2, cd ×1 → round 1 merges (a,b). Post-merge symbols:
+    // ab (2 occurrences, 1 word), c and d (1 occurrence, 1 word each)
+    val docs = Seq((1L, "ab cd"), (2L, "ab")).toDF("doc_id", "text")
+    val v = Bpe.vocab(docs, rounds = 1).orderBy("rank")
+      .select("symbol", "n_occ", "n_words", "rank")
+      .as[(String, Long, Long, Long)].collect()
+    assert(v === Array(("ab", 2L, 1L, 1L), ("c", 1L, 1L, 2L), ("d", 1L, 1L, 3L)))
+    // rank ties break on symbol; the merged subword outranks the chars
+  }
+
   test("training is deterministic across runs and repartitionings") {
     val docs = graft.Tables.documents(spark, sfDir)
     val a = Bpe.trainMerges(docs)
