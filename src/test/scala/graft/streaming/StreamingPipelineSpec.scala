@@ -118,6 +118,48 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(a == c, "batch boundaries changed the result")
   }
 
+  test("checkpoint restart mid-retrain-loop equals an uninterrupted run (both models)") {
+    // The production restart law: kill the query after the first refit
+    // has landed in GroupState, start a BRAND-NEW query on the same
+    // checkpoint, feed the rest of the stream — the full event sequence
+    // must be identical to never having stopped. A state-encoding field
+    // the snapshot misses (scaler params, FIFO buffer, refit counter, or
+    // a model weights slot — ridge matrix or boost stumps) diverges the
+    // continuation and fails here.
+    for (model <- Seq("ridge", "boost")) {
+      val mcfg = cfg.copy(model = model)
+      def run(splitAt: Option[Int]): Seq[PipelineEvent] = {
+        implicit val sql = spark.sqlContext
+        val dir = Files.createTempDirectory(s"graft_restart_$model").toString
+        val ms = MemoryStream[RawTick]
+        def start() = StreamingPipeline.events(ms.toDS(), mcfg)
+          .writeStream.format("parquet")
+          .option("path", s"$dir/out").option("checkpointLocation", s"$dir/chk")
+          .outputMode("append").start()
+        splitAt match {
+          case None =>
+            val q = start()
+            try { ms.addData(fixture: _*); q.processAllAvailable() } finally q.stop()
+          case Some(n) =>
+            val (head, tail) = fixture.splitAt(n)
+            val q1 = start()
+            try { ms.addData(head: _*); q1.processAllAvailable() } finally q1.stop()
+            val q2 = start() // new query object, same checkpoint
+            try { ms.addData(tail: _*); q2.processAllAvailable() } finally q2.stop()
+        }
+        spark.read.parquet(s"$dir/out").as[PipelineEvent].collect().toSeq
+          .sortBy(e => (e.ts.getTime, e.kind, e.step, e.seq))
+      }
+      val uninterrupted = run(None)
+      // 22 ticks > lags+refit window: the first fit (and for boost its
+      // encoded stump state) is in GroupState when the stop hits
+      val restarted = run(Some(22))
+      assert(uninterrupted.nonEmpty, s"$model: no events")
+      assert(restarted == uninterrupted,
+        s"$model: restart from checkpoint diverged from the uninterrupted run")
+    }
+  }
+
   test("full DAG with foreachBatch fan-out: sinks byte-stable across replays (SNK-1..4, CTL-1/3)") {
     def runOnce(tag: String): Map[String, String] = {
       implicit val sql = spark.sqlContext
