@@ -85,6 +85,7 @@ object SparkEntry {
     "ts_outliers" -> (SeriesQueries.tsOutliers _), // exact-integer 3-MAD outlier gate per key
     "ts_ewma" -> (SeriesQueries.ewma _), // trailing-10 EWMA, ordered-fold bit parity with list_reduce
     "ts_autocorr" -> (SeriesQueries.lagAutocorr _), // lag-1 Pearson r from exact BIGINT sufficient stats
+    "ts_seasonal" -> (SeriesQueries.seasonalProfile _), // hour-of-day additive seasonal index from exact cent sums
     "q_funnel" -> (SeriesQueries.funnel _), // ordered view->click->purchase conversion funnel
     "q_evt_pctl" -> (SeriesQueries.hourlyPercentiles _), // hourly p25/p50/p75 bands per event type
     "q_transitions" -> (SeriesQueries.transitions _), // per-user event-type Markov transition matrix
@@ -160,6 +161,8 @@ object SparkEntry {
     "chunk_overlap" -> (TextAnalysis.chunkQuery _), // overlapping token-window training chunks
     // --- similarity search over embeddings ---
     "knn_exact" -> (Similarity.knnExactQuery _),
+    "knn_range_search" -> (Similarity.annIvfRangeQuery _), // IVF radius search: tau filter instead of rank window, data-dependent result size
+    "emb_project" -> (Similarity.projectSignedQuery _), // signed random projection (JL/Achlioptas): exact BIGINT sums over the 1e-6 grid, zero shuffle
     "knn_ann_lsh" -> (Similarity.annLshQuery _), // oracled: md5 planes + list_reduce replay the sign bits exactly (+ recall spec)
     "knn_ann_ivf" -> (Similarity.annIvfQuery _), // deterministic IVF-Flat => full hash oracle
     "knn_ann_ivf_refined" -> (Similarity.annIvfRefinedQuery _), // Lloyd-refined centroids: balanced lists = bounded probe cost
@@ -180,6 +183,8 @@ object SparkEntry {
     "split_folds" -> (Sampling.splitQuery _),
     "split_assign" -> (Sampling.splitAssignQuery _),
     "pack_sequences" -> (Sampling.packQuery _),
+    "pack_concat_chunk" -> (Sampling.concatChunkQuery _), // GPT-style concat-and-chunk: docs split across fixed-length sequences, zero padding
+    "mix_epochs" -> (Sampling.mixEpochsQuery _), // data-constrained epoch schedule (repeat-capped, deficit-reported; Muennighoff 2023)
     "sample_stratified" -> (Sampling.stratifiedSampleQuery _),
     "mix_sources" -> (Sampling.mixSourcesQuery _), // deterministic static domain reweighting (DoReMi-style)
     "mix_temperature" -> (Sampling.mixTemperatureQuery _), // alpha=0.5 temperature-flattened source sampling (XLM-R recipe; sqrt is IEEE-exact)
@@ -1187,6 +1192,25 @@ object SparkEntry {
          FROM c
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""",
+    "ts_seasonal" ->
+      // mirror of SeriesQueries.seasonalProfile: exact BIGINT cent sums to
+      // (user, hour-of-day), per-user rollup of that, outputs floor-scaled
+      // micro-units via sign·(abs div ·) — no double rounding anywhere
+      // (these small-integer ratios land on decimal ties constantly)
+      """WITH c AS (SELECT user_id, (epoch_us(ts::TIMESTAMP) // 3600000000) % 24 AS phase,
+                 CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+          p AS (SELECT user_id, phase, count(*)::BIGINT AS n, sum(cents)::BIGINT AS s
+                FROM c GROUP BY 1, 2),
+          u AS (SELECT user_id AS uu, sum(n)::BIGINT AS nu, sum(s)::BIGINT AS su
+                FROM p GROUP BY 1),
+          j AS (SELECT user_id, phase, n, s, nu, s * nu - su * n AS idx_n
+                FROM p JOIN u ON uu = user_id)
+          SELECT user_id, phase::BIGINT AS phase, n,
+            ((CASE WHEN s < 0 THEN -1 ELSE 1 END)
+              * (abs(s) * 10000 // n))::BIGINT AS phase_mean_u,
+            ((CASE WHEN idx_n < 0 THEN -1 ELSE 1 END)
+              * (abs(idx_n) * 10000 // (n * nu)))::BIGINT AS idx_u
+          FROM j""",
     "ts_autocorr" ->
       // five exact BIGINT sufficient statistics -> one shared double formula
       """WITH c AS (SELECT user_id, ts, event_id,
@@ -1741,6 +1765,40 @@ object SparkEntry {
                  / greatest(n_chars, 1) DESC, doc_id) AS rank
            FROM documents) t
          WHERE rank <= 100""",
+    "pack_concat_chunk" ->
+      // mirror of Sampling.concatChunk: per-shard running token totals,
+      // then each doc explodes into the sequences its [t_start, t_end)
+      // interval overlaps — all BIGINT interval arithmetic
+      s"""WITH t AS (SELECT doc_id, len($toksSql)::BIGINT AS n_tokens,
+                 ('0x'||substr(md5(doc_id::VARCHAR),1,15))::UBIGINT::BIGINT % 8 AS shard
+               FROM documents),
+          c AS (SELECT shard, doc_id, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS t_end
+               FROM t WHERE n_tokens > 0),
+          e AS (SELECT shard, doc_id, t_end, t_end - n_tokens AS t_start FROM c),
+          x AS (SELECT shard, doc_id, t_start, t_end,
+                 unnest(generate_series(t_start//256, (t_end-1)//256)) AS seq_id FROM e)
+          SELECT shard, seq_id::BIGINT AS seq_id, doc_id,
+            (greatest(t_start, seq_id*256) - t_start)::BIGINT AS doc_offset,
+            (least(t_end, (seq_id+1)*256) - greatest(t_start, seq_id*256))::BIGINT AS n_toks
+          FROM x""",
+    "mix_epochs" ->
+      // mirror of Sampling.mixEpochs at budget 40000, cap 4000 pm: all
+      // integer floor-division arithmetic, deficit reported not over-repeated
+      s"""WITH t AS (SELECT source, sum(len($toksSql))::BIGINT AS data_tokens
+                 FROM documents GROUP BY source),
+          tgt AS (SELECT * FROM (VALUES ('src0',400),('src1',250),('src2',200),('src3',150))
+                  v(source, t_pm)),
+          j AS (SELECT t.source, data_tokens, t_pm::BIGINT AS t_pm,
+                  (40000 * t_pm // 1000)::BIGINT AS wanted_tokens
+                FROM t JOIN tgt ON tgt.source = t.source),
+          k AS (SELECT *, least(4000, wanted_tokens * 1000 // data_tokens)::BIGINT AS epochs_pm
+                FROM j),
+          l AS (SELECT *, (data_tokens * epochs_pm // 1000)::BIGINT AS served_tokens FROM k)
+          SELECT source, data_tokens, t_pm, wanted_tokens, epochs_pm, served_tokens,
+            greatest(0, wanted_tokens - served_tokens)::BIGINT AS deficit_tokens
+          FROM l""",
     "pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, len($toksSql)::BIGINT AS n_tokens,
                  ('0x'||substr(md5(doc_id::VARCHAR),1,15))::UBIGINT::BIGINT % 8 AS shard
@@ -2150,6 +2208,42 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
            FROM c) t
          WHERE rank <= 5 ORDER BY q_id, rank""",
+    "knn_range_search" -> {
+      // mirror of Similarity.annIvfRange: the knn_ann_ivf candidate chain
+      // with the rank window replaced by a tau filter on the rounded cosine
+      def nn(filter: String, keep: Int, idAs: String, eAs: String) =
+        s"""SELECT $idAs, $eAs, c_id AS list_id FROM (
+              SELECT v.vec_id AS $idAs, v.embedding::DOUBLE[] AS $eAs, c.c_id,
+                row_number() OVER (PARTITION BY v.vec_id
+                  ORDER BY round(list_cosine_similarity(v.embedding::DOUBLE[], c.ce), 4) DESC,
+                           c.c_id) AS rk
+              FROM embeddings v, cent c $filter) t WHERE rk <= $keep"""
+      s"""WITH cent AS (
+            SELECT vec_id AS c_id, embedding::DOUBLE[] AS ce FROM embeddings
+            ORDER BY ${md5L60("vec_id::VARCHAR")}, vec_id LIMIT 16),
+          lists AS (${nn("", 1, "vec_id", "e")}),
+          probes AS (${nn("WHERE v.vec_id < 10", 4, "q_id", "qe")}),
+          cand AS (SELECT DISTINCT p.q_id, p.qe, l.vec_id AS n_id, l.e
+                   FROM lists l JOIN probes p ON p.list_id = l.list_id
+                                             AND l.vec_id <> p.q_id)
+          SELECT q_id, n_id, round(list_cosine_similarity(qe, e), 4) AS cos
+          FROM cand
+          WHERE round(list_cosine_similarity(qe, e), 4) >= 0.25"""
+    },
+    "emb_project" ->
+      // mirror of Similarity.projectSigned: the md5-parity sign matrix is
+      // derived in SQL; coordinates quantize to the 1e-6 grid so every
+      // signed sum is BIGINT-exact in both engines
+      """WITH ev AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                 CAST(round(unnest(embedding)::DOUBLE * 1e6, 0) AS BIGINT) AS qv
+               FROM embeddings),
+          s AS (SELECT j, i,
+                 CASE WHEN ('0x'||substr(md5('rp:'||j||':'||i),1,15))::UBIGINT % 2 = 0
+                      THEN 1 ELSE -1 END AS sgn
+               FROM range(16) r(j), range(64) r2(i))
+          SELECT ev.vec_id, s.j::BIGINT AS dim, sum(ev.qv * s.sgn)::BIGINT AS p
+          FROM ev JOIN s ON s.i = ev.i
+          GROUP BY ev.vec_id, s.j""",
     "knn_exact" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
                     FROM embeddings WHERE vec_id < 10),

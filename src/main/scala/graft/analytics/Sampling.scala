@@ -176,6 +176,81 @@ object Sampling {
       .select("doc_id", "source", "rate_pm")
   }
 
+  /** GPT-style CONCAT-AND-CHUNK packing — the pretraining layout where the
+    * corpus is one token stream cut into fixed `seqTokens`-token training
+    * sequences and a document crossing a boundary SPLITS across sequences
+    * ([[packSequences]] is the whole-doc bin variant; this one has zero
+    * padding by construction, which is why real pretraining runs use it).
+    * Within each hash shard documents concatenate in doc_id order; a
+    * document occupying token interval [t_start, t_end) emits one row per
+    * sequence it overlaps, carrying its in-document token offset and the
+    * token count it contributes there — so Σ n_toks per doc equals the
+    * doc's token count and Σ per sequence equals `seqTokens` except each
+    * shard's tail sequence (both laws spec-asserted).
+    *
+    * All BIGINT arithmetic on running token totals — the layout is a
+    * deterministic function of the input SET. Scale shape: one window
+    * over the shard key for the running total, then a row-local
+    * `sequence()` explode with fan-out ceil(len/seqTokens)+1 per doc —
+    * no join, no second shuffle; shards bound per-task window state and
+    * parallelize the packing exactly like [[packSequences]]. */
+  def concatChunk(docs: DataFrame, seqTokens: Long = 256,
+                  shards: Int = 8): DataFrame = {
+    require(seqTokens > 0 && shards > 0)
+    val toks = size(TextAnalysis.tokens(col("text"))).cast("long")
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), toks.as("n_tokens"))
+      .where(col("n_tokens") > 0) // a 0-token doc occupies no sequence
+      .withColumn("shard", hashBucket(col("doc_id"), shards))
+      .withColumn("t_end", sum(col("n_tokens")).over(w))
+      .withColumn("t_start", col("t_end") - col("n_tokens"))
+      .withColumn("seq_id",
+        explode(sequence(expr(s"t_start div $seqTokens"),
+          expr(s"(t_end - 1) div $seqTokens"))))
+      .select(col("shard"), col("seq_id"), col("doc_id"),
+        (greatest(col("t_start"), col("seq_id") * seqTokens) - col("t_start"))
+          .as("doc_offset"),
+        (least(col("t_end"), (col("seq_id") + 1) * seqTokens)
+          - greatest(col("t_start"), col("seq_id") * seqTokens)).as("n_toks"))
+  }
+
+  /** Data-constrained epoch scheduling (Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models", arXiv:2305.16264): given a total
+    * token budget and target per-mille mix shares, each source's wanted
+    * mass is `budget·t_pm div 1000` tokens; a source with less data than
+    * wanted REPEATS — up to `maxEpochsPm` per-mille epochs (default 4000
+    * = the paper's ~4-epoch point beyond which repeating stops helping) —
+    * and residual demand is recorded as `deficit_tokens` instead of
+    * over-repeating. All integer arithmetic (epochs held in per-mille),
+    * so the schedule is engine- and partitioning-exact.
+    *
+    * 100 TB shape: ONE per-source token-count aggregate (map-side
+    * combined over the scan) — the corpus itself never moves; the output
+    * schedule is vocabulary-sized metadata, like [[mixSources]]' rates. */
+  def mixEpochs(docs: DataFrame, budgetTokens: Long,
+                targetsPerMille: Seq[(String, Int)],
+                maxEpochsPm: Long = 4000): DataFrame = {
+    require(budgetTokens > 0 && maxEpochsPm > 0)
+    require(targetsPerMille.nonEmpty && targetsPerMille.forall(_._2 > 0))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val targets = targetsPerMille.toDF("source", "t_pm")
+      .select(col("source"), col("t_pm").cast("long").as("t_pm"))
+    val toks = size(TextAnalysis.tokens(col("text"))).cast("long")
+    docs.select(col("source"), toks.as("n_toks"))
+      .groupBy("source").agg(sum("n_toks").as("data_tokens"))
+      .join(broadcast(targets), "source")
+      .withColumn("wanted_tokens", expr(s"${budgetTokens}L * t_pm div 1000"))
+      .withColumn("epochs_pm",
+        least(lit(maxEpochsPm), expr("wanted_tokens * 1000 div data_tokens")))
+      .withColumn("served_tokens", expr("data_tokens * epochs_pm div 1000"))
+      .withColumn("deficit_tokens",
+        greatest(lit(0L), col("wanted_tokens") - col("served_tokens")))
+      .select("source", "data_tokens", "t_pm", "wanted_tokens",
+        "epochs_pm", "served_tokens", "deficit_tokens")
+  }
+
   // -- query entry points --
 
   def splitQuery(spark: SparkSession, dir: String): DataFrame =
@@ -220,4 +295,18 @@ object Sampling {
   def mixTemperatureQuery(spark: SparkSession, dir: String): DataFrame =
     mixTemperature(Tables.documents(spark, dir).select("doc_id", "source"))
       .orderBy("doc_id")
+
+  def concatChunkQuery(spark: SparkSession, dir: String): DataFrame =
+    concatChunk(Tables.documents(spark, dir))
+      .orderBy("shard", "seq_id", "doc_id")
+
+  /** Schedule a 40k-token run at the [[mixSourcesQuery]] 40/25/20/15 mix
+    * — a budget that exercises BOTH regimes at test scale: data-scarce
+    * sources hit the 4-epoch repeat cap and report deficit, data-rich
+    * ones get a fractional epoch (epochs_pm < 1000). */
+  def mixEpochsQuery(spark: SparkSession, dir: String): DataFrame =
+    mixEpochs(Tables.documents(spark, dir).select("source", "text"),
+      budgetTokens = 40000L,
+      Seq("src0" -> 400, "src1" -> 250, "src2" -> 200, "src3" -> 150))
+      .orderBy("source")
 }

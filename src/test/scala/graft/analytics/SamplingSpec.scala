@@ -126,4 +126,61 @@ class SamplingSpec extends SparkSpec {
       }
     }
   }
+
+  test("concat_chunk: token conservation, full sequences, contiguous doc offsets") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val rows = Sampling.concatChunk(docs)
+      .select("shard", "seq_id", "doc_id", "doc_offset", "n_toks")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // law 1: per doc, chunk offsets are contiguous from 0 and sum to the
+    // doc's token count (recomputed independently)
+    val toks = docs.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    rows.groupBy(_._3).foreach { case (id, chunks) =>
+      val sorted = chunks.sortBy(_._2)
+      var off = 0L
+      sorted.foreach { case (_, _, _, doff, n) =>
+        assert(doff == off, s"doc $id: offset $doff != $off")
+        assert(n > 0)
+        off += n
+      }
+      assert(off == toks(id), s"doc $id: chunk tokens $off != ${toks(id)}")
+    }
+    // law 2: every sequence is exactly full (256) except each shard's tail
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((shard, seq), chunks) =>
+      val tail = rows.filter(_._1 == shard).map(_._2).max
+      val total = chunks.map(_._5).sum
+      if (seq < tail) assert(total == 256L, s"seq ($shard,$seq) holds $total tokens")
+      else assert(total <= 256L)
+    }
+    // law 3: layout is a function of the input set, not its partitioning
+    val again = Sampling.concatChunk(docs.repartition(13))
+      .select("shard", "seq_id", "doc_id", "doc_offset", "n_toks")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.sortBy(r => (r._1, r._2, r._3)).toSeq ==
+      again.sortBy(r => (r._1, r._2, r._3)).toSeq)
+  }
+
+  test("mix_epochs: integer schedule laws — cap, served, deficit") {
+    val sched = Sampling.mixEpochs(
+      graft.Tables.documents(spark, sfDir).select("source", "text"),
+      budgetTokens = 40000L,
+      Seq("src0" -> 400, "src1" -> 250, "src2" -> 200, "src3" -> 150))
+      .select("source", "data_tokens", "wanted_tokens", "epochs_pm",
+        "served_tokens", "deficit_tokens")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(sched.length == 4)
+    sched.foreach { case (src, data, wanted, epm, served, deficit) =>
+      assert(epm > 0 && epm <= 4000, s"$src: epochs_pm $epm out of range")
+      assert(served == data * epm / 1000, s"$src: served mismatch")
+      assert(deficit == math.max(0L, wanted - served), s"$src: deficit mismatch")
+      // an uncapped source meets its demand up to integer-floor slack
+      if (epm < 4000) assert(deficit <= data / 1000 + 1,
+        s"$src: uncapped but deficit $deficit")
+      // a capped source serves exactly 4 epochs of what it has
+      else assert(served == data * 4, s"$src: capped but served != 4 epochs")
+    }
+  }
 }

@@ -1,5 +1,7 @@
 package graft.analytics
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 /** Laws for the round-5 series/stats operators (ts_ewma, ts_autocorr,
@@ -169,6 +171,38 @@ class SeriesStatsSpec extends SparkSpec {
       assert(ov >= jac(k) - 1e-9,
         s"overlap(min-normalized) must dominate jaccard(union-normalized) at $k")
       assert(ov > 0.0 && ov <= 1.0 + 1e-12, s"overlap out of range at $k: $ov")
+    }
+  }
+
+  test("ts_seasonal: exact integer replay from raw events; counts cover the table") {
+    val rows = SeriesQueries.seasonalProfile(spark, sfDir)
+      .select("user_id", "phase", "n", "phase_mean_u", "idx_u")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, p, n, _, _) => assert(p >= 0 && p < 24 && n > 0) }
+    val total = graft.Tables.events(spark, sfDir).count()
+    assert(rows.map(_._3).sum == total, "phase counts must cover every event")
+    // exact local replay of the whole integer pipeline from raw events
+    val raw = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("value"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (u, ts, v) =>
+        (u, (ts / 3600000000L) % 24,
+          BigDecimal(v * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      }
+    def scaled(num: Long, den: Long): Long =
+      (if (num < 0) -1L else 1L) * (math.abs(num) * 10000L / den)
+    val byPhase = raw.groupBy(r => (r._1, r._2)).view
+      .mapValues(g => (g.length.toLong, g.map(_._3).sum)).toMap
+    val byUser = raw.groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.map(_._3).sum)).toMap
+    rows.foreach { case (u, p, n, mu, iu) =>
+      val (en, es) = byPhase((u, p))
+      val (nu, su) = byUser(u)
+      assert(n == en, s"($u,$p): n $n != $en")
+      assert(mu == scaled(es, en), s"($u,$p): phase_mean_u $mu != ${scaled(es, en)}")
+      assert(iu == scaled(es * nu - su * en, en * nu),
+        s"($u,$p): idx_u $iu != ${scaled(es * nu - su * en, en * nu)}")
     }
   }
 }
