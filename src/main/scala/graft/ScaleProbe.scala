@@ -732,10 +732,86 @@ object ScaleProbe {
     // boost: 2M samples ≈ the fit cost of one 4-round pass over ~120M
     // quantized feature cells plus the n/10 and repartitioned refits
     "boost" -> 2000000L,
+    // projivf: 1M vectors x 256 lists ~ 16G mul-adds full-dim, the
+    // regime where the 4x dim cut in coarse assignment is visible
+    "projivf" -> 1000000L,
     // bpe: n docs × 40 words over a 200k-word vocabulary; the ×10
     // replicated arm pushes the word-count aggregation to 10× the
     // instances while the merge rounds stay vocabulary-bounded
     "bpe" -> 250000L)
+
+  /** Projection-assisted coarse assignment —
+    * [[graft.analytics.Similarity.annIvfProjected]]'s scale claim,
+    * measured: past the literal regime, assignment cost per vector is
+    * nLists × dims mul-adds; projecting to 16 dims first costs a
+    * one-off dims×16 per vector and divides the per-list term by 4, so
+    * the win grows with nLists (probed at 256). Reports both wall times
+    * and the primary-assignment agreement fraction (a recall proxy
+    * only — the serving rung re-ranks by exact full-dim cosine, so
+    * assignment disagreement shifts list geometry, never scores). */
+  private def probeProjIvf(spark: org.apache.spark.sql.SparkSession, n: Long): Boolean = {
+    import graft.analytics.Similarity
+    val clusters = 32
+    val nLists = 256
+    val u = (graft.functions.Hashes.md5Long60(col("id").cast("string")) % 1000000L)
+      .cast("double") / 1e6
+    val emb = spark.range(n)
+      .select(col("id").as("vec_id"), floor(u * u * clusters).cast("int").as("c"))
+      .select(col("vec_id"), expr(
+        """transform(sequence(0, 63), d ->
+          |  ((cast(conv(substring(md5(concat('c:', cast(c as string), ':', cast(d as string))), 1, 15), 16, 10) as long) % 2001) - 1000) / 1000.0D
+          |  + ((cast(conv(substring(md5(concat('n:', cast(vec_id as string), ':', cast(d as string))), 1, 15), 16, 10) as long) % 2001) - 1000) / 4000.0D)""".stripMargin)
+        .as("e"))
+    emb.cache().count()
+    def centDf(cents: Array[(Long, Array[Double])]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        cents.toSeq.map { case (cid, ce) => org.apache.spark.sql.Row(cid, ce.toSeq) }, 1),
+      new org.apache.spark.sql.types.StructType()
+        .add("c_id", "long", nullable = false).add("ce", "array<double>"))
+    def assignOver(frame: DataFrame, vecCol: String,
+                   cdf: org.apache.spark.sql.DataFrame): DataFrame =
+      frame.join(broadcast(cdf), lit(true))
+        .groupBy("vec_id")
+        .agg(max(struct(round(Similarity.cosine(col(vecCol), col("ce")), 4).as("c"),
+          (-col("c_id")).as("n"))).as("w"))
+        .select(col("vec_id"), (-col("w.n")).as("list_id"))
+    val cents = Similarity.hashCentroids(emb, nLists)
+    // centroids project driver-side with the exact operator arithmetic
+    def projLocal(ce: Array[Double]): Array[Double] = {
+      val q = ce.map(x => BigDecimal(x * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      Array.tabulate(16)(j =>
+        (0 until 64).map(i => q(i) * Similarity.rpSign(j, i)).sum.toDouble / 1e6)
+    }
+    val cents16 = cents.map { case (id, ce) => (id, projLocal(ce)) }
+    // two regimes, both reported honestly:
+    //  - inline: projection computed inside the assignment pass (the
+    //    zip_with/aggregate HOFs are not whole-stage-codegen'd, so at 1M
+    //    this measures ~break-even — the transform eats the dim savings);
+    //  - amortized: ep materialized once (what a real index build does —
+    //    the projected vectors ARE an index column), then every
+    //    assignment/refinement/probe scan pays 16 dims instead of 64.
+    val proj = Similarity.withProjection(emb, 64, 16).select(col("vec_id"), col("ep"))
+    val tFull = run(assignOver(emb, "e", centDf(cents)))
+    val tInline = run(assignOver(proj, "ep", centDf(cents16)))
+    val (_, tBuild) = timed { proj.cache().count() }
+    val tAmort = run(assignOver(proj, "ep", centDf(cents16)))
+    val agree = assignOver(emb, "e", centDf(cents)).withColumnRenamed("list_id", "lf")
+      .join(assignOver(proj, "ep", centDf(cents16)).withColumnRenamed("list_id", "lp"),
+        "vec_id")
+      .agg(avg(when(col("lf") === col("lp"), 1.0).otherwise(0.0))).head().getDouble(0)
+    proj.unpersist()
+    emb.unpersist()
+    val ok = agree >= 0.2 && tAmort < tFull
+    println(s"""{"probe":"projivf","n":$n,"n_lists":$nLists,""" +
+      s""""full_sec":${f"$tFull%.1f"},"inline_sec":${f"$tInline%.1f"},""" +
+      s""""build_sec":${f"$tBuild%.1f"},"amortized_sec":${f"$tAmort%.1f"},""" +
+      s""""amortized_speedup":${f"${tFull / math.max(0.1, tAmort)}%.2f"},""" +
+      s""""agree":${f"$agree%.4f"},"ok":$ok}""")
+    if (!ok) System.err.println(
+      s"[scaleprobe] projivf NOT ok: agree=$agree full=$tFull amortized=$tAmort")
+    ok
+  }
 
   def main(args: Array[String]): Unit = {
     val (which, nOpt) = args.toList match {
@@ -758,6 +834,7 @@ object ScaleProbe {
       case "hybridreal" => probeHybridReal(spark)
       case "boost" => probeBoost(spark, size)
       case "bpe" => probeBpe(spark, size)
+      case "projivf" => probeProjIvf(spark, size)
       case other =>
         System.err.println(
           s"unknown arm '$other'; known arms: ${defaults.keysIterator.toSeq.sorted.mkString(", ")} (or 'all')")

@@ -78,6 +78,7 @@ object SparkEntry {
     "q_evt_slide" -> (SeriesQueries.slidingRollup _), // built-in sliding window(3h,1h) in batch
     "q_sessionize" -> (SeriesQueries.sessionize _),
     "rj_sessions" -> (SeriesQueries.activeSessions _), // bucketed point-in-interval join (RangeJoin)
+    "rj_overlap" -> (SeriesQueries.concurrentSessions _), // interval-overlap self-join, canonical-bucket exactly-once (no pair dedup)
     "zorder_key" -> (Layout.zorderKey _), // native Morton-interleave expression (data-skipping layout)
     "hilbert_key" -> (Layout.hilbertKey _), // native Hilbert-curve expression: continuous sibling of zorder_key
     "layout_zone_stats" -> (Layout.zoneStats _), // zone-map manifest: per-tile min/max boxes readers prune with
@@ -86,6 +87,7 @@ object SparkEntry {
     "ts_ewma" -> (SeriesQueries.ewma _), // trailing-10 EWMA, ordered-fold bit parity with list_reduce
     "ts_autocorr" -> (SeriesQueries.lagAutocorr _), // lag-1 Pearson r from exact BIGINT sufficient stats
     "ts_seasonal" -> (SeriesQueries.seasonalProfile _), // hour-of-day additive seasonal index from exact cent sums
+    "ts_trend" -> (SeriesQueries.trendProfile _), // trailing-12 moving-average trend + residual, floor-scaled micro-units
     "q_funnel" -> (SeriesQueries.funnel _), // ordered view->click->purchase conversion funnel
     "q_evt_pctl" -> (SeriesQueries.hourlyPercentiles _), // hourly p25/p50/p75 bands per event type
     "q_transitions" -> (SeriesQueries.transitions _), // per-user event-type Markov transition matrix
@@ -163,6 +165,7 @@ object SparkEntry {
     "knn_exact" -> (Similarity.knnExactQuery _),
     "knn_range_search" -> (Similarity.annIvfRangeQuery _), // IVF radius search: tau filter instead of rank window, data-dependent result size
     "emb_project" -> (Similarity.projectSignedQuery _), // signed random projection (JL/Achlioptas): exact BIGINT sums over the 1e-6 grid, zero shuffle
+    "knn_ann_ivf_proj" -> (Similarity.annIvfProjectedQuery _), // coarse stage in 16-dim projected space, exact full-dim re-rank (OPQ-style split)
     "knn_ann_lsh" -> (Similarity.annLshQuery _), // oracled: md5 planes + list_reduce replay the sign bits exactly (+ recall spec)
     "knn_ann_ivf" -> (Similarity.annIvfQuery _), // deterministic IVF-Flat => full hash oracle
     "knn_ann_ivf_refined" -> (Similarity.annIvfRefinedQuery _), // Lloyd-refined centroids: balanced lists = bounded probe cost
@@ -185,6 +188,7 @@ object SparkEntry {
     "pack_sequences" -> (Sampling.packQuery _),
     "pack_concat_chunk" -> (Sampling.concatChunkQuery _), // GPT-style concat-and-chunk: docs split across fixed-length sequences, zero padding
     "mix_epochs" -> (Sampling.mixEpochsQuery _), // data-constrained epoch schedule (repeat-capped, deficit-reported; Muennighoff 2023)
+    "mix_curriculum" -> (Sampling.curriculumQuery _), // easy->hard curriculum stages by exact global quality rank (bucketed, no global sort)
     "sample_stratified" -> (Sampling.stratifiedSampleQuery _),
     "mix_sources" -> (Sampling.mixSourcesQuery _), // deterministic static domain reweighting (DoReMi-style)
     "mix_temperature" -> (Sampling.mixTemperatureQuery _), // alpha=0.5 temperature-flattened source sampling (XLM-R recipe; sqrt is IEEE-exact)
@@ -1211,6 +1215,24 @@ object SparkEntry {
             ((CASE WHEN idx_n < 0 THEN -1 ELSE 1 END)
               * (abs(idx_n) * 10000 // (n * nu)))::BIGINT AS idx_u
           FROM j""",
+    "ts_trend" ->
+      // mirror of SeriesQueries.trendProfile: trailing-12 BIGINT cent sums,
+      // residual numerator exact before the one scaled division, outputs
+      // floor-scaled micro-units via sign·(abs div ·)
+      """WITH c AS (SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+                 CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+          wnd AS (SELECT user_id, event_id, cents,
+                 (sum(cents) OVER w)::BIGINT AS s, (count(*) OVER w)::BIGINT AS n
+               FROM c
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                            ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)),
+          d AS (SELECT *, cents * n - s AS dev_n FROM wnd)
+          SELECT user_id, event_id, n,
+            ((CASE WHEN s < 0 THEN -1 ELSE 1 END)
+              * (abs(s) * 10000 // n))::BIGINT AS trend_u,
+            ((CASE WHEN dev_n < 0 THEN -1 ELSE 1 END)
+              * (abs(dev_n) * 10000 // n))::BIGINT AS resid_u
+          FROM d""",
     "ts_autocorr" ->
       // five exact BIGINT sufficient statistics -> one shared double formula
       """WITH c AS (SELECT user_id, ts, event_id,
@@ -1456,6 +1478,32 @@ object SparkEntry {
                FROM events WHERE event_type = 'purchase') e
          JOIN b ON e.ts_us >= b.start_us AND e.ts_us <= b.end_us
          GROUP BY e.event_id""",
+    "rj_overlap" ->
+      // mirror of SeriesQueries.concurrentSessions: the NAIVE inequality
+      // self-join over the rj_sessions session bounds (DuckDB IEJoin);
+      // the Spark side must match through the canonical-bucket
+      // exactly-once decomposition (RangeJoin.intervalOverlap)
+      """WITH t AS MATERIALIZED (
+           SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN epoch_us(ts::TIMESTAMP)
+                       - lag(epoch_us(ts::TIMESTAMP)) OVER w > 1800000000 THEN 1
+                  ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS MATERIALIZED (
+           SELECT user_id, ts_us,
+             (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
+           FROM t),
+         b AS MATERIALIZED (
+           SELECT user_id, session_id, min(ts_us) AS start_us, max(ts_us) AS end_us
+           FROM s GROUP BY user_id, session_id)
+         SELECT x.user_id, x.session_id, count(y.user_id)::BIGINT AS n_concurrent
+         FROM b x LEFT JOIN b y
+           ON x.start_us <= y.end_us AND y.start_us <= x.end_us
+           AND NOT (x.user_id = y.user_id AND x.session_id = y.session_id)
+         GROUP BY 1, 2""",
     "q_skew_join" ->
       // the PLAIN join: the salted execution must be result-identical
       """SELECT event_type, count(*) AS n, sum(n_user_events)::BIGINT AS total_weight
@@ -1799,6 +1847,19 @@ object SparkEntry {
           SELECT source, data_tokens, t_pm, wanted_tokens, epochs_pm, served_tokens,
             greatest(0, wanted_tokens - served_tokens)::BIGINT AS deficit_tokens
           FROM l""",
+    "mix_curriculum" ->
+      // mirror of Sampling.curriculumStages over the txt_quality score:
+      // plain ntile over the exact (quality ASC, doc_id) order — the Spark
+      // side must reproduce it through the bucketed two-pass rank
+      s"""WITH q AS (SELECT doc_id,
+                 round(round(len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is)\\b'))
+                       / len($toksSql), 4) * 2.0
+                   - round(len(regexp_extract_all(text, '[.!?,;:]')) / length(text), 4),
+                   4) AS quality
+               FROM documents)
+          SELECT doc_id, quality,
+            ntile(4) OVER (ORDER BY quality ASC, doc_id) AS stage
+          FROM q""",
     "pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, len($toksSql)::BIGINT AS n_tokens,
                  ('0x'||substr(md5(doc_id::VARCHAR),1,15))::UBIGINT::BIGINT % 8 AS shard
@@ -2244,6 +2305,41 @@ object SparkEntry {
           SELECT ev.vec_id, s.j::BIGINT AS dim, sum(ev.qv * s.sgn)::BIGINT AS p
           FROM ev JOIN s ON s.i = ev.i
           GROUP BY ev.vec_id, s.j""",
+    "knn_ann_ivf_proj" ->
+      // mirror of Similarity.annIvfProjected: the emb_project sign matrix
+      // builds 16-dim list vectors (exact BIGINT sums / 1e6 — one IEEE
+      // division); assignment + probing rank by PROJECTED cosine, the
+      // final re-rank by exact full-dimension cosine
+      s"""WITH ev AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                 CAST(round(unnest(embedding)::DOUBLE * 1e6, 0) AS BIGINT) AS qv
+               FROM embeddings),
+          sg AS (SELECT j, i,
+                 CASE WHEN ('0x'||substr(md5('rp:'||j||':'||i),1,15))::UBIGINT % 2 = 0
+                      THEN 1 ELSE -1 END AS sgn
+               FROM range(16) r(j), range(64) r2(i)),
+          pr AS (SELECT ev.vec_id, sg.j, sum(ev.qv * sg.sgn)::BIGINT AS p
+               FROM ev JOIN sg ON sg.i = ev.i GROUP BY 1, 2),
+          pv AS (SELECT vec_id, list(p::DOUBLE / 1000000.0 ORDER BY j) AS ep
+                 FROM pr GROUP BY vec_id),
+          f AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS fe, pv.ep
+                FROM embeddings e JOIN pv ON pv.vec_id = e.vec_id),
+          cent AS (SELECT vec_id AS c_id, ep AS ce FROM pv
+                   ORDER BY ${md5L60("vec_id::VARCHAR")}, vec_id LIMIT 16),
+          lists AS (SELECT vec_id, fe, c_id AS list_id FROM (
+             SELECT f.vec_id, f.fe, c.c_id, row_number() OVER (PARTITION BY f.vec_id
+               ORDER BY round(list_cosine_similarity(f.ep, c.ce), 4) DESC, c.c_id) AS rk
+             FROM f, cent c) t WHERE rk <= 1),
+          probes AS (SELECT q_id, qe, c_id AS list_id FROM (
+             SELECT f.vec_id AS q_id, f.fe AS qe, c.c_id, row_number() OVER (PARTITION BY f.vec_id
+               ORDER BY round(list_cosine_similarity(f.ep, c.ce), 4) DESC, c.c_id) AS rk
+             FROM f, cent c WHERE f.vec_id < 10) t WHERE rk <= 4),
+          cand AS (SELECT DISTINCT p.q_id, p.qe, l.vec_id AS n_id, l.fe
+                   FROM lists l JOIN probes p ON p.list_id = l.list_id AND l.vec_id <> p.q_id)
+          SELECT q_id, n_id, rank, cos FROM (
+            SELECT q_id, n_id, round(list_cosine_similarity(qe, fe), 4) AS cos,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY round(list_cosine_similarity(qe, fe), 4) DESC, n_id)::BIGINT AS rank
+            FROM cand) t WHERE rank <= 5""",
     "knn_exact" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
                     FROM embeddings WHERE vec_id < 10),

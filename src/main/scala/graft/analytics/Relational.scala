@@ -403,44 +403,63 @@ object Relational {
                              buckets: Int = 32): DataFrame =
     quartilesBucketed(spendPerCustomer(spark, dir), buckets)
 
-  /** The bucketed exact-rank core over any (o_custkey, total_spend)
-    * frame — see [[spendQuartilesScalable]] for the algorithm. */
-  def quartilesBucketed(spendIn: DataFrame, buckets: Int = 32): DataFrame = {
-    val spend = spendIn.persist()
-    val cutoffs = spend.stat
-      .approxQuantile("total_spend", (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+  /** The bucketed exact-rank core over ANY (id, value) frame — the
+    * scalable replacement for a global-order window (see
+    * [[spendQuartilesScalable]] for the full algorithm note). Returns the
+    * input plus `__rn` = the exact 1-based global rank under
+    * (value DESC-or-ASC, id ASC), and the total row count. Cutoff VALUES
+    * come from `approxQuantile` and affect only bucket balance, never
+    * correctness; equal values always share a bucket, so bucketing
+    * coarsens (never crosses) the total order. Shared by the spend
+    * quartiles and [[Sampling.curriculumStages]]' easy→hard staging. */
+  private[analytics] def bucketedRank(dfIn: DataFrame, idCol: String,
+      valCol: String, buckets: Int, desc: Boolean): (DataFrame, Long) = {
+    val df = dfIn.persist()
+    val cutoffs = df.stat
+      .approxQuantile(valCol, (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
       .distinct.sorted
-    // bucket(x) = |{cutoff >= x}|: descending in spend, tie-stable (equal
-    // spend -> equal bucket), 0 = the top spenders. A codegen'd when-chain
-    // over <= `buckets` literals, evaluated on the AGGREGATED frame only.
+    // bucket(x): tie-stable strict comparisons against constants; bucket 0
+    // holds the rows that come FIRST in the requested order. A codegen'd
+    // when-chain over <= `buckets` literals.
+    val ordered = if (desc) cutoffs.reverse else cutoffs
     val bucketCol: org.apache.spark.sql.Column =
       if (cutoffs.isEmpty) lit(0)
-      else cutoffs.reverse.zipWithIndex.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+      else ordered.zipWithIndex.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
         case (acc, (c, i)) =>
-          Some(acc.fold(when(col("total_spend") > c, i))(_.when(col("total_spend") > c, i)))
+          val cond = if (desc) col(valCol) > c else col(valCol) < c
+          Some(acc.fold(when(cond, i))(_.when(cond, i)))
       }.get.otherwise(cutoffs.length)
-    val withB = spend.withColumn("__b", bucketCol)
+    val withB = df.withColumn("__b", bucketCol)
     val counts = withB.groupBy("__b").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val n = counts.map(_._2).sum
     val offsets: Map[Int, Long] =
       counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _)).toMap
-    val wb = Window.partitionBy("__b").orderBy(col("total_spend").desc, col("o_custkey"))
-    val ranked = withB
-      .withColumn("__rn",
-        element_at(typedLit(offsets), col("__b")) + row_number().over(wb).cast("long"))
-    // ntile(4): the first n%4 tiles take ceil(n/4) rows, the rest floor —
-    // branch on constants so no div-by-zero path exists when n < 4
-    val q4 = n / 4; val r4 = n % 4
-    val quartile =
-      if (q4 == 0) col("__rn")
-      else expr(s"CASE WHEN __rn <= ${r4 * (q4 + 1)} THEN (__rn + $q4) div ${q4 + 1} " +
-        s"ELSE $r4 + (__rn - ${r4 * (q4 + 1)} + ${q4 - 1}) div $q4 END")
+    val wb = Window.partitionBy("__b")
+      .orderBy(if (desc) col(valCol).desc else col(valCol).asc, col(idCol))
+    (withB.withColumn("__rn",
+      element_at(typedLit(offsets), col("__b")) + row_number().over(wb).cast("long")), n)
+  }
+
+  /** Exact ntile(tiles) from the reconstructed global rank `__rn`: the
+    * first n%tiles tiles take ceil(n/tiles) rows, the rest floor —
+    * branch on constants so no div-by-zero path exists when n < tiles. */
+  private[analytics] def ntileCol(n: Long, tiles: Int): org.apache.spark.sql.Column = {
+    val q = n / tiles; val r = n % tiles
+    if (q == 0) col("__rn")
+    else expr(s"CASE WHEN __rn <= ${r * (q + 1)} THEN (__rn + $q) div ${q + 1} " +
+      s"ELSE $r + (__rn - ${r * (q + 1)} + ${q - 1}) div $q END")
+  }
+
+  /** The bucketed exact-rank quartiles over any (o_custkey, total_spend)
+    * frame — see [[spendQuartilesScalable]] for the algorithm. */
+  def quartilesBucketed(spendIn: DataFrame, buckets: Int = 32): DataFrame = {
+    val (ranked, n) = bucketedRank(spendIn, "o_custkey", "total_spend", buckets, desc = true)
     val pctRank =
       if (n <= 1) lit(0.0)
       else round((col("__rn") - 1).cast("double") / lit((n - 1).toDouble), 6)
     ranked.select(col("o_custkey"), col("total_spend"),
-        quartile.as("quartile"),
+        ntileCol(n, 4).as("quartile"),
         pctRank.as("pct_rank"),
         round(col("__rn").cast("double") / lit(n.toDouble), 6).as("cume"))
       .orderBy("o_custkey")

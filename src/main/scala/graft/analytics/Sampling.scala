@@ -251,6 +251,27 @@ object Sampling {
         "epochs_pm", "served_tokens", "deficit_tokens")
   }
 
+  /** Curriculum staging (curriculum learning, Bengio et al. 2009): order
+    * the corpus easy→hard by a score and split it into `nStages` equal
+    * stages by EXACT global rank (ntile semantics, ties by doc_id so the
+    * assignment is a deterministic function of the input set) — the
+    * stage column a training loader filters on per epoch phase.
+    *
+    * The rank comes from [[Relational.bucketedRank]]'s two-pass bucketed
+    * form — the q_spend_quartiles machinery — because the naive
+    * formulation is ONE global-order window, i.e. a single-partition
+    * sort of the whole corpus at scale; bucketing turns it into a
+    * bounded when-chain scan + per-bucket windows + a broadcast offset
+    * map, all executor-sized. */
+  def curriculumStages(scored: DataFrame, nStages: Int = 4,
+                       buckets: Int = 32): DataFrame = {
+    require(nStages > 0)
+    val (ranked, n) = Relational.bucketedRank(scored, "doc_id", "quality",
+      buckets, desc = false)
+    ranked.select(col("doc_id"), col("quality"),
+      Relational.ntileCol(n, nStages).as("stage"))
+  }
+
   // -- query entry points --
 
   def splitQuery(spark: SparkSession, dir: String): DataFrame =
@@ -294,6 +315,13 @@ object Sampling {
 
   def mixTemperatureQuery(spark: SparkSession, dir: String): DataFrame =
     mixTemperature(Tables.documents(spark, dir).select("doc_id", "source"))
+      .orderBy("doc_id")
+
+  /** Stage the documents corpus easy→hard by the txt_quality composite. */
+  def curriculumQuery(spark: SparkSession, dir: String): DataFrame =
+    curriculumStages(
+      TextAnalysis.qualityScore(Tables.documents(spark, dir))
+        .select("doc_id", "quality"))
       .orderBy("doc_id")
 
   def concatChunkQuery(spark: SparkSession, dir: String): DataFrame =

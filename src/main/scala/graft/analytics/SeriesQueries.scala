@@ -288,6 +288,36 @@ object SeriesQueries {
       .orderBy("event_id")
   }
 
+  /** Session concurrency — for every session, how many OTHER sessions
+    * (any user) overlap it in time: the interval-overlap self-join shape
+    * (capacity planning / concurrency analytics), executed through
+    * [[graft.operators.RangeJoin.intervalOverlap]]'s canonical-bucket
+    * decomposition so each overlapping pair is produced exactly once
+    * with NO pair-level dedup shuffle — the naive `a.lo <= b.hi AND
+    * b.lo <= a.hi` θ-join is a nested-loop product at scale. Zero-overlap
+    * sessions are kept via a left join back onto the session frame
+    * (count of a nullable side mirrors SQL's LEFT JOIN + count(col)). */
+  def concurrentSessions(spark: SparkSession, dir: String): DataFrame = {
+    val s = sessionBounds(spark, dir)
+      .select("user_id", "session_id", "start_us", "end_us")
+    val a = s.select(col("user_id").as("a_user"), col("session_id").as("a_sid"),
+      col("start_us").as("a_lo"), col("end_us").as("a_hi"))
+    val b = s.select(col("user_id").as("b_user"), col("session_id").as("b_sid"),
+      col("start_us").as("b_lo"), col("end_us").as("b_hi"))
+    val counts = graft.operators.RangeJoin
+      .intervalOverlap(a, b, "a_lo", "a_hi", "b_lo", "b_hi",
+        bucketWidth = 30L * 60 * 1000 * 1000)
+      .where(!(col("a_user") === col("b_user") && col("a_sid") === col("b_sid")))
+      .groupBy("a_user", "a_sid")
+      .agg(count(lit(1)).as("n_concurrent"))
+    s.join(counts,
+        col("user_id") === col("a_user") && col("session_id") === col("a_sid"),
+        "left")
+      .select(col("user_id"), col("session_id"),
+        coalesce(col("n_concurrent"), lit(0L)).as("n_concurrent"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** Deterministic EWMA (α = 1/4) over the trailing 10 observations per
     * key — the smoothing pass a tick store exposes next to the raw series
     * (the bounded-window form: at 100 TB an unbounded recurrence would
@@ -385,6 +415,35 @@ object SeriesQueries {
         expr("(CASE WHEN idx_n < 0 THEN -1L ELSE 1L END)" +
           " * (abs(idx_n) * 10000 div (n * nu))").as("idx_u"))
       .orderBy("user_id", "phase")
+  }
+
+  /** Trailing moving-average TREND + residual per key — the trend half
+    * of the decomposition beside [[seasonalProfile]]'s seasonal half:
+    * per event, the mean of the trailing 12 observations (a BOUNDED
+    * frame — an unbounded trend would chain each row to its key's full
+    * history, the same scale law as [[ewma]]'s 10 taps) and the event's
+    * deviation from it. Exact throughout: the window SUM of cents is
+    * BIGINT, `n` is the actual frame size (< 12 at a series head), the
+    * residual numerator `cents·n − s` is BIGINT before the one scaled
+    * division, and outputs are floor-scaled micro-units via
+    * `sign·(abs div ·)` — the [[seasonalProfile]] discipline, because
+    * small-integer ratios land on decimal ties constantly. One window
+    * pass, one shuffle on the key. */
+  def trendProfile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(col): _*)
+      .rowsBetween(-11, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .withColumn("s", sum("cents").over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("dev_n", col("cents") * col("n") - col("s"))
+      .select(col("user_id"), col("event_id"), col("n"),
+        expr("(CASE WHEN s < 0 THEN -1L ELSE 1L END) * (abs(s) * 10000 div n)")
+          .as("trend_u"),
+        expr("(CASE WHEN dev_n < 0 THEN -1L ELSE 1L END)" +
+          " * (abs(dev_n) * 10000 div n)").as("resid_u"))
+      .orderBy("user_id", "event_id")
   }
 
   /** Ordered conversion funnel view → click → purchase with first-

@@ -658,6 +658,86 @@ object Similarity {
   def projectSignedQuery(spark: SparkSession, dir: String): DataFrame =
     projectSigned(embeddingsD(spark, dir)).orderBy("vec_id", "dim")
 
+  /** (vec_id, e, ep): the input frame plus its [[projectSigned]]
+    * projection as an `outDims`-long array<double> column (each
+    * coordinate = exact BIGINT signed sum / 1e6 — one IEEE division, so
+    * the doubles are engine-identical). Row-local, zero shuffle. */
+  private[graft] def withProjection(emb: DataFrame, dims: Int, outDims: Int): DataFrame = {
+    val projs = (0 until outDims).map { j =>
+      val signs = typedLit((0 until dims).map(i => rpSign(j, i)))
+      (aggregate(zip_with(col("__q"), signs, (x, s) => x * s),
+        lit(0L), (a, v) => a + v).cast("double") / lit(1e6)).as(s"__p$j")
+    }
+    emb.withColumn("__q", transform(col("e"), x => round(x * 1e6, 0).cast("long")))
+      .select(Seq(col("vec_id"), col("e")) ++ projs: _*)
+      .withColumn("ep", array((0 until outDims).map(j => col(s"__p$j")): _*))
+      .select("vec_id", "e", "ep")
+  }
+
+  /** PROJECTION-ASSISTED IVF — the [[projectSigned]] reduction put to
+    * work in the ANN ladder: the COARSE stage (centroid assignment and
+    * query probing, the per-vector × nLists cosine cost that dominates
+    * index build at scale) runs in the 16-dim projected space, while the
+    * FINE stage re-ranks candidates by exact full-dimension cosine, so
+    * final scores are identical in kind to [[annIvfCosine]]'s and only
+    * the list geometry differs (recall@5 measured EQUAL to plain IVF on
+    * the corpus — `AnnRecallContractSpec`). The classic two-stage
+    * coarse-quantize/re-rank split (OPQ/ADC-style) with the JL sign
+    * matrix as the transform.
+    *
+    * Cost model, probe-measured (`ScaleProbe projivf`, 1M × 256 lists):
+    * computing the projection INLINE in the assignment pass is
+    * ~break-even (the zip_with/aggregate transform is not
+    * whole-stage-codegen'd and eats the dim savings); the win is the
+    * AMORTIZED regime — a real index build stores `ep` as an index
+    * column once (26 s at 1M), and every subsequent assignment / Lloyd
+    * round / probe scan runs 1.46× faster (40.0 vs 58.4 s; the residual
+    * floor is per-centroid argmax bookkeeping, not the dot product), so
+    * the build amortizes inside ~2 scans. Same 100 TB shape as every
+    * IVF rung: centroids are model-parameter literals, one assignment
+    * scan, probe equi-join on list id, corpus never shuffled by
+    * embedding. */
+  def annIvfProjected(spark: SparkSession, dir: String, nQueries: Int = 10,
+                      k: Int = 5, nLists: Int = 16, nProbe: Int = 4,
+                      outDims: Int = 16): DataFrame = {
+    val proj = withProjection(embeddingsD(spark, dir), 64, outDims)
+    // centroid SAMPLE ids are hash-chosen (vector-independent), but the
+    // centroid VECTORS live in projected space — the index is built
+    // entirely over ep
+    val cents = hashCentroids(
+      proj.select(col("vec_id"), col("ep").as("e")), nLists)
+    val lists = proj.withColumn("list_id", listIdColFor(cents)(col("ep")))
+      .select("vec_id", "e", "list_id")
+    val cent = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        cents.toSeq.map { case (cid, ce) => org.apache.spark.sql.Row(cid, ce.toSeq) }, 1),
+      new org.apache.spark.sql.types.StructType()
+        .add("c_id", "long", nullable = false)
+        .add("ce", "array<double>"))
+    val probes = proj.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("ep").as("qep"))
+      .join(broadcast(cent), lit(true))
+      .select(col("q_id"), col("qe"), col("c_id"),
+        round(cosine(col("qep"), col("ce")), 4).as("__cos"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("__cos").desc, col("c_id"))))
+      .where(col("__rk") <= nProbe)
+      .select(col("q_id"), col("qe"), col("c_id").as("list_id"))
+    lists.join(broadcast(probes), Seq("list_id"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("qe"), col("vec_id").as("n_id"), col("e"))
+      .dropDuplicates("q_id", "n_id")
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("qe"), col("e")), 4).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))).cast("long"))
+      .where(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cos")
+  }
+
+  def annIvfProjectedQuery(spark: SparkSession, dir: String): DataFrame =
+    annIvfProjected(spark, dir).orderBy("q_id", "rank")
+
   def knnExactQuery(spark: SparkSession, dir: String): DataFrame =
     knnExact(spark, dir).orderBy("q_id", "rank")
 

@@ -25,6 +25,14 @@ class ExplainSnapshotSpec extends SparkSpec {
   test("physical-plan counters match the golden snapshot for every query") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // cache-independence: another suite in the same JVM may have left a
+    // Dedup/Similarity intermediate cached, and a cached subtree swaps an
+    // exchange+codegen span for an InMemoryRelation — the counters would
+    // then depend on SUITE ORDER, not on the plan (observed:
+    // dedup_keep_best (6,7,2) solo vs (5,6,2) after a polluting suite).
+    // Queries built HERE still cache eagerly in sorted-name order, which
+    // the regeneration path reproduces exactly.
+    spark.sharedState.cacheManager.clearCache()
     val current: Seq[(String, String)] =
       try SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         name -> Explain.counters(fn(spark, sfDir).queryExecution).csv

@@ -163,6 +163,37 @@ class SamplingSpec extends SparkSpec {
       again.sortBy(r => (r._1, r._2, r._3)).toSeq)
   }
 
+  test("mix_curriculum: bucketed stages equal the exact sort-based ntile, sizes within 1") {
+    val scored = TextAnalysis.qualityScore(graft.Tables.documents(spark, sfDir))
+      .select("doc_id", "quality")
+    val got = Sampling.curriculumStages(scored)
+      .select("doc_id", "quality", "stage")
+      .as[(Long, Double, Long)].collect()
+    assert(got.nonEmpty)
+    // exact replay: sort by (quality, doc_id), apply the ntile ceil/floor
+    // split locally — the bucketed two-pass rank must match it bit-for-bit
+    val n = got.length
+    val q = n / 4; val r = n % 4
+    def ntileOf(rn: Int): Long = // rn is 1-based
+      if (q == 0) rn.toLong
+      else if (rn <= r * (q + 1)) ((rn + q) / (q + 1)).toLong
+      else (r + (rn - r * (q + 1) + q - 1) / q).toLong
+    val expect = got.sortBy(x => (x._2, x._1)).zipWithIndex
+      .map { case ((id, _, _), i) => id -> ntileOf(i + 1) }.toMap
+    got.foreach { case (id, _, st) =>
+      assert(st == expect(id), s"doc $id: stage $st != ${expect(id)}")
+    }
+    // stage sizes differ by at most 1 and stages are quality-ordered
+    val sizes = got.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes.keySet == (1L to 4L).toSet)
+    assert(sizes.values.max - sizes.values.min <= 1)
+    val maxByStage = got.groupBy(_._3).view.mapValues(_.map(x => (x._2, x._1)).max).toMap
+    val minByStage = got.groupBy(_._3).view.mapValues(_.map(x => (x._2, x._1)).min).toMap
+    for (s <- 1L to 3L)
+      assert(Ordering[(Double, Long)].lt(maxByStage(s), minByStage(s + 1)),
+        s"stage $s overlaps stage ${s + 1} in (quality, doc_id) order")
+  }
+
   test("mix_epochs: integer schedule laws — cap, served, deficit") {
     val sched = Sampling.mixEpochs(
       graft.Tables.documents(spark, sfDir).select("source", "text"),

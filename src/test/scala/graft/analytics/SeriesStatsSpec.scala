@@ -174,6 +174,39 @@ class SeriesStatsSpec extends SparkSpec {
     }
   }
 
+  test("ts_trend: exact integer replay of the trailing-12 window from raw events") {
+    val rows = SeriesQueries.trendProfile(spark, sfDir)
+      .select("user_id", "event_id", "n", "trend_u", "resid_u")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    def scaled(num: Long, den: Long): Long =
+      (if (num < 0) -1L else 1L) * (math.abs(num) * 10000L / den)
+    val raw = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (u, ts, id, v) =>
+        (u, ts, id,
+          BigDecimal(v * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      }
+    val expect = raw.groupBy(_._1).flatMap { case (u, g) =>
+      val ordered = g.sortBy(r => (r._2, r._3))
+      ordered.indices.map { i =>
+        val frame = ordered.slice(math.max(0, i - 11), i + 1)
+        val s = frame.map(_._4).sum
+        val n = frame.length.toLong
+        val c = ordered(i)._4
+        (u, ordered(i)._3) -> ((n, scaled(s, n), scaled(c * n - s, n)))
+      }
+    }
+    rows.foreach { case (u, id, n, tu, ru) =>
+      val (en, et, er) = expect((u, id))
+      assert(n == en && tu == et && ru == er,
+        s"($u,$id): got ($n,$tu,$ru) want ($en,$et,$er)")
+    }
+    // a frame head has n < 12; steady state has n == 12
+    assert(rows.exists(_._3 < 12) && rows.exists(_._3 == 12))
+  }
+
   test("ts_seasonal: exact integer replay from raw events; counts cover the table") {
     val rows = SeriesQueries.seasonalProfile(spark, sfDir)
       .select("user_id", "phase", "n", "phase_mean_u", "idx_u")

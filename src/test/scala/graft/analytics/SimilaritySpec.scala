@@ -489,6 +489,29 @@ class SimilaritySpec extends SparkSpec {
       }
   }
 
+  test("projected IVF: final scores are exact full-dim cosines; rank contiguous per query") {
+    import org.apache.spark.sql.functions.col
+    val got = Similarity.annIvfProjected(spark, sfDir)
+      .select("q_id", "n_id", "rank", "cos").as[(Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    // the coarse stage is projected, but every returned score must be the
+    // EXACT full-dimension rounded cosine — re-rank quality is not traded
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    got.foreach { case (q, n, _, c) =>
+      assert(c == r4(cos(vecs(q), vecs(n))), s"($q,$n): $c is not the exact full-dim cosine")
+    }
+    got.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq, s"query $q ranks not contiguous")
+    }
+  }
+
   test("range search: tau law, superset of the thresholded top-k, no window in the result") {
     import org.apache.spark.sql.functions.col
     val tau = 0.25

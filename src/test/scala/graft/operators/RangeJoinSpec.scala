@@ -67,6 +67,48 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("interval overlap: equals the naive theta-join, exactly once, for any width (seeded)") {
+    val rnd = new scala.util.Random(17)
+    def ivset(n: Int, pre: String) = Seq.tabulate(n) { i =>
+      val lo = rnd.nextLong().abs % 10000
+      (i.toLong, lo, lo + rnd.nextLong().abs % 800)
+    }.toDF(s"${pre}_id", s"${pre}_lo", s"${pre}_hi")
+    val a = ivset(150, "a")
+    val b = ivset(100, "b")
+    val naive = a.join(b, $"a_lo" <= $"b_hi" && $"b_lo" <= $"a_hi")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq.sorted
+    assert(naive.nonEmpty)
+    for (w <- Seq(1L, 13L, 100L, 999L, 10000L, 1000000L)) {
+      val got = RangeJoin.intervalOverlap(a, b, "a_lo", "a_hi", "b_lo", "b_hi", w)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSeq.sorted
+      assert(got == naive, s"width $w diverges from the naive overlap join")
+      // canonical-bucket uniqueness: no pair appears twice, no dedup ran
+      assert(got.distinct == got, s"width $w produced duplicate pairs")
+    }
+    // plan shape: hash equi-join on the bucket, not a nested loop
+    val plan = RangeJoin.intervalOverlap(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"overlap join degenerated to all-pairs:\n$plan")
+  }
+
+  test("rj_overlap query: symmetric counts, all sessions present, matches naive recount") {
+    val got = graft.analytics.SeriesQueries.concurrentSessions(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    val sessions = graft.analytics.SeriesQueries.sessionBounds(spark, sfDir)
+      .select("user_id", "session_id", "start_us", "end_us")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.length == sessions.length, "every session must appear, zeros included")
+    // each overlapping pair contributes to both endpoints
+    assert(got.map(_._3).sum % 2 == 0, "total overlap mass must be even")
+    val naive = sessions.map { case (u, sid, lo, hi) =>
+      (u, sid, sessions.count { case (u2, sid2, lo2, hi2) =>
+        !(u2 == u && sid2 == sid) && lo <= hi2 && lo2 <= hi
+      }.toLong)
+    }.sortBy(r => (r._1, r._2))
+    assert(got.sortBy(r => (r._1, r._2)) == naive)
+  }
+
   test("rj_sessions query matches a naive recomputation at sf0.001") {
     val got = graft.analytics.SeriesQueries.activeSessions(spark, sfDir)
       .as[(Long, Long)].collect().toSeq
