@@ -160,6 +160,7 @@ object SparkEntry {
     "pipe_prep_quality" -> (PrepPipeline.manifestQuality _), // v2: near-dup clusters + argmax-quality keeper (FineWeb-style)
     "pipe_prep_clean" -> (PrepPipeline.manifestClean _), // v3: + substring EXCISION before clustering (dedup the bytes, then the docs)
     "pipe_prep_semantic" -> (PrepPipeline.manifestSemantic _), // v4: + SemDeDup prune over the survivors' embeddings (paraphrase mass)
+    "pipe_prep_train" -> (PrepPipeline.manifestTrain _), // the training-ready view: survivors -> curriculum stage -> concat-chunk sequences
     "chunk_overlap" -> (TextAnalysis.chunkQuery _), // overlapping token-window training chunks
     // --- similarity search over embeddings ---
     "knn_exact" -> (Similarity.knnExactQuery _),
@@ -189,6 +190,7 @@ object SparkEntry {
     "pack_concat_chunk" -> (Sampling.concatChunkQuery _), // GPT-style concat-and-chunk: docs split across fixed-length sequences, zero padding
     "mix_epochs" -> (Sampling.mixEpochsQuery _), // data-constrained epoch schedule (repeat-capped, deficit-reported; Muennighoff 2023)
     "mix_curriculum" -> (Sampling.curriculumQuery _), // easy->hard curriculum stages by exact global quality rank (bucketed, no global sort)
+    "mix_epochs_expand" -> (Sampling.mixEpochsExpandQuery _), // the epoch schedule materialized: per-copy rows, fractional epoch via salted hash
     "sample_stratified" -> (Sampling.stratifiedSampleQuery _),
     "mix_sources" -> (Sampling.mixSourcesQuery _), // deterministic static domain reweighting (DoReMi-style)
     "mix_temperature" -> (Sampling.mixTemperatureQuery _), // alpha=0.5 temperature-flattened source sampling (XLM-R recipe; sqrt is IEEE-exact)
@@ -362,7 +364,10 @@ object SparkEntry {
     * plus the final manifest SELECT. Shared by pipe_prep and
     * pipe_prep_quality — the keeper policy is the ONLY difference
     * between the two chains. */
-  private lazy val prepTailSql =
+  /** The survivor half of the prep tail — gate/keeper CTEs (`dd`) →
+    * folds, 13-gram decontamination, survivors, token counts. Shared by
+    * every pipe_prep variant's tail AND pipe_prep_train's training view. */
+  private lazy val prepSurvCtes =
     s"""f AS MATERIALIZED (
             SELECT doc_id, CASE WHEN $docBucketSql < 800 THEN 'train'
                                 WHEN $docBucketSql < 900 THEN 'val'
@@ -380,7 +385,10 @@ object SparkEntry {
           surv AS MATERIALIZED (
             SELECT f.doc_id, f.fold FROM f LEFT JOIN ct ON f.doc_id = ct.doc_id
             WHERE f.fold <> 'train' OR ct.doc_id IS NULL),
-          tok AS MATERIALIZED (SELECT doc_id, len(ws)::BIGINT AS n_tokens FROM t),
+          tok AS MATERIALIZED (SELECT doc_id, len(ws)::BIGINT AS n_tokens FROM t)"""
+
+  private lazy val prepTailSql =
+    s"""$prepSurvCtes,
           packed AS MATERIALIZED (
             SELECT doc_id, shard,
               CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
@@ -2097,6 +2105,62 @@ object SparkEntry {
               SELECT doc_id, md5($normSql) AS h FROM k) t GROUP BY h),
           dd AS MATERIALIZED (SELECT k.doc_id, k.text FROM k JOIN keepers USING (doc_id)),
           $prepTailSql""",
+    "pipe_prep_train" ->
+      // the TRAINING-READY view: the pipe_prep survivor chain continued
+      // through curriculum ntile over surviving-train quality and the
+      // pack_concat_chunk CTEs over the surviving train text
+      s"""WITH $prepGateCtes,
+          keepers AS MATERIALIZED (
+            SELECT min(doc_id) AS doc_id FROM (
+              SELECT doc_id, md5($normSql) AS h FROM k) t GROUP BY h),
+          dd AS MATERIALIZED (SELECT k.doc_id, k.text FROM k JOIN keepers USING (doc_id)),
+          $prepSurvCtes,
+          td AS MATERIALIZED (
+            SELECT dd.doc_id, dd.text FROM dd JOIN surv s USING (doc_id)
+            WHERE s.fold = 'train'),
+          q AS (SELECT doc_id,
+                  round(round(len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is)\\b'))
+                              / len($toksSql), 4) * 2.0
+                        - round(len(regexp_extract_all(text, '[.!?,;:]'))
+                                / length(text), 4), 4) AS quality
+                FROM td),
+          st AS (SELECT doc_id, ntile(4) OVER (ORDER BY quality ASC, doc_id) AS stage FROM q),
+          c0 AS (SELECT doc_id, len($toksSql)::BIGINT AS n_tokens,
+                   ('0x'||substr(md5(doc_id::VARCHAR),1,15))::UBIGINT::BIGINT % 8 AS shard
+                 FROM td),
+          c1 AS (SELECT shard, doc_id, n_tokens,
+                   sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS t_end
+                 FROM c0 WHERE n_tokens > 0),
+          c2 AS (SELECT shard, doc_id, t_end, t_end - n_tokens AS t_start FROM c1),
+          c3 AS (SELECT shard, doc_id, t_start, t_end,
+                   unnest(generate_series(t_start//256, (t_end-1)//256)) AS seq_id FROM c2)
+          SELECT c3.doc_id, st.stage::BIGINT AS stage, shard, seq_id::BIGINT AS seq_id,
+            (greatest(t_start, seq_id*256) - t_start)::BIGINT AS doc_offset,
+            (least(t_end, (seq_id+1)*256) - greatest(t_start, seq_id*256))::BIGINT AS n_toks
+          FROM c3 JOIN st ON st.doc_id = c3.doc_id""",
+    "mix_epochs_expand" ->
+      // the mix_epochs schedule expanded to per-copy rows: base repeats
+      // from the integer epochs, the fractional epoch carried by the
+      // "me:"-salted md5 bucket
+      s"""WITH t AS (SELECT source, sum(len($toksSql))::BIGINT AS data_tokens
+                 FROM documents GROUP BY source),
+          tgt AS (SELECT * FROM (VALUES ('src0',400),('src1',250),('src2',200),('src3',150))
+                  v(source, t_pm)),
+          j AS (SELECT t.source, data_tokens,
+                  (40000 * t_pm // 1000)::BIGINT AS wanted_tokens
+                FROM t JOIN tgt ON tgt.source = t.source),
+          k2 AS (SELECT source,
+                  least(4000, wanted_tokens * 1000 // data_tokens)::BIGINT AS epochs_pm
+                FROM j),
+          d AS (SELECT doc_id, d.source, epochs_pm,
+                  (epochs_pm // 1000)
+                    + CASE WHEN ('0x'||substr(md5('me:'||doc_id::VARCHAR),1,15))::UBIGINT::BIGINT % 1000
+                                < epochs_pm % 1000 THEN 1 ELSE 0 END AS n_copies
+                FROM documents d JOIN k2 ON k2.source = d.source)
+          SELECT doc_id, source, u.copy::BIGINT AS copy
+          FROM (SELECT * FROM d WHERE n_copies > 0) dd,
+               LATERAL (SELECT unnest(generate_series(0, n_copies - 1)) AS copy) u""",
     "pipe_prep_quality" ->
       // the FineWeb-style variant: stage 2 swaps the exact min-id keeper
       // for near-dup clustering over the GATED corpus (simhash CTEs over

@@ -146,6 +146,51 @@ object PrepPipeline {
     assemble(cleaned, semKept.unionByName(noEmb))
   }
 
+  def manifestTrain(spark: SparkSession, dir: String): DataFrame =
+    manifestTrainOf(Tables.documents(spark, dir))
+
+  /** The TRAINING-READY view — the list the training loader actually
+    * consumes, where the manifest variants stop at bookkeeping: the
+    * pipe_prep survivor chain (gate → exact dedup → fold split → 13-gram
+    * decontamination) continued through CURRICULUM STAGING
+    * ([[Sampling.curriculumStages]]: surviving train docs ranked
+    * easy→hard by the txt_quality composite, exact global ntile via the
+    * bucketed two-pass rank) and GPT-style CONCAT-CHUNK packing
+    * ([[Sampling.concatChunk]]: zero padding, docs split across fixed
+    * 256-token sequences). Output: one row per (doc × sequence it
+    * occupies) — `(doc_id, stage, shard, seq_id, doc_offset, n_toks)` —
+    * so an epoch phase is `WHERE stage <= p` and a batch is a
+    * contiguous (shard, seq_id) range.
+    *
+    * Scale: the survivor chain shuffles digests/ids only (pipe_prep's
+    * shapes); the train text is checkpointed ONCE (the inter-phase
+    * corpus write), then staging is the bounded when-chain rank and
+    * packing is one per-shard window + a row-local explode. */
+  def manifestTrainOf(docs: DataFrame): DataFrame = {
+    val kept = gated(docs)
+    val dd = kept.join(
+      materialized(Dedup.exact(kept).select(col("keep_doc_id").as("doc_id"))),
+      "doc_id")
+    val folds = materialized(Sampling.split(dd.select("doc_id"), col("doc_id"))
+      .select("doc_id", "fold"))
+    val contamTrain = Dedup.contaminationPairs(dd, folds)
+      .select(col("train_doc").as("doc_id")).distinct()
+    val survTrain = materialized(folds.where(col("fold") === "train")
+      .join(contamTrain, Seq("doc_id"), "left_anti"))
+    // the one text-bearing checkpoint: the surviving train corpus — read
+    // by the quality scorer (whose bucketed rank runs two eager probe
+    // actions) AND the packing pass
+    val trainDocs = materialized(dd.join(survTrain.select("doc_id"), "doc_id")
+      .select("doc_id", "text"))
+    val stages = Sampling.curriculumStages(
+      TextAnalysis.qualityScore(trainDocs).select("doc_id", "quality"))
+      .select("doc_id", "stage")
+    Sampling.concatChunk(trainDocs)
+      .join(stages, "doc_id")
+      .select("doc_id", "stage", "shard", "seq_id", "doc_offset", "n_toks")
+      .orderBy("shard", "seq_id", "doc_id")
+  }
+
   /** Materialize an inter-stage frame AND truncate its lineage
     * (`localCheckpoint`, the [[Dedup.dupClusters]] idiom — on a cluster
     * this is `checkpoint()` against reliable storage / the manifest

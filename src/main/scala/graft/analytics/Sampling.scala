@@ -251,6 +251,37 @@ object Sampling {
         "epochs_pm", "served_tokens", "deficit_tokens")
   }
 
+  /** Materialize a [[mixEpochs]] schedule into the actual epoch-copy
+    * list the loader iterates: each doc repeats `epochs_pm div 1000`
+    * times, plus ONE more iff its salted md5 bucket falls under
+    * `epochs_pm mod 1000` — so each source's realized doc mass matches
+    * its granted per-mille epochs exactly at the per-mille grain, with
+    * the fractional epoch carried by a deterministic hash sample (the
+    * [[stratifiedSample]] property: rerun-, engine-, and
+    * repartition-stable; growing a source never reshuffles which docs
+    * carry the fraction). The "me:" salt decorrelates the fractional
+    * pick from every other hash gate in the pipeline.
+    *
+    * Scale shape: the schedule join is broadcast (sources are few), the
+    * explode fan-out is `epochs_pm/1000 + 1` ≤ the repeat cap — a
+    * row-local `sequence()`, no shuffle beyond [[mixEpochs]]' own tiny
+    * aggregate. */
+  def mixEpochsExpand(docs: DataFrame, budgetTokens: Long,
+                      targetsPerMille: Seq[(String, Int)],
+                      maxEpochsPm: Long = 4000): DataFrame = {
+    val sched = mixEpochs(docs, budgetTokens, targetsPerMille, maxEpochsPm)
+      .select("source", "epochs_pm")
+    docs.select("doc_id", "source")
+      .join(broadcast(sched), "source")
+      .withColumn("extra",
+        (Hashes.md5Long60(concat(lit("me:"), col("doc_id").cast("string"))) % 1000
+          < expr("epochs_pm % 1000")).cast("long"))
+      .withColumn("n_copies", expr("epochs_pm div 1000") + col("extra"))
+      .where(col("n_copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("n_copies") - 1)))
+      .select("doc_id", "source", "copy")
+  }
+
   /** Curriculum staging (curriculum learning, Bengio et al. 2009): order
     * the corpus easy→hard by a score and split it into `nStages` equal
     * stages by EXACT global rank (ntile semantics, ties by doc_id so the
@@ -316,6 +347,13 @@ object Sampling {
   def mixTemperatureQuery(spark: SparkSession, dir: String): DataFrame =
     mixTemperature(Tables.documents(spark, dir).select("doc_id", "source"))
       .orderBy("doc_id")
+
+  /** Expand the [[mixEpochsQuery]] schedule into per-copy rows. */
+  def mixEpochsExpandQuery(spark: SparkSession, dir: String): DataFrame =
+    mixEpochsExpand(Tables.documents(spark, dir).select("doc_id", "source", "text"),
+      budgetTokens = 40000L,
+      Seq("src0" -> 400, "src1" -> 250, "src2" -> 200, "src3" -> 150))
+      .orderBy("doc_id", "copy")
 
   /** Stage the documents corpus easy→hard by the txt_quality composite. */
   def curriculumQuery(spark: SparkSession, dir: String): DataFrame =

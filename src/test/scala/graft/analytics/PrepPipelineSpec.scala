@@ -159,4 +159,35 @@ class PrepPipelineSpec extends SparkSpec {
     assert(ids == Set(1L, 3L, 4L),
       s"semantic manifest must keep {1,3,4} and drop the paraphrase 2; got $ids")
   }
+
+  test("pipe_prep_train: doc set == the manifest's packed train set, tokens conserved, stages 1..4") {
+    import org.apache.spark.sql.functions.col
+    val train = PrepPipeline.manifestTrain(spark, sfDir)
+      .select("doc_id", "stage", "shard", "seq_id", "doc_offset", "n_toks")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(train.nonEmpty)
+    // the training view covers exactly the docs pipe_prep packs (fold ==
+    // train, decontam survivor — the ones with a non-null shard/bin)
+    val manifest = PrepPipeline.manifest(spark, sfDir)
+      .select("doc_id", "fold", "n_tokens", "shard")
+      .as[(Long, String, Long, Option[Long])].collect()
+    val packedDocs = manifest.filter(_._4.isDefined).map(m => m._1 -> m._3).toMap
+    assert(train.map(_._1).toSet == packedDocs.keySet,
+      "training view must cover exactly the manifest's packed train docs")
+    // token conservation per doc vs the manifest's independent count
+    val perDoc = train.groupBy(_._1).view.mapValues(_.map(_._6).sum).toMap
+    perDoc.foreach { case (id, tot) =>
+      assert(tot == packedDocs(id), s"doc $id: chunk tokens $tot != manifest ${packedDocs(id)}")
+    }
+    // curriculum stages present and bounded; every stage non-empty
+    val stages = train.map(r => r._1 -> r._2).toMap.values.toSeq
+    assert(stages.forall(s => s >= 1 && s <= 4))
+    assert(stages.distinct.sorted == Seq(1L, 2L, 3L, 4L))
+    // sequences are full except each shard's tail (the concat-chunk law,
+    // re-asserted through the composition)
+    train.groupBy(r => (r._3, r._4)).foreach { case ((shard, seq), chunks) =>
+      val tail = train.filter(_._3 == shard).map(_._4).max
+      if (seq < tail) assert(chunks.map(_._6).sum == 256L)
+    }
+  }
 }

@@ -163,6 +163,36 @@ class SamplingSpec extends SparkSpec {
       again.sortBy(r => (r._1, r._2, r._3)).toSeq)
   }
 
+  test("mix_epochs_expand: per-doc copies in {base, base+1}, source mass matches the schedule") {
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    val targets = Seq("src0" -> 400, "src1" -> 250, "src2" -> 200, "src3" -> 150)
+    val sched = Sampling.mixEpochs(docs.select("source", "text"), 40000L, targets)
+      .select("source", "epochs_pm").as[(String, Long)].collect().toMap
+    val got = Sampling.mixEpochsExpand(docs, 40000L, targets)
+      .select("doc_id", "source", "copy").as[(Long, String, Long)].collect()
+    assert(got.nonEmpty)
+    // per doc: copies are contiguous 0..k-1 with k in {base, base+1}
+    got.groupBy(r => (r._1, r._2)).foreach { case ((id, src), copies) =>
+      val base = sched(src) / 1000
+      val k = copies.length.toLong
+      assert(copies.map(_._3).sorted.toSeq == (0L until k).toSeq, s"doc $id copies not contiguous")
+      assert(k == base || k == base + 1, s"doc $id: $k copies, base $base")
+    }
+    // per source: realized copy mass within the per-mille slack of the
+    // schedule (each doc contributes base + Bernoulli(frac/1000))
+    val nBySrc = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    got.groupBy(_._2).foreach { case (src, rows) =>
+      val expectMass = nBySrc(src).toDouble * sched(src) / 1000.0
+      val mass = rows.length.toDouble
+      assert(math.abs(mass - expectMass) <= math.max(5.0, 0.15 * expectMass),
+        s"$src: copy mass $mass vs schedule $expectMass")
+    }
+    // determinism under repartition
+    val again = Sampling.mixEpochsExpand(docs.repartition(7), 40000L, targets)
+      .select("doc_id", "source", "copy").as[(Long, String, Long)].collect()
+    assert(got.sortBy(r => (r._1, r._3)).toSeq == again.sortBy(r => (r._1, r._3)).toSeq)
+  }
+
   test("mix_curriculum: bucketed stages equal the exact sort-based ntile, sizes within 1") {
     val scored = TextAnalysis.qualityScore(graft.Tables.documents(spark, sfDir))
       .select("doc_id", "quality")
