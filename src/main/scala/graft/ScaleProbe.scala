@@ -735,6 +735,9 @@ object ScaleProbe {
     // projivf: 1M vectors x 256 lists ~ 16G mul-adds full-dim, the
     // regime where the 4x dim cut in coarse assignment is visible
     "projivf" -> 1000000L,
+    // overlap: 1M x 1M intervals at ~3 overlaps each; the naive arm runs
+    // at n/100 where its quadratic cost is still feasible
+    "overlap" -> 1000000L,
     // bpe: n docs × 40 words over a 200k-word vocabulary; the ×10
     // replicated arm pushes the word-count aggregation to 10× the
     // instances while the merge rounds stay vocabulary-bounded
@@ -813,6 +816,53 @@ object ScaleProbe {
     ok
   }
 
+  /** Interval-overlap join at probe scale
+    * ([[graft.operators.RangeJoin.intervalOverlap]]'s canonical-bucket
+    * decomposition): `n` synthetic sessions with md5-uniform starts over
+    * a span that keeps mean overlap fan-out ~3 (the realistic
+    * concurrency regime). The bucketed join runs at full `n`; the naive
+    * θ-join — the BroadcastNestedLoopJoin Spark plans for `aLo <= bHi
+    * AND bLo <= aHi` — runs at n/100 only, because its quadratic cost
+    * makes the full size unrunnable (which is the point). Parity at
+    * n/100 via an order-insensitive pair checksum; the full-size arm
+    * reports wall time and pair volume. */
+  private def probeOverlap(spark: org.apache.spark.sql.SparkSession, n: Long): Boolean = {
+    import graft.operators.RangeJoin
+    def intervals(m: Long, pre: String): DataFrame = {
+      val lo = graft.functions.Hashes.md5Long60(concat(lit("lo:"), col("id").cast("string"))) % (m * 10000L)
+      val len = graft.functions.Hashes.md5Long60(concat(lit("ln:"), col("id").cast("string"))) % 30000L
+      spark.range(m).select(col("id").as(s"${pre}_id"),
+        lo.as(s"${pre}_lo"), (lo + len).as(s"${pre}_hi"))
+    }
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        sum((col("a_id") * 31 + col("b_id")) % 1000003L)).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // parity at the size the naive join can still run
+    val m = math.max(1000L, n / 100)
+    val (am, bm) = (intervals(m, "a"), intervals(m, "b"))
+    val naive = am.join(bm, col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("a_id", "b_id")
+    val (fpNaive, tNaive) = timed(checksum(naive))
+    val bucketedM = RangeJoin.intervalOverlap(am, bm, "a_lo", "a_hi", "b_lo", "b_hi", 20000L)
+      .select("a_id", "b_id")
+    val (fpBucketM, _) = timed(checksum(bucketedM))
+    // full size: bucketed only
+    val (a, b) = (intervals(n, "a"), intervals(n, "b"))
+    val tFull = run(RangeJoin.intervalOverlap(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 20000L))
+    val (fpFull, _) = timed(checksum(
+      RangeJoin.intervalOverlap(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 20000L)
+        .select("a_id", "b_id")))
+    val ok = fpNaive == fpBucketM && fpFull._1 > 0
+    println(s"""{"probe":"overlap","n":$n,"pairs":${fpFull._1},""" +
+      s""""bucketed_sec":${f"$tFull%.1f"},"naive_n":$m,""" +
+      s""""naive_sec":${f"$tNaive%.1f"},"parity":${fpNaive == fpBucketM},"ok":$ok}""")
+    if (!ok) System.err.println(
+      s"[scaleprobe] overlap NOT ok: naive=$fpNaive bucketed=$fpBucketM full=$fpFull")
+    ok
+  }
+
   def main(args: Array[String]): Unit = {
     val (which, nOpt) = args.toList match {
       case name :: num :: _ => (name, Some(num.toLong))
@@ -835,6 +885,7 @@ object ScaleProbe {
       case "boost" => probeBoost(spark, size)
       case "bpe" => probeBpe(spark, size)
       case "projivf" => probeProjIvf(spark, size)
+      case "overlap" => probeOverlap(spark, size)
       case other =>
         System.err.println(
           s"unknown arm '$other'; known arms: ${defaults.keysIterator.toSeq.sorted.mkString(", ")} (or 'all')")
