@@ -415,9 +415,12 @@ object Relational {
   private[analytics] def bucketedRank(dfIn: DataFrame, idCol: String,
       valCol: String, buckets: Int, desc: Boolean): (DataFrame, Long) = {
     val df = dfIn.persist()
-    val cutoffs = df.stat
-      .approxQuantile(valCol, (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
-      .distinct.sorted
+    // buckets <= 1 degenerates to the single-bucket (windowed) form;
+    // approxQuantile NPEs on an empty probability array, so skip it
+    val cutoffs = if (buckets <= 1) Array.empty[Double]
+      else df.stat
+        .approxQuantile(valCol, (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+        .distinct.sorted
     // bucket(x): tie-stable strict comparisons against constants; bucket 0
     // holds the rows that come FIRST in the requested order. A codegen'd
     // when-chain over <= `buckets` literals.

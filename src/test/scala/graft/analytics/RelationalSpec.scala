@@ -269,4 +269,22 @@ class RelationalSpec extends SparkSpec {
         s"$flag: approx median $approxMedian vs $median")
     }
   }
+
+  test("bucketedRank core: equals the windowed form on tie-heavy data at every bucket count") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // values mod 7 => ~70 rows per tie group: the adversarial case for
+    // bucketing (ties must never straddle a bucket); id breaks the order
+    val df = spark.range(500).select(col("id").as("o_custkey"),
+      (col("id") % 7).cast("double").as("total_spend"))
+    val want = Relational.quartilesWindowed(df)
+      .select("o_custkey", "quartile", "pct_rank", "cume")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    for (b <- Seq(1, 2, 7, 32, 64)) {
+      val got = Relational.quartilesBucketed(df, b)
+        .select("o_custkey", "quartile", "pct_rank", "cume")
+        .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+      assert(got == want, s"buckets=$b diverges from the windowed form")
+    }
+  }
 }
