@@ -71,6 +71,7 @@ object SparkEntry {
     "jn2_asof_join" -> (SeriesQueries.asOfJoin _),
     "jn3_asof_tolerance" -> (SeriesQueries.asOfJoinTolerance _),
     "jn4_asof_native" -> (SeriesQueries.asOfJoinNative _), // custom LogicalPlan+Strategy+SparkPlan merge as-of
+    "jn5_asof_forward" -> (SeriesQueries.asOfJoinForward _), // forward as-of (next at-or-after) via time negation on the same merge exec
     "agg2_persistence_rmse" -> (SeriesQueries.persistenceRmse _),
     "agg3_value_summary" -> (SeriesQueries.valueSummary _),
     "src2_json_extract" -> (SeriesQueries.jsonExtract _),
@@ -1070,6 +1071,25 @@ object SparkEntry {
              last_value(v_value IGNORE NULLS)
                OVER (PARTITION BY user_id ORDER BY ts, side
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_value
+           FROM u) t WHERE side = 1""",
+    "jn5_asof_forward" ->
+      // forward mirror of jn4: first_value over the FOLLOWING frame with
+      // side DESC so an equal-time view is inside the purchase's frame
+      // (inclusive at-or-after, matching the negated merge exec)
+      """WITH v AS (SELECT user_id, ts, value FROM (
+             SELECT user_id, ts, value,
+                    row_number() OVER (PARTITION BY user_id, ts
+                                       ORDER BY event_id DESC) AS rn
+             FROM events WHERE event_type='view') WHERE rn = 1),
+           u AS (SELECT user_id, ts, event_id, value, 1 AS side, NULL AS v_value
+                 FROM events WHERE event_type='purchase'
+                 UNION ALL
+                 SELECT user_id, ts, NULL, NULL, 0, value FROM v)
+         SELECT user_id, event_id, value, next_view_value FROM (
+           SELECT user_id, event_id, value, side,
+             first_value(v_value IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, side DESC
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_view_value
            FROM u) t WHERE side = 1""",
     "jn3_asof_tolerance" ->
       """WITH v AS (SELECT user_id, ts, value FROM (

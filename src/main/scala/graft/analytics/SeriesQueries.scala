@@ -112,6 +112,28 @@ object SeriesQueries {
         col("asof_v_value").as("last_view_value"))
   }
 
+  /** FORWARD as-of through the custom plan
+    * ([[graft.plans.AsOfNative.asOfJoinForward]]): for each purchase,
+    * the NEXT view value at-or-after its timestamp per user — the
+    * event-time lookahead shape ("what did the user see right after
+    * buying"), merge_asof direction='forward'. Time negation maps it
+    * onto the same merge exec as jn4; equal-time ties keep the largest
+    * view event_id, the jn2/jn4 convention. */
+  def asOfJoinForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "ts_us", "event_id", "event_type", "value")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("user_id", "ts_us", "event_id", "value")
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us").as("v_ts_us"),
+        col("event_id").as("v_event_id"), col("value").as("v_value"))
+    graft.plans.AsOfNative.asOfJoinForward(purchases, views, keys, "ts_us", "v_ts_us",
+        Seq("v_value"), rightTiebreak = Seq("v_event_id"))
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("asof_v_value").as("next_view_value"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** As-of join with a 1-hour tolerance (pandas merge_asof's `tolerance`):
     * a matched view older than an hour before the purchase is nulled out —
     * the staleness bound every real market-data as-of join needs. */

@@ -273,4 +273,26 @@ object AsOfNative {
         keys.map(k => idx(lPlan.output, k)), idx(lPlan.output, leftTime),
         tolerance, payloadOut))
   }
+
+  /** FORWARD as-of: for each left row, the EARLIEST right row with
+    * `rightTime >= leftTime` (inclusive) — "the next reading at-or-after
+    * t", pandas merge_asof's `direction='forward'`. Implemented by
+    * running the backward merge on NEGATED times: order reversal maps
+    * least-rt≥t to greatest-(−rt)≤(−t) EXACTLY, including the inclusive
+    * boundary, and `tolerance` becomes the lookahead bound
+    * (`rightTime − leftTime <= tolerance` nulls beyond it) through the
+    * same `lt − matchTime` check. Same custom plan, same single
+    * key-shuffle, same merge exec — zero new execution code. Equal-time
+    * tie resolution keeps the convention of the backward form: one row
+    * per (keys, rightTime), LARGEST `rightTiebreak` tuple wins. */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTime: String, rightTime: String,
+                      rightCols: Seq[String],
+                      rightTiebreak: Seq[String] = Nil,
+                      tolerance: Option[Long] = None): DataFrame = {
+    val ln = left.withColumn(leftTime, -col(leftTime))
+    val rn = right.withColumn(rightTime, -col(rightTime))
+    asOfJoin(ln, rn, keys, leftTime, rightTime, rightCols, rightTiebreak, tolerance)
+      .withColumn(leftTime, -col(leftTime))
+  }
 }

@@ -80,6 +80,36 @@ class AsOfNativeSpec extends SparkSpec {
     assert(got((2L, 5L)).isEmpty)           // right row is in the future
   }
 
+  test("forward as-of: exact local replay on the corpus, inclusive at equal times") {
+    val (p, v) = sides()
+    val got = AsOfNative.asOfJoinForward(p, v, Seq("user_id"),
+        "ts_us", "v_ts_us", Seq("v_value"), rightTiebreak = Seq("v_event_id"))
+      .as[(Long, Long, Long, Double, Option[Double])].collect()
+    assert(got.nonEmpty)
+    // local replay: per user, dedup views at equal ts to the largest
+    // event_id, then for each purchase the EARLIEST view at-or-after it
+    val views = v.as[(Long, Long, Long, Double)].collect()
+      .groupBy(r => (r._1, r._2)).values.map(_.maxBy(_._3)).toSeq
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    got.foreach { case (u, t, id, _, next) =>
+      val expect = views.getOrElse(u, Seq.empty)
+        .find(_._2 >= t).map(_._4)
+      assert(next == expect, s"purchase ($u,$id) at $t: got $next want $expect")
+    }
+    // forward and backward genuinely differ on this corpus
+    val back = AsOfNative.asOfJoin(p, v, Seq("user_id"),
+        "ts_us", "v_ts_us", Seq("v_value"), rightTiebreak = Seq("v_event_id"))
+      .as[(Long, Long, Long, Double, Option[Double])].collect()
+      .map(r => (r._1, r._3) -> r._5).toMap
+    assert(got.exists(r => back((r._1, r._3)) != r._5))
+    // synthetic boundary: a right row exactly AT the left time matches
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    val r = Seq((1L, 10L, 7.0), (1L, 30L, 9.0)).toDF("k", "rt", "x")
+    val eq = AsOfNative.asOfJoinForward(l, r, Seq("k"), "t", "rt", Seq("x"))
+      .as[(Long, Long, Option[Double])].collect()
+    assert(eq.head._3.contains(7.0), "rt == t must match (inclusive)")
+  }
+
   /** noop writer helper: executes the full plan without collecting. */
   private implicit class NoopOps(df: org.apache.spark.sql.DataFrame) {
     def noop(): Unit = df.write.format("noop").mode("overwrite").save()
