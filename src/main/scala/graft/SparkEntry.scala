@@ -166,6 +166,7 @@ object SparkEntry {
     // --- similarity search over embeddings ---
     "knn_exact" -> (Similarity.knnExactQuery _),
     "knn_range_search" -> (Similarity.annIvfRangeQuery _), // IVF radius search: tau filter instead of rank window, data-dependent result size
+    "sample_negatives" -> (Similarity.contrastiveTripletsQuery _), // contrastive triplet mining: IVF positive + hard negatives + salted random negatives
     "emb_project" -> (Similarity.projectSignedQuery _), // signed random projection (JL/Achlioptas): exact BIGINT sums over the 1e-6 grid, zero shuffle
     "knn_ann_ivf_proj" -> (Similarity.annIvfProjectedQuery _), // coarse stage in 16-dim projected space, exact full-dim re-rank (OPQ-style split)
     "knn_ann_lsh" -> (Similarity.annLshQuery _), // oracled: md5 planes + list_reduce replay the sign bits exactly (+ recall spec)
@@ -2424,6 +2425,48 @@ object SparkEntry {
               row_number() OVER (PARTITION BY q_id
                 ORDER BY round(list_cosine_similarity(qe, fe), 4) DESC, n_id)::BIGINT AS rank
             FROM cand) t WHERE rank <= 5""",
+    "sample_negatives" -> {
+      // mirror of Similarity.contrastiveTriplets: the knn_ann_ivf chain at
+      // depth 4 split into pos/hard roles, plus salted-md5 random picks
+      // scored by the same exact cosine (self/positive collisions dropped,
+      // not resampled — engine-replayable)
+      def nn(filter: String, keep: Int, idAs: String, eAs: String) =
+        s"""SELECT $idAs, $eAs, c_id AS list_id FROM (
+              SELECT v.vec_id AS $idAs, v.embedding::DOUBLE[] AS $eAs, c.c_id,
+                row_number() OVER (PARTITION BY v.vec_id
+                  ORDER BY round(list_cosine_similarity(v.embedding::DOUBLE[], c.ce), 4) DESC,
+                           c.c_id) AS rk
+              FROM embeddings v, cent c $filter) t WHERE rk <= $keep"""
+      s"""WITH cent AS (
+            SELECT vec_id AS c_id, embedding::DOUBLE[] AS ce FROM embeddings
+            ORDER BY ${md5L60("vec_id::VARCHAR")}, vec_id LIMIT 16),
+          lists AS (${nn("", 1, "vec_id", "e")}),
+          probes AS (${nn("WHERE v.vec_id < 10", 4, "q_id", "qe")}),
+          cand AS (SELECT DISTINCT p.q_id, p.qe, l.vec_id AS n_id, l.e
+                   FROM lists l JOIN probes p ON p.list_id = l.list_id
+                                             AND l.vec_id <> p.q_id),
+          rk AS (SELECT q_id, n_id, cos, rank FROM (
+             SELECT q_id, n_id, round(list_cosine_similarity(qe, e), 4) AS cos,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY round(list_cosine_similarity(qe, e), 4) DESC, n_id)::BIGINT AS rank
+             FROM cand) t WHERE rank <= 4),
+          pr AS (SELECT q_id, CASE WHEN rank = 1 THEN 'pos' ELSE 'hard' END AS role,
+                   rank, n_id, cos FROM rk),
+          nq AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+          qs AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
+                 FROM embeddings WHERE vec_id < 10),
+          pos AS (SELECT q_id, n_id AS pos_id FROM rk WHERE rank = 1),
+          picks AS (SELECT q_id, qe, i.rank,
+              ('0x'||substr(md5('ng:'||q_id||':'||i.rank),1,15))::UBIGINT::BIGINT % n AS n_id
+            FROM qs, nq, (SELECT unnest([1,2,3]::BIGINT[]) AS rank) i),
+          rand AS (SELECT p.q_id, 'rand' AS role, p.rank, p.n_id,
+              round(list_cosine_similarity(p.qe, e.embedding::DOUBLE[]), 4) AS cos
+            FROM picks p JOIN pos ON pos.q_id = p.q_id
+            JOIN embeddings e ON e.vec_id = p.n_id
+            WHERE p.n_id <> p.q_id AND p.n_id <> pos.pos_id)
+          SELECT q_id, role, rank, n_id, cos FROM pr
+          UNION ALL SELECT q_id, role, rank, n_id, cos FROM rand"""
+    },
     "knn_exact" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
                     FROM embeddings WHERE vec_id < 10),

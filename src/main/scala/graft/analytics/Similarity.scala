@@ -738,6 +738,55 @@ object Similarity {
   def annIvfProjectedQuery(spark: SparkSession, dir: String): DataFrame =
     annIvfProjected(spark, dir).orderBy("q_id", "rank")
 
+  /** Contrastive training-triplet mining — the (query, positive,
+    * negatives) assembly an embedding-model training run consumes
+    * (DPR/SimCSE-style in-corpus mining): for each query vector the
+    * POSITIVE is its nearest neighbor under the IVF serving index
+    * (rank 1 of [[annIvfCosine]]'s chain), HARD negatives are the next
+    * `kHard` candidates — the high-cosine non-positives that make the
+    * contrastive gradient informative — and `kRand` RANDOM negatives
+    * are salted-md5 picks over the corpus id space (decorrelated
+    * coverage mass; a pick that lands on the query itself or on its
+    * positive is dropped rather than resampled, keeping the pick
+    * engine-replayable). Output: (q_id, role, rank, n_id, cos) with
+    * role ∈ pos|hard|rand and cos the exact 4-dp cosine for every row —
+    * including the random rows, which a training run logs for
+    * curriculum/denoising decisions.
+    *
+    * Scale shape: the pos/hard arm IS the IVF serving chain; the random
+    * arm is a hash generator over ids joined to the corpus on vec_id —
+    * a few broadcast-sized rows against the id-keyed corpus; the count
+    * that bounds the id space is one tiny aggregate. */
+  def contrastiveTriplets(spark: SparkSession, dir: String, nQueries: Int = 10,
+                          kHard: Int = 3, kRand: Int = 3): DataFrame = {
+    val emb = embeddingsD(spark, dir)
+    val ranked = annIvfCosine(spark, dir, nQueries, k = kHard + 1)
+      .withColumn("role", when(col("rank") === 1, "pos").otherwise("hard"))
+    // random arm: id = md5("ng:<q>:<i>") mod corpus size (ids are the
+    // driver's dense 0..n-1 vec_id space)
+    val n = emb.count()
+    val q = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val picks = q.withColumn("rank",
+        explode(array((1 to kRand).map(i => lit(i.toLong)): _*)))
+      .withColumn("n_id",
+        graft.functions.Hashes.md5Long60(
+          concat(lit("ng:"), col("q_id").cast("string"),
+            lit(":"), col("rank").cast("string"))) % n)
+    val pos = ranked.where(col("role") === "pos")
+      .select(col("q_id"), col("n_id").as("pos_id"))
+    val randScored = picks.join(broadcast(pos), "q_id")
+      .where(col("n_id") =!= col("q_id") && col("n_id") =!= col("pos_id"))
+      .join(emb.withColumnRenamed("vec_id", "n_id"), "n_id")
+      .select(col("q_id"), lit("rand").as("role"), col("rank"), col("n_id"),
+        round(cosine(col("qe"), col("e")), 4).as("cos"))
+    ranked.select("q_id", "role", "rank", "n_id", "cos")
+      .unionByName(randScored)
+  }
+
+  def contrastiveTripletsQuery(spark: SparkSession, dir: String): DataFrame =
+    contrastiveTriplets(spark, dir).orderBy("q_id", "role", "rank")
+
   def knnExactQuery(spark: SparkSession, dir: String): DataFrame =
     knnExact(spark, dir).orderBy("q_id", "rank")
 

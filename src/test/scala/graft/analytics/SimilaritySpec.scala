@@ -489,6 +489,43 @@ class SimilaritySpec extends SparkSpec {
       }
   }
 
+  test("contrastive triplets: pos/hard are the IVF ranking, rand replays the salted hash") {
+    val got = Similarity.contrastiveTriplets(spark, sfDir)
+      .select("q_id", "role", "rank", "n_id", "cos")
+      .as[(Long, String, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    // pos + hard == the serving IVF ranking at depth 4, role by rank
+    val ivf = Similarity.annIvfCosine(spark, sfDir, k = 4)
+      .select("q_id", "rank", "n_id", "cos").as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    got.filter(_._2 != "rand").foreach { case (q, role, rk, n, c) =>
+      assert(role == (if (rk == 1) "pos" else "hard"))
+      assert(ivf((q, rk)) == ((n, c)), s"($q,$rk): ($n,$c) != ${ivf((q, rk))}")
+    }
+    // rand picks replay the salted md5 mod corpus-size exactly, and never
+    // collide with the query or its positive
+    val n = graft.Tables.embeddings(spark, sfDir).count()
+    def md5Pick(q: Long, i: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ng:$q:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 15), 16) % n
+    }
+    val posOf = got.filter(_._2 == "pos").map(r => r._1 -> r._4).toMap
+    val randRows = got.filter(_._2 == "rand")
+    assert(randRows.nonEmpty)
+    randRows.foreach { case (q, _, i, nid, c) =>
+      assert(nid == md5Pick(q, i), s"rand pick ($q,$i): $nid != ${md5Pick(q, i)}")
+      assert(nid != q && nid != posOf(q))
+      assert(c >= -1.0 && c <= 1.0)
+    }
+    // dropped-not-resampled: every surviving (q, i) is the hash pick; any
+    // missing (q, i) must be a self/positive collision
+    val have = randRows.map(r => (r._1, r._3)).toSet
+    for (q <- got.map(_._1).distinct; i <- 1L to 3L if !have((q, i)))
+      assert(md5Pick(q, i) == q || md5Pick(q, i) == posOf(q),
+        s"rand ($q,$i) missing without a collision")
+  }
+
   test("projected IVF: final scores are exact full-dim cosines; rank contiguous per query") {
     import org.apache.spark.sql.functions.col
     val got = Similarity.annIvfProjected(spark, sfDir)
