@@ -156,6 +156,8 @@ object SparkEntry {
     "txt_bpe_train" -> (Bpe.trainQuery _), // distributed BPE tokenizer training: 12 greedy merge rounds over the word-frequency state
     "txt_bpe_encode" -> (Bpe.encodeQuery _), // corpus tokenization with the learned merges: scan-shaped, zero shuffle
     "txt_bpe_vocab" -> (Bpe.vocabQuery _), // the shipped tokenizer artifact: top-k post-merge symbols with corpus totals
+    "txt_bpe_train_deep" -> (Bpe.trainDeepQuery _), // REAL-vocab trainer: one corpus agg + driver-local merge loop, 256 SentencePiece-style merges
+    "txt_bpe_tokenize" -> (Bpe.tokenizeQuery _), // native bpe_tokenize expression: per-doc token stream, plan size constant in vocab depth
     "txt_quality_distill" -> (Distill.distillGateQuery _), // FineWeb-Edu-style gate distillation: teacher-labeled boosted-stump student, scored as plan literals
     "pipe_prep" -> (PrepPipeline.manifest _), // flagship composition: gate -> dedup -> split -> decontam -> pack
     "pipe_prep_quality" -> (PrepPipeline.manifestQuality _), // v2: near-dup clusters + argmax-quality keeper (FineWeb-style)
@@ -285,6 +287,65 @@ object SparkEntry {
     }
     (e0 +: perRound).mkString(",\n")
   }
+  /** Deep-BPE trainer mirror ([[graft.analytics.Bpe.trainDeep]]): the
+    * whole `rounds`-deep merge loop as ONE recursive CTE instead of a
+    * generated per-round chain — the recursive working table holds the
+    * previous round's segment state, the recursive term computes that
+    * round's argmax pair (count DESC, lhs, rhs — binary collation, same
+    * as the driver-local trainer's UTF8String compare) in a LATERAL-free
+    * scalar subquery and applies the greedy replace. A generated chain at
+    * 256 rounds is 158 KB of SQL and ~25 s of per-CTE overhead; this is
+    * 1 KB and ~2 s, bit-identical output (prototyped head-to-head).
+    * Segments are SentencePiece-style: trimmed text, spaces → `▁`
+    * (chr(9601)), capped at the `cap` most frequent. A dry corpus stops
+    * the recursion naturally (empty argmax ⇒ empty cross join). */
+  private def bpeDeepCtes(rounds: Int, cap: Int): String =
+    s"""w0 AS MATERIALIZED (
+          SELECT freq, regexp_replace(seg, '(.)', chr(1)||'\\1'||chr(2), 'g') AS seq FROM (
+            SELECT replace(trim(text), ' ', chr(9601)) AS seg, count(*)::BIGINT AS freq
+            FROM documents WHERE len(trim(text)) > 0
+            GROUP BY 1 ORDER BY freq DESC, seg LIMIT $cap)),
+        st AS (
+          SELECT 0::BIGINT AS r, freq, seq,
+                 NULL::VARCHAR AS lhs, NULL::VARCHAR AS rhs, NULL::BIGINT AS cnt
+          FROM w0
+          UNION ALL
+          SELECT t.r + 1, t.freq,
+                 replace(t.seq, chr(1)||b.lhs||chr(2)||chr(1)||b.rhs||chr(2),
+                                chr(1)||b.lhs||b.rhs||chr(2)),
+                 b.lhs, b.rhs, b.cnt
+          FROM st t,
+               (SELECT s[i] AS lhs, s[i+1] AS rhs, sum(freq)::BIGINT AS cnt
+                FROM (SELECT freq, string_split(substr(seq, 2, len(seq) - 2),
+                                                chr(2)||chr(1)) AS s FROM st) p,
+                     LATERAL (SELECT unnest(range(1, len(s))) AS i) ix
+                GROUP BY 1, 2 ORDER BY cnt DESC, lhs, rhs LIMIT 1) b
+          WHERE t.r < $rounds),
+        mall AS MATERIALIZED (
+          SELECT DISTINCT r AS round, lhs, rhs, cnt FROM st WHERE r > 0)"""
+
+  /** Corpus tokenization against the deep merge table: a second recursive
+    * CTE walks every DISTINCT segment through the merge sequence (one
+    * replace per round via a join on `mall`), then docs join back on
+    * their segment. QUALIFY keeps each segment's deepest state so a dry
+    * trainer (fewer realized rounds) still encodes correctly. */
+  private def bpeDeepEncodeCtes: String =
+    s"""e0 AS MATERIALIZED (
+          SELECT seg, regexp_replace(seg, '(.)', chr(1)||'\\1'||chr(2), 'g') AS s FROM (
+            SELECT DISTINCT replace(trim(text), ' ', chr(9601)) AS seg FROM documents
+            WHERE len(trim(text)) > 0)),
+        enc AS (
+          SELECT seg, s, 0::BIGINT AS r FROM e0
+          UNION ALL
+          SELECT enc.seg,
+                 replace(enc.s, chr(1)||m.lhs||chr(2)||chr(1)||m.rhs||chr(2),
+                                chr(1)||m.lhs||m.rhs||chr(2)) AS s,
+                 enc.r + 1 AS r
+          FROM enc JOIN mall m ON m.round = enc.r + 1),
+        efin AS (
+          SELECT seg, s FROM enc
+          QUALIFY row_number() OVER (PARTITION BY seg ORDER BY r DESC) = 1)"""
+
   /** 60-bit / 32-bit md5-derived ints (mirror of graft.functions.Hashes). */
   private def md5L60(x: String) = s"('0x'||substr(md5($x),1,15))::UBIGINT::BIGINT"
   private def md5L32(x: String) = s"('0x'||substr(md5($x),1,8))::UBIGINT::BIGINT"
@@ -2062,6 +2123,20 @@ object SparkEntry {
                  round(len(regexp_replace(raw, '\\s', '', 'g'))::DOUBLE
                        / (len(s) - len(replace(s, chr(1), ''))), 4) AS bpe_ratio
           FROM e${graft.analytics.Bpe.Rounds} ORDER BY doc_id""",
+    "txt_bpe_train_deep" ->
+      s"""WITH RECURSIVE ${bpeDeepCtes(graft.analytics.Bpe.DeepRounds, graft.analytics.Bpe.DeepCap)}
+          SELECT round, lhs, rhs, lhs||rhs AS merged, cnt AS pair_count
+          FROM mall ORDER BY round""",
+    "txt_bpe_tokenize" ->
+      s"""WITH RECURSIVE ${bpeDeepCtes(graft.analytics.Bpe.DeepRounds, graft.analytics.Bpe.DeepCap)},
+          $bpeDeepEncodeCtes
+          SELECT d.doc_id,
+                 (len(s) - len(replace(s, chr(1), '')))::BIGINT AS n_bpe_tokens,
+                 array_to_string(string_split(substr(s, 2, len(s) - 2),
+                                              chr(2)||chr(1)), ' ') AS tokens
+          FROM (SELECT doc_id, replace(trim(text), ' ', chr(9601)) AS seg FROM documents
+                WHERE len(trim(text)) > 0) d
+          JOIN efin e USING (seg) ORDER BY d.doc_id""",
     "txt_bpe_vocab" ->
       s"""WITH ${bpeTrainCtes(graft.analytics.Bpe.Rounds)},
           v AS (SELECT symbol, sum(freq)::BIGINT AS n_occ,

@@ -204,6 +204,151 @@ object Bpe {
       .orderBy("rank")
   }
 
+  // ------------------------------------------------------------------
+  // Deep training — the REAL-vocabulary path (VERDICT r11 lead item).
+  //
+  // The word-level trainer above runs one Spark job per merge round: the
+  // right shape to prove distributed semantics, a dead end at a real
+  // 32k-merge vocabulary (30k driver-sequential jobs). The deep path
+  // splits the work the way the ANN ladder splits index build from
+  // serving: ONE corpus-scale aggregation produces a frequency-capped
+  // SEGMENT table (model-input-sized, like the IVF centroid sample),
+  // the merge loop runs DRIVER-LOCALLY over that table (a merge round
+  // is pure vocab-local arithmetic — running it as a cluster job buys
+  // nothing and costs a scheduler round-trip), and the learned table
+  // ships back into the plan as model parameters for the native
+  // `bpe_tokenize` scan (graft.functions.BpeCoder — per-segment cost
+  // independent of vocab depth).
+  //
+  // Segmentation is SentencePiece-style (Kudo & Richardson 2018): the
+  // segment is the whole trimmed document with spaces replaced by the
+  // `▁` meta-symbol, so merges cross word boundaries and the merge
+  // capacity is corpus-bounded, not vocabulary-bounded (the driver
+  // corpus has 31 distinct words = at most ~107 word-internal merges;
+  // the segment form supports thousands).
+  // ------------------------------------------------------------------
+
+  /** SentencePiece space meta-symbol (U+2581). */
+  val Meta = "▁"
+
+  /** Deep-trainer defaults for the oracled queries: ≥256 merges over the
+    * top-`DeepCap` segments by frequency. */
+  val DeepRounds = 256
+  val DeepCap = 200
+
+  /** The one corpus-scale job of the deep trainer: distinct-segment
+    * frequencies, capped at the `cap` most frequent (ties broken by the
+    * segment's binary string order — identical in Spark's UTF8String and
+    * DuckDB's default collation). orderBy+limit plans as TakeOrdered:
+    * bounded driver state, the centroid-sample discipline. */
+  private[analytics] def segmentTable(docs: DataFrame, cap: Int): Seq[(String, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.where(length(trim(col("text"))) > 0)
+      .select(expr(s"replace(trim(text), ' ', '$Meta')").as("seg"))
+      .groupBy("seg").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("seg"))
+      .limit(cap)
+      .as[(String, Long)].collect().toSeq
+  }
+
+  /** Driver-local greedy merge loop over a collected segment table —
+    * per-round semantics IDENTICAL to the distributed trainer (count all
+    * adjacent positions weighted by frequency; argmax by count DESC,
+    * lhs ASC, rhs ASC in BINARY string order; apply left-to-right
+    * non-overlapping). `BpeDeepSpec` pins the equality round-for-round
+    * against [[trainMerges]]' machinery on the same state. Cost is
+    * O(rounds × Σ segment lengths) — vocab-local arithmetic, ~10⁷ ops at
+    * the query defaults, milliseconds on the driver. */
+  private[analytics] def localTrainMerges(
+      segs: Seq[(String, Long)], rounds: Int): Seq[(String, String, Long)] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    def u8Lt(a: String, b: String): Boolean =
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+    // codepoint symbols (DuckDB `(.)` splits codepoints, not code units)
+    var state: Array[(Array[String], Long)] = segs.toArray.map { case (s, f) =>
+      (s.codePoints().toArray.map(cp => new String(Character.toChars(cp))), f)
+    }
+    val out = Seq.newBuilder[(String, String, Long)]
+    var r = 0
+    var dry = false
+    while (r < rounds && !dry) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      state.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          counts.merge((syms(i), syms(i + 1)), f, _ + _)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) dry = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.forEach { (p, c) =>
+          if (best == null || c > best._2 ||
+              (c == best._2 && (u8Lt(p._1, best._1._1) ||
+                (p._1 == best._1._1 && u8Lt(p._2, best._1._2)))))
+            best = (p, c)
+        }
+        val ((l, rr), c) = best
+        out += ((l, rr, c))
+        val merged = l + rr
+        state = state.map { case (syms, f) =>
+          val b = Array.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == rr) {
+              b += merged; i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          (b.result(), f)
+        }
+      }
+      r += 1
+    }
+    out.result()
+  }
+
+  /** Deep merge table: distributed segment count + local merge loop. */
+  def deepMerges(docs: DataFrame, rounds: Int = DeepRounds,
+                 cap: Int = DeepCap): Seq[(String, String, Long)] =
+    localTrainMerges(segmentTable(docs, cap), rounds)
+
+  /** The deep merge table as a DataFrame — `txt_bpe_train_deep`. */
+  def trainDeep(docs: DataFrame, rounds: Int = DeepRounds,
+                cap: Int = DeepCap): DataFrame = {
+    val spark = docs.sparkSession
+    val rows = deepMerges(docs, rounds, cap).zipWithIndex.map {
+      case ((l, r, c), i) => ((i + 1).toLong, l, r, l + r, c)
+    }
+    spark.createDataFrame(rows)
+      .toDF("round", "lhs", "rhs", "merged", "pair_count")
+      .orderBy("round")
+  }
+
+  /** Corpus tokenization against the deep merge table —
+    * `txt_bpe_tokenize`: ONE `bpe_tokenize` expression node per row
+    * (plan size constant in vocab depth — contrast [[encodeWith]]'s
+    * one-Project-per-merge chain), zero shuffle, whole-stage codegen.
+    * Output per doc: the space-joined token string + token count. */
+  def tokenizeDeep(docs: DataFrame, rounds: Int = DeepRounds,
+                   cap: Int = DeepCap): DataFrame = {
+    val merges = deepMerges(docs, rounds, cap).map { case (l, r, _) => (l, r) }
+    tokenizeWith(docs, merges).orderBy("doc_id")
+  }
+
+  /** [[tokenizeDeep]] under a FROZEN merge table (the serving form —
+    * same frozen-parameter discipline as [[encodeWith]]; pure
+    * projections, streaming-safe). */
+  def tokenizeWith(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    docs.where(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), expr(s"replace(trim(text), ' ', '$Meta')").as("seg"))
+      .withColumn("tokens", call_function("bpe_tokenize", col("seg"),
+        lit(graft.functions.BpeCoder.literal(merges))))
+      .select(col("doc_id"),
+        size(split(col("tokens"), " ")).cast("long").as("n_bpe_tokens"),
+        col("tokens"))
+
   // --- SparkEntry query adapters ---
   def trainQuery(spark: SparkSession, dir: String): DataFrame =
     train(Tables.documents(spark, dir))
@@ -211,4 +356,8 @@ object Bpe {
     encode(Tables.documents(spark, dir))
   def vocabQuery(spark: SparkSession, dir: String): DataFrame =
     vocab(Tables.documents(spark, dir))
+  def trainDeepQuery(spark: SparkSession, dir: String): DataFrame =
+    trainDeep(Tables.documents(spark, dir))
+  def tokenizeQuery(spark: SparkSession, dir: String): DataFrame =
+    tokenizeDeep(Tables.documents(spark, dir))
 }

@@ -121,6 +121,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         CmsSketch(children(0), intArg(1), intArg(2))
       }))
+    // BPE tokenization against a frozen merge table: argument 2 is the
+    // BpeCoder-encoded merges literal, parsed ONCE here so the plan node
+    // carries the table as metadata, not as a child (constant plan size
+    // whatever the vocab depth)
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_tokenize"),
+      new ExpressionInfo(classOf[BpeTokenize].getCanonicalName, "bpe_tokenize"),
+      (children: Seq[Expression]) => {
+        val mergesLit = children(1) match {
+          case e if e.foldable =>
+            val v = e.eval()
+            if (v == null) "" else v.toString
+          case e => throw new IllegalArgumentException(
+            s"bpe_tokenize argument 2 must be a literal merges string, got $e")
+        }
+        BpeTokenize(children(0), BpeCoder.parse(mergesLit))
+      }))
     // Spark's own runtime-filter predicate (codegen'd), surfaced for the
     // explicit bloom-prune path (graft.operators.BloomPrune): argument 1
     // is the serialized sketch BloomFilter, argument 2 the long key

@@ -1,0 +1,193 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.BpeCoder
+
+/** Deep-BPE surface ([[Bpe.trainDeep]] / [[Bpe.tokenizeDeep]] /
+  * [[graft.functions.BpeCoder]]). The load-bearing laws:
+  *
+  *  - the DRIVER-LOCAL merge loop must equal the sequential
+  *    replace-chain semantics the 12-round distributed trainer (and the
+  *    DuckDB recursive oracle) define — pinned here against an
+  *    independent wrapped-string replayer (String.replace is the same
+  *    left-to-right non-overlapping primitive as SQL `replace`);
+  *  - the heap-walk encoder (lowest rank first, leftmost first) must be
+  *    BIT-identical to applying the merge table in rank order — the
+  *    equivalence the scaladoc argues, pinned on the real corpus and on
+  *    the adversarial self-pair / cascade / stale-heap words;
+  *  - the native expression's plan must not grow with vocab depth (the
+  *    whole point vs the one-Project-per-merge fold chain).
+  */
+class BpeDeepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val W1 = "\u0001"; private val W2 = "\u0002"
+  private def wrap(s: String): String =
+    s.codePoints().toArray.map(cp => W1 + new String(Character.toChars(cp)) + W2).mkString
+
+  /** Independent sequential replayer: per round, split the wrapped state
+    * to pairs, argmax (cnt DESC, lhs, rhs in UTF-8 byte order), apply via
+    * literal String.replace — the oracle chain's semantics verbatim. */
+  private def replayTrain(segs: Seq[(String, Long)], rounds: Int): Seq[(String, String, Long)] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    def lt(a: String, b: String) = UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+    var state = segs.map { case (s, f) => (wrap(s), f) }
+    val out = Seq.newBuilder[(String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      state.foreach { case (seq, f) =>
+        val syms = seq.substring(1, seq.length - 1).split(W2 + W1, -1)
+        (0 until syms.length - 1).foreach { i =>
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, rr), c) = counts.toSeq.sortWith { case (((l1, r1), c1), ((l2, r2), c2)) =>
+          c1 > c2 || (c1 == c2 && (lt(l1, l2) || (l1 == l2 && lt(r1, r2))))
+        }.head
+        out += ((l, rr, c))
+        state = state.map { case (seq, f) =>
+          (seq.replace(W1 + l + W2 + W1 + rr + W2, W1 + l + rr + W2), f)
+        }
+      }
+      r += 1
+    }
+    out.result()
+  }
+
+  /** Rank-order fold encode via literal String.replace — the fold-chain /
+    * oracle-encode semantics the heap walk must reproduce. */
+  private def foldEncode(seg: String, merges: Seq[(String, String)]): String = {
+    val s = merges.foldLeft(wrap(seg)) { case (acc, (l, r)) =>
+      acc.replace(W1 + l + W2 + W1 + r + W2, W1 + l + r + W2)
+    }
+    if (s.isEmpty) "" else s.substring(1, s.length - 1).split(W2 + W1, -1).mkString(" ")
+  }
+
+  private lazy val docs = graft.Tables.documents(spark, sfDir)
+
+  test("corpus is free of the wrapper/meta/separator codepoints") {
+    val n = docs.where(
+      col("text").contains("\u0001") || col("text").contains("\u0002") ||
+      col("text").contains("\u0003") || col("text").contains(Bpe.Meta) ||
+      col("text").contains(BpeCoder.PairSep) || col("text").contains(BpeCoder.SymSep))
+      .count()
+    assert(n === 0L)
+  }
+
+  test("driver-local merge loop == sequential replace-chain replay, full depth") {
+    val segs = Bpe.segmentTable(docs, Bpe.DeepCap)
+    assert(segs.nonEmpty && segs.size <= Bpe.DeepCap)
+    val local = Bpe.localTrainMerges(segs, 64)
+    val replay = replayTrain(segs, 64)
+    assert(local === replay)
+  }
+
+  test("heap-walk encoder == rank-order fold on every corpus segment at 256 merges") {
+    val segs = Bpe.segmentTable(docs, Bpe.DeepCap)
+    val merges = Bpe.localTrainMerges(segs, Bpe.DeepRounds).map { case (l, r, _) => (l, r) }
+    assert(merges.size === Bpe.DeepRounds, "corpus must support >=256 segment-level merges")
+    val coder = new BpeCoder(merges)
+    // every doc's segment, not just the capped training set
+    val allSegs = docs.where(length(trim(col("text"))) > 0)
+      .select(expr(s"replace(trim(text), ' ', '${Bpe.Meta}')")).as[String].collect()
+    allSegs.foreach { seg =>
+      assert(coder.encodeString(seg) === foldEncode(seg, merges), s"segment: ${seg.take(60)}")
+    }
+  }
+
+  test("heap-walk encoder: adversarial self-pair, cascade, and stale-heap words") {
+    // self-pair greediness: [a,a,a] -> [aa, a]; [a,a,a,a] -> [aa, aa] -> [aaaa]
+    val m1 = Seq(("a", "a"))
+    assert(new BpeCoder(m1).encodeString("aaa") === "aa a")
+    assert(new BpeCoder(m1).encodeString("aaaa") === "aa aa")
+    val m2 = Seq(("a", "a"), ("aa", "aa"))
+    assert(new BpeCoder(m2).encodeString("aaaa") === "aaaa")
+    assert(new BpeCoder(m2).encodeString("aaaaa") === "aaaa a")
+    // stale-heap: rank0 (b,c) fires first and invalidates the queued (a,b)
+    val m3 = Seq(("b", "c"), ("a", "b"))
+    assert(new BpeCoder(m3).encodeString("abc") === "a bc")
+    assert(new BpeCoder(m3).encodeString("abd") === "ab d")
+    // cascade: later merge consumes an earlier merge's product
+    val m4 = Seq(("a", "b"), ("ab", "c"))
+    assert(new BpeCoder(m4).encodeString("abc") === "abc")
+    // new pair formed leftward after a fuse: (x, ab) ranked, forms only
+    // once (a,b) fuses — the offer(prv, p) path
+    val m5 = Seq(("a", "b"), ("x", "ab"))
+    assert(new BpeCoder(m5).encodeString("xab") === "xab")
+    // meta-symbol (multi-byte codepoint) merges like any symbol
+    val m6 = Seq((Bpe.Meta, "a"))
+    assert(new BpeCoder(m6).encodeString(s"${Bpe.Meta}a${Bpe.Meta}") ===
+      s"${Bpe.Meta}a ${Bpe.Meta}")
+    // empty / single / no-merge inputs
+    assert(new BpeCoder(Seq.empty).encodeString("ab") === "a b")
+    assert(new BpeCoder(m1).encodeString("b") === "b")
+    assert(new BpeCoder(m1).encodeString("") === "")
+    // every fold case agrees with the replayer too
+    Seq("aaa", "aaaa", "aaaaa", "abc", "abd", "xab").foreach { w =>
+      Seq(m1, m2, m3, m4, m5).foreach { m =>
+        assert(new BpeCoder(m).encodeString(w) === foldEncode(w, m), s"$w under $m")
+      }
+    }
+  }
+
+  test("duplicate merge pairs are rejected (a merged pair can never re-form)") {
+    intercept[IllegalArgumentException] {
+      new BpeCoder(Seq(("a", "b"), ("a", "b"))).encodeString("ab")
+    }
+  }
+
+  test("merges literal round-trips, rejects separator collisions") {
+    val m = Seq(("a", "b"), (Bpe.Meta + "x", "yz"))
+    assert(BpeCoder.parse(BpeCoder.literal(m)) === m)
+    assert(BpeCoder.parse("") === Seq.empty)
+    intercept[IllegalArgumentException] { BpeCoder.literal(Seq((BpeCoder.SymSep, "a"))) }
+  }
+
+  test("trainDeep is repartition-invariant and deterministic") {
+    val a = Bpe.trainDeep(docs, rounds = 32).collect().map(_.toSeq)
+    val b = Bpe.trainDeep(docs.repartition(7), rounds = 32).collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("tokenizeDeep: token-count law, roundtrip, and streaming-safe projection shape") {
+    val out = Bpe.tokenizeDeep(docs, rounds = 64).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val toks = r.getString(2).split(" ", -1)
+      assert(toks.length.toLong === r.getLong(1))
+      assert(toks.forall(_.nonEmpty))
+      // tokens reassemble to the segment exactly (character conservation)
+      val seg = toks.mkString
+      assert(!seg.contains(" "))
+    }
+  }
+
+  test("native tokenize plan size is constant in vocab depth") {
+    val merges = Bpe.deepMerges(docs, Bpe.DeepRounds).map { case (l, r, _) => (l, r) }
+    def planChars(n: Int): Int =
+      Bpe.tokenizeWith(docs, merges.take(n)).queryExecution.executedPlan.toString.length
+    val p2 = planChars(2)
+    val p256 = planChars(merges.size)
+    assert(math.abs(p256 - p2) < 100,
+      s"plan must not grow with merge depth: $p2 chars at 2 merges, $p256 at ${merges.size}")
+    // the fold chain DOES grow — one Project per merge (the contrast the
+    // native expression exists for)
+    def foldChars(n: Int): Int =
+      Bpe.encodeWith(docs, merges.take(n).map { case (l, r) => (l, r, 0L) })
+        .queryExecution.analyzed.toString.length
+    assert(foldChars(64) > foldChars(2) + 1000)
+  }
+
+  test("bpe_tokenize is callable from SQL with a literal merge table") {
+    val m = BpeCoder.literal(Seq(("a", "b"), ("ab", "c")))
+    val r = spark.sql(s"SELECT bpe_tokenize('abcab', '$m') AS t").as[String].head()
+    assert(r === "abc ab")
+  }
+}
