@@ -1931,7 +1931,7 @@ object SparkEntry {
           j AS (SELECT t.source, data_tokens, t_pm::BIGINT AS t_pm,
                   (40000 * t_pm // 1000)::BIGINT AS wanted_tokens
                 FROM t JOIN tgt ON tgt.source = t.source),
-          k AS (SELECT *, least(4000, wanted_tokens * 1000 // data_tokens)::BIGINT AS epochs_pm
+          k AS (SELECT *, least(4000, coalesce(wanted_tokens * 1000 // data_tokens, 0))::BIGINT AS epochs_pm
                 FROM j),
           l AS (SELECT *, (data_tokens * epochs_pm // 1000)::BIGINT AS served_tokens FROM k)
           SELECT source, data_tokens, t_pm, wanted_tokens, epochs_pm, served_tokens,

@@ -242,8 +242,13 @@ object Sampling {
       .groupBy("source").agg(sum("n_toks").as("data_tokens"))
       .join(broadcast(targets), "source")
       .withColumn("wanted_tokens", expr(s"${budgetTokens}L * t_pm div 1000"))
+      // a token-less source must get 0 epochs and a full deficit — the
+      // raw division is NULL there and `least` would skip the NULL,
+      // silently granting the 4-epoch cap to a source with nothing to
+      // serve (r11 ADVICE); both engines coalesce identically
       .withColumn("epochs_pm",
-        least(lit(maxEpochsPm), expr("wanted_tokens * 1000 div data_tokens")))
+        least(lit(maxEpochsPm),
+          coalesce(expr("wanted_tokens * 1000 div data_tokens"), lit(0L))))
       .withColumn("served_tokens", expr("data_tokens * epochs_pm div 1000"))
       .withColumn("deficit_tokens",
         greatest(lit(0L), col("wanted_tokens") - col("served_tokens")))
@@ -255,8 +260,10 @@ object Sampling {
     * list the loader iterates: each doc repeats `epochs_pm div 1000`
     * times, plus ONE more iff its salted md5 bucket falls under
     * `epochs_pm mod 1000` — so each source's realized doc mass matches
-    * its granted per-mille epochs exactly at the per-mille grain, with
-    * the fractional epoch carried by a deterministic hash sample (the
+    * its granted per-mille epochs IN EXPECTATION (the fractional epoch
+    * is a deterministic Bernoulli-style hash sample, not an exact
+    * per-mille count — the spec's tolerance is max(5, 15%) of the
+    * fractional mass), carried by a deterministic hash sample (the
     * [[stratifiedSample]] property: rerun-, engine-, and
     * repartition-stable; growing a source never reshuffles which docs
     * carry the fraction). The "me:" salt decorrelates the fractional

@@ -429,7 +429,11 @@ object SeriesQueries {
       .agg(count(lit(1)).as("n"), sum("cents").as("s"))
     val byUser = byPhase.groupBy("user_id")
       .agg(sum("n").as("nu"), sum("s").as("su"))
-    byPhase.join(broadcast(byUser), "user_id")
+    // no broadcast hint: byUser is one row per DISTINCT user — an
+    // unbounded dimension at scale (r11 ADVICE). AQE picks broadcast
+    // whenever the rollup is actually small; at 100 TB both sides
+    // hash-join on the user key they are already aggregated by.
+    byPhase.join(byUser, "user_id")
       .withColumn("idx_n", col("s") * col("nu") - col("su") * col("n"))
       .select(col("user_id"), col("phase"), col("n"),
         expr("(CASE WHEN s < 0 THEN -1L ELSE 1L END) * (abs(s) * 10000 div n)")

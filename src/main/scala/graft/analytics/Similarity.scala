@@ -748,7 +748,14 @@ object Similarity {
     * are salted-md5 picks over the corpus id space (decorrelated
     * coverage mass; a pick that lands on the query itself or on its
     * positive is dropped rather than resampled, keeping the pick
-    * engine-replayable). Output: (q_id, role, rank, n_id, cos) with
+    * engine-replayable — and ONLY those collisions are dropped: two
+    * rand picks hashing to the same n_id both survive, as does a rand
+    * pick that coincides with a hard negative (duplicate (q_id, n_id)
+    * rows across/within roles are the documented behavior, a training
+    * run dedups at batch assembly if it cares). A query with no IVF
+    * candidates has no positive, so the inner join drops its ENTIRE
+    * rand arm too — no positive means no triplet, by construction.
+    * Output: (q_id, role, rank, n_id, cos) with
     * role ∈ pos|hard|rand and cos the exact 4-dp cosine for every row —
     * including the random rows, which a training run logs for
     * curriculum/denoising decisions.

@@ -73,4 +73,30 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains(""""nretry":1"""),
       "guard provenance lost when the retried query's entry is shed")
   }
+
+  test("full artifact: every entry, every attempt, untruncated errors — valid JSON") {
+    // the file-side artifact (VERDICT r11 #2) must carry what the tail
+    // line sheds: parse with Jackson (strict) and compare field-for-field
+    val all = results(150) :+ ("broken_query", -1.0)
+    val errors = Map("broken_query" -> "AnalysisException: line 1\n\t\"quoted\" detail")
+    val attempts = Map(
+      all.head._1 -> Vector(9.9, 0.1),
+      all(1)._1 -> Vector(5.0, 4.0, 0.2))
+    val doc = Bench.renderFull(all, errors, attempts, "/sf0.1")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(doc)
+    assert(root.get("nq").asInt == 151)
+    assert(root.get("nretry").asInt == 2)
+    assert(root.get("queries").size == 151, "no shedding in the full artifact")
+    assert(root.get("queries").get("broken_query").asDouble == -1.0)
+    val a0 = root.get("retry").get(all.head._1)
+    assert(a0.get("attempts").size == 2 &&
+      math.abs(a0.get("attempts").get(0).asDouble - 9.9) < 1e-9)
+    assert(a0.get("ref").isNumber, "flag threshold reference rides along")
+    assert(root.get("errors").get("broken_query").asText.contains("\"quoted\" detail"),
+      "error text must be untruncated and escape-safe")
+    // empty maps stay valid JSON
+    assert(om.readTree(Bench.renderFull(Seq(("a", 1.0)), Map.empty, Map.empty, "/sf"))
+      .get("retry").size == 0)
+  }
 }
