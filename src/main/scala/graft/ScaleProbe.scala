@@ -571,6 +571,78 @@ object ScaleProbe {
     agree
   }
 
+  /** Deep-BPE probe — evidence for the r12 scale claim (the r11 VERDICT
+    * ceiling: word-level training = one Spark job per merge; fold-chain
+    * encoding = one plan node per merge):
+    *  (a) TRAIN at 1024 merges via the [[graft.analytics.Bpe.trainDeep]]
+    *      split — the corpus-scale segment aggregation timed against the
+    *      driver-local merge loop (vocab-local arithmetic; contrast: the
+    *      distributed per-round trainer would schedule 1024 jobs);
+    *  (b) ENCODE the corpus with the native `bpe_tokenize` expression at
+    *      16 vs 1024 merges — per-row cost must be depth-independent
+    *      (wall ratio ≤ 1.5) and the plan must not grow (chars within
+    *      200); the fold chain measured at 16 vs 64 merges for the
+    *      growth contrast (at 1024 its plan would hold 1024 nested
+    *      replaces — the shape this probe exists to retire);
+    *  (c) CORRECTNESS: native@1024 equals a literal rank-order
+    *      String.replace fold on a 200-doc sample.
+    * ok = full 1024 merges realized, sample agreement, depth-independent
+    * wall, constant plan. */
+  private def probeBpeDeep(spark: org.apache.spark.sql.SparkSession, n: Long): Boolean = {
+    import graft.analytics.Bpe
+    val vocab = 200000L
+    val wpd = 40
+    val docs = spark.range(n).selectExpr("id AS doc_id",
+      s"""concat_ws(' ', transform(sequence(0, ${wpd - 1}), j ->
+            concat('w', lower(conv(pmod(cast(conv(substring(md5(cast(id * $wpd + j AS STRING)), 1, 15), 16, 10) AS BIGINT), $vocab), 10, 36))))) AS text""")
+    val rounds = 1024
+    val t0 = System.nanoTime()
+    val segs = Bpe.segmentTable(docs, 500)
+    val tAgg = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val merges = Bpe.localTrainMerges(segs, rounds).map { case (l, r, _) => (l, r) }
+    val tTrain = (System.nanoTime() - t1) / 1e9
+    def timeNoop(df: DataFrame): Double = {
+      val s = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - s) / 1e9
+    }
+    val tNative16 = timeNoop(Bpe.tokenizeWith(docs, merges.take(16)))
+    val tNative = timeNoop(Bpe.tokenizeWith(docs, merges))
+    def planChars(m: Seq[(String, String)]): Int =
+      Bpe.tokenizeWith(docs, m).queryExecution.executedPlan.toString.length
+    val (pc16, pcAll) = (planChars(merges.take(16)), planChars(merges))
+    val asTriple = merges.map { case (l, r) => (l, r, 0L) }
+    val tFold16 = timeNoop(Bpe.encodeWith(docs, asTriple.take(16)))
+    val tFold64 = timeNoop(Bpe.encodeWith(docs, asTriple.take(64)))
+    // sample correctness vs a literal rank-order replace fold
+    val coder = new graft.functions.BpeCoder(merges)
+    def foldEnc(seg: String): String = {
+      val W1 = "\u0001"; val W2 = "\u0002"
+      val w = seg.codePoints().toArray
+        .map(cp => W1 + new String(Character.toChars(cp)) + W2).mkString
+      val s = merges.foldLeft(w) { case (acc, (l, r)) =>
+        acc.replace(W1 + l + W2 + W1 + r + W2, W1 + l + r + W2)
+      }
+      s.substring(1, s.length - 1).split(W2 + W1, -1).mkString(" ")
+    }
+    import spark.implicits._
+    val sample = docs.where(col("doc_id") < 200)
+      .select(expr(s"replace(trim(text), ' ', '${Bpe.Meta}')")).as[String].collect()
+    val agree = sample.forall(seg => coder.encodeString(seg) == foldEnc(seg))
+    val ok = agree && merges.size == rounds &&
+      tNative <= 1.5 * tNative16 + 2.0 && math.abs(pcAll - pc16) < 200
+    println(s"""{"probe":"bpedeep","n_docs":$n,"rounds":$rounds,"realized":${merges.size},""" +
+      s""""agg_sec":${f"$tAgg%.1f"},"train_sec":${f"$tTrain%.1f"},""" +
+      s""""native16_sec":${f"$tNative16%.1f"},"native1024_sec":${f"$tNative%.1f"},""" +
+      s""""fold16_sec":${f"$tFold16%.1f"},"fold64_sec":${f"$tFold64%.1f"},""" +
+      s""""plan_chars_16":$pc16,"plan_chars_1024":$pcAll,"sample_agree":$agree,"ok":$ok}""")
+    if (!ok) System.err.println(
+      s"[scaleprobe] bpedeep NOT ok: realized=${merges.size} agree=$agree " +
+        f"native=$tNative%.1f vs16=$tNative16%.1f plan=$pcAll/$pc16")
+    ok
+  }
+
   /** Lexical-arm volume probe for hybrid retrieval: the posting join's
     * candidate volume is Σ_t df_q(t)·df(t), dominated at corpus scale by
     * head (stopword-class) terms that carry near-zero idf mass. This arm
@@ -735,6 +807,9 @@ object ScaleProbe {
     // projivf: 1M vectors x 256 lists ~ 16G mul-adds full-dim, the
     // regime where the 4x dim cut in coarse assignment is visible
     "projivf" -> 1000000L,
+    // bpedeep: 1M 40-word docs; the encode scans dominate, the 1024-round
+    // driver-local train is vocab-local arithmetic sized by the 500-seg cap
+    "bpedeep" -> 1000000L,
     // overlap: 1M x 1M intervals at ~3 overlaps each; the naive arm runs
     // at n/100 where its quadratic cost is still feasible
     "overlap" -> 1000000L,
@@ -886,6 +961,7 @@ object ScaleProbe {
       case "bpe" => probeBpe(spark, size)
       case "projivf" => probeProjIvf(spark, size)
       case "overlap" => probeOverlap(spark, size)
+      case "bpedeep" => probeBpeDeep(spark, size)
       case other =>
         System.err.println(
           s"unknown arm '$other'; known arms: ${defaults.keysIterator.toSeq.sorted.mkString(", ")} (or 'all')")

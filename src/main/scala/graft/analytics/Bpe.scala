@@ -241,7 +241,7 @@ object Bpe {
     * segment's binary string order — identical in Spark's UTF8String and
     * DuckDB's default collation). orderBy+limit plans as TakeOrdered:
     * bounded driver state, the centroid-sample discipline. */
-  private[analytics] def segmentTable(docs: DataFrame, cap: Int): Seq[(String, Long)] = {
+  private[graft] def segmentTable(docs: DataFrame, cap: Int): Seq[(String, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.where(length(trim(col("text"))) > 0)
@@ -260,7 +260,7 @@ object Bpe {
     * against [[trainMerges]]' machinery on the same state. Cost is
     * O(rounds × Σ segment lengths) — vocab-local arithmetic, ~10⁷ ops at
     * the query defaults, milliseconds on the driver. */
-  private[analytics] def localTrainMerges(
+  private[graft] def localTrainMerges(
       segs: Seq[(String, Long)], rounds: Int): Seq[(String, String, Long)] = {
     import org.apache.spark.unsafe.types.UTF8String
     def u8Lt(a: String, b: String): Boolean =
