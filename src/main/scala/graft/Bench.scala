@@ -103,7 +103,8 @@ object Bench {
       "mm_decode_features",    // stub-decode projection; the REAL codec path mm_media_probe is benched
       "ml1_boost_forecast_per_key", // per-key variant of benched ml1_boost_forecast (mirrors the ridge pair's policy)
       "mix_temperature",       // scan-speed hash-filter family (like the skipped mix_sources): sample_stratified benched
-      "txt_bpe_vocab"          // re-runs the trainer + one vocab-sized agg: txt_bpe_train (same dominant cost) benched
+      "txt_bpe_vocab",         // re-runs the trainer + one vocab-sized agg: txt_bpe_train (same dominant cost) benched
+      "txt_bpe_vocab_deep"     // re-runs the deep trainer + a driver-local vocab agg: txt_bpe_train_deep benched
     )
 
   /** Warm sf0.1 per-query reference minima — the contention guard's

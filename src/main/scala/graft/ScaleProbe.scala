@@ -571,6 +571,60 @@ object ScaleProbe {
     agree
   }
 
+  /** Concat-and-chunk packing probe ([[graft.analytics.Sampling
+    * .concatChunk]], `pack_concat_chunk` / the `pipe_prep_train` tail) at
+    * 1M docs: the operator's one shuffle is the per-shard running-total
+    * window, so per-task state is bounded by the shard's row count — the
+    * `shards` parameter is the scale dial (docs/SCALING.md's "shards
+    * bound per-task window state" claim, here measured instead of
+    * asserted). Runs the layout at shards=8 and shards=256 and checks
+    * the two packing laws STAY EXACT at volume, as Spark aggregates (no
+    * driver-side row collection):
+    *  - per-doc token conservation: Σ n_toks by doc == an independent
+    *    recount of the doc's tokens;
+    *  - sequence fullness: every (shard, seq_id) except each shard's
+    *    tail sums to exactly seqTokens.
+    * ok = both laws hold at both shard counts; the JSON reports wall and
+    * the max per-shard row count (the window-state bound) at each. */
+  private def probeChunk(spark: org.apache.spark.sql.SparkSession, n: Long): Boolean = {
+    import graft.analytics.Sampling
+    val docs = spark.range(n).selectExpr("id AS doc_id",
+      // 1..200 'w' tokens per doc, md5-deterministic
+      "repeat('w ', 1 + pmod(cast(conv(substring(md5(cast(id AS STRING)), 1, 15), 16, 10) AS BIGINT), 200)) AS text")
+    val seqT = 256L
+    def run(shards: Int): (Double, Long, Long, Long) = {
+      val t0 = System.nanoTime()
+      Sampling.concatChunk(docs, seqT, shards)
+        .write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val out = Sampling.concatChunk(docs, seqT, shards)
+      val recount = docs.selectExpr("doc_id",
+        "cast(size(split(trim(text), '\\\\s+')) AS BIGINT) AS n_tokens")
+      val badDocs = out.groupBy("doc_id").agg(sum("n_toks").as("packed"))
+        .join(recount, "doc_id")
+        .where(col("packed") =!= col("n_tokens")).count()
+      val tails = out.groupBy("shard").agg(max("seq_id").as("tail_seq"))
+      val badSeqs = out.groupBy("shard", "seq_id").agg(sum("n_toks").as("s"))
+        .join(tails, "shard")
+        .where(col("seq_id") =!= col("tail_seq") && col("s") =!= seqT).count()
+      val maxShardRows = out.groupBy("shard").count()
+        .agg(max("count")).collect()(0).getLong(0)
+      (wall, badDocs, badSeqs, maxShardRows)
+    }
+    val (w8, bd8, bs8, ms8) = run(8)
+    val (w256, bd256, bs256, ms256) = run(256)
+    val ok = bd8 == 0 && bs8 == 0 && bd256 == 0 && bs256 == 0 &&
+      ms256 * 8 < ms8 // the state bound actually shrinks with shards
+    println(s"""{"probe":"chunk","n_docs":$n,"seq_tokens":$seqT,""" +
+      s""""wall8_sec":${f"$w8%.1f"},"wall256_sec":${f"$w256%.1f"},""" +
+      s""""max_shard_rows8":$ms8,"max_shard_rows256":$ms256,""" +
+      s""""bad_docs":${bd8 + bd256},"bad_seqs":${bs8 + bs256},"ok":$ok}""")
+    if (!ok) System.err.println(
+      s"[scaleprobe] chunk NOT ok: bad_docs=$bd8/$bd256 bad_seqs=$bs8/$bs256 " +
+        s"state=$ms8/$ms256")
+    ok
+  }
+
   /** Deep-BPE probe — evidence for the r12 scale claim (the r11 VERDICT
     * ceiling: word-level training = one Spark job per merge; fold-chain
     * encoding = one plan node per merge):
@@ -810,6 +864,8 @@ object ScaleProbe {
     // bpedeep: 1M 40-word docs; the encode scans dominate, the 1024-round
     // driver-local train is vocab-local arithmetic sized by the 500-seg cap
     "bpedeep" -> 1000000L,
+    // chunk: 1M docs x ~100 mean tokens; the window state dial is the claim
+    "chunk" -> 1000000L,
     // overlap: 1M x 1M intervals at ~3 overlaps each; the naive arm runs
     // at n/100 where its quadratic cost is still feasible
     "overlap" -> 1000000L,
@@ -962,6 +1018,7 @@ object ScaleProbe {
       case "projivf" => probeProjIvf(spark, size)
       case "overlap" => probeOverlap(spark, size)
       case "bpedeep" => probeBpeDeep(spark, size)
+      case "chunk" => probeChunk(spark, size)
       case other =>
         System.err.println(
           s"unknown arm '$other'; known arms: ${defaults.keysIterator.toSeq.sorted.mkString(", ")} (or 'all')")

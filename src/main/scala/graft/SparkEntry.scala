@@ -90,6 +90,7 @@ object SparkEntry {
     "ts_seasonal" -> (SeriesQueries.seasonalProfile _), // hour-of-day additive seasonal index from exact cent sums
     "ts_trend" -> (SeriesQueries.trendProfile _), // trailing-12 moving-average trend + residual, floor-scaled micro-units
     "q_funnel" -> (SeriesQueries.funnel _), // ordered view->click->purchase conversion funnel
+    "q_window_funnel" -> ((s: org.apache.spark.sql.SparkSession, d: String) => SeriesQueries.windowFunnel(s, d)), // ClickHouse-windowFunnel depth via two forward as-of passes
     "q_evt_pctl" -> (SeriesQueries.hourlyPercentiles _), // hourly p25/p50/p75 bands per event type
     "q_transitions" -> (SeriesQueries.transitions _), // per-user event-type Markov transition matrix
     "fuzzy_names" -> (Relational.fuzzyNames _), // blocked edit-distance entity resolution on the name dictionary
@@ -158,6 +159,8 @@ object SparkEntry {
     "txt_bpe_vocab" -> (Bpe.vocabQuery _), // the shipped tokenizer artifact: top-k post-merge symbols with corpus totals
     "txt_bpe_train_deep" -> (Bpe.trainDeepQuery _), // REAL-vocab trainer: one corpus agg + driver-local merge loop, 256 SentencePiece-style merges
     "txt_bpe_tokenize" -> (Bpe.tokenizeQuery _), // native bpe_tokenize expression: per-doc token stream, plan size constant in vocab depth
+    "txt_bpe_vocab_deep" -> (Bpe.vocabDeepQuery _), // the deep tokenizer's shipped vocab: driver-local aggregation of the trained segment state
+    "dedup_cdc" -> (Dedup.cdcQuery _), // content-defined chunking (Rabin/LBFS): cross-doc shared-chunk report, boundaries from the rolling hash
     "txt_quality_distill" -> (Distill.distillGateQuery _), // FineWeb-Edu-style gate distillation: teacher-labeled boosted-stump student, scored as plan literals
     "pipe_prep" -> (PrepPipeline.manifest _), // flagship composition: gate -> dedup -> split -> decontam -> pack
     "pipe_prep_quality" -> (PrepPipeline.manifestQuality _), // v2: near-dup clusters + argmax-quality keeper (FineWeb-style)
@@ -1361,6 +1364,28 @@ object SparkEntry {
          UNION ALL
          SELECT 3::BIGINT, 'purchase', count(*),
                 (sum(t_purchase - t_click) // count(*))::BIGINT FROM p""",
+    "q_window_funnel" ->
+      // greedy earliest-next-step from every view anchor is exact for the
+      // exists-a-chain semantics; 6 h window in integer micros
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us FROM events),
+         v AS (SELECT user_id, ts_us AS t1 FROM e WHERE event_type = 'view'),
+         c2 AS (SELECT v.user_id, v.t1, min(e.ts_us) AS t2
+                FROM v LEFT JOIN e ON e.user_id = v.user_id
+                     AND e.event_type = 'click' AND e.ts_us > v.t1
+                GROUP BY v.user_id, v.t1),
+         p3 AS (SELECT c2.user_id, c2.t1, c2.t2, min(e.ts_us) AS t3
+                FROM c2 LEFT JOIN e ON e.user_id = c2.user_id
+                     AND e.event_type = 'purchase'
+                     AND c2.t2 IS NOT NULL AND e.ts_us > c2.t2
+                GROUP BY c2.user_id, c2.t1, c2.t2),
+         d AS (SELECT user_id, t1,
+                 CASE WHEN t2 IS NOT NULL AND t2 <= t1 + 21600000000
+                      THEN CASE WHEN t3 IS NOT NULL AND t3 <= t1 + 21600000000
+                           THEN 3 ELSE 2 END
+                      ELSE 1 END AS depth
+               FROM p3)
+         SELECT user_id, count(*)::BIGINT AS n_views, max(depth)::BIGINT AS depth
+         FROM d GROUP BY user_id ORDER BY user_id""",
     "q_transitions" ->
       // row-normalized probability is one BIGINT/BIGINT IEEE division —
       // identical cross-engine without rounding
@@ -2137,6 +2162,21 @@ object SparkEntry {
           FROM (SELECT doc_id, replace(trim(text), ' ', chr(9601)) AS seg FROM documents
                 WHERE len(trim(text)) > 0) d
           JOIN efin e USING (seg) ORDER BY d.doc_id""",
+    "txt_bpe_vocab_deep" ->
+      s"""WITH RECURSIVE ${bpeDeepCtes(graft.analytics.Bpe.DeepRounds, graft.analytics.Bpe.DeepCap)},
+          fin AS (SELECT freq, seq FROM st WHERE r = (SELECT max(r) FROM st)),
+          v AS (SELECT symbol, sum(freq)::BIGINT AS n_occ,
+                       count(DISTINCT seq)::BIGINT AS n_segs
+                FROM (SELECT freq, seq,
+                        unnest(string_split(substr(seq, 2, len(seq) - 2),
+                                            chr(2)||chr(1))) AS symbol
+                      FROM fin) t
+                GROUP BY symbol)
+          SELECT symbol, n_occ, n_segs, rank FROM (
+            SELECT symbol, n_occ, n_segs,
+                   row_number() OVER (ORDER BY n_occ DESC, symbol) AS rank
+            FROM v) r
+          WHERE rank <= 100 ORDER BY rank""",
     "txt_bpe_vocab" ->
       s"""WITH ${bpeTrainCtes(graft.analytics.Bpe.Rounds)},
           v AS (SELECT symbol, sum(freq)::BIGINT AS n_occ,
@@ -2151,6 +2191,35 @@ object SparkEntry {
                    row_number() OVER (ORDER BY n_occ DESC, symbol) AS rank
             FROM v) r
           WHERE rank <= 100 ORDER BY rank""",
+    "dedup_cdc" ->
+      // content-defined chunk boundaries: gram starts whose Horner hash
+      // (the txt_rolling_fp arithmetic) is 0 mod 64 end a chunk at char
+      // i+7; the doc tail always closes the last chunk. DuckDB lists are
+      // 1-based where Spark arrays are 0-based — the jx arithmetic
+      // differs by one on purpose.
+      s"""WITH d AS (SELECT doc_id, $normSql AS nt FROM documents
+                     WHERE length($normSql) >= 8),
+          b AS (SELECT doc_id, nt,
+                  list_append(
+                    list_filter(
+                      list_transform(
+                        list_filter(range(1, length(nt) - 6),
+                          i -> list_reduce(list_transform(range(i, i + 8),
+                                 j -> ascii(substring(nt, j::INT, 1))::BIGINT),
+                               (acc, c) -> (acc * 257 + c) % 2147483647) % 64 = 0),
+                        i -> i + 7),
+                      e -> e < length(nt)),
+                    length(nt)) AS ends
+                FROM d),
+          c AS (SELECT doc_id, nt, ends, unnest(range(1, len(ends) + 1)) AS jx FROM b),
+          ch AS (SELECT doc_id,
+                   CASE WHEN jx = 1 THEN 1 ELSE ends[(jx - 1)::INT] + 1 END AS s,
+                   ends[jx::INT] AS e, nt FROM c)
+          SELECT c_hash, min(c_len)::BIGINT AS c_len,
+                 count(DISTINCT doc_id)::BIGINT AS n_docs, count(*)::BIGINT AS n_occ
+          FROM (SELECT doc_id, md5(substring(nt, s::INT, (e - s + 1)::INT)) AS c_hash,
+                       (e - s + 1)::BIGINT AS c_len FROM ch) t
+          GROUP BY c_hash HAVING count(DISTINCT doc_id) >= 2 ORDER BY c_hash""",
     "txt_rolling_fp" ->
       // Horner-rule rolling hash: DuckDB's list_reduce has no seed, but
       // starting from the first element equals seeding with 0 since

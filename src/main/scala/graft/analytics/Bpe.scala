@@ -261,7 +261,15 @@ object Bpe {
     * O(rounds × Σ segment lengths) — vocab-local arithmetic, ~10⁷ ops at
     * the query defaults, milliseconds on the driver. */
   private[graft] def localTrainMerges(
-      segs: Seq[(String, Long)], rounds: Int): Seq[(String, String, Long)] = {
+      segs: Seq[(String, Long)], rounds: Int): Seq[(String, String, Long)] =
+    localTrainState(segs, rounds)._1
+
+  /** [[localTrainMerges]] plus the POST-MERGE segment state (symbol
+    * arrays with frequencies) — the final state is what the vocabulary
+    * artifact ([[vocabDeep]]) aggregates. */
+  private[graft] def localTrainState(
+      segs: Seq[(String, Long)],
+      rounds: Int): (Seq[(String, String, Long)], Array[(Array[String], Long)]) = {
     import org.apache.spark.unsafe.types.UTF8String
     def u8Lt(a: String, b: String): Boolean =
       UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
@@ -306,7 +314,7 @@ object Bpe {
       }
       r += 1
     }
-    out.result()
+    (out.result(), state)
   }
 
   /** Deep merge table: distributed segment count + local merge loop. */
@@ -349,6 +357,42 @@ object Bpe {
         size(split(col("tokens"), " ")).cast("long").as("n_bpe_tokens"),
         col("tokens"))
 
+  /** The DEEP tokenizer's shipped vocabulary — `txt_bpe_vocab_deep`: the
+    * top-`k` post-merge symbols of the deep trainer's final segment
+    * state (characters + meta-symbol + every merged subword still
+    * surviving whole), with frequency-weighted occurrence totals
+    * (`n_occ`) and the number of distinct SEGMENTS carrying each symbol
+    * (`n_segs`). The [[vocab]] artifact at real vocab depth: the whole
+    * aggregation runs driver-locally over the ≤cap-row trained state —
+    * model-parameter arithmetic, zero extra jobs beyond [[trainDeep]]'s
+    * one segment aggregation. Rank ties break on the symbol's binary
+    * string order (UTF8String == DuckDB collation). */
+  def vocabDeep(docs: DataFrame, rounds: Int = DeepRounds,
+                cap: Int = DeepCap, k: Int = 100): DataFrame = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val spark = docs.sparkSession
+    val (_, state) = localTrainState(segmentTable(docs, cap), rounds)
+    val occ = new java.util.HashMap[String, Long]()
+    val carriers = new java.util.HashMap[String, Long]()
+    state.foreach { case (syms, f) =>
+      syms.foreach(sym => occ.merge(sym, f, _ + _))
+      val distinctSyms = new java.util.HashSet[String]()
+      syms.foreach(distinctSyms.add)
+      distinctSyms.forEach(sym => carriers.merge(sym, 1L, _ + _))
+    }
+    val ranked = occ.entrySet().toArray(Array.empty[java.util.Map.Entry[String, Long]])
+      .map(e => (e.getKey, e.getValue, carriers.get(e.getKey)))
+      .sortWith { case ((s1, o1, _), (s2, o2, _)) =>
+        o1 > o2 || (o1 == o2 &&
+          UTF8String.fromString(s1).compareTo(UTF8String.fromString(s2)) < 0)
+      }
+      .take(k).zipWithIndex
+      .map { case ((sym, o, cs), i) => (sym, o, cs, (i + 1).toLong) }
+    spark.createDataFrame(ranked.toSeq)
+      .toDF("symbol", "n_occ", "n_segs", "rank")
+      .orderBy("rank")
+  }
+
   // --- SparkEntry query adapters ---
   def trainQuery(spark: SparkSession, dir: String): DataFrame =
     train(Tables.documents(spark, dir))
@@ -360,4 +404,6 @@ object Bpe {
     trainDeep(Tables.documents(spark, dir))
   def tokenizeQuery(spark: SparkSession, dir: String): DataFrame =
     tokenizeDeep(Tables.documents(spark, dir))
+  def vocabDeepQuery(spark: SparkSession, dir: String): DataFrame =
+    vocabDeep(Tables.documents(spark, dir))
 }

@@ -955,6 +955,66 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** CONTENT-DEFINED CHUNKING (Rabin/LBFS-style, Muthitacharoen et al.
+    * 2001, "A Low-Bandwidth Network File System") — the storage-dedup
+    * primitive the verbatim family lacks: the normalized text is cut at
+    * positions where the k-gram rolling hash (the exact
+    * [[TextAnalysis.rollingFingerprints]] Horner arithmetic, BIGINT mod
+    * 2^31−1) satisfies `h % divisor == 0`, so chunk BOUNDARIES are a
+    * function of local CONTENT, not position. That is the property that
+    * makes it dedup-capable where fixed-size chunking is not: inserting
+    * a prefix shifts every fixed-size frame but leaves every
+    * content-defined boundary after the edit untouched, so the shared
+    * suffix re-aligns chunk-for-chunk (spec-pinned shift-resilience
+    * law). Mean chunk length ≈ `divisor` chars.
+    *
+    * One row per chunk: (doc_id, c_start, c_len, c_hash=md5(chunk)).
+    * Scale shape: per-doc array arithmetic in one projection (gram
+    * hashes → boundary filter → tiling explode) — zero shuffle here;
+    * only the downstream report groups, and it groups on the digest. */
+  def cdcChunks(docs: DataFrame, k: Int = 8, divisor: Long = 64): DataFrame = {
+    val n = docs
+      .select(col("doc_id"), TextAnalysis.normalized(col("text")).as("nt"))
+      .where(length(col("nt")) >= k)
+      .select(col("doc_id"), col("nt"),
+        expr("transform(split(nt, ''), c -> cast(ascii(c) AS BIGINT))").as("cs"))
+      // boundary gram starts: Horner hash of the k codes at i ≡ 0 (mod D);
+      // a boundary ENDS its chunk at char i+k-1; the doc tail always ends
+      // the last chunk (array_distinct drops the duplicate when a
+      // boundary already lands on the final char — ascending order is
+      // preserved, so `ends` is sorted without a sort)
+      .select(col("doc_id"), col("nt"), expr(
+        s"""array_distinct(concat(
+              transform(filter(sequence(1, size(cs) - ${k - 1}),
+                  i -> aggregate(slice(cs, i, $k),
+                         0L, (acc, c) -> (acc * 257 + c) % 2147483647) % $divisor = 0),
+                i -> cast(i + ${k - 1} AS BIGINT)),
+              array(cast(size(cs) AS BIGINT))))""").as("ends"))
+    n.select(col("doc_id"), col("nt"), explode(expr(
+        """transform(sequence(1, size(ends)),
+           jx -> struct(CASE WHEN jx = 1 THEN 1L ELSE ends[jx - 2] + 1L END AS s,
+                        ends[jx - 1] AS e))""")).as("c"))
+      .select(col("doc_id"), col("c.s").as("c_start"),
+        (col("c.e") - col("c.s") + 1).as("c_len"),
+        md5(expr("substring(nt, cast(c.s AS INT), cast(c.e - c.s + 1 AS INT))")).as("c_hash"))
+  }
+
+  /** The CDC dedup report — `dedup_cdc`: chunks whose content recurs in
+    * MORE THAN ONE document (the cross-doc shared-bytes map a
+    * storage/transfer dedup system keeps), with occurrence and carrier
+    * counts. Text never shuffles: the report groups (doc_id, len,
+    * digest) tuples on the digest. */
+  def cdcReport(docs: DataFrame, k: Int = 8, divisor: Long = 64): DataFrame =
+    cdcChunks(docs, k, divisor)
+      .groupBy("c_hash")
+      .agg(min("c_len").as("c_len"),
+        countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .where(col("n_docs") >= 2)
+
+  def cdcQuery(spark: SparkSession, dir: String): DataFrame =
+    cdcReport(Tables.documents(spark, dir)).orderBy("c_hash")
+
   /** Incremental ingest dedup — the CONTINUOUS-pipeline counterpart of
     * [[exactQuery]]: a new batch of documents (here every 5th doc_id
     * stands in for the incoming slice) is admitted only if its content

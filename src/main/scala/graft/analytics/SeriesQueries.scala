@@ -134,6 +134,52 @@ object SeriesQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** WINDOWED funnel (`q_window_funnel` — ClickHouse `windowFunnel`
+    * semantics): per user, the deepest view→click→purchase chain whose
+    * steps are each STRICTLY later than the previous and whose last step
+    * lands within `windowUs` of the chain's FIRST event; every view is a
+    * candidate anchor. Greedy earliest-next-step from each anchor is
+    * exact for the exists-a-chain semantics: the earliest qualifying
+    * click leaves maximal room for the purchase, so per-anchor depth =
+    * 1 + [t2 ≤ t1+W] + [t2 ≤ t1+W ∧ t3 ≤ t1+W] with t2/t3 the earliest
+    * strictly-later next-step times.
+    *
+    * Spark-first shape: "earliest event strictly after t" is the FORWARD
+    * as-of join — each funnel stage is one pass through the custom merge
+    * exec ([[graft.plans.AsOfNative.asOfJoinForward]], probe time t+1µs
+    * for strictness) instead of ClickHouse's dedicated aggregate: two
+    * key-shuffles total, no per-user event buffering, and the chain
+    * stages pipeline. Output: (user_id, n_views, depth). */
+  def windowFunnel(spark: SparkSession, dir: String,
+                   windowUs: Long = 21600000000L): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_type"))
+    def stage(name: String) = ev.where(col("event_type") === name)
+    val anchors = stage("view")
+      .select(col("user_id"), (col("ts_us") + 1).as("probe"), col("ts_us").as("t1"))
+    val clicks = stage("click")
+      .select(col("user_id"), col("ts_us").as("c_ts"), col("ts_us").as("c_pay"))
+    val s2 = graft.plans.AsOfNative.asOfJoinForward(
+        anchors, clicks, keys, "probe", "c_ts", Seq("c_pay"))
+      .select(col("user_id"), col("t1"), col("asof_c_pay").as("t2"))
+    val withClick = s2.where(col("t2").isNotNull)
+      .select(col("user_id"), col("t1"), col("t2"), (col("t2") + 1).as("probe"))
+    val purchases = stage("purchase")
+      .select(col("user_id"), col("ts_us").as("p_ts"), col("ts_us").as("p_pay"))
+    val s3 = graft.plans.AsOfNative.asOfJoinForward(
+        withClick, purchases, keys, "probe", "p_ts", Seq("p_pay"))
+      .select(col("user_id"), col("t1"), col("t2"), col("asof_p_pay").as("t3"))
+      .unionByName(s2.where(col("t2").isNull).withColumn("t3", lit(null).cast("long")))
+    s3.withColumn("depth",
+        when(col("t2").isNotNull && col("t2") <= col("t1") + windowUs,
+          when(col("t3").isNotNull && col("t3") <= col("t1") + windowUs, 3L)
+            .otherwise(2L))
+          .otherwise(1L))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_views"), max("depth").as("depth"))
+      .orderBy("user_id")
+  }
+
   /** As-of join with a 1-hour tolerance (pandas merge_asof's `tolerance`):
     * a matched view older than an hour before the purchase is nulled out —
     * the staleness bound every real market-data as-of join needs. */

@@ -185,6 +185,28 @@ class BpeDeepSpec extends SparkSpec {
     assert(foldChars(64) > foldChars(2) + 1000)
   }
 
+  test("vocabDeep: exact totals on a constructed corpus, survivor subwords outrank chars") {
+    // two segments: "abab" ×3 docs, "abx" ×2 docs. Merges at rounds=2:
+    // (a,b) cnt 3*2+2 = 8 -> ab; then (ab,ab) cnt 3 vs (ab,x) cnt 2 -> abab.
+    // Final state: ["abab"]×3, ["ab","x"]×2.
+    val docs = Seq((1L, "abab"), (2L, "abab"), (3L, "abab"), (4L, "abx"), (5L, "abx"))
+      .toDF("doc_id", "text")
+    val v = Bpe.vocabDeep(docs, rounds = 2, cap = 10, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(v.toSeq === Seq(("abab", 3L, 1L, 1L), ("ab", 2L, 1L, 2L), ("x", 2L, 1L, 3L)))
+    // corpus-level consistency at full depth: n_segs bounded by the cap,
+    // every n_occ positive, ranks contiguous from 1
+    val full = Bpe.vocabDeep(graft.Tables.documents(spark, sfDir), rounds = 64)
+      .collect()
+    assert(full.nonEmpty)
+    assert(full.map(_.getLong(3)).toSeq === (1L to full.length.toLong))
+    assert(full.forall(r => r.getLong(1) > 0 && r.getLong(2) >= 1 &&
+      r.getLong(2) <= Bpe.DeepCap))
+    // a multi-codepoint survivor (merged subword) must appear — the
+    // artifact is vocabulary, not a char histogram
+    assert(full.exists(r => r.getString(0).codePoints().count() > 1))
+  }
+
   test("bpe_tokenize is callable from SQL with a literal merge table") {
     val m = BpeCoder.literal(Seq(("a", "b"), ("ab", "c")))
     val r = spark.sql(s"SELECT bpe_tokenize('abcab', '$m') AS t").as[String].head()

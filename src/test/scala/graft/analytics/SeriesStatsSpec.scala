@@ -82,6 +82,41 @@ class SeriesStatsSpec extends SparkSpec {
     assert(counts.toSeq == Seq(views.size.toLong, clicks.size.toLong, purchases.size.toLong))
   }
 
+  test("q_window_funnel: brute-force exists-chain replay; depth monotone in window") {
+    // independent semantics: depth(u) = max k with a strictly-increasing
+    // chain view < click < purchase whose LAST step is within W of the
+    // chain's FIRST — brute force over every (v, c, p) triple, no greedy
+    def brute(wUs: Long): Map[Long, Long] =
+      events.groupBy(_._1).map { case (u, rows) =>
+        val v = rows.filter(_._5 == "view").map(_._2)
+        val c = rows.filter(_._5 == "click").map(_._2)
+        val p = rows.filter(_._5 == "purchase").map(_._2)
+        val d3 = v.exists(t1 => c.exists(t2 => t2 > t1 &&
+          p.exists(t3 => t3 > t2 && t3 <= t1 + wUs)))
+        val d2 = v.exists(t1 => c.exists(t2 => t2 > t1 && t2 <= t1 + wUs))
+        u -> (if (d3) 3L else if (d2) 2L else 1L)
+      }
+    val w = 21600000000L
+    val got = SeriesQueries.windowFunnel(spark, sfDir, w)
+      .select("user_id", "depth").as[(Long, Long)].collect().toMap
+    val want = brute(w)
+    assert(got.keySet === want.keySet.filter(u =>
+      events.exists(e => e._1 == u && e._5 == "view")))
+    got.foreach { case (u, d) => assert(d === want(u), s"user $u") }
+    // all three depths realized at the query window (the point of W=6h)
+    assert(got.values.toSet === Set(1L, 2L, 3L))
+    // depth is monotone non-decreasing in the window size, per user
+    val gotWide = SeriesQueries.windowFunnel(spark, sfDir, w * 4)
+      .select("user_id", "depth").as[(Long, Long)].collect().toMap
+    got.foreach { case (u, d) => assert(gotWide(u) >= d, s"user $u") }
+    // n_views is the anchor count
+    val nv = SeriesQueries.windowFunnel(spark, sfDir, w)
+      .select("user_id", "n_views").as[(Long, Long)].collect().toMap
+    nv.foreach { case (u, n) =>
+      assert(n === events.count(e => e._1 == u && e._5 == "view").toLong, s"user $u")
+    }
+  }
+
   test("q_evt_pctl: quartiles ordered within each band; counts cover the table") {
     val got = SeriesQueries.hourlyPercentiles(spark, sfDir)
       .select("n", "p25", "p50", "p75").as[(Long, Double, Double, Double)].collect()
