@@ -1015,6 +1015,41 @@ object Dedup {
   def cdcQuery(spark: SparkSession, dir: String): DataFrame =
     cdcReport(Tables.documents(spark, dir)).orderBy("c_hash")
 
+  /** Single-document JVM mirror of [[cdcChunks]]' hash column —
+    * BIT-IDENTICAL to the batch chunking (asserted in StreamingCdcSpec):
+    * same normalization as [[localExactDigest]], same Horner boundary
+    * arithmetic over codepoints, same tail close, md5 over the chunk's
+    * UTF-8 bytes. Returns the chunk hashes in document order; None for
+    * null/too-short docs (the batch frame emits no row). What the
+    * streaming CDC guard calls per row. */
+  private[graft] def localCdcChunkHashes(text: String, k: Int = 8,
+                                         divisor: Long = 64): Option[Seq[String]] = {
+    if (text == null) return None
+    val trimmed = text.replaceAll("^ +", "").replaceAll(" +$", "")
+    val nt = trimmed.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+    val cps = nt.codePoints().toArray
+    val n = cps.length
+    if (n < k) return None
+    val ends = scala.collection.mutable.ArrayBuffer.empty[Int] // 1-based ends
+    var i = 0
+    while (i <= n - k) {
+      var acc = 0L
+      var j = 0
+      while (j < k) { acc = (acc * 257 + cps(i + j)) % 2147483647L; j += 1 }
+      if (acc % divisor == 0) ends += i + k // 0-based start i ⇒ 1-based end i+k
+      i += 1
+    }
+    if (ends.isEmpty || ends.last != n) ends += n
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var prev = 0 // 0-based exclusive start
+    Some(ends.toSeq.map { e =>
+      md.reset()
+      val chunk = new String(cps, prev, e - prev)
+      prev = e
+      md.digest(chunk.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    })
+  }
+
   /** Incremental ingest dedup — the CONTINUOUS-pipeline counterpart of
     * [[exactQuery]]: a new batch of documents (here every 5th doc_id
     * stands in for the incoming slice) is admitted only if its content

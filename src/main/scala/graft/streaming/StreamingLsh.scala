@@ -168,6 +168,34 @@ object StreamingLsh {
     candidatesFromBanded(banded, threshold = 1.0, capacity)
   }
 
+  /** CDC shared-chunk guard at ingest — the streaming counterpart of
+    * [[Dedup.cdcReport]] (`dedup_cdc`), completing the ingest mirror for
+    * the newest batch dedup family member: each arriving document is
+    * chunked ROW-LOCALLY with the exact batch boundary arithmetic
+    * ([[Dedup.localCdcChunkHashes]], spec-asserted bit-identical), and
+    * every chunk digest keys a bucket — the SAME key the batch report
+    * groups on. Because boundaries are content-defined, a document
+    * sharing a whole chunk with an earlier arrival collides EVEN WHEN
+    * the shared bytes sit at a different offset (the shift-resilience
+    * law CdcSpec pins on the batch side, live at ingest). Digest
+    * equality is exact (single component, threshold 1) — precision 1 at
+    * the chunk level; same bounded FIFO bucket state as every ingest
+    * stage. Within-doc repeated chunks fan the same bucket once
+    * (distinct), and fan-out is the doc's chunk count (~len/divisor). */
+  def cdcCandidates(docs: Dataset[(Long, String)], k: Int = 8,
+                    divisor: Long = 64,
+                    capacity: Int = 256): Dataset[StreamDupCandidate] = {
+    import docs.sparkSession.implicits._
+    val banded = docs.flatMap { case (id, text) =>
+      Dedup.localCdcChunkHashes(text, k, divisor) match {
+        case Some(hs) => hs.distinct.sorted.map(h =>
+          (s"0:$h", id, Seq(java.lang.Long.parseLong(h.take(15), 16))))
+        case None => Nil // null/short text: no chunks, like the batch frame
+      }
+    }
+    candidatesFromBanded(banded, threshold = 1.0, capacity)
+  }
+
   /** A semantic-dup candidate surfaced at ingest: `vec_a < vec_b` landed
     * in the same semantic cluster (`list_id`) with exact rounded cosine
     * ≥ τ. Unlike the signature stages the estimate here IS the exact

@@ -120,6 +120,63 @@ class StreamingLshSpec extends SparkSpec {
     assert(batchPairs == Set((1L, 2L)), s"batch/stream signal diverged: $batchPairs")
   }
 
+  test("local CDC chunk hashes == batch cdcChunks on the real corpus") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .where(col("text").isNotNull).limit(30).select("doc_id", "text")
+    val batch = graft.analytics.Dedup.cdcChunks(docs)
+      .select("doc_id", "c_start", "c_hash").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val local = docs.as[(Long, String)].collect().flatMap { case (id, text) =>
+      graft.analytics.Dedup.localCdcChunkHashes(text).map(id -> _)
+    }.toMap
+    assert(local.keySet == batch.keySet,
+      s"doc sets differ: ${local.keySet.diff(batch.keySet)} / ${batch.keySet.diff(local.keySet)}")
+    local.foreach { case (id, hs) => assert(hs == batch(id), s"doc $id") }
+    assert(batch.nonEmpty, "parity test needs chunked documents")
+  }
+
+  test("CDC ingest guard: shifted shared bytes collide, fresh text stays silent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    // doc 2 is doc 1 behind an inserted prefix: every fixed-size frame
+    // moves, every content-defined boundary in the shared suffix holds —
+    // the chunks re-align and the digests collide at ingest. doc 3 is
+    // fresh content and must stay silent.
+    def randText(seed: Long, n: Int): String = {
+      val sb = new StringBuilder; var x = seed
+      (0 until n).foreach { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        val r = ((x >>> 33) % 27).toInt
+        sb.append(if (r == 26) ' ' else ('a' + r).toChar)
+      }
+      sb.toString
+    }
+    val base = randText(42L, 600)
+    val shifted = "completely fresh boilerplate prefix " + base
+    val other = randText(99L, 600)
+    val ms = MemoryStream[(Long, String)]
+    val name = s"cdc_stream_${System.nanoTime()}"
+    val q = StreamingLsh.cdcCandidates(ms.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      ms.addData(Seq(1L -> base, 3L -> other): _*); q.processAllAvailable()
+      ms.addData(Seq(2L -> shifted, 9L -> null): _*); q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(name).as[StreamDupCandidate].collect().toSeq
+    val pairs = out.map(c => (c.doc_a, c.doc_b)).toSet
+    assert(pairs == Set((1L, 2L)), s"expected only the shifted pair, got $pairs")
+    assert(out.forall(_.est_jaccard == 1.0), "chunk digest equality is exact")
+    // several chunks collide, not just one — the suffix re-aligns
+    assert(out.size >= 3, s"expected several shared chunks, got ${out.size}")
+    // the streamed signal is the batch signal: the report over the same
+    // three docs shares exactly the colliding chunk set
+    val rep = graft.analytics.Dedup.cdcReport(
+        Seq(1L -> base, 2L -> shifted, 3L -> other).toDF("doc_id", "text"))
+      .collect()
+    assert(rep.length == out.size, s"batch ${rep.length} vs stream ${out.size}")
+  }
+
   test("composed ingest prep: the C4 gate feeds LSH dedup inside ONE streaming query") {
     // the batch gate is a stateless projection (StreamingGateSpec), so it
     // chains in front of the stateful LSH stage with no glue: gated-out
