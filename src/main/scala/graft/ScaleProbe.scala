@@ -654,8 +654,19 @@ object ScaleProbe {
     val segs = Bpe.segmentTable(docs, 500)
     val tAgg = (System.nanoTime() - t0) / 1e9
     val t1 = System.nanoTime()
-    val merges = Bpe.localTrainMerges(segs, rounds).map { case (l, r, _) => (l, r) }
+    val naive = Bpe.localTrainMerges(segs, rounds)
     val tTrain = (System.nanoTime() - t1) / 1e9
+    // the pair-count-delta trainer: same merges (spec-pinned; asserted
+    // here too), late rounds touch only carrier segments
+    val t1f = System.nanoTime()
+    val fast = Bpe.localTrainMergesFast(segs, rounds)
+    val tTrainFast = (System.nanoTime() - t1f) / 1e9
+    val fastAgree = fast == naive
+    // real-vocab depth is feasible only on the delta path: 8x deeper
+    val t8 = System.nanoTime()
+    val deep8k = Bpe.localTrainMergesFast(segs, rounds * 8)
+    val tTrain8k = (System.nanoTime() - t8) / 1e9
+    val merges = naive.map { case (l, r, _) => (l, r) }
     def timeNoop(df: DataFrame): Double = {
       val s = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
@@ -684,10 +695,13 @@ object ScaleProbe {
     val sample = docs.where(col("doc_id") < 200)
       .select(expr(s"replace(trim(text), ' ', '${Bpe.Meta}')")).as[String].collect()
     val agree = sample.forall(seg => coder.encodeString(seg) == foldEnc(seg))
-    val ok = agree && merges.size == rounds &&
+    val ok = agree && fastAgree && merges.size == rounds &&
+      deep8k.size == rounds * 8 &&
       tNative <= 1.5 * tNative16 + 2.0 && math.abs(pcAll - pc16) < 200
     println(s"""{"probe":"bpedeep","n_docs":$n,"rounds":$rounds,"realized":${merges.size},""" +
       s""""agg_sec":${f"$tAgg%.1f"},"train_sec":${f"$tTrain%.1f"},""" +
+      s""""train_fast_sec":${f"$tTrainFast%.1f"},"fast_agree":$fastAgree,""" +
+      s""""rounds_8x":${deep8k.size},"train_8x_sec":${f"$tTrain8k%.1f"},""" +
       s""""native16_sec":${f"$tNative16%.1f"},"native1024_sec":${f"$tNative%.1f"},""" +
       s""""fold16_sec":${f"$tFold16%.1f"},"fold64_sec":${f"$tFold64%.1f"},""" +
       s""""plan_chars_16":$pc16,"plan_chars_1024":$pcAll,"sample_agree":$agree,"ok":$ok}""")

@@ -317,10 +317,112 @@ object Bpe {
     (out.result(), state)
   }
 
-  /** Deep merge table: distributed segment count + local merge loop. */
+  /** Pair-count-DELTA trainer — the real fast-BPE algorithm (Sennrich's
+    * reference implementation keeps exactly this index), replacing
+    * [[localTrainMerges]]' per-round full recount: counts and a
+    * pair→carrier-segment index are maintained incrementally, so a merge
+    * round touches ONLY the segments that contain the merged pair and
+    * updates counts by the per-segment adjacency-multiset delta
+    * (old pairs − new pairs, frequency-weighted). Late rounds touch a
+    * handful of segments; a 32k-merge vocabulary stops being
+    * rounds×corpus work. Deltas are exact, so the counts map equals the
+    * recount at every round and the argmax sequence is IDENTICAL to the
+    * naive trainer — merge-for-merge equality is spec-pinned on the real
+    * corpus, adversarial self-pair words, and seeded random corpora
+    * ([[BpeDeepSpec]]). The naive form stays as the executable
+    * specification. */
+  private[graft] def localTrainMergesFast(
+      segs: Seq[(String, Long)], rounds: Int): Seq[(String, String, Long)] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    def u8Lt(a: String, b: String): Boolean =
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+    val state: Array[Array[String]] = segs.toArray.map { case (s, _) =>
+      s.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    }
+    val freq: Array[Long] = segs.toArray.map(_._2)
+    val counts = new java.util.HashMap[(String, String), Long]()
+    val index = new java.util.HashMap[(String, String), java.util.TreeSet[Integer]]()
+    def addPair(p: (String, String), f: Long, w: Int): Unit = {
+      counts.merge(p, f, _ + _)
+      index.computeIfAbsent(p, _ => new java.util.TreeSet[Integer]()).add(w)
+    }
+    def pairsOf(syms: Array[String]): Iterator[(String, String)] =
+      (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1)))
+    state.zipWithIndex.foreach { case (syms, w) =>
+      pairsOf(syms).foreach(p => addPair(p, freq(w), w))
+    }
+    val out = Seq.newBuilder[(String, String, Long)]
+    var r = 0
+    var dry = false
+    while (r < rounds && !dry) {
+      if (counts.isEmpty) dry = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.forEach { (p, c) =>
+          if (best == null || c > best._2 ||
+              (c == best._2 && (u8Lt(p._1, best._1._1) ||
+                (p._1 == best._1._1 && u8Lt(p._2, best._1._2)))))
+            best = (p, c)
+        }
+        val ((l, rr), c) = best
+        out += ((l, rr, c))
+        val merged = l + rr
+        val carriers = index.get((l, rr))
+        // iterate a snapshot: delta updates mutate the index
+        val touched = carriers.toArray(Array.empty[Integer])
+        touched.foreach { wI =>
+          val w = wI.intValue()
+          val syms = state(w)
+          val f = freq(w)
+          // per-segment multiset delta: old adjacencies out, new in
+          val delta = new java.util.HashMap[(String, String), Long]()
+          pairsOf(syms).foreach(p => delta.merge(p, -f, _ + _))
+          val b = Array.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == rr) {
+              b += merged; i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          val next = b.result()
+          state(w) = next
+          pairsOf(next).foreach(p => delta.merge(p, f, _ + _))
+          delta.forEach { (p, d) =>
+            if (d != 0) {
+              val nc = counts.merge(p, d, _ + _)
+              if (nc == 0) counts.remove(p)
+            }
+            // carrier maintenance is presence-based, not count-based:
+            // recompute from the new symbols below
+          }
+          // presence updates for this segment: pairs it no longer
+          // carries leave the index; new pairs join
+          val oldSet = new java.util.HashSet[(String, String)]()
+          pairsOf(syms).foreach(oldSet.add)
+          val newSet = new java.util.HashSet[(String, String)]()
+          pairsOf(next).foreach(newSet.add)
+          oldSet.forEach { p =>
+            if (!newSet.contains(p)) {
+              val s = index.get(p)
+              if (s != null) { s.remove(wI); if (s.isEmpty) index.remove(p) }
+            }
+          }
+          newSet.forEach { p =>
+            if (!oldSet.contains(p))
+              index.computeIfAbsent(p, _ => new java.util.TreeSet[Integer]()).add(wI)
+          }
+        }
+      }
+      r += 1
+    }
+    out.result()
+  }
+
+  /** Deep merge table: distributed segment count + local merge loop
+    * (the delta trainer; [[localTrainMerges]] is its executable spec). */
   def deepMerges(docs: DataFrame, rounds: Int = DeepRounds,
                  cap: Int = DeepCap): Seq[(String, String, Long)] =
-    localTrainMerges(segmentTable(docs, cap), rounds)
+    localTrainMergesFast(segmentTable(docs, cap), rounds)
 
   /** The deep merge table as a DataFrame — `txt_bpe_train_deep`. */
   def trainDeep(docs: DataFrame, rounds: Int = DeepRounds,

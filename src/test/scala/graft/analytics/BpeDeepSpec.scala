@@ -185,6 +185,41 @@ class BpeDeepSpec extends SparkSpec {
     assert(foldChars(64) > foldChars(2) + 1000)
   }
 
+  test("delta trainer == naive recount trainer, merge-for-merge") {
+    // the real corpus at full depth
+    val segs = Bpe.segmentTable(docs, Bpe.DeepCap)
+    assert(Bpe.localTrainMergesFast(segs, Bpe.DeepRounds) ===
+      Bpe.localTrainMerges(segs, Bpe.DeepRounds))
+    // adversarial self-pair / overlap corpora — the delta arithmetic's
+    // hard cases (overlapping occurrences change neighbor adjacencies)
+    val hard = Seq(
+      Seq(("aaaaaaa", 3L), ("aab", 2L)),
+      Seq(("abababab", 1L), ("bababa", 2L)),
+      Seq(("aaa", 1L), ("aa", 1L), ("a", 5L)),
+      Seq(("xyxyx", 2L), ("yxyxy", 2L)))
+    hard.foreach { c =>
+      assert(Bpe.localTrainMergesFast(c, 20) === Bpe.localTrainMerges(c, 20), s"corpus $c")
+    }
+    // seeded random corpora over a 3-letter alphabet (dense overlap mass)
+    var x = 12345L
+    def nextInt(bound: Int): Int = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      (((x >>> 33) % bound).toInt)
+    }
+    (1 to 40).foreach { t =>
+      val corpus = (1 to (2 + nextInt(6))).map { _ =>
+        val len = 3 + nextInt(18)
+        (Seq.fill(len)(('a' + nextInt(3)).toChar).mkString, (1 + nextInt(4)).toLong)
+      }.distinct
+      assert(Bpe.localTrainMergesFast(corpus, 30) === Bpe.localTrainMerges(corpus, 30),
+        s"trial $t corpus $corpus")
+    }
+    // dry handling: both stop at the same realized depth
+    val tiny = Seq(("ab", 1L))
+    assert(Bpe.localTrainMergesFast(tiny, 10) === Bpe.localTrainMerges(tiny, 10))
+    assert(Bpe.localTrainMergesFast(Seq(("a", 1L)), 10).isEmpty)
+  }
+
   test("vocabDeep: exact totals on a constructed corpus, survivor subwords outrank chars") {
     // two segments: "abab" ×3 docs, "abx" ×2 docs. Merges at rounds=2:
     // (a,b) cnt 3*2+2 = 8 -> ab; then (ab,ab) cnt 3 vs (ab,x) cnt 2 -> abab.
