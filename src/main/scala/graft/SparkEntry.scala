@@ -167,6 +167,7 @@ object SparkEntry {
     "pipe_prep_clean" -> (PrepPipeline.manifestClean _), // v3: + substring EXCISION before clustering (dedup the bytes, then the docs)
     "pipe_prep_semantic" -> (PrepPipeline.manifestSemantic _), // v4: + SemDeDup prune over the survivors' embeddings (paraphrase mass)
     "pipe_prep_train" -> (PrepPipeline.manifestTrain _), // the training-ready view: survivors -> curriculum stage -> concat-chunk sequences
+    "pipe_prep_tok" -> (PrepPipeline.manifestTok _), // v5: the tokenizer is trained ON the curated corpus and the packing runs over real BPE token counts
     "chunk_overlap" -> (TextAnalysis.chunkQuery _), // overlapping token-window training chunks
     // --- similarity search over embeddings ---
     "knn_exact" -> (Similarity.knnExactQuery _),
@@ -302,51 +303,52 @@ object SparkEntry {
     * Segments are SentencePiece-style: trimmed text, spaces → `▁`
     * (chr(9601)), capped at the `cap` most frequent. A dry corpus stops
     * the recursion naturally (empty argmax ⇒ empty cross join). */
-  private def bpeDeepCtes(rounds: Int, cap: Int): String =
-    s"""w0 AS MATERIALIZED (
+  private def bpeDeepCtes(rounds: Int, cap: Int, src: String = "documents",
+                          p: String = ""): String =
+    s"""${p}w0 AS MATERIALIZED (
           SELECT freq, regexp_replace(seg, '(.)', chr(1)||'\\1'||chr(2), 'g') AS seq FROM (
             SELECT replace(trim(text), ' ', chr(9601)) AS seg, count(*)::BIGINT AS freq
-            FROM documents WHERE len(trim(text)) > 0
+            FROM $src WHERE len(trim(text)) > 0
             GROUP BY 1 ORDER BY freq DESC, seg LIMIT $cap)),
-        st AS (
+        ${p}st AS (
           SELECT 0::BIGINT AS r, freq, seq,
                  NULL::VARCHAR AS lhs, NULL::VARCHAR AS rhs, NULL::BIGINT AS cnt
-          FROM w0
+          FROM ${p}w0
           UNION ALL
           SELECT t.r + 1, t.freq,
                  replace(t.seq, chr(1)||b.lhs||chr(2)||chr(1)||b.rhs||chr(2),
                                 chr(1)||b.lhs||b.rhs||chr(2)),
                  b.lhs, b.rhs, b.cnt
-          FROM st t,
+          FROM ${p}st t,
                (SELECT s[i] AS lhs, s[i+1] AS rhs, sum(freq)::BIGINT AS cnt
                 FROM (SELECT freq, string_split(substr(seq, 2, len(seq) - 2),
-                                                chr(2)||chr(1)) AS s FROM st) p,
+                                                chr(2)||chr(1)) AS s FROM ${p}st) p2,
                      LATERAL (SELECT unnest(range(1, len(s))) AS i) ix
                 GROUP BY 1, 2 ORDER BY cnt DESC, lhs, rhs LIMIT 1) b
           WHERE t.r < $rounds),
-        mall AS MATERIALIZED (
-          SELECT DISTINCT r AS round, lhs, rhs, cnt FROM st WHERE r > 0)"""
+        ${p}mall AS MATERIALIZED (
+          SELECT DISTINCT r AS round, lhs, rhs, cnt FROM ${p}st WHERE r > 0)"""
 
   /** Corpus tokenization against the deep merge table: a second recursive
     * CTE walks every DISTINCT segment through the merge sequence (one
     * replace per round via a join on `mall`), then docs join back on
     * their segment. QUALIFY keeps each segment's deepest state so a dry
     * trainer (fewer realized rounds) still encodes correctly. */
-  private def bpeDeepEncodeCtes: String =
-    s"""e0 AS MATERIALIZED (
+  private def bpeDeepEncodeCtes(src: String = "documents", p: String = ""): String =
+    s"""${p}e0 AS MATERIALIZED (
           SELECT seg, regexp_replace(seg, '(.)', chr(1)||'\\1'||chr(2), 'g') AS s FROM (
-            SELECT DISTINCT replace(trim(text), ' ', chr(9601)) AS seg FROM documents
+            SELECT DISTINCT replace(trim(text), ' ', chr(9601)) AS seg FROM $src
             WHERE len(trim(text)) > 0)),
-        enc AS (
-          SELECT seg, s, 0::BIGINT AS r FROM e0
+        ${p}enc AS (
+          SELECT seg, s, 0::BIGINT AS r FROM ${p}e0
           UNION ALL
-          SELECT enc.seg,
-                 replace(enc.s, chr(1)||m.lhs||chr(2)||chr(1)||m.rhs||chr(2),
+          SELECT ${p}enc.seg,
+                 replace(${p}enc.s, chr(1)||m.lhs||chr(2)||chr(1)||m.rhs||chr(2),
                                 chr(1)||m.lhs||m.rhs||chr(2)) AS s,
-                 enc.r + 1 AS r
-          FROM enc JOIN mall m ON m.round = enc.r + 1),
-        efin AS (
-          SELECT seg, s FROM enc
+                 ${p}enc.r + 1 AS r
+          FROM ${p}enc JOIN ${p}mall m ON m.round = ${p}enc.r + 1),
+        ${p}efin AS (
+          SELECT seg, s FROM ${p}enc
           QUALIFY row_number() OVER (PARTITION BY seg ORDER BY r DESC) = 1)"""
 
   /** 60-bit / 32-bit md5-derived ints (mirror of graft.functions.Hashes). */
@@ -2154,7 +2156,7 @@ object SparkEntry {
           FROM mall ORDER BY round""",
     "txt_bpe_tokenize" ->
       s"""WITH RECURSIVE ${bpeDeepCtes(graft.analytics.Bpe.DeepRounds, graft.analytics.Bpe.DeepCap)},
-          $bpeDeepEncodeCtes
+          ${bpeDeepEncodeCtes()}
           SELECT d.doc_id,
                  (len(s) - len(replace(s, chr(1), '')))::BIGINT AS n_bpe_tokens,
                  array_to_string(string_split(substr(s, 2, len(s) - 2),
@@ -2270,7 +2272,46 @@ object SparkEntry {
               SELECT doc_id, md5($normSql) AS h FROM k) t GROUP BY h),
           dd AS MATERIALIZED (SELECT k.doc_id, k.text FROM k JOIN keepers USING (doc_id)),
           $prepTailSql""",
-    "pipe_prep_train" ->
+        "pipe_prep_tok" ->
+      // v5: the pipe_prep_train chain with n_tokens from the DEEP BPE
+      // tokenizer trained on the surviving train corpus itself (bpe CTEs
+      // prefixed "b" over td; segment join recovers per-doc counts)
+      s"""WITH RECURSIVE $prepGateCtes,
+          keepers AS MATERIALIZED (
+            SELECT min(doc_id) AS doc_id FROM (
+              SELECT doc_id, md5($normSql) AS h FROM k) t GROUP BY h),
+          dd AS MATERIALIZED (SELECT k.doc_id, k.text FROM k JOIN keepers USING (doc_id)),
+          $prepSurvCtes,
+          td AS MATERIALIZED (
+            SELECT dd.doc_id, dd.text FROM dd JOIN surv s USING (doc_id)
+            WHERE s.fold = 'train'),
+          ${bpeDeepCtes(graft.analytics.Bpe.DeepRounds, graft.analytics.Bpe.DeepCap, "td", "b")},
+          ${bpeDeepEncodeCtes("td", "b")},
+          q AS (SELECT doc_id,
+                  round(round(len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is)\\b'))
+                              / len($toksSql), 4) * 2.0
+                        - round(len(regexp_extract_all(text, '[.!?,;:]'))
+                                / length(text), 4), 4) AS quality
+                FROM td),
+          stg AS (SELECT doc_id, ntile(4) OVER (ORDER BY quality ASC, doc_id) AS stage FROM q),
+          c0 AS (SELECT d.doc_id,
+                   (len(e.s) - len(replace(e.s, chr(1), '')))::BIGINT AS n_tokens,
+                   ('0x'||substr(md5(d.doc_id::VARCHAR),1,15))::UBIGINT::BIGINT % 8 AS shard
+                 FROM (SELECT doc_id, replace(trim(text), ' ', chr(9601)) AS seg
+                       FROM td WHERE len(trim(text)) > 0) d
+                 JOIN befin e USING (seg)),
+          c1 AS (SELECT shard, doc_id, n_tokens,
+                   sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS t_end
+                 FROM c0 WHERE n_tokens > 0),
+          c2 AS (SELECT shard, doc_id, t_end, t_end - n_tokens AS t_start FROM c1),
+          c3 AS (SELECT shard, doc_id, t_start, t_end,
+                   unnest(generate_series(t_start//256, (t_end-1)//256)) AS seq_id FROM c2)
+          SELECT c3.doc_id, stg.stage::BIGINT AS stage, shard, seq_id::BIGINT AS seq_id,
+            (greatest(t_start, seq_id*256) - t_start)::BIGINT AS doc_offset,
+            (least(t_end, (seq_id+1)*256) - greatest(t_start, seq_id*256))::BIGINT AS n_toks
+          FROM c3 JOIN stg ON stg.doc_id = c3.doc_id""",
+"pipe_prep_train" ->
       // the TRAINING-READY view: the pipe_prep survivor chain continued
       // through curriculum ntile over surviving-train quality and the
       // pack_concat_chunk CTEs over the surviving train text

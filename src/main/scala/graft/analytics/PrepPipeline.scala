@@ -191,6 +191,49 @@ object PrepPipeline {
       .orderBy("shard", "seq_id", "doc_id")
   }
 
+  def manifestTok(spark: SparkSession, dir: String): DataFrame =
+    manifestTokOf(Tables.documents(spark, dir))
+
+  /** The training-ready view packed by REAL tokenizer counts —
+    * `pipe_prep_tok`, the v5 composition that closes the loop between
+    * the curation chain and the deep tokenizer: the pipe_prep survivor
+    * chain produces the curated train corpus, the DEEP BPE TOKENIZER IS
+    * TRAINED ON THAT CORPUS ([[Bpe.deepMerges]] — exactly the staged
+    * production order: curate, then fit the tokenizer to what survived),
+    * every surviving doc is tokenized with the native `bpe_tokenize`
+    * expression, and curriculum staging + concat-chunk packing run over
+    * the BPE token counts — so `n_toks`/`seq_id` are the numbers the
+    * training loader actually sees, not whitespace approximations.
+    *
+    * Scale: identical shapes to [[manifestTrainOf]] plus the
+    * tokenizer's one segment-frequency aggregation (the merge loop is
+    * driver-local) and the zero-shuffle tokenize scan. */
+  def manifestTokOf(docs: DataFrame): DataFrame = {
+    val kept = gated(docs)
+    val dd = kept.join(
+      materialized(Dedup.exact(kept).select(col("keep_doc_id").as("doc_id"))),
+      "doc_id")
+    val folds = materialized(Sampling.split(dd.select("doc_id"), col("doc_id"))
+      .select("doc_id", "fold"))
+    val contamTrain = Dedup.contaminationPairs(dd, folds)
+      .select(col("train_doc").as("doc_id")).distinct()
+    val survTrain = materialized(folds.where(col("fold") === "train")
+      .join(contamTrain, Seq("doc_id"), "left_anti"))
+    val trainDocs = materialized(dd.join(survTrain.select("doc_id"), "doc_id")
+      .select("doc_id", "text"))
+    // tokenizer fit to the curated corpus; counts from the native scan
+    val merges = Bpe.deepMerges(trainDocs).map { case (l, r, _) => (l, r) }
+    val counts = Bpe.tokenizeWith(trainDocs, merges)
+      .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens"))
+    val stages = Sampling.curriculumStages(
+      TextAnalysis.qualityScore(trainDocs).select("doc_id", "quality"))
+      .select("doc_id", "stage")
+    Sampling.concatChunkCounts(counts)
+      .join(stages, "doc_id")
+      .select("doc_id", "stage", "shard", "seq_id", "doc_offset", "n_toks")
+      .orderBy("shard", "seq_id", "doc_id")
+  }
+
   /** Materialize an inter-stage frame AND truncate its lineage
     * (`localCheckpoint`, the [[Dedup.dupClusters]] idiom — on a cluster
     * this is `checkpoint()` against reliable storage / the manifest

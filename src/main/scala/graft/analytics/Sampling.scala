@@ -195,12 +195,20 @@ object Sampling {
     * no join, no second shuffle; shards bound per-task window state and
     * parallelize the packing exactly like [[packSequences]]. */
   def concatChunk(docs: DataFrame, seqTokens: Long = 256,
-                  shards: Int = 8): DataFrame = {
+                  shards: Int = 8): DataFrame =
+    concatChunkCounts(docs.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
+      seqTokens, shards)
+
+  /** [[concatChunk]] over PRE-COMPUTED per-doc token counts — the hook
+    * that lets a different tokenization (e.g. the deep-BPE counts in
+    * `pipe_prep_tok`) drive the identical packing arithmetic. */
+  def concatChunkCounts(counts: DataFrame, seqTokens: Long = 256,
+                        shards: Int = 8): DataFrame = {
     require(seqTokens > 0 && shards > 0)
-    val toks = size(TextAnalysis.tokens(col("text"))).cast("long")
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col("doc_id"), toks.as("n_tokens"))
+    counts.select(col("doc_id"), col("n_tokens"))
       .where(col("n_tokens") > 0) // a 0-token doc occupies no sequence
       .withColumn("shard", hashBucket(col("doc_id"), shards))
       .withColumn("t_end", sum(col("n_tokens")).over(w))

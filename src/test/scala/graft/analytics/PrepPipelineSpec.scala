@@ -190,4 +190,43 @@ class PrepPipelineSpec extends SparkSpec {
       if (seq < tail) assert(chunks.map(_._6).sum == 256L)
     }
   }
+
+  test("pipe_prep_tok: packs the SAME docs by real BPE counts; tokens conserve vs an independent tokenize") {
+    import org.apache.spark.sql.functions.{col, length, trim}
+    val tok = PrepPipeline.manifestTok(spark, sfDir)
+      .select("doc_id", "stage", "shard", "seq_id", "doc_offset", "n_toks")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val train = PrepPipeline.manifestTrain(spark, sfDir)
+      .select("doc_id", "n_toks").as[(Long, Long)].collect()
+    assert(tok.nonEmpty)
+    // same curated doc set as the whitespace-packed view (the survivor
+    // chain is shared; only the token arithmetic differs)
+    assert(tok.map(_._1).toSet === train.map(_._1).toSet)
+    // per-doc conservation against an INDEPENDENT recomputation: rebuild
+    // the survivor text, retrain the tokenizer on it, tokenize — the
+    // composition must agree with the parts
+    val docs = graft.Tables.documents(spark, sfDir)
+    val trainIds = tok.map(r => r._1).toVector.distinct.toDF("doc_id")
+    val trainDocs = docs.join(trainIds, "doc_id").select("doc_id", "text")
+    val merges = Bpe.deepMerges(trainDocs).map { case (l, r, _) => (l, r) }
+    val counts = Bpe.tokenizeWith(trainDocs, merges)
+      .select("doc_id", "n_bpe_tokens").as[(Long, Long)].collect().toMap
+    tok.groupBy(_._1).view.mapValues(_.map(_._6).sum).foreach { case (id, tot) =>
+      assert(tot === counts(id), s"doc $id: packed $tot != tokenized ${counts(id)}")
+    }
+    // BPE compresses: token mass strictly below the non-space char count
+    // (tokens never exceed chars; the learned merges bite on this corpus)
+    val chars = trainDocs
+      .select(col("doc_id"),
+        length(org.apache.spark.sql.functions.regexp_replace(trim(col("text")), "\\s", ""))
+          .cast("long")).as[(Long, Long)].collect().toMap
+    val totTok = tok.map(_._6).sum
+    assert(totTok < chars.values.sum, "BPE must compress below the char count")
+    // stages still 1..4 and full-sequence law under the BPE counts
+    assert(tok.map(_._2).forall(s => s >= 1 && s <= 4))
+    tok.groupBy(r => (r._3, r._4)).foreach { case ((shard, seq), chunks) =>
+      val tail = tok.filter(_._3 == shard).map(_._4).max
+      if (seq < tail) assert(chunks.map(_._6).sum == 256L)
+    }
+  }
 }
