@@ -59,7 +59,14 @@ object PrepPipeline {
     * does not merge clusters, matching real pipelines where the gate runs
     * first precisely so later stages never touch rejected mass. */
   def manifestQualityOf(docs: DataFrame): DataFrame = {
-    val kept = gated(docs)
+    // materialized for the same reason manifestCleanOf checkpoints its
+    // post-excision corpus: the clustering stage (pair generation +
+    // dupClusters' eager fixpoint + the quality-argmax window) runs
+    // several eager actions over its input, and the regex-heavy C4 gate
+    // replays inside each one when `kept` is a raw plan (measured
+    // 7.0 s → ~4.8 s warm at sf0.1). The gated corpus is the phase-1
+    // output a staged curation run writes anyway.
+    val kept = materialized(gated(docs))
     assemble(kept,
       Dedup.keepBest(kept, Dedup.simhashPairs(kept))
         .select(col("best_doc_id").as("doc_id")))
