@@ -104,7 +104,9 @@ object Bench {
       "ml1_boost_forecast_per_key", // per-key variant of benched ml1_boost_forecast (mirrors the ridge pair's policy)
       "mix_temperature",       // scan-speed hash-filter family (like the skipped mix_sources): sample_stratified benched
       "txt_bpe_vocab",         // re-runs the trainer + one vocab-sized agg: txt_bpe_train (same dominant cost) benched
-      "txt_bpe_vocab_deep"     // re-runs the deep trainer + a driver-local vocab agg: txt_bpe_train_deep benched
+      "txt_bpe_vocab_deep",    // re-runs the deep trainer + a driver-local vocab agg: txt_bpe_train_deep benched
+      "dedup_cdc_mass",        // per-doc rollup of the benched dedup_cdc's chunk machinery
+      "txt_bpe_fertility"      // re-runs the deep trainer + tokenize scan: txt_bpe_tokenize benched
     )
 
   /** Warm sf0.1 per-query reference minima — the contention guard's

@@ -161,6 +161,8 @@ object SparkEntry {
     "txt_bpe_tokenize" -> (Bpe.tokenizeQuery _), // native bpe_tokenize expression: per-doc token stream, plan size constant in vocab depth
     "txt_bpe_vocab_deep" -> (Bpe.vocabDeepQuery _), // the deep tokenizer's shipped vocab: driver-local aggregation of the trained segment state
     "dedup_cdc" -> (Dedup.cdcQuery _), // content-defined chunking (Rabin/LBFS): cross-doc shared-chunk report, boundaries from the rolling hash
+    "dedup_cdc_mass" -> (Dedup.cdcMassQuery _), // per-doc duplicated-byte mass from the CDC chunks: the doc-level signal a curation run acts on
+    "txt_bpe_fertility" -> (Bpe.fertilityQuery _), // per-source tokenizer fertility (tokens/word, chars/token): the vocab-rebalancing audit table
     "txt_quality_distill" -> (Distill.distillGateQuery _), // FineWeb-Edu-style gate distillation: teacher-labeled boosted-stump student, scored as plan literals
     "pipe_prep" -> (PrepPipeline.manifest _), // flagship composition: gate -> dedup -> split -> decontam -> pack
     "pipe_prep_quality" -> (PrepPipeline.manifestQuality _), // v2: near-dup clusters + argmax-quality keeper (FineWeb-style)
@@ -2150,6 +2152,26 @@ object SparkEntry {
                  round(len(regexp_replace(raw, '\\s', '', 'g'))::DOUBLE
                        / (len(s) - len(replace(s, chr(1), ''))), 4) AS bpe_ratio
           FROM e${graft.analytics.Bpe.Rounds} ORDER BY doc_id""",
+    "txt_bpe_fertility" ->
+      // per-source fertility over the deep tokenizer: counts from the
+      // recursive encode chain, ratios as integer per-mille
+      s"""WITH RECURSIVE ${bpeDeepCtes(graft.analytics.Bpe.DeepRounds, graft.analytics.Bpe.DeepCap)},
+          ${bpeDeepEncodeCtes()},
+          per AS (SELECT d.doc_id, d.source,
+                    len(${toksSql})::BIGINT AS ws,
+                    len(regexp_replace(d.text, '\\s', '', 'g'))::BIGINT AS ch,
+                    (len(e.s) - len(replace(e.s, chr(1), '')))::BIGINT AS bpe
+                  FROM (SELECT doc_id, source, text,
+                          replace(trim(text), ' ', chr(9601)) AS seg FROM documents
+                        WHERE len(trim(text)) > 0) d
+                  JOIN efin e USING (seg))
+          SELECT source, count(*)::BIGINT AS n_docs,
+                 sum(ws)::BIGINT AS n_ws_tokens,
+                 sum(bpe)::BIGINT AS n_bpe_tokens,
+                 sum(ch)::BIGINT AS n_chars,
+                 (sum(bpe) * 1000 // sum(ws))::BIGINT AS fert_pm,
+                 (sum(ch) * 1000 // sum(bpe))::BIGINT AS cpt_pm
+          FROM per GROUP BY source ORDER BY source""",
     "txt_bpe_train_deep" ->
       s"""WITH RECURSIVE ${bpeDeepCtes(graft.analytics.Bpe.DeepRounds, graft.analytics.Bpe.DeepCap)}
           SELECT round, lhs, rhs, lhs||rhs AS merged, cnt AS pair_count
@@ -2193,6 +2215,39 @@ object SparkEntry {
                    row_number() OVER (ORDER BY n_occ DESC, symbol) AS rank
             FROM v) r
           WHERE rank <= 100 ORDER BY rank""",
+    "dedup_cdc_mass" ->
+      // per-doc rollup of the CDC chunks: bytes in chunks carried by >=2
+      // docs, integer per-mille share
+      s"""WITH d AS (SELECT doc_id, $normSql AS nt FROM documents
+                     WHERE length($normSql) >= 8),
+          b AS (SELECT doc_id, nt,
+                  list_append(
+                    list_filter(
+                      list_transform(
+                        list_filter(range(1, length(nt) - 6),
+                          i -> list_reduce(list_transform(range(i, i + 8),
+                                 j -> ascii(substring(nt, j::INT, 1))::BIGINT),
+                               (acc, c) -> (acc * 257 + c) % 2147483647) % 64 = 0),
+                        i -> i + 7),
+                      e -> e < length(nt)),
+                    length(nt)) AS ends
+                FROM d),
+          c AS (SELECT doc_id, nt, ends, unnest(range(1, len(ends) + 1)) AS jx FROM b),
+          ch AS (SELECT doc_id,
+                   md5(substring(nt,
+                     (CASE WHEN jx = 1 THEN 1 ELSE ends[(jx - 1)::INT] + 1 END)::INT,
+                     (ends[jx::INT] - (CASE WHEN jx = 1 THEN 1 ELSE ends[(jx - 1)::INT] + 1 END) + 1)::INT)) AS c_hash,
+                   (ends[jx::INT] - (CASE WHEN jx = 1 THEN 1 ELSE ends[(jx - 1)::INT] + 1 END) + 1)::BIGINT AS c_len
+                 FROM c),
+          sh AS (SELECT c_hash FROM ch GROUP BY c_hash HAVING count(DISTINCT doc_id) >= 2),
+          tot AS (SELECT doc_id, count(*)::BIGINT AS n_chunks, sum(c_len)::BIGINT AS total_bytes
+                  FROM ch GROUP BY doc_id),
+          dup AS (SELECT doc_id, sum(c_len)::BIGINT AS dup_bytes
+                  FROM ch JOIN sh USING (c_hash) GROUP BY doc_id)
+          SELECT t.doc_id, n_chunks, total_bytes,
+                 coalesce(dup_bytes, 0)::BIGINT AS dup_bytes,
+                 (coalesce(dup_bytes, 0) * 1000 // total_bytes)::BIGINT AS dup_pm
+          FROM tot t LEFT JOIN dup USING (doc_id) ORDER BY t.doc_id""",
     "dedup_cdc" ->
       // content-defined chunk boundaries: gram starts whose Horner hash
       // (the txt_rolling_fp arithmetic) is 0 mod 64 end a chunk at char

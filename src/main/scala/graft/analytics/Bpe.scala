@@ -508,4 +508,36 @@ object Bpe {
     tokenizeDeep(Tables.documents(spark, dir))
   def vocabDeepQuery(spark: SparkSession, dir: String): DataFrame =
     vocabDeep(Tables.documents(spark, dir))
+
+  /** Per-source tokenizer FERTILITY — `txt_bpe_fertility`, the standard
+    * tokenizer-evaluation table (fertility = subword tokens per word;
+    * multilingual tokenizer audits report exactly this per language —
+    * here per `source`, the corpus's domain axis): Σ BPE tokens, Σ
+    * whitespace words, Σ non-space chars per source, with the two
+    * ratios as integer per-mille (`·1000 div` — floor-exact in both
+    * engines). A source whose fertility is far above the corpus mean is
+    * one the vocabulary underserves — the signal that drives vocab
+    * rebalancing. One native tokenize scan + one map-side-combined
+    * aggregation; the merge table rides as model parameters. */
+  def fertility(docs: DataFrame, rounds: Int = DeepRounds,
+                cap: Int = DeepCap): DataFrame = {
+    val merges = deepMerges(docs, rounds, cap).map { case (l, r, _) => (l, r) }
+    val toks = tokenizeWith(docs, merges).select("doc_id", "n_bpe_tokens")
+    docs.select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("ws"),
+        length(regexp_replace(col("text"), "\\s", "")).cast("long").as("ch"))
+      .join(toks, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ws").as("n_ws_tokens"),
+        sum("n_bpe_tokens").as("n_bpe_tokens"),
+        sum("ch").as("n_chars"))
+      .select(col("source"), col("n_docs"), col("n_ws_tokens"),
+        col("n_bpe_tokens"), col("n_chars"),
+        expr("n_bpe_tokens * 1000 div n_ws_tokens").as("fert_pm"),
+        expr("n_chars * 1000 div n_bpe_tokens").as("cpt_pm"))
+  }
+
+  def fertilityQuery(spark: SparkSession, dir: String): DataFrame =
+    fertility(Tables.documents(spark, dir)).orderBy("source")
 }

@@ -1015,6 +1015,33 @@ object Dedup {
   def cdcQuery(spark: SparkSession, dir: String): DataFrame =
     cdcReport(Tables.documents(spark, dir)).orderBy("c_hash")
 
+  /** Per-document duplicated-byte mass — `dedup_cdc_mass`, the
+    * doc-level view of [[cdcReport]] a curation run acts on (drop or
+    * down-weight documents whose bytes are mostly shared): per doc the
+    * chunk count, total normalized bytes, the bytes belonging to
+    * chunks recurring in ≥2 docs, and the duplicated share in integer
+    * per-mille (`·1000 div total` — floor-exact cross-engine). Digest
+    * join only: chunk text never shuffles. */
+  def cdcMass(docs: DataFrame, k: Int = 8, divisor: Long = 64): DataFrame = {
+    val chunks = cdcChunks(docs, k, divisor)
+    val shared = chunks.groupBy("c_hash")
+      .agg(countDistinct("doc_id").as("n_docs"))
+      .where(col("n_docs") >= 2)
+      .select("c_hash")
+    chunks.join(shared, Seq("c_hash"), "left_semi")
+      .groupBy("doc_id").agg(sum("c_len").as("dup_bytes"))
+      .join(chunks.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"), sum("c_len").as("total_bytes")),
+        Seq("doc_id"), "right")
+      .select(col("doc_id"), col("n_chunks"),
+        col("total_bytes"),
+        coalesce(col("dup_bytes"), lit(0L)).as("dup_bytes"),
+        expr("coalesce(dup_bytes, 0L) * 1000 div total_bytes").as("dup_pm"))
+  }
+
+  def cdcMassQuery(spark: SparkSession, dir: String): DataFrame =
+    cdcMass(Tables.documents(spark, dir)).orderBy("doc_id")
+
   /** Single-document JVM mirror of [[cdcChunks]]' hash column —
     * BIT-IDENTICAL to the batch chunking (asserted in StreamingCdcSpec):
     * same normalization as [[localExactDigest]], same Horner boundary

@@ -242,6 +242,35 @@ class BpeDeepSpec extends SparkSpec {
     assert(full.exists(r => r.getString(0).codePoints().count() > 1))
   }
 
+  test("fertility: per-source sums replay from an independent tokenize; ratios bounded") {
+    val f = Bpe.fertility(docs, rounds = 64).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(f.nonEmpty)
+    // independent recomputation: tokenize + per-doc stats, summed by source
+    val merges = Bpe.deepMerges(docs, rounds = 64).map { case (l, r, _) => (l, r) }
+    val toks = Bpe.tokenizeWith(docs, merges)
+      .select("doc_id", "n_bpe_tokens").as[(Long, Long)].collect().toMap
+    val metas = docs.where(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long"),
+        length(regexp_replace(col("text"), "\\s", "")).cast("long"))
+      .as[(Long, String, Long, Long)].collect()
+    val bySrc = metas.groupBy(_._2)
+    f.foreach { case (src, (nDocs, ws, bpe, ch, fertPm, cptPm)) =>
+      val rows = bySrc(src)
+      assert(rows.length.toLong === nDocs, s"$src docs")
+      assert(rows.map(_._3).sum === ws, s"$src ws")
+      assert(rows.map(_._4).sum === ch, s"$src chars")
+      assert(rows.map(r => toks(r._1)).sum === bpe, s"$src bpe")
+      assert(fertPm === bpe * 1000 / ws && cptPm === ch * 1000 / bpe, s"$src ratios")
+      // a segment of W words and C chars holds C + W - 1 symbols — the
+      // token-count ceiling; compression means strictly fewer at depth 64
+      assert(bpe < ch + ws, s"$src: tokens must compress below the symbol count")
+    }
+  }
+
   test("bpe_tokenize is callable from SQL with a literal merge table") {
     val m = BpeCoder.literal(Seq(("a", "b"), ("ab", "c")))
     val r = spark.sql(s"SELECT bpe_tokenize('abcab', '$m') AS t").as[String].head()

@@ -88,6 +88,30 @@ class CdcSpec extends SparkSpec {
       .toDF("doc_id", "text")).count() === 0L)
   }
 
+  test("cdcMass: exact duplicates are fully duplicated mass; fresh docs carry none") {
+    val t = randText(7L, 500)
+    val three = Seq((1L, t), (2L, t), (3L, randText(8L, 500))).toDF("doc_id", "text")
+    val m = Dedup.cdcMass(three).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // both copies: every byte sits in a shared chunk -> 1000 per-mille
+    assert(m(1L)._4 === 1000L && m(2L)._4 === 1000L, s"$m")
+    assert(m(1L)._2 === m(1L)._3, "dup_bytes == total_bytes for a full copy")
+    // the fresh doc shares nothing
+    assert(m(3L)._3 === 0L && m(3L)._4 === 0L)
+    // totals agree with the chunk frame
+    val chunks = Dedup.cdcChunks(three).collect().map(r => (r.getLong(0), r.getLong(2)))
+    m.foreach { case (id, (nc, tot, _, _)) =>
+      val own = chunks.filter(_._1 == id)
+      assert(own.length.toLong === nc && own.map(_._2).sum === tot, s"doc $id")
+    }
+    // corpus-level: per-mille bounded, dup never exceeds total
+    val corpus = Dedup.cdcMass(docs).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2) && r.getLong(4) >= 0L && r.getLong(4) <= 1000L)
+    }
+  }
+
   test("report on the corpus: counts consistent, no singleton rows") {
     val rep = Dedup.cdcReport(docs).collect()
     assert(rep.nonEmpty, "the corpus's injected duplicates must share chunks")
