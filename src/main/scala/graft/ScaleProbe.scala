@@ -571,6 +571,64 @@ object ScaleProbe {
     agree
   }
 
+  /** CDC dedup probe ([[graft.analytics.Dedup.cdcChunks]]/`dedup_cdc`)
+    * at 1M docs: every 100th doc is a byte-identical copy of its
+    * successor shifted behind a fresh 32-char prefix — the exact edit
+    * fixed-size chunking cannot survive. Measures the chunk pass (per-
+    * doc array arithmetic, zero shuffle) + the digest-grouped report,
+    * and checks recovery: every planted pair must share ≥1 chunk via
+    * the report (shift resilience at volume). Recovery is gated on the
+    * HONEST bound, not 100%: a pair shares a chunk iff the shared span
+    * contains at least one content-defined boundary (the tail chunk
+    * from the last shared boundary is then identical), and boundaries
+    * are ~Bernoulli(1/divisor) per gram — so the expected miss rate is
+    * (1−1/64)^grams (~0.2% at the probe's ~400-char docs; the same law
+    * says sub-divisor-length docs dedup poorly, the known CDC
+    * trade). ok = recovery ≥ 1 − 2×that bound, no singleton report
+    * rows. */
+  private def probeCdc(spark: org.apache.spark.sql.SparkSession, n: Long): Boolean = {
+    import graft.analytics.Dedup
+    // base text: 8 blocks of 16 md5 hex chars → 128 unique-ish chars per
+    // doc; plant: doc i (i%100==0) = prefix + base(i+1)
+    val docs = spark.range(n).selectExpr("id AS doc_id",
+      """CASE WHEN id % 100 = 0 AND id + 1 < %N%
+           THEN concat('fresh-prefix-', substring(md5(cast(id AS STRING)), 1, 19), ' ',
+                concat_ws(' ', transform(sequence(0, 23), j ->
+                  substring(md5(concat(cast(id + 1 AS STRING), ':', cast(j AS STRING))), 1, 16))))
+           ELSE concat_ws(' ', transform(sequence(0, 23), j ->
+                  substring(md5(concat(cast(id AS STRING), ':', cast(j AS STRING))), 1, 16)))
+         END AS text""".replace("%N%", n.toString))
+    val t0 = System.nanoTime()
+    val chunks = Dedup.cdcChunks(docs)
+    chunks.write.format("noop").mode("overwrite").save()
+    val tChunks = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val rep = Dedup.cdcReport(docs)
+    val nShared = rep.count()
+    val tReport = (System.nanoTime() - t1) / 1e9
+    // recovery: planted docs whose doc carries a >=2-doc chunk
+    val sharedHashes = rep.select("c_hash")
+    val carriers = chunks.join(sharedHashes, Seq("c_hash"), "left_semi")
+      .select("doc_id").distinct()
+    val planted = docs.where(col("doc_id") % 100 === 0 && col("doc_id") + 1 < n)
+      .select("doc_id")
+    val plantedN = planted.count()
+    val recovered = planted.join(carriers, "doc_id").count()
+    val singletons = rep.where(col("n_docs") < 2).count()
+    // shared span ~24*16+23 = 407 chars, 400 grams at k=8: the
+    // no-boundary miss bound is (63/64)^400
+    val missBound = math.pow(63.0 / 64.0, 400)
+    val floor = (plantedN * (1.0 - 2 * missBound)).toLong
+    val ok = recovered >= floor && singletons == 0L && nShared >= recovered
+    println(s"""{"probe":"cdc","n_docs":$n,"chunks_sec":${f"$tChunks%.1f"},""" +
+      s""""report_sec":${f"$tReport%.1f"},"shared_chunks":$nShared,""" +
+      s""""planted":$plantedN,"recovered":$recovered,""" +
+      s""""recovery_floor":$floor,"ok":$ok}""")
+    if (!ok) System.err.println(
+      s"[scaleprobe] cdc NOT ok: recovered=$recovered/$plantedN singletons=$singletons")
+    ok
+  }
+
   /** Concat-and-chunk packing probe ([[graft.analytics.Sampling
     * .concatChunk]], `pack_concat_chunk` / the `pipe_prep_train` tail) at
     * 1M docs: the operator's one shuffle is the per-shard running-total
@@ -880,6 +938,8 @@ object ScaleProbe {
     "bpedeep" -> 1000000L,
     // chunk: 1M docs x ~100 mean tokens; the window state dial is the claim
     "chunk" -> 1000000L,
+    // cdc: 1M ~150-char docs, 1% planted shifted copies
+    "cdc" -> 1000000L,
     // overlap: 1M x 1M intervals at ~3 overlaps each; the naive arm runs
     // at n/100 where its quadratic cost is still feasible
     "overlap" -> 1000000L,
@@ -1033,6 +1093,7 @@ object ScaleProbe {
       case "overlap" => probeOverlap(spark, size)
       case "bpedeep" => probeBpeDeep(spark, size)
       case "chunk" => probeChunk(spark, size)
+      case "cdc" => probeCdc(spark, size)
       case other =>
         System.err.println(
           s"unknown arm '$other'; known arms: ${defaults.keysIterator.toSeq.sorted.mkString(", ")} (or 'all')")
