@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Bpe, Dedup, Distill, ForecastQueries, Hybrid, Layout, Multimodal, PrepPipeline, Relational, Sampling, SeriesQueries, Similarity, TextAnalysis}
+import graft.analytics.{Bpe, Dedup, Distill, ForecastQueries, GraphRank, Hybrid, Layout, Multimodal, PrepPipeline, Relational, Sampling, SeriesQueries, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -193,6 +193,8 @@ object SparkEntry {
     "dedup_semantic" -> (Similarity.semanticDedupQuery _), // SemDeDup: cluster-scoped greedy pruning, keep low-centroid-sim members
     "dedup_semantic_multi" -> (Similarity.semanticDedupMultiQuery _), // spill-band top-2 assignment: recovers list-straddling paraphrase pairs
     "knn_hybrid_rrf" -> (Hybrid.hybridRrfQuery _), // lexical + vector arms fused by reciprocal-rank: the RAG hybrid serving shape
+    "knn_mmr" -> (Similarity.mmrRerankQuery _), // MMR diversified re-rank: greedy rounds over the workload-sized IVF candidate frame
+    "graph_pagerank" -> (GraphRank.pagerankQuery(_, _)), // PageRank hubs of the LSH similarity graph: integer-grid power iteration
     // --- dataset assembly: deterministic splits + sequence packing ---
     "split_folds" -> (Sampling.splitQuery _),
     "split_assign" -> (Sampling.splitAssignQuery _),
@@ -205,6 +207,7 @@ object SparkEntry {
     "mix_sources" -> (Sampling.mixSourcesQuery _), // deterministic static domain reweighting (DoReMi-style)
     "mix_temperature" -> (Sampling.mixTemperatureQuery _), // alpha=0.5 temperature-flattened source sampling (XLM-R recipe; sqrt is IEEE-exact)
     "sample_weighted" -> (Sampling.weightedSampleQuery _),
+    "mix_dsir" -> (Sampling.dsirQuery _), // DSIR importance selection: hashed-ngram LLR weights vs the English target slice
     // --- multimodal binary-column plumbing ---
     "mm_payload_stats" -> (Multimodal.payloadStatsQuery _),
     "mm_decode_features" -> (Multimodal.decodeFeaturesQuery _),
@@ -868,6 +871,40 @@ object SparkEntry {
             UNION
             SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.id)
           SELECT id AS vec_id, min(lbl) AS keeper FROM reach GROUP BY id""",
+    "graph_pagerank" ->
+      // mirror of GraphRank.pagerankQuery: the dedup_embedding_lsh pair
+      // generation symmetrized into a directed edge frame, then 10
+      // power-iteration rounds as a recursive CTE in ALL-INTEGER
+      // arithmetic on the 1e12 grid — r' = (15·1e12 + 85·Σ_in(r div
+      // deg)) div 100 — so both engines replay bit-identical longs (no
+      // FP accumulation order). Top 25 hubs by final mass, ties by node.
+      s"""WITH RECURSIVE ${lshSigCtes()},
+          cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                   FROM sig a JOIN sig b ON a.band = b.band AND a.bucket = b.bucket
+                                         AND a.vec_id < b.vec_id),
+          lshp AS MATERIALIZED (SELECT vec_a, vec_b FROM (
+                     SELECT c.vec_a, c.vec_b,
+                            round(list_cosine_similarity(ea.e, eb2.e), 4) AS cos
+                     FROM cand c
+                     JOIN eb ea ON ea.vec_id = c.vec_a
+                     JOIN eb eb2 ON eb2.vec_id = c.vec_b) t
+                   WHERE cos >= 0.4),
+          edges AS MATERIALIZED (SELECT vec_a AS src, vec_b AS dst FROM lshp
+                    UNION ALL SELECT vec_b, vec_a FROM lshp),
+          deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY src),
+          pr(node, it, r) AS (
+            SELECT src, 0, 1000000000000::BIGINT FROM deg
+            UNION ALL
+            SELECT e.dst, p.it + 1,
+              (15 * 1000000000000 + 85 * sum(p.r // dg.d)) // 100
+            FROM pr p JOIN deg dg ON dg.src = p.node JOIN edges e ON e.src = p.node
+            WHERE p.it < 10
+            GROUP BY e.dst, p.it)
+          SELECT node, mass, rank FROM (
+            SELECT node, r AS mass,
+                   row_number() OVER (ORDER BY r DESC, node)::BIGINT AS rank
+            FROM pr WHERE it = 10) t
+          WHERE rank <= 25""",
     "dedup_semantic" ->
       // SemDeDup mirror: same hash-seeded centroid sample + rounded-argmax
       // cluster assignment as knn_ann_ivf, then the paper's greedy
@@ -1932,6 +1969,33 @@ object SparkEntry {
                  / greatest(n_chars, 1) DESC, doc_id) AS rank
            FROM documents) t
          WHERE rank <= 100""",
+    "mix_dsir" ->
+      // mirror of Sampling.dsirSelect: hashed-unigram bucket model
+      // (raw + target counts in one aggregation), Laplace-smoothed
+      // log-ratio quantized round(ln·1e8) per bucket BEFORE arithmetic
+      // (the lmScore discipline), integer per-doc weights, top-100.
+      s"""WITH bucketed AS (
+            SELECT doc_id, lang,
+                   ('0x'||substr(md5(w),1,15))::UBIGINT::BIGINT % 64 AS b
+            FROM (SELECT doc_id, lang, unnest($toksSql) AS w FROM documents) t),
+          model AS (SELECT b, count(*) AS cr,
+                      sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+                    FROM bucketed GROUP BY b),
+          tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM model),
+          ratio AS (
+            SELECT m.b,
+              cast(round(ln( ((m.ct + 1)::DOUBLE / (tot.nt + 64))
+                           / ((m.cr + 1)::DOUBLE / (tot.nr + 64)) ) * 1e8) AS BIGINT) AS lr
+            FROM model m, tot),
+          docw AS (
+            SELECT d.doc_id, sum(d.cnt * r.lr)::BIGINT AS dsir_w
+            FROM (SELECT doc_id, b, count(*) AS cnt FROM bucketed GROUP BY doc_id, b) d
+            JOIN ratio r ON r.b = d.b GROUP BY d.doc_id)
+          SELECT doc_id, source, lang, dsir_w, rank FROM (
+            SELECT doc_id, dsir_w,
+                   row_number() OVER (ORDER BY dsir_w DESC, doc_id)::BIGINT AS rank
+            FROM docw) t JOIN documents USING (doc_id)
+          WHERE rank <= 100""",
     "pack_concat_chunk" ->
       // mirror of Sampling.concatChunk: per-shard running token totals,
       // then each doc explodes into the sequences its [t_start, t_end)
@@ -2800,6 +2864,56 @@ object SparkEntry {
                 ORDER BY round(list_cosine_similarity(qe, e), 4) DESC, n_id)::BIGINT AS rank
             FROM cand) t
           WHERE rank <= 5"""
+    },
+    "knn_mmr" -> {
+      // mirror of Similarity.mmrRerank: the knn_ann_ivf candidate chain
+      // at depth 12, relevance/pairwise cosines on the exact decimal
+      // shift (round(round(cos,4)*1e4) ∈ BIGINT), then the greedy MMR
+      // loop as ONE recursive CTE carrying the selected list per query
+      // (the loop-oracle discipline): each round LATERAL-picks the
+      // argmax of 7*rel - 3*max_pair_cos_to_selected, ties by n_id.
+      def nn(filter: String, keep: Int, idAs: String, eAs: String) =
+        s"""SELECT $idAs, $eAs, c_id AS list_id FROM (
+              SELECT v.vec_id AS $idAs, v.embedding::DOUBLE[] AS $eAs, c.c_id,
+                row_number() OVER (PARTITION BY v.vec_id
+                  ORDER BY round(list_cosine_similarity(v.embedding::DOUBLE[], c.ce), 4) DESC,
+                           c.c_id) AS rk
+              FROM embeddings v, cent c $filter) t WHERE rk <= $keep"""
+      s"""WITH RECURSIVE cent AS (
+            SELECT vec_id AS c_id, embedding::DOUBLE[] AS ce FROM embeddings
+            ORDER BY ${md5L60("vec_id::VARCHAR")}, vec_id LIMIT 16),
+          lists AS (${nn("", 1, "vec_id", "e")}),
+          probes AS (${nn("WHERE v.vec_id < 10", 4, "q_id", "qe")}),
+          cand0 AS (SELECT DISTINCT p.q_id, p.qe, l.vec_id AS n_id, l.e
+                    FROM lists l JOIN probes p ON p.list_id = l.list_id
+                                              AND l.vec_id <> p.q_id),
+          cand AS MATERIALIZED (SELECT q_id, n_id, e, rel FROM (
+              SELECT q_id, n_id, e,
+                cast(round(round(list_cosine_similarity(qe, e), 4)*1e4) AS BIGINT) AS rel,
+                row_number() OVER (PARTITION BY q_id
+                  ORDER BY round(list_cosine_similarity(qe, e), 4) DESC, n_id) AS rk
+              FROM cand0) t WHERE rk <= 12),
+          pairs AS MATERIALIZED (SELECT a.q_id, a.n_id AS a_id, b.n_id AS b_id,
+              cast(round(round(list_cosine_similarity(a.e, b.e), 4)*1e4) AS BIGINT) AS pc
+            FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.n_id <> b.n_id),
+          sel AS (
+            SELECT q_id, 1 AS pick, n_id, [n_id] AS chosen, 7*rel AS mmr
+            FROM (SELECT q_id, n_id, rel,
+                    row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, n_id) AS rk
+                  FROM cand) t WHERE rk = 1
+            UNION ALL
+            SELECT s.q_id, s.pick + 1, p.n_id, list_append(s.chosen, p.n_id), p.mmr
+            FROM sel s JOIN LATERAL (
+              SELECT c.n_id,
+                7*c.rel - 3*(SELECT max(pp.pc) FROM pairs pp
+                             WHERE pp.q_id = c.q_id AND pp.a_id = c.n_id
+                               AND list_contains(s.chosen, pp.b_id)) AS mmr
+              FROM cand c
+              WHERE c.q_id = s.q_id AND NOT list_contains(s.chosen, c.n_id)
+              ORDER BY mmr DESC, c.n_id LIMIT 1
+            ) p ON true
+            WHERE s.pick < 5)
+          SELECT q_id, pick::BIGINT AS pick, n_id, mmr FROM sel"""
     },
     "knn_ann_filtered" -> {
       // mirror of Similarity.annIvfFiltered: the knn_ann_ivf chain with

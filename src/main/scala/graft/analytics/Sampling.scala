@@ -318,6 +318,66 @@ object Sampling {
       Relational.ntileCol(n, nStages).as("stage"))
   }
 
+  /** DSIR-style importance selection (Data Selection via Importance
+    * Resampling, Xie et al. 2023): score every raw document by how much
+    * its hashed n-gram profile looks like the TARGET distribution rather
+    * than the raw corpus, then keep the top of the importance ranking.
+    * The published recipe is exactly this shape — hashed feature buckets,
+    * a bag-of-buckets log-likelihood-ratio weight per document, a
+    * resample by weight (top-k here; Gumbel-noise sampling is the same
+    * plan with one extra hash column).
+    *
+    * Implementation, all published-pattern Spark:
+    *  - features: whitespace unigrams hashed to `buckets` md5 buckets
+    *    ([[hashBucket]] — the engine's cross-engine-replayable hash);
+    *  - the bucket model: ONE keyed aggregation emits raw counts and
+    *    target counts together (conditional sum), a `buckets`-row frame —
+    *    model parameters in the IVF-centroid sense — whose Laplace-
+    *    smoothed log-ratio is quantized `round(ln·1e8) ∈ ℤ` per bucket
+    *    (the [[TextAnalysis.lmScore]] discipline: quantize each
+    *    transcendental BEFORE arithmetic so 1-ULP engine drift cannot
+    *    reach a score);
+    *  - per-doc weight: integer Σ count·ratio over the doc's buckets —
+    *    one keyed agg + one broadcast join, text never shuffles;
+    *  - selection: TakeOrdered top-`keepK` (w desc, doc_id), THEN the
+    *    rank window over the k surviving rows (the [[TextAnalysis.vocab]]
+    *    bounded-window discipline — no corpus-scale global window).
+    *
+    * At 100 TB: two scans of the words projection (bucket model + doc
+    * weights — foldable to one with a cached bucketed frame if the word
+    * explosion dominates), a 64-row broadcast, a TakeOrdered. The target
+    * here is the English slice (lang = targetLang); in production the
+    * target counts come from a trusted corpus — same plan, different
+    * filter. */
+  def dsirSelect(docs: DataFrame, targetLang: String = "en",
+                 buckets: Int = 64, keepK: Int = 100): DataFrame = {
+    val b = buckets.toLong
+    val bucketed = docs
+      .select(col("doc_id"), col("lang"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .select(col("doc_id"), col("lang"), hashBucket(col("w"), buckets).as("b"))
+    val model = bucketed.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("ct"))
+    val totals = model.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val ratio = model.crossJoin(broadcast(totals)) // 1-row scalar frame
+      .select(col("b"),
+        round(log(((col("ct") + lit(1)).cast("double") / (col("nt") + lit(b))) /
+                  ((col("cr") + lit(1)).cast("double") / (col("nr") + lit(b)))) * 1e8)
+          .cast("long").as("lr"))
+    val docw = bucketed.groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(ratio), "b")
+      .groupBy("doc_id").agg(sum(col("cnt") * col("lr")).as("dsir_w"))
+    val top = docw.join(docs.select("doc_id", "source", "lang"), "doc_id")
+      .orderBy(col("dsir_w").desc, col("doc_id")).limit(keepK)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("dsir_w").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "source", "lang", "dsir_w", "rank")
+  }
+
+  def dsirQuery(spark: SparkSession, dir: String): DataFrame =
+    dsirSelect(Tables.documents(spark, dir)).orderBy("rank")
+
   // -- query entry points --
 
   def splitQuery(spark: SparkSession, dir: String): DataFrame =

@@ -676,6 +676,104 @@ object Similarity {
   def annIvfRangeQuery(spark: SparkSession, dir: String): DataFrame =
     annIvfRange(spark, dir).orderBy("q_id", "n_id")
 
+  /** MMR diversified re-ranking (Maximal Marginal Relevance, Carbonell &
+    * Goldstein 1998) over the IVF candidate chain — the standard RAG
+    * post-retrieval step: plain top-k returns near-duplicate passages
+    * (the corpus HAS near-dups; that is what the dedup family measures),
+    * MMR re-picks greedily by `λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s)` so
+    * each pick is relevant AND novel w.r.t. what is already selected.
+    *
+    * Shape at scale: the IVF probe produces a candidate frame of
+    * |Q|·depth rows — WORKLOAD-sized, not corpus-sized — and everything
+    * after that (the depth² pairwise-cosine frame and `kSel` greedy
+    * rounds of anti-join + max-penalty aggregate + per-query argmax
+    * window) runs on that bounded frame; the corpus is touched only by
+    * the probe join. Both frames are cached once, and each round's picks
+    * are localCheckpoint'ed (|Q| rows) so round r's plan does not replay
+    * rounds 1..r−1 (the selected set is consumed twice per round —
+    * penalty join and anti join — and Spark does not CSE repeated
+    * subplans).
+    *
+    * Determinism: relevance and pairwise cosines go through the exact
+    * decimal shift `round(round(cos,4)·1e4) ∈ ℤ`, the MMR score is the
+    * all-integer `lamC·rel − (10−lamC)·pen` (λ = lamC/10), ties break on
+    * n_id — bit-replayable by the oracle's recursive CTE (the greedy
+    * loop is ONE recursive CTE carrying the selected list per query,
+    * the [[graft.analytics.Bpe]] loop-oracle discipline). A query with
+    * fewer than kSel candidates simply stops early on both sides. */
+  def mmrRerank(spark: SparkSession, dir: String, nQueries: Int = 10, kSel: Int = 5,
+                depth: Int = 12, nLists: Int = 16, nProbe: Int = 4,
+                lamC: Int = 7): DataFrame = {
+    require(lamC >= 0 && lamC <= 10, "lamC is the integer-tenths relevance weight")
+    val (cand, pairs) = mmrCandidates(spark, dir, nQueries, depth, nLists, nProbe)
+    mmrGreedy(cand, pairs, kSel, lamC)
+  }
+
+  /** The prepared inputs of the MMR loop: the depth-truncated IVF
+    * candidate frame `(q_id, n_id, rel)` and its pairwise-cosine frame
+    * `(q_id, a_id, b_id, pc)`, both on the exact decimal shift and both
+    * cached (each greedy round reads them). */
+  private[analytics] def mmrCandidates(spark: SparkSession, dir: String,
+      nQueries: Int = 10, depth: Int = 12, nLists: Int = 16,
+      nProbe: Int = 4): (DataFrame, DataFrame) = {
+    val emb = embeddingsD(spark, dir)
+    val queries = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    def shift(c: Column): Column = round(round(c, 4) * 1e4, 0).cast("long")
+    val raw = ivfCandidatesWith(spark, emb, queries, hashCentroids(emb, nLists), nProbe)
+    val cand = raw
+      .select(col("q_id"), col("n_id"), col("e"),
+        shift(cosine(col("qe"), col("e"))).as("rel"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("rel").desc, col("n_id"))))
+      .where(col("rk") <= depth)
+      .select("q_id", "n_id", "e", "rel")
+    // Dedup.materialized: |Q|·depth rows, read by every greedy round
+    cand.cache(); cand.count()
+    val pairs = cand.select(col("q_id"), col("n_id").as("a_id"), col("e").as("ae"))
+      .join(cand.select(col("q_id"), col("n_id").as("b_id"), col("e").as("be")), Seq("q_id"))
+      .where(col("a_id") =!= col("b_id"))
+      .select(col("q_id"), col("a_id"), col("b_id"),
+        shift(cosine(col("ae"), col("be"))).as("pc"))
+    pairs.cache(); pairs.count() // |Q|·depth² rows, bounded by the workload
+    (cand.drop("e"), pairs)
+  }
+
+  /** The greedy MMR selection loop over a prepared candidate frame
+    * `(q_id, n_id, rel)` and pairwise-similarity frame
+    * `(q_id, a_id, b_id, pc)` — factored out so the loop's laws (λ=1
+    * degenerates to top-k; each pick is the argmax of its round) are
+    * testable on constructed frames independent of the IVF chain. */
+  private[analytics] def mmrGreedy(cand: DataFrame, pairs: DataFrame,
+                                   kSel: Int, lamC: Int): DataFrame = {
+    val lam = lit(lamC.toLong); val divW = lit((10 - lamC).toLong)
+    var out = cand
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("rel").desc, col("n_id"))))
+      .where(col("rk") === 1)
+      .select(col("q_id"), lit(1L).as("pick"), col("n_id"), (lam * col("rel")).as("mmr"))
+      .localCheckpoint(true)
+    for (r <- 2 to kSel) {
+      val selIds = out.select(col("q_id"), col("n_id"))
+      val pen = pairs.join(selIds.withColumnRenamed("n_id", "b_id"), Seq("q_id", "b_id"))
+        .groupBy(col("q_id"), col("a_id")).agg(max(col("pc")).as("pen"))
+      val rest = cand.join(selIds, Seq("q_id", "n_id"), "left_anti")
+      val next = rest
+        .join(pen, rest("q_id") === pen("q_id") && rest("n_id") === pen("a_id"), "left")
+        .select(rest("q_id"), rest("n_id"),
+          (lam * rest("rel") - divW * coalesce(pen("pen"), lit(0L))).as("mmr"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("mmr").desc, col("n_id"))))
+        .where(col("rk") === 1)
+        .select(col("q_id"), lit(r.toLong).as("pick"), col("n_id"), col("mmr"))
+      out = out.unionByName(next).localCheckpoint(true)
+    }
+    out
+  }
+
+  def mmrRerankQuery(spark: SparkSession, dir: String): DataFrame =
+    mmrRerank(spark, dir).orderBy("q_id", "pick")
+
   private def md5HexLocal(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
     d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
