@@ -914,6 +914,96 @@ object ScaleProbe {
     * (10M); the round-8 arms carry 64-dim vectors / ~200-char text per
     * row, so 1M is the same order of work; the semantic arm's dominance
     * join is N·(N/k) so 200k at k=128 is already ~150M cosine pairs. */
+  /** PageRank probe: the iterative-rank loop at graph volume. Two arms
+    * on constructed graphs with provable answers:
+    *  - CYCLE at n nodes: every node has degree 2 and the all-integer
+    *    recurrence is a bit-exact fixed point (r stays exactly 1e12) —
+    *    at volume this pins that NO node drifts through 10 rounds of
+    *    div/sum arithmetic (a single off-by-one anywhere cascades);
+    *  - HUB graph (a chain with every 1000th node also wired to node 0):
+    *    node 0's degree is ~n/1000 and it must finish rank 1 — the
+    *    skewed-degree regime where contribution floor-division loss and
+    *    the sink-keyed sum actually get exercised.
+    * Timing is the 10-round loop end-to-end (2 key-partitioned shuffles
+    * of an id+long frame per round; the 100 TB cost model). */
+  private def probePagerank(spark: org.apache.spark.sql.SparkSession, n: Long): Boolean = {
+    import graft.analytics.GraphRank
+    val cyc = spark.range(n)
+      .select(col("id").as("a"), ((col("id") + 1) % n).as("b"))
+      .select(least(col("a"), col("b")).as("vec_a"),
+        greatest(col("a"), col("b")).as("vec_b"))
+    val ((nNodes, nDrift), tCyc) = timed {
+      val r = GraphRank.pagerank(cyc, iters = 10)
+      val h = r.agg(count(lit(1)),
+        sum(when(col("r") =!= lit(1000000000000L), 1L).otherwise(0L))).head()
+      (h.getLong(0), h.getLong(1))
+    }
+    spark.sharedState.cacheManager.clearCache()
+    val chain = spark.range(n - 1)
+      .select(col("id").as("vec_a"), (col("id") + 1).as("vec_b"))
+    val hubSpokes = spark.range(1L, n / 1000L)
+      .select(lit(0L).as("vec_a"), (col("id") * 1000L).as("vec_b"))
+    val (top, tHub) = timed {
+      GraphRank.pagerank(chain.unionByName(hubSpokes), iters = 10)
+        .orderBy(col("r").desc, col("node")).limit(1).head()
+    }
+    val ok = nNodes == n && nDrift == 0L && top.getLong(0) == 0L
+    println(s"""{"probe":"pagerank","n":$n,"cycle_sec":${f"$tCyc%.1f"},""" +
+      s""""cycle_drift":$nDrift,"hub_sec":${f"$tHub%.1f"},""" +
+      s""""hub_top":${top.getLong(0)},"hub_mass":${top.getLong(1)}}""")
+    if (!ok) System.err.println(s"[scaleprobe] pagerank FAILED: nodes=$nNodes drift=$nDrift top=${top.getLong(0)}")
+    ok
+  }
+
+  /** MMR probe: the greedy loop at WORKLOAD volume — `nQ` queries × 12
+    * candidates (the corpus never enters [[graft.analytics.Similarity
+    * .mmrGreedy]]; its cost is |Q|·depth² by construction, which is the
+    * whole scale claim). Every query gets the SAME planted frame
+    * (rel descending in n_id; adjacent ids near-identical at pc=9000,
+    * everything else pc=10), so the expected pick sequence is ONE local
+    * greedy replay and the distributed result must realize it
+    * identically for all nQ queries. */
+  private def probeMmr(spark: org.apache.spark.sql.SparkSession, nQ: Long): Boolean = {
+    import graft.analytics.Similarity
+    val depth = 12; val kSel = 5
+    val qs = spark.range(nQ).select(col("id").as("q_id"))
+    val js = spark.range(depth.toLong).select(col("id").as("j"))
+    val cand = qs.crossJoin(js)
+      .select(col("q_id"), col("j").as("n_id"), (lit(10000L) - col("j") * lit(100L)).as("rel"))
+    val pairs = qs.crossJoin(js.select(col("j").as("a_id")))
+      .crossJoin(js.select(col("j").as("b_id")))
+      .where(col("a_id") =!= col("b_id"))
+      .select(col("q_id"), col("a_id"), col("b_id"),
+        when(abs(col("a_id") - col("b_id")) === 1L, 9000L).otherwise(10L).as("pc"))
+    // local replay of the planted single-query instance
+    val rel = (0 until depth).map(j => j.toLong -> (10000L - j * 100L)).toMap
+    def pc(a: Long, b: Long): Long = if (math.abs(a - b) == 1L) 9000L else 10L
+    var chosen = Vector.empty[(Long, Long, Long)] // (pick, n_id, mmr)
+    for (r <- 1 to kSel) {
+      val best = (0L until depth.toLong).filterNot(n => chosen.exists(_._2 == n))
+        .map { n =>
+          val pen = if (chosen.isEmpty) 0L else chosen.map(c => pc(n, c._2)).max
+          (n, 7L * rel(n) - 3L * pen)
+        }.maxBy { case (n, s) => (s, -n) }
+      chosen :+= ((r.toLong, best._1, best._2))
+    }
+    val ((nRows, nOff), t) = timed {
+      cand.cache(); cand.count(); pairs.cache(); pairs.count() // the mmrCandidates discipline
+      val out = Similarity.mmrGreedy(cand, pairs, kSel, lamC = 7)
+      val expectDf = spark.createDataFrame(chosen).toDF("pick", "n_id", "mmr")
+      val h = out.agg(count(lit(1))).head()
+      val off = out.join(expectDf, Seq("pick", "n_id", "mmr"), "left_anti")
+        .agg(count(lit(1))).head()
+      (h.getLong(0), off.getLong(0))
+    }
+    cand.unpersist(); pairs.unpersist()
+    val ok = nRows == nQ * kSel && nOff == 0L
+    println(s"""{"probe":"mmr","n_queries":$nQ,"rows":$nRows,""" +
+      s""""off_plan_rows":$nOff,"sec":${f"$t%.1f"}}""")
+    if (!ok) System.err.println(s"[scaleprobe] mmr FAILED: rows=$nRows off=$nOff")
+    ok
+  }
+
   private val defaults = Map(
     "quartiles" -> 10000000L, "asof" -> 10000000L, "clusters" -> 10000000L,
     "ivfbalance" -> 1000000L, "substring" -> 1000000L, "semantic" -> 200000L,
@@ -940,6 +1030,10 @@ object ScaleProbe {
     "chunk" -> 1000000L,
     // cdc: 1M ~150-char docs, 1% planted shifted copies
     "cdc" -> 1000000L,
+    // pagerank: 2M-node graphs, 10 rounds x 2 shuffles of id+long rows;
+    // mmr: 200k queries x 12 candidates -> 26M cached pair rows, the
+    // workload-volume regime (the corpus never enters the loop)
+    "pagerank" -> 2000000L, "mmr" -> 200000L,
     // overlap: 1M x 1M intervals at ~3 overlaps each; the naive arm runs
     // at n/100 where its quadratic cost is still feasible
     "overlap" -> 1000000L,
@@ -1094,6 +1188,8 @@ object ScaleProbe {
       case "bpedeep" => probeBpeDeep(spark, size)
       case "chunk" => probeChunk(spark, size)
       case "cdc" => probeCdc(spark, size)
+      case "pagerank" => probePagerank(spark, size)
+      case "mmr" => probeMmr(spark, size)
       case other =>
         System.err.println(
           s"unknown arm '$other'; known arms: ${defaults.keysIterator.toSeq.sorted.mkString(", ")} (or 'all')")

@@ -744,8 +744,8 @@ object Similarity {
     * `(q_id, a_id, b_id, pc)` — factored out so the loop's laws (λ=1
     * degenerates to top-k; each pick is the argmax of its round) are
     * testable on constructed frames independent of the IVF chain. */
-  private[analytics] def mmrGreedy(cand: DataFrame, pairs: DataFrame,
-                                   kSel: Int, lamC: Int): DataFrame = {
+  private[graft] def mmrGreedy(cand: DataFrame, pairs: DataFrame,
+                               kSel: Int, lamC: Int): DataFrame = {
     val lam = lit(lamC.toLong); val divW = lit((10 - lamC).toLong)
     var out = cand
       .withColumn("rk", row_number().over(
