@@ -184,6 +184,7 @@ object SparkEntry {
     "knn_ann_filtered" -> (Similarity.annIvfFilteredQuery _), // metadata-constrained ANN: post-filter on shared index, probe 2x
     "knn_ann_prefiltered" -> (Similarity.annIvfPrefilteredQuery _), // partition-per-label regime: (label, list_id) probe key, prunes before IO
     "emb_quantize" -> (Similarity.quantizeStatsQuery _), // SQ8 codebook + integer fingerprint (scan-shaped)
+    "emb_pca_power" -> (Similarity.pcaPowerQuery _), // matrix-free top-PC power iteration (All-but-the-top), all-integer rounds
     "knn_quantized" -> ((s: SparkSession, d: String) => Similarity.knnQuantized(s, d)), // SQ8 accuracy baseline (quadratic, like knn_exact)
     "knn_ann_ivf_sq8" -> (Similarity.annIvfSq8Query _), // IVF probing over SQ8-coded residents: the compressed-index serving path
     "knn_ann_ivf_pq" -> (Similarity.annIvfPqQuery _), // IVF + product quantization, ADC lookup-table scoring: the 64x-compressed serving path
@@ -2694,6 +2695,46 @@ object SparkEntry {
           SELECT ev.vec_id, s.j::BIGINT AS dim, sum(ev.qv * s.sgn)::BIGINT AS p
           FROM ev JOIN s ON s.i = ev.i
           GROUP BY ev.vec_id, s.j""",
+    "emb_pca_power" ->
+      // mirror of Similarity.pcaPower: 12 matrix-free power rounds as a
+      // recursive CTE whose working table is the 64 direction rows of
+      // the previous round; all-integer (1e-6 coordinate grid, per-row
+      // dot truncated by 1e10, sign-split truncating renormalization —
+      // HUGEINT for the multiply, the quotient returns to BIGINT).
+      // DuckDB `//` and Spark `div`/Java `/` both truncate toward zero
+      // (pinned by spec), so every round replays bit-identically.
+      """WITH RECURSIVE
+          xq AS (SELECT vec_id,
+                   list_transform(embedding::DOUBLE[], x -> cast(round(x*1e6) AS BIGINT)) AS q
+                 FROM embeddings),
+          mu AS (SELECT j, CASE WHEN sum(q[j]) >= 0 THEN sum(q[j]) // count(*)
+                                ELSE -((-sum(q[j])) // count(*)) END AS m
+                 FROM xq, range(1, 65) t(j) GROUP BY j),
+          cvec AS (SELECT vec_id,
+                   (SELECT list(q[j] - m ORDER BY j) FROM mu) AS c
+                 FROM xq),
+          it(r, j, vj) AS (
+            SELECT 0, j::BIGINT, 1000000::BIGINT FROM range(1, 65) t(j)
+            UNION ALL
+            SELECT r, j,
+              (CASE WHEN u >= 0 THEN (u::HUGEINT * 1000000) // mx
+                    ELSE -(((-u)::HUGEINT * 1000000) // mx) END)::BIGINT
+            FROM (
+              SELECT uu.r, uu.j, uu.u, max(abs(uu.u)) OVER (PARTITION BY uu.r) AS mx
+              FROM (
+                SELECT sp.r + 1 AS r, t.j,
+                  sum(CASE WHEN sp.s >= 0 THEN sp.s // 10000000000
+                           ELSE -((-sp.s) // 10000000000) END * sp.c[t.j]) AS u
+                FROM (
+                  SELECT cvec.vec_id, cvec.c, p.r, sum(cvec.c[p.j] * p.vj) AS s
+                  FROM cvec, it p
+                  WHERE p.r < 12
+                  GROUP BY cvec.vec_id, cvec.c, p.r
+                ) sp, range(1, 65) t(j)
+                GROUP BY sp.r, t.j
+              ) uu
+            ) nn)
+          SELECT j AS dim, vj AS w FROM it WHERE r = 12 ORDER BY dim""",
     "knn_ann_ivf_proj" ->
       // mirror of Similarity.annIvfProjected: the emb_project sign matrix
       // builds 16-dim list vectors (exact BIGINT sums / 1e6 — one IEEE

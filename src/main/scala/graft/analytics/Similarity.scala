@@ -819,6 +819,78 @@ object Similarity {
   def projectSignedQuery(spark: SparkSession, dir: String): DataFrame =
     projectSigned(embeddingsD(spark, dir)).orderBy("vec_id", "dim")
 
+  /** Top principal direction of the embedding corpus by MATRIX-FREE
+    * power iteration — the model-build behind embedding post-processing
+    * ("All-but-the-top", Mu & Viswanath 2018: centering + removing the
+    * top PCs measurably improves similarity quality) and whitening.
+    *
+    * The 100 TB shape: the d×d covariance is NEVER materialized (and no
+    * n·d² outer-product rows are ever shuffled) — each round computes
+    * `u = Σ_i (cᵢ·v) cᵢ` as ONE scan of the centered corpus: the dot
+    * against the broadcast direction literal is row-local, the d
+    * per-dimension sums are one map-side-combined aggregate, and the
+    * normalized direction returns to the driver as d longs — the Lloyd
+    * discipline (driver state = model parameters, corpus read per
+    * round, nothing corpus-sized collected).
+    *
+    * Determinism, all-integer: coordinates quantize to the 1e-6 grid,
+    * the mean is the truncating integer division of grid sums, per-row
+    * dots truncate by 1e10 before the weighted sum (bounds every per-row
+    * term ≤ ~4e8, so the aggregate stays exact in a long to n ≈ 2·10¹⁰
+    * rows — past that shift the grid, the [[GraphRank]] note), and
+    * renormalization is the sign-split truncating division
+    * `±(|u|·1e6 div max|u|)` (BigInt on the driver, HUGEINT in the
+    * oracle — the multiply may exceed a long; the quotient never does).
+    * Truncation toward zero is pinned by spec on both engines.
+    *
+    * Convergence is the textbook λ₂/λ₁ rate: on a corpus with a real
+    * dominant direction 12 rounds land cos ≈ 1.0 (spec: planted-gap
+    * corpus, cos > 0.9999); the driver's synthetic corpus is nearly
+    * isotropic (λ₂/λ₁ ≈ 0.93), where ANY fixed-round power method mixes
+    * slowly — the operator contract is "12 exact power rounds from the
+    * all-ones seed", which both engines replay bit-identically
+    * regardless of the spectrum. */
+  def pcaPower(spark: SparkSession, dir: String, rounds: Int = 12,
+               dims: Int = 64): DataFrame =
+    pcaPowerOf(spark, embeddingsD(spark, dir), rounds, dims)
+
+  /** [[pcaPower]] over a caller-supplied `(vec_id, e: array<double>)`
+    * frame — the testable core (the spec drives it with a planted
+    * strong-gap corpus where the 12-round direction must agree with the
+    * true top eigenvector to cos > 0.9999). */
+  private[graft] def pcaPowerOf(spark: SparkSession, emb: DataFrame,
+                                rounds: Int, dims: Int): DataFrame = {
+    def tdiv(a: Long, b: Long): Long = a / b // Java /: truncation toward zero
+    val qf = emb
+      .withColumn("q", transform(col("e"), x => round(x * 1e6, 0).cast("long")))
+    val sumCols = (0 until dims).map(j => sum(element_at(col("q"), j + 1)).as(s"s$j"))
+    val h = qf.agg(count(lit(1)).as("n"), sumCols: _*).head()
+    val n = h.getAs[Long]("n")
+    val mu = Array.tabulate(dims)(j => tdiv(h.getAs[Long](s"s$j"), n))
+    val cf = qf.select(col("vec_id"),
+      zip_with(col("q"), typedLit(mu.toSeq), (x, m) => x - m).as("c"))
+    cf.cache(); cf.count() // read once per round (at scale: optional, the
+                           // projection recomputes from the scan for free)
+    var v = Array.fill(dims)(1000000L)
+    for (_ <- 1 to rounds) {
+      val dot = aggregate(zip_with(col("c"), typedLit(v.toSeq), (x, y) => x * y),
+        lit(0L), (a, b) => a + b)
+      val t = cf.withColumn("s0", dot).withColumn("s", expr("s0 div 10000000000"))
+      val uCols = (0 until dims).map(j =>
+        sum(col("s") * element_at(col("c"), j + 1)).as(s"u$j"))
+      val hu = t.agg(uCols.head, uCols.tail: _*).head()
+      val u = Array.tabulate(dims)(j => hu.getLong(j))
+      val m = BigInt(u.map(x => math.abs(x)).max)
+      v = u.map(x => ((BigInt(x) * 1000000) / m).toLong) // BigInt /: trunc
+    }
+    cf.unpersist()
+    spark.createDataFrame(
+      (1 to dims).map(j => (j.toLong, v(j - 1)))).toDF("dim", "w")
+  }
+
+  def pcaPowerQuery(spark: SparkSession, dir: String): DataFrame =
+    pcaPower(spark, dir).orderBy("dim")
+
   /** (vec_id, e, ep): the input frame plus its [[projectSigned]]
     * projection as an `outDims`-long array<double> column (each
     * coordinate = exact BIGINT signed sum / 1e6 — one IEEE division, so
