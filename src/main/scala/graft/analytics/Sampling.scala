@@ -351,29 +351,73 @@ object Sampling {
     * filter. */
   def dsirSelect(docs: DataFrame, targetLang: String = "en",
                  buckets: Int = 64, keepK: Int = 100): DataFrame = {
-    val b = buckets.toLong
-    val bucketed = docs
-      .select(col("doc_id"), col("lang"),
-        explode(TextAnalysis.tokens(col("text"))).as("w"))
-      .select(col("doc_id"), col("lang"), hashBucket(col("w"), buckets).as("b"))
-    val model = bucketed.groupBy("b").agg(
-      count(lit(1)).as("cr"),
-      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("ct"))
-    val totals = model.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
-    val ratio = model.crossJoin(broadcast(totals)) // 1-row scalar frame
-      .select(col("b"),
-        round(log(((col("ct") + lit(1)).cast("double") / (col("nt") + lit(b))) /
-                  ((col("cr") + lit(1)).cast("double") / (col("nr") + lit(b)))) * 1e8)
-          .cast("long").as("lr"))
-    val docw = bucketed.groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
-      .join(broadcast(ratio), "b")
-      .groupBy("doc_id").agg(sum(col("cnt") * col("lr")).as("dsir_w"))
-    val top = docw.join(docs.select("doc_id", "source", "lang"), "doc_id")
+    val top = dsirWeights(docs, targetLang, buckets)
+      .join(docs.select("doc_id", "source", "lang"), "doc_id")
       .orderBy(col("dsir_w").desc, col("doc_id")).limit(keepK)
     top.withColumn("rank", row_number().over(
         Window.orderBy(col("dsir_w").desc, col("doc_id"))).cast("long"))
       .select("doc_id", "source", "lang", "dsir_w", "rank")
   }
+
+  /** The per-document DSIR weight frame `(doc_id, dsir_w)` — the scoring
+    * half of [[dsirSelect]], exposed so the streaming gate's local
+    * mirror can be pinned against the exact batch column. */
+  def dsirWeights(docs: DataFrame, targetLang: String = "en",
+                  buckets: Int = 64): DataFrame = {
+    val bucketed = dsirBucketed(docs, buckets)
+    val docw = bucketed.groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(dsirRatio(bucketed, targetLang, buckets)), "b")
+      .groupBy("doc_id").agg(sum(col("cnt") * col("lr")).as("dsir_w"))
+    docw
+  }
+
+  private def dsirBucketed(docs: DataFrame, buckets: Int): DataFrame = docs
+    .select(col("doc_id"), col("lang"),
+      explode(TextAnalysis.tokens(col("text"))).as("w"))
+    .select(col("doc_id"), col("lang"), hashBucket(col("w"), buckets).as("b"))
+
+  private def dsirRatio(bucketed: DataFrame, targetLang: String,
+                        buckets: Int): DataFrame = {
+    val b = buckets.toLong
+    val model = bucketed.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("ct"))
+    val totals = model.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    model.crossJoin(broadcast(totals)) // 1-row scalar frame
+      .select(col("b"),
+        round(log(((col("ct") + lit(1)).cast("double") / (col("nt") + lit(b))) /
+                  ((col("cr") + lit(1)).cast("double") / (col("nr") + lit(b)))) * 1e8)
+          .cast("long").as("lr"))
+  }
+
+  /** The FROZEN bucket-ratio artifact as driver-side model parameters:
+    * `lr(b)` for b ∈ [0, buckets) — `buckets` longs, the whole serving
+    * state of the importance gate (the [[graft.analytics.Similarity]]
+    * centroid discipline). A bucket absent from the training corpus
+    * carries 0 (the batch inner join's skip semantics — with 64 buckets
+    * and any real corpus every bucket is occupied; the 0 default only
+    * matters for novel stream-side vocabulary). */
+  def dsirRatioTable(docs: DataFrame, targetLang: String = "en",
+                     buckets: Int = 64): Array[Long] = {
+    val out = Array.fill(buckets)(0L)
+    dsirRatio(dsirBucketed(docs, buckets), targetLang, buckets)
+      .collect().foreach(r => out(r.getLong(0).toInt) = r.getLong(1))
+    out
+  }
+
+  /** Row-local JVM mirror of the batch weight column: md5-bucket every
+    * whitespace token of the trimmed text, Σ count·lr(bucket). Null text
+    * scores None (the batch explode drops the doc from the weight frame
+    * entirely). Spec-pinned bit-identical to [[dsirWeights]]. */
+  def localDsirWeight(text: String, lr: Array[Long]): Option[Long] =
+    Option(text).map { t =>
+      t.trim.split("\\s+").iterator.map { w =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val b = (java.lang.Long.parseLong(d.substring(0, 15), 16) % lr.length).toInt
+        lr(b)
+      }.sum
+    }
 
   def dsirQuery(spark: SparkSession, dir: String): DataFrame =
     dsirSelect(Tables.documents(spark, dir)).orderBy("rank")
