@@ -170,6 +170,7 @@ object SparkEntry {
     "pipe_prep_semantic" -> (PrepPipeline.manifestSemantic _), // v4: + SemDeDup prune over the survivors' embeddings (paraphrase mass)
     "pipe_prep_train" -> (PrepPipeline.manifestTrain _), // the training-ready view: survivors -> curriculum stage -> concat-chunk sequences
     "pipe_prep_tok" -> (PrepPipeline.manifestTok _), // v5: the tokenizer is trained ON the curated corpus and the packing runs over real BPE token counts
+    "pipe_prep_dsir" -> (PrepPipeline.manifestDsir _), // v6: the curation chain ends in the importance gate (positive-LLR half packed)
     "chunk_overlap" -> (TextAnalysis.chunkQuery _), // overlapping token-window training chunks
     // --- similarity search over embeddings ---
     "knn_exact" -> (Similarity.knnExactQuery _),
@@ -2392,6 +2393,53 @@ object SparkEntry {
               SELECT doc_id, md5($normSql) AS h FROM k) t GROUP BY h),
           dd AS MATERIALIZED (SELECT k.doc_id, k.text FROM k JOIN keepers USING (doc_id)),
           $prepTailSql""",
+        "pipe_prep_dsir" ->
+      // v6: the pipe_prep_train survivor chain, then the mix_dsir bucket
+      // model FIT ON the surviving train corpus (lang joined back from
+      // documents), the positive-LLR half kept, concat-chunk packing
+      // over the kept set
+      s"""WITH $prepGateCtes,
+          keepers AS MATERIALIZED (
+            SELECT min(doc_id) AS doc_id FROM (
+              SELECT doc_id, md5($normSql) AS h FROM k) t GROUP BY h),
+          dd AS MATERIALIZED (SELECT k.doc_id, k.text FROM k JOIN keepers USING (doc_id)),
+          $prepSurvCtes,
+          td AS MATERIALIZED (
+            SELECT dd.doc_id, dd.text FROM dd JOIN surv s USING (doc_id)
+            WHERE s.fold = 'train'),
+          bucketed AS (
+            SELECT w.doc_id, d.lang,
+                   ('0x'||substr(md5(w.w),1,15))::UBIGINT::BIGINT % 64 AS b
+            FROM (SELECT doc_id, unnest($toksSql) AS w FROM td) w
+            JOIN documents d USING (doc_id)),
+          model AS (SELECT b, count(*) AS cr,
+                      sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+                    FROM bucketed GROUP BY b),
+          tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM model),
+          ratio AS (
+            SELECT m.b,
+              cast(round(ln( ((m.ct + 1)::DOUBLE / (tot.nt + 64))
+                           / ((m.cr + 1)::DOUBLE / (tot.nr + 64)) ) * 1e8) AS BIGINT) AS lr
+            FROM model m, tot),
+          docw AS (
+            SELECT dcnt.doc_id, sum(dcnt.cnt * r.lr)::BIGINT AS dsir_w
+            FROM (SELECT doc_id, b, count(*) AS cnt FROM bucketed GROUP BY doc_id, b) dcnt
+            JOIN ratio r ON r.b = dcnt.b GROUP BY dcnt.doc_id),
+          kd AS MATERIALIZED (SELECT doc_id, dsir_w FROM docw WHERE dsir_w > 0),
+          c0 AS (SELECT td.doc_id, len($toksSql)::BIGINT AS n_tokens,
+                   ('0x'||substr(md5(td.doc_id::VARCHAR),1,15))::UBIGINT::BIGINT % 8 AS shard
+                 FROM td JOIN kd USING (doc_id)),
+          c1 AS (SELECT shard, doc_id, n_tokens,
+                   sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS t_end
+                 FROM c0 WHERE n_tokens > 0),
+          c2 AS (SELECT shard, doc_id, t_end, t_end - n_tokens AS t_start FROM c1),
+          c3 AS (SELECT shard, doc_id, t_start, t_end,
+                   unnest(generate_series(t_start//256, (t_end-1)//256)) AS seq_id FROM c2)
+          SELECT c3.doc_id, kd.dsir_w, shard, seq_id::BIGINT AS seq_id,
+            (greatest(t_start, seq_id*256) - t_start)::BIGINT AS doc_offset,
+            (least(t_end, (seq_id+1)*256) - greatest(t_start, seq_id*256))::BIGINT AS n_toks
+          FROM c3 JOIN kd ON kd.doc_id = c3.doc_id""",
         "pipe_prep_tok" ->
       // v5: the pipe_prep_train chain with n_tokens from the DEEP BPE
       // tokenizer trained on the surviving train corpus itself (bpe CTEs

@@ -241,6 +241,47 @@ object PrepPipeline {
       .orderBy("shard", "seq_id", "doc_id")
   }
 
+  def manifestDsir(spark: SparkSession, dir: String): DataFrame =
+    manifestDsirOf(Tables.documents(spark, dir))
+
+  /** The v6 composition — the curation chain ending in the IMPORTANCE
+    * GATE (`mix_dsir`) instead of a quality heuristic: the pipe_prep
+    * survivor chain (gate → exact dedup → fold split → 13-gram
+    * decontamination) produces the curated train corpus, the DSIR bucket
+    * model is FIT ON THAT CORPUS ([[Sampling.dsirWeights]] — the
+    * manifestTok staging order: curate, then fit the model to what
+    * survived; target = the English slice), and the positive-LLR half
+    * (`dsir_w > 0` — documents more likely under the target distribution
+    * than the raw one, the threshold-free selection rule) is packed by
+    * concat-chunk. Output one row per (doc × sequence):
+    * `(doc_id, dsir_w, shard, seq_id, doc_offset, n_toks)`.
+    *
+    * Scale: the survivor chain shuffles digests/ids only; the bucket
+    * model is a 64-row broadcast fit by one aggregation over the
+    * checkpointed train text; selection is a scan-side predicate (no
+    * global window, no top-k); packing is the one per-shard window. */
+  def manifestDsirOf(docs: DataFrame): DataFrame = {
+    val kept = gated(docs)
+    val dd = kept.join(
+      materialized(Dedup.exact(kept).select(col("keep_doc_id").as("doc_id"))),
+      "doc_id")
+    val folds = materialized(Sampling.split(dd.select("doc_id"), col("doc_id"))
+      .select("doc_id", "fold"))
+    val contamTrain = Dedup.contaminationPairs(dd, folds)
+      .select(col("train_doc").as("doc_id")).distinct()
+    val survTrain = materialized(folds.where(col("fold") === "train")
+      .join(contamTrain, Seq("doc_id"), "left_anti"))
+    val trainDocs = materialized(dd.join(survTrain.select("doc_id"), "doc_id")
+      .select("doc_id", "text"))
+    val keptW = materialized(
+      Sampling.dsirWeights(trainDocs.join(docs.select("doc_id", "lang"), "doc_id"))
+        .where(col("dsir_w") > 0)) // ids + weights only
+    Sampling.concatChunk(trainDocs.join(keptW.select("doc_id"), "doc_id"))
+      .join(keptW, "doc_id")
+      .select("doc_id", "dsir_w", "shard", "seq_id", "doc_offset", "n_toks")
+      .orderBy("shard", "seq_id", "doc_id")
+  }
+
   /** Materialize an inter-stage frame AND truncate its lineage
     * (`localCheckpoint`, the [[Dedup.dupClusters]] idiom — on a cluster
     * this is `checkpoint()` against reliable storage / the manifest

@@ -229,4 +229,39 @@ class PrepPipelineSpec extends SparkSpec {
       if (seq < tail) assert(chunks.map(_._6).sum == 256L)
     }
   }
+
+  test("pipe_prep_dsir: kept set == positive-LLR half of the survivor corpus, tokens conserved") {
+    val dsir = PrepPipeline.manifestDsir(spark, sfDir)
+      .select("doc_id", "dsir_w", "shard", "seq_id", "doc_offset", "n_toks")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(dsir.nonEmpty)
+    // survivor chain is shared with pipe_prep_train: the kept docs are a
+    // SUBSET of the packed train set, and exactly the positive-weight
+    // half of an independently fit model over that set
+    val train = PrepPipeline.manifestTrain(spark, sfDir)
+      .select("doc_id", "n_toks").as[(Long, Long)].collect()
+    val trainIds = train.map(_._1).toSet
+    assert(dsir.map(_._1).toSet.subsetOf(trainIds))
+    val docs = graft.Tables.documents(spark, sfDir)
+    val surv = docs.join(trainIds.toSeq.toDF("doc_id"), "doc_id")
+      .select("doc_id", "lang", "text")
+    val w = Sampling.dsirWeights(surv).as[(Long, Long)].collect().toMap
+    val expectKept = w.filter(_._2 > 0).keySet
+    assert(dsir.map(_._1).toSet == expectKept,
+      "kept set must be exactly the positive-LLR docs of the refit model")
+    // every output row carries the exact refit weight; all positive
+    dsir.foreach { case (id, dw, _, _, _, _) =>
+      assert(dw > 0 && dw == w(id), s"doc $id")
+    }
+    // token conservation per doc vs the train view's whitespace counts
+    val trainTok = train.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    dsir.groupBy(_._1).view.mapValues(_.map(_._6).sum).foreach { case (id, tot) =>
+      assert(tot == trainTok(id), s"doc $id: $tot != ${trainTok(id)}")
+    }
+    // full-sequence law over the kept packing
+    dsir.groupBy(r => (r._3, r._4)).foreach { case ((shard, seq), chunks) =>
+      val tail = dsir.filter(_._3 == shard).map(_._4).max
+      if (seq < tail) assert(chunks.map(_._6).sum == 256L)
+    }
+  }
 }
