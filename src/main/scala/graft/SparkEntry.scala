@@ -89,6 +89,7 @@ object SparkEntry {
     "ts_autocorr" -> (SeriesQueries.lagAutocorr _), // lag-1 Pearson r from exact BIGINT sufficient stats
     "ts_seasonal" -> (SeriesQueries.seasonalProfile _), // hour-of-day additive seasonal index from exact cent sums
     "ts_trend" -> (SeriesQueries.trendProfile _), // trailing-12 moving-average trend + residual, floor-scaled micro-units
+    "ts_ohlc" -> (SeriesQueries.ohlcBars(_, _)), // daily OHLC bars: min_by/max_by on a total-order key, one keyed aggregation
     "q_funnel" -> (SeriesQueries.funnel _), // ordered view->click->purchase conversion funnel
     "q_window_funnel" -> ((s: org.apache.spark.sql.SparkSession, d: String) => SeriesQueries.windowFunnel(s, d)), // ClickHouse-windowFunnel depth via two forward as-of passes
     "q_evt_pctl" -> (SeriesQueries.hourlyPercentiles _), // hourly p25/p50/p75 bands per event type
@@ -186,6 +187,7 @@ object SparkEntry {
     "knn_ann_prefiltered" -> (Similarity.annIvfPrefilteredQuery _), // partition-per-label regime: (label, list_id) probe key, prunes before IO
     "emb_quantize" -> (Similarity.quantizeStatsQuery _), // SQ8 codebook + integer fingerprint (scan-shaped)
     "emb_pca_power" -> (Similarity.pcaPowerQuery _), // matrix-free top-PC power iteration (All-but-the-top), all-integer rounds
+    "emb_abtt" -> (Similarity.abttCoeffsQuery _), // the apply side: per-vector top-PC coefficient, one scan vs the broadcast fit
     "knn_quantized" -> ((s: SparkSession, d: String) => Similarity.knnQuantized(s, d)), // SQ8 accuracy baseline (quadratic, like knn_exact)
     "knn_ann_ivf_sq8" -> (Similarity.annIvfSq8Query _), // IVF probing over SQ8-coded residents: the compressed-index serving path
     "knn_ann_ivf_pq" -> (Similarity.annIvfPqQuery _), // IVF + product quantization, ADC lookup-table scoring: the 64x-compressed serving path
@@ -1369,6 +1371,18 @@ object SparkEntry {
             ((CASE WHEN dev_n < 0 THEN -1 ELSE 1 END)
               * (abs(dev_n) * 10000 // n))::BIGINT AS resid_u
           FROM d""",
+    "ts_ohlc" ->
+      // mirror of SeriesQueries.ohlcBars: daily bars, open/close by
+      // arg_min/arg_max on the zero-padded (ts_us, event_id) string key
+      // (a total order even under ts collisions), exact cent integers
+      """WITH c AS (SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+                 CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+          SELECT user_id, ts_us // 86400000000 AS bar,
+            arg_min(cents, printf('%020d:%020d', ts_us, event_id)) AS open_c,
+            max(cents) AS high_c, min(cents) AS low_c,
+            arg_max(cents, printf('%020d:%020d', ts_us, event_id)) AS close_c,
+            count(*)::BIGINT AS n_ticks, sum(cents)::BIGINT AS sum_c
+          FROM c GROUP BY 1, 2""",
     "ts_autocorr" ->
       // five exact BIGINT sufficient statistics -> one shared double formula
       """WITH c AS (SELECT user_id, ts, event_id,
@@ -2783,6 +2797,47 @@ object SparkEntry {
               ) uu
             ) nn)
           SELECT j AS dim, vj AS w FROM it WHERE r = 12 ORDER BY dim""",
+    "emb_abtt" ->
+      // apply side of emb_pca_power: the same recursive fit, then one
+      // projection scan — coef = (c·v) div 1e10, the identical truncated
+      // dot the power rounds use (sign-split, trunc toward zero)
+      """WITH RECURSIVE
+          xq AS (SELECT vec_id,
+                   list_transform(embedding::DOUBLE[], x -> cast(round(x*1e6) AS BIGINT)) AS q
+                 FROM embeddings),
+          mu AS (SELECT j, CASE WHEN sum(q[j]) >= 0 THEN sum(q[j]) // count(*)
+                                ELSE -((-sum(q[j])) // count(*)) END AS m
+                 FROM xq, range(1, 65) t(j) GROUP BY j),
+          cvec AS (SELECT vec_id,
+                   (SELECT list(q[j] - m ORDER BY j) FROM mu) AS c
+                 FROM xq),
+          it(r, j, vj) AS (
+            SELECT 0, j::BIGINT, 1000000::BIGINT FROM range(1, 65) t(j)
+            UNION ALL
+            SELECT r, j,
+              (CASE WHEN u >= 0 THEN (u::HUGEINT * 1000000) // mx
+                    ELSE -(((-u)::HUGEINT * 1000000) // mx) END)::BIGINT
+            FROM (
+              SELECT uu.r, uu.j, uu.u, max(abs(uu.u)) OVER (PARTITION BY uu.r) AS mx
+              FROM (
+                SELECT sp.r + 1 AS r, t.j,
+                  sum(CASE WHEN sp.s >= 0 THEN sp.s // 10000000000
+                           ELSE -((-sp.s) // 10000000000) END * sp.c[t.j]) AS u
+                FROM (
+                  SELECT cvec.vec_id, cvec.c, p.r, sum(cvec.c[p.j] * p.vj) AS s
+                  FROM cvec, it p
+                  WHERE p.r < 12
+                  GROUP BY cvec.vec_id, cvec.c, p.r
+                ) sp, range(1, 65) t(j)
+                GROUP BY sp.r, t.j
+              ) uu
+            ) nn)
+          SELECT vec_id,
+            (CASE WHEN s >= 0 THEN s // 10000000000
+                  ELSE -((-s) // 10000000000) END)::BIGINT AS coef
+          FROM (SELECT cv.vec_id, sum(cv.c[p.j] * p.vj) AS s
+                FROM cvec cv, it p WHERE p.r = 12
+                GROUP BY cv.vec_id) t""",
     "knn_ann_ivf_proj" ->
       // mirror of Similarity.annIvfProjected: the emb_project sign matrix
       // builds 16-dim list vectors (exact BIGINT sums / 1e6 — one IEEE

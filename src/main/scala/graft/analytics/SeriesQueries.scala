@@ -444,6 +444,41 @@ object SeriesQueries {
       .orderBy("user_id")
   }
 
+  /** OHLC bar resampling — the finance-native downsample of the
+    * reference's tick domain (pandas `resample().ohlc()`): per (user,
+    * daily bar) the OPEN (value at the earliest (ts, id)), HIGH, LOW,
+    * CLOSE (latest), tick count, and the exact cent sum (vwap-style mean
+    * = sum_c / n_ticks, left to the consumer so every output stays an
+    * exact integer).
+    *
+    * Open/close use `min_by`/`max_by` on a zero-padded "(ts_us,
+    * event_id)" string key — a TOTAL order even under timestamp
+    * collisions, so the bars are engine- and partitioning-deterministic
+    * (first/last over an arbitrary-order shuffle are not). DuckDB
+    * mirrors with `arg_min`/`arg_max` on the identical printf key.
+    *
+    * Scale: ONE map-side-combined aggregation keyed (user, bar) — the
+    * min_by/max_by partials carry one (key, value) pair each, so the
+    * shuffle is bar-count rows regardless of tick volume; no window, no
+    * self-join. */
+  def ohlcBars(spark: SparkSession, dir: String,
+               barUs: Long = 86400000000L): DataFrame = {
+    val key = format_string("%020d:%020d", col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .withColumn("bar", expr(s"ts_us div $barUs"))
+      .groupBy("user_id", "bar")
+      .agg(
+        min_by(col("cents"), key).as("open_c"),
+        max(col("cents")).as("high_c"),
+        min(col("cents")).as("low_c"),
+        max_by(col("cents"), key).as("close_c"),
+        count(lit(1)).as("n_ticks"),
+        sum(col("cents")).as("sum_c"))
+      .orderBy("user_id", "bar")
+  }
+
   /** Hour-of-day seasonal profile per key — the seasonality screen beside
     * [[lagAutocorr]]'s autocorrelation one: per (user, hour-of-day
     * phase) the observation count, phase mean, and the phase's deviation

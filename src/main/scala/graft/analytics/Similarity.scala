@@ -860,6 +860,16 @@ object Similarity {
     * true top eigenvector to cos > 0.9999). */
   private[graft] def pcaPowerOf(spark: SparkSession, emb: DataFrame,
                                 rounds: Int, dims: Int): DataFrame = {
+    val (_, v) = pcaFit(emb, rounds, dims)
+    spark.createDataFrame(
+      (1 to dims).map(j => (j.toLong, v(j - 1)))).toDF("dim", "w")
+  }
+
+  /** The power-iteration fit: (mean, direction) as driver-side model
+    * parameters — 2·dims longs, the artifact every apply-side consumer
+    * ([[abttCoeffs]], a whitening pass) broadcasts. */
+  private[graft] def pcaFit(emb: DataFrame, rounds: Int,
+                            dims: Int): (Array[Long], Array[Long]) = {
     def tdiv(a: Long, b: Long): Long = a / b // Java /: truncation toward zero
     val qf = emb
       .withColumn("q", transform(col("e"), x => round(x * 1e6, 0).cast("long")))
@@ -884,12 +894,37 @@ object Similarity {
       v = u.map(x => ((BigInt(x) * 1000000) / m).toLong) // BigInt /: trunc
     }
     cf.unpersist()
-    spark.createDataFrame(
-      (1 to dims).map(j => (j.toLong, v(j - 1)))).toDF("dim", "w")
+    (mu, v)
   }
 
   def pcaPowerQuery(spark: SparkSession, dir: String): DataFrame =
     pcaPower(spark, dir).orderBy("dim")
+
+  /** The APPLY side of [[pcaPower]] — the per-vector top-PC coefficient
+    * ("All-but-the-top" step 2: the corrected embedding is
+    * `c − coef·v̂`; the coefficient column is the exact-integer part and
+    * what a monitoring pass inspects — a corpus whose top-PC
+    * coefficients are large and one-sided has the dominant-direction
+    * pathology the correction removes). One scan against the broadcast
+    * (mean, direction) model literals — the identical truncated dot the
+    * power rounds themselves use (`(c·v) div 1e10`), so the apply pass
+    * is bit-consistent with the fit it consumes. Zero shuffle. */
+  def abttCoeffs(spark: SparkSession, dir: String, rounds: Int = 12,
+                 dims: Int = 64): DataFrame = {
+    val emb = embeddingsD(spark, dir)
+    val (mu, v) = pcaFit(emb, rounds, dims)
+    emb
+      .withColumn("q", transform(col("e"), x => round(x * 1e6, 0).cast("long")))
+      .select(col("vec_id"),
+        zip_with(col("q"), typedLit(mu.toSeq), (x, m) => x - m).as("c"))
+      .withColumn("s0",
+        aggregate(zip_with(col("c"), typedLit(v.toSeq), (x, y) => x * y),
+          lit(0L), (a, b) => a + b))
+      .select(col("vec_id"), expr("s0 div 10000000000").as("coef"))
+  }
+
+  def abttCoeffsQuery(spark: SparkSession, dir: String): DataFrame =
+    abttCoeffs(spark, dir).orderBy("vec_id")
 
   /** (vec_id, e, ep): the input frame plus its [[projectSigned]]
     * projection as an `outDims`-long array<double> column (each

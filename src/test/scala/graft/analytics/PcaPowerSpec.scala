@@ -97,4 +97,23 @@ class PcaPowerSpec extends SparkSpec {
     val cos = math.abs(got.indices.map(j => got(j) / gn * ref(j)).sum)
     assert(cos > 0.9999, s"cos=$cos")
   }
+
+  test("emb_abtt: every coefficient replays as the truncated dot against the local fit") {
+    val rows = graft.Tables.embeddings(spark, sfDir)
+      .orderBy("vec_id")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val c = centered(rows.map(_._2), 64)
+    val v = localPower(c, rounds = 12, dims = 64)
+    val expect = rows.map(_._1).zip(c.map { row =>
+      var s = 0L
+      row.indices.foreach(k => s += row(k) * v(k))
+      tdiv(s, 10000000000L)
+    }).toMap
+    val got = Similarity.abttCoeffs(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    // the correction is non-degenerate: coefficients spread both signs
+    assert(got.values.exists(_ > 0) && got.values.exists(_ < 0))
+  }
 }

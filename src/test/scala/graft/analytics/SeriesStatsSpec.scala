@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, round}
 
 import graft.SparkSpec
 
@@ -272,5 +272,34 @@ class SeriesStatsSpec extends SparkSpec {
       assert(iu == scaled(es * nu - su * en, en * nu),
         s"($u,$p): idx_u $iu != ${scaled(es * nu - su * en, en * nu)}")
     }
+  }
+
+  test("ts_ohlc: bars replay exactly from collected ticks; OHLC bounds; repartition-proof") {
+    val bars = SeriesQueries.ohlcBars(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toMap
+    assert(bars.nonEmpty)
+    val ticks = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val grouped = ticks.groupBy(t => (t._1, t._2 / 86400000000L))
+    assert(grouped.keySet == bars.keySet)
+    grouped.foreach { case (k, ts) =>
+      val ordered = ts.sortBy(t => (t._2, t._3))
+      val (o, h, l, c, n, s) = bars(k)
+      assert(o == ordered.head._4 && c == ordered.last._4, s"bar $k open/close")
+      assert(h == ts.map(_._4).max && l == ts.map(_._4).min, s"bar $k high/low")
+      assert(n == ts.length && s == ts.map(_._4).sum, s"bar $k count/sum")
+      assert(l <= o && o <= h && l <= c && c <= h)
+    }
+    // determinism under partitioning: the aggregation keys carry a total
+    // order, so a different physical layout cannot move an open/close
+    val again = SeriesQueries.ohlcBars(spark, sfDir).repartition(13).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toMap
+    assert(again == bars)
   }
 }
