@@ -31,6 +31,31 @@ object EventTimeOps {
         col("w.end").as("window_end"), col("n_ticks"),
         col("low"), col("high"), col("mean_price"))
 
+  /** TRUE OHLC bars per ticker — the live counterpart of the batch
+    * `ts_ohlc` resample and what the reference's users actually chart
+    * from a tick stream: open/close are `min_by`/`max_by` on a
+    * zero-padded "(µs, price-cents)" string key — a total order even if
+    * two ticks share a timestamp, so a replayed or repartitioned stream
+    * finalizes the identical bar (first/last over shuffle order would
+    * not). Same watermark-bounded state shape as [[tumblingStats]]:
+    * min_by/max_by partials carry ONE (key, value) pair per (ticker,
+    * window), append mode emits each bar exactly once when its watermark
+    * passes. Prices held in exact integer cents. */
+  def tumblingOhlc(ticks: Dataset[RawTick], windowLen: String = "1 minute",
+                   watermarkDelay: String = "2 minutes"): DataFrame = {
+    val cents = round(col("price") * 100, 0).cast("long")
+    val key = format_string("%020d:%020d", unix_micros(col("timestamp")), cents)
+    ticks.withWatermark("timestamp", watermarkDelay)
+      .groupBy(window(col("timestamp"), windowLen).as("w"), col("ticker"))
+      .agg(min_by(cents, key).as("open_c"),
+        max(cents).as("high_c"), min(cents).as("low_c"),
+        max_by(cents, key).as("close_c"),
+        count(lit(1)).as("n_ticks"), sum(cents).as("sum_c"))
+      .select(col("ticker"), col("w.start").as("window_start"),
+        col("open_c"), col("high_c"), col("low_c"), col("close_c"),
+        col("n_ticks"), col("sum_c"))
+  }
+
   /** Streaming exact dedup — the streaming counterpart of
     * [[graft.analytics.Dedup.exact]] for at-least-once ingest (an HTTP
     * poller redelivering a tick, an IPC replay overlapping a batch). Keyed

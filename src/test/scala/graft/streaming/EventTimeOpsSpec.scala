@@ -119,4 +119,39 @@ class EventTimeOpsSpec extends SparkSpec {
     assert(rows == Seq((0L, 10000L, 11.0), (0L, 25000L, 16.0), (0L, 30000L, 12.0)),
       s"got $rows")
   }
+
+  test("tumbling OHLC: open/close by arrival-time total order, late row dropped, exact cents") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[RawTick]
+    val name = s"ohlc_${System.nanoTime()}"
+    val q = EventTimeOps.tumblingOhlc(ms.toDS(), "1 minute", "2 minutes")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // window [0,60): open=10.50 (t+0), high=12.25 (t+10), low/close=9.75 (t+50)
+      ms.addData(tick(0, 10.50), tick(10, 12.25), tick(50, 9.75))
+      q.processAllAvailable()
+      ms.addData(tick(300, 20.00)) // advance watermark, finalize [0,60)
+      q.processAllAvailable()
+      ms.addData(tick(30, 999.0)) // late for [0,60): dropped
+      q.processAllAvailable()
+      ms.addData(tick(600, 30.0)) // finalize the 5:00 bar
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name)
+      .select("window_start", "open_c", "high_c", "low_c", "close_c", "n_ticks", "sum_c")
+      .as[(Timestamp, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1.getTime)
+    assert(rows.length == 2)
+    val b0 = rows(0)
+    assert(b0._1.getTime == t0)
+    assert((b0._2, b0._3, b0._4, b0._5, b0._6, b0._7) ==
+      ((1050L, 1225L, 975L, 975L, 3L, 3250L)),
+      s"bar0 $b0 — the late 999 row must not reach the finalized bar")
+    assert(rows(1)._2 == 2000L && rows(1)._5 == 2000L && rows(1)._6 == 1L)
+    // batch parity: the same aggregation over the same rows as a plain frame
+    val batch = EventTimeOps.tumblingOhlc(
+      Seq(tick(0, 10.50), tick(10, 12.25), tick(50, 9.75)).toDS(), "1 minute", "2 minutes")
+      .select("open_c", "high_c", "low_c", "close_c", "n_ticks", "sum_c")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(batch == Seq((1050L, 1225L, 975L, 975L, 3L, 3250L)))
+  }
 }
