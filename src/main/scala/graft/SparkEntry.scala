@@ -212,6 +212,7 @@ object SparkEntry {
     "mix_temperature" -> (Sampling.mixTemperatureQuery _), // alpha=0.5 temperature-flattened source sampling (XLM-R recipe; sqrt is IEEE-exact)
     "sample_weighted" -> (Sampling.weightedSampleQuery _),
     "mix_dsir" -> (Sampling.dsirQuery _), // DSIR importance selection: hashed-ngram LLR weights vs the English target slice
+    "mix_dsir_gumbel" -> (Sampling.dsirGumbelQuery _), // the DSIR resample proper: Gumbel-top-k over the logweights, salted-hash draws
     // --- multimodal binary-column plumbing ---
     "mm_payload_stats" -> (Multimodal.payloadStatsQuery _),
     "mm_decode_features" -> (Multimodal.decodeFeaturesQuery _),
@@ -2011,6 +2012,39 @@ object SparkEntry {
             SELECT doc_id, dsir_w,
                    row_number() OVER (ORDER BY dsir_w DESC, doc_id)::BIGINT AS rank
             FROM docw) t JOIN documents USING (doc_id)
+          WHERE rank <= 100""",
+    "mix_dsir_gumbel" ->
+      // mirror of Sampling.dsirGumbel: the mix_dsir weight CTEs + the
+      // Gumbel-max resample — noise from the "dg:"-salted md5 uniform
+      // (the sample_weighted idiom), quantized round(·1e8), integer
+      // score w + g8 div 10 (trunc division both engines)
+      s"""WITH bucketed AS (
+            SELECT doc_id, lang,
+                   ('0x'||substr(md5(w),1,15))::UBIGINT::BIGINT % 64 AS b
+            FROM (SELECT doc_id, lang, unnest($toksSql) AS w FROM documents) t),
+          model AS (SELECT b, count(*) AS cr,
+                      sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+                    FROM bucketed GROUP BY b),
+          tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM model),
+          ratio AS (
+            SELECT m.b,
+              cast(round(ln( ((m.ct + 1)::DOUBLE / (tot.nt + 64))
+                           / ((m.cr + 1)::DOUBLE / (tot.nr + 64)) ) * 1e8) AS BIGINT) AS lr
+            FROM model m, tot),
+          docw AS (
+            SELECT d.doc_id, sum(d.cnt * r.lr)::BIGINT AS dsir_w
+            FROM (SELECT doc_id, b, count(*) AS cnt FROM bucketed GROUP BY doc_id, b) d
+            JOIN ratio r ON r.b = d.b GROUP BY d.doc_id),
+          gum AS (SELECT doc_id, dsir_w,
+              cast(round(-ln(-ln(
+                (('0x'||substr(md5('dg:'||doc_id::VARCHAR),1,15))::UBIGINT::BIGINT + 1)
+                  / 1152921504606846976.0)) * 1e8) AS BIGINT) AS g8
+            FROM docw),
+          sc AS (SELECT doc_id, dsir_w, g8, dsir_w + g8 // 10 AS score FROM gum)
+          SELECT doc_id, source, lang, dsir_w, g8, score, rank FROM (
+            SELECT doc_id, dsir_w, g8, score,
+                   row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank
+            FROM sc) t JOIN documents USING (doc_id)
           WHERE rank <= 100""",
     "pack_concat_chunk" ->
       // mirror of Sampling.concatChunk: per-shard running token totals,

@@ -359,6 +359,38 @@ object Sampling {
       .select("doc_id", "source", "lang", "dsir_w", "rank")
   }
 
+  /** The RESAMPLING step of DSIR proper — Gumbel-top-k over the
+    * importance logweights (Xie et al. 2023 sample ∝ exp(w/τ); the
+    * Gumbel-max trick makes that an exact top-k: keep the k largest
+    * `w/τ + Gumbel` keys, here scaled to `w + τ·g` in integers). Where
+    * [[dsirSelect]] takes the deterministic head of the ranking — and
+    * systematically over-selects one style — the Gumbel draw admits
+    * below-the-cutoff diversity at a rate the temperature dials
+    * (τ = 1/tauDiv in logweight units).
+    *
+    * Deterministic sampling, not RNG: the Gumbel noise is
+    * `-ln(-ln(u))` of the salted md5 uniform (the [[weightedSample]]
+    * idiom — same hash → same draw on every engine, rerun, and
+    * partitioning), quantized `round(·1e8) ∈ ℤ` before the integer
+    * score sum (the lmScore discipline). Same shapes as [[dsirSelect]]:
+    * 64-row broadcast model, one scan, TakeOrdered. */
+  def dsirGumbel(docs: DataFrame, targetLang: String = "en", buckets: Int = 64,
+                 keepK: Int = 100, tauDiv: Int = 10): DataFrame = {
+    val u = (Hashes.md5Long60(concat(lit("dg:"), col("doc_id").cast("string"))) + lit(1L))
+      .cast("double") / lit(1.152921504606846976e18) // 2^60, dyadic-exact
+    val sc = dsirWeights(docs, targetLang, buckets)
+      .withColumn("g8", round(-log(-log(u)) * 1e8, 0).cast("long"))
+      .withColumn("score", col("dsir_w") + expr(s"g8 div $tauDiv"))
+    val top = sc.join(docs.select("doc_id", "source", "lang"), "doc_id")
+      .orderBy(col("score").desc, col("doc_id")).limit(keepK)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "source", "lang", "dsir_w", "g8", "score", "rank")
+  }
+
+  def dsirGumbelQuery(spark: SparkSession, dir: String): DataFrame =
+    dsirGumbel(Tables.documents(spark, dir)).orderBy("rank")
+
   /** The per-document DSIR weight frame `(doc_id, dsir_w)` — the scoring
     * half of [[dsirSelect]], exposed so the streaming gate's local
     * mirror can be pinned against the exact batch column. */

@@ -175,4 +175,35 @@ class MmrGraphDsirSpec extends SparkSpec {
     // top-100 of a 500-doc corpus: the target language dominates the keep set
     assert(en.length > rest.length)
   }
+
+  test("dsir gumbel: engine resample replays exactly from local weights + salted-hash draws") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val w = Sampling.dsirWeights(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def md560(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseUnsignedLong(d.take(15), 16)
+    }
+    val scored = w.map { case (id, wv) =>
+      val u = (md560(s"dg:$id") + 1).toDouble / 1.152921504606846976e18
+      val g8 = math.round(-math.log(-math.log(u)) * 1e8)
+      (id, wv, g8, wv + g8 / 10L)
+    }.toSeq
+    val expect = scored.sortBy { case (id, _, _, s) => (-s, id) }.take(100)
+    val got = Sampling.dsirGumbelQuery(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.length == expect.length)
+    got.zip(expect).zipWithIndex.foreach { case (((gid, gw, gg, gs, grk), (eid, ew, eg, es)), i) =>
+      assert(gid == eid && gw == ew && gg == eg && gs == es && grk == i + 1, s"rank ${i + 1}")
+    }
+    // tempered, not uniform: the resample still prefers weight (kept
+    // mean above the corpus mean), but is not the deterministic head
+    val keptIds = got.map(_._1).toSet
+    val headIds = Sampling.dsirQuery(spark, sfDir).collect().map(_.getLong(0)).toSet
+    val meanKept = got.map(_._2).sum.toDouble / got.length
+    val meanAll = w.values.sum.toDouble / w.size
+    assert(meanKept > meanAll, "the resample must remain weight-driven")
+    assert(keptIds != headIds, "the draw must admit below-the-cutoff diversity")
+  }
 }
