@@ -1004,6 +1004,55 @@ object ScaleProbe {
     ok
   }
 
+  /** DSIR probe: the importance gate at corpus volume. Deterministic
+    * synthetic corpus of `n` 40-word docs over md5-word vocabularies —
+    * 20% of docs are the 'en' TARGET slice drawing from the first HALF
+    * of the vocabulary (ids 0..4999), the rest from the full 10k — so
+    * the hashed-bucket LLR model has a real signal to find. Claims
+    * pinned at volume: the model is EXACTLY `buckets` rows (broadcast
+    * model parameters regardless of corpus size — the scale claim), the
+    * target slice's mean weight exceeds the rest's (the signal
+    * survives 64-bucket hashing at 40M word occurrences), and the
+    * top-k selection is target-enriched well past the 20% base rate.
+    * Timing covers model fit + weights + TakeOrdered end-to-end. */
+  private def probeDsir(spark: org.apache.spark.sql.SparkSession, n: Long): Boolean = {
+    import graft.analytics.Sampling
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"),
+      expr("CASE WHEN cast(conv(substr(md5(concat('l:', cast(id AS STRING))), 1, 15)," +
+        " 16, 10) AS BIGINT) % 5 = 0 THEN 'en' ELSE 'xx' END").as("lang"))
+      .withColumn("cap", when(col("lang") === "en", lit(5000L)).otherwise(lit(10000L)))
+      .withColumn("text", expr(
+        "array_join(transform(sequence(0, 39), i -> " +
+          "substr(md5(cast(cast(conv(substr(md5(concat(doc_id, ':', i)), 1, 15), 16, 10)" +
+          " AS BIGINT) % cap AS STRING)), 1, 8)), ' ')"))
+      .select("doc_id", "lang", "text")
+    val (modelRows, tModel) = timed {
+      Sampling.dsirRatioTable(docs).length
+    }
+    val ((meanEn, meanXx, keptEnPm), tSel) = timed {
+      val w = Sampling.dsirWeights(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      w.cache(); w.count()
+      val m = w.groupBy("lang").agg(avg(col("dsir_w")).as("mw"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val kept = w.orderBy(col("dsir_w").desc, col("doc_id")).limit(10000)
+        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L))).head().getLong(0)
+      w.unpersist()
+      (m("en"), m("xx"), kept * 1000L / 10000L)
+    }
+    // enrichment gate: the target's 200‰ base rate must at least double
+    // in the kept set (measured 480‰ — 2.4×; not >half, because the
+    // non-target docs SHARE the low half of the vocabulary by design)
+    val ok = modelRows == 64 && meanEn > meanXx && keptEnPm > 400L
+    println(s"""{"probe":"dsir","n_docs":$n,"model_rows":$modelRows,""" +
+      s""""model_sec":${f"$tModel%.1f"},"select_sec":${f"$tSel%.1f"},""" +
+      s""""mean_w_en":${meanEn.round},"mean_w_other":${meanXx.round},""" +
+      s""""kept_en_pm":$keptEnPm}""")
+    if (!ok) System.err.println(s"[scaleprobe] dsir FAILED: rows=$modelRows en=$meanEn xx=$meanXx keptEnPm=$keptEnPm")
+    ok
+  }
+
   private val defaults = Map(
     "quartiles" -> 10000000L, "asof" -> 10000000L, "clusters" -> 10000000L,
     "ivfbalance" -> 1000000L, "substring" -> 1000000L, "semantic" -> 200000L,
@@ -1034,6 +1083,9 @@ object ScaleProbe {
     // mmr: 200k queries x 12 candidates -> 26M cached pair rows, the
     // workload-volume regime (the corpus never enters the loop)
     "pagerank" -> 2000000L, "mmr" -> 200000L,
+    // dsir: 1M 40-word docs -> 40M word occurrences through the bucket
+    // model and the weight aggregation; model stays 64 rows
+    "dsir" -> 1000000L,
     // overlap: 1M x 1M intervals at ~3 overlaps each; the naive arm runs
     // at n/100 where its quadratic cost is still feasible
     "overlap" -> 1000000L,
@@ -1190,6 +1242,7 @@ object ScaleProbe {
       case "cdc" => probeCdc(spark, size)
       case "pagerank" => probePagerank(spark, size)
       case "mmr" => probeMmr(spark, size)
+      case "dsir" => probeDsir(spark, size)
       case other =>
         System.err.println(
           s"unknown arm '$other'; known arms: ${defaults.keysIterator.toSeq.sorted.mkString(", ")} (or 'all')")
