@@ -1062,9 +1062,15 @@ object SparkEntry {
          WHERE cn.n_name <> sn.n_name
          GROUP BY cn.n_name, sn.n_name""",
     "q_exact_stats" ->
+      // percentiles on the exact cent grid (mirror of Relational
+      // .exactStats): interpolation over integer-valued doubles is the
+      // same correctly-rounded op sequence in both engines, and the one
+      // division back to price units is a single IEEE op — no rounding
+      // of an inexact double at a decimal tie (an even-count median of
+      // 2-dp prices IS a half-cent tie)
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
-         round(quantile_cont(l_extendedprice, 0.5),2) AS median_price,
-         round(quantile_cont(l_extendedprice, 0.9),2) AS p90_price,
+         quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) / 100.0 AS median_price,
+         quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.9) / 100.0 AS p90_price,
          count(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag""",
     "q_approx_stats" ->

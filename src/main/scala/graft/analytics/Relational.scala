@@ -280,11 +280,22 @@ object Relational {
     val distinctCounts = li.select("l_returnflag", "l_partkey")
       .groupBy("l_returnflag")
       .agg(countDistinct("l_partkey").as("n_parts"), count(lit(1)).as("n_rows"))
-    val pctiles = li.select("l_returnflag", "l_extendedprice")
+    // percentiles interpolate on the EXACT CENT GRID, then ONE IEEE
+    // division back to price units — not round(percentile(price), 2):
+    // an even-count median of 2-dp prices lands on a half-cent, which is
+    // not binary-representable, and rounding an inexact double at a
+    // decimal tie is exactly where engines diverge (the seasonalProfile
+    // lesson; measured: 1 of 6 medians flipped a cent at sf0.001).
+    // Integer-valued doubles interpolate exactly (a+b)/2 is dyadic; the
+    // 0.9 interpolation a + frac·(b−a) is the same correctly-rounded op
+    // sequence in both engines from identical integer operands.
+    val pctiles = li
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
       .groupBy("l_returnflag")
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("median_price"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"))
+        (expr("percentile(cents, 0.5)") / 100.0).as("median_price"),
+        (expr("percentile(cents, 0.9)") / 100.0).as("p90_price"))
     distinctCounts.join(broadcast(pctiles), "l_returnflag")
       .select("l_returnflag", "n_parts", "median_price", "p90_price", "n_rows")
       .orderBy("l_returnflag")
