@@ -106,7 +106,11 @@ object Bench {
       "txt_bpe_vocab",         // re-runs the trainer + one vocab-sized agg: txt_bpe_train (same dominant cost) benched
       "txt_bpe_vocab_deep",    // re-runs the deep trainer + a driver-local vocab agg: txt_bpe_train_deep benched
       "dedup_cdc_mass",        // per-doc rollup of the benched dedup_cdc's chunk machinery
-      "txt_bpe_fertility"      // re-runs the deep trainer + tokenize scan: txt_bpe_tokenize benched
+      "txt_bpe_fertility",     // re-runs the deep trainer + tokenize scan: txt_bpe_tokenize_1k benched
+      // round-13: the scale-depth rung txt_bpe_tokenize_1k replaces the
+      // 256-merge form as the family's benched representative (same
+      // machinery, the depth where the encoder's rank queue binds)
+      "txt_bpe_tokenize"
     )
 
   /** Warm sf0.1 per-query reference minima — the contention guard's

@@ -160,6 +160,7 @@ object SparkEntry {
     "txt_bpe_vocab" -> (Bpe.vocabQuery _), // the shipped tokenizer artifact: top-k post-merge symbols with corpus totals
     "txt_bpe_train_deep" -> (Bpe.trainDeepQuery _), // REAL-vocab trainer: one corpus agg + driver-local merge loop, 256 SentencePiece-style merges
     "txt_bpe_tokenize" -> (Bpe.tokenizeQuery _), // native bpe_tokenize expression: per-doc token stream, plan size constant in vocab depth
+    "txt_bpe_tokenize_1k" -> (Bpe.tokenize1kQuery _), // scale-depth rung: train+tokenize at 1024 merges, where the heap-walk encoder's rank queue binds
     "txt_bpe_vocab_deep" -> (Bpe.vocabDeepQuery _), // the deep tokenizer's shipped vocab: driver-local aggregation of the trained segment state
     "dedup_cdc" -> (Dedup.cdcQuery _), // content-defined chunking (Rabin/LBFS): cross-doc shared-chunk report, boundaries from the rolling hash
     "dedup_cdc_mass" -> (Dedup.cdcMassQuery _), // per-doc duplicated-byte mass from the CDC chunks: the doc-level signal a curation run acts on
@@ -310,16 +311,25 @@ object SparkEntry {
     * scalar subquery and applies the greedy replace. A generated chain at
     * 256 rounds is 158 KB of SQL and ~25 s of per-CTE overhead; this is
     * 1 KB and ~2 s, bit-identical output (prototyped head-to-head).
-    * Segments are SentencePiece-style: trimmed text, spaces → `▁`
-    * (chr(9601)), capped at the `cap` most frequent. A dry corpus stops
+    * Training sample (mirrors [[graft.analytics.Bpe.segmentTable]]):
+    * SentencePiece-style pieces — trimmed sentence runs `[^.!?]+[.!?]*`,
+    * spaces → `▁` (chr(9601)) — HASH-SAMPLED to the `cap` pieces with the
+    * smallest salted md5 (VERDICT r12 #1: representative, no corpus-text
+    * shuffle), frequencies counted within the sample. A dry corpus stops
     * the recursion naturally (empty argmax ⇒ empty cross join). */
   private def bpeDeepCtes(rounds: Int, cap: Int, src: String = "documents",
                           p: String = ""): String =
     s"""${p}w0 AS MATERIALIZED (
           SELECT freq, regexp_replace(seg, '(.)', chr(1)||'\\1'||chr(2), 'g') AS seq FROM (
-            SELECT replace(trim(text), ' ', chr(9601)) AS seg, count(*)::BIGINT AS freq
-            FROM $src WHERE len(trim(text)) > 0
-            GROUP BY 1 ORDER BY freq DESC, seg LIMIT $cap)),
+            SELECT seg, count(*)::BIGINT AS freq FROM (
+              SELECT seg FROM (
+                SELECT replace(trim(s), ' ', chr(9601)) AS seg,
+                       ${md5L60(s"'bpeseg:'||replace(trim(s), ' ', chr(9601))")} AS h
+                FROM (SELECT unnest(regexp_extract_all(trim(text), '[^.!?]+[.!?]*')) AS s
+                      FROM $src WHERE len(trim(text)) > 0) raw
+                WHERE len(trim(s)) > 0) hashed
+              ORDER BY h, seg LIMIT $cap) picked
+            GROUP BY seg)),
         ${p}st AS (
           SELECT 0::BIGINT AS r, freq, seq,
                  NULL::VARCHAR AS lhs, NULL::VARCHAR AS rhs, NULL::BIGINT AS cnt
@@ -2298,6 +2308,19 @@ object SparkEntry {
           FROM mall ORDER BY round""",
     "txt_bpe_tokenize" ->
       s"""WITH RECURSIVE ${bpeDeepCtes(graft.analytics.Bpe.DeepRounds, graft.analytics.Bpe.DeepCap)},
+          ${bpeDeepEncodeCtes()}
+          SELECT d.doc_id,
+                 (len(s) - len(replace(s, chr(1), '')))::BIGINT AS n_bpe_tokens,
+                 array_to_string(string_split(substr(s, 2, len(s) - 2),
+                                              chr(2)||chr(1)), ' ') AS tokens
+          FROM (SELECT doc_id, replace(trim(text), ' ', chr(9601)) AS seg FROM documents
+                WHERE len(trim(text)) > 0) d
+          JOIN efin e USING (seg) ORDER BY d.doc_id""",
+    "txt_bpe_tokenize_1k" ->
+      // identical recipe at the SCALE depth: the recursive trainer CTE
+      // parameterized to 1024 rounds (VERDICT r12 #8 — the encoder's
+      // heap-walk correctness oracle-checked where the depth binds)
+      s"""WITH RECURSIVE ${bpeDeepCtes(graft.analytics.Bpe.Deep1kRounds, graft.analytics.Bpe.DeepCap)},
           ${bpeDeepEncodeCtes()}
           SELECT d.doc_id,
                  (len(s) - len(replace(s, chr(1), '')))::BIGINT AS n_bpe_tokens,

@@ -79,7 +79,16 @@ object Bpe {
 
   /** Train `rounds` merges over the corpus. Returns (lhs, rhs, pairCount)
     * in merge order — model parameters, rounds × 3 values. Stops early if
-    * the corpus merges dry (no adjacent pair left). */
+    * the corpus merges dry (no adjacent pair left).
+    *
+    * ROLE (VERDICT r12 #10): this distributed one-job-per-round loop is
+    * the EXECUTABLE SPECIFICATION of the merge semantics — the form whose
+    * per-round argmax the DuckDB oracle and [[localTrainMergesFast]] are
+    * both pinned against — and is kept at the shallow `Rounds`=12 default
+    * for exactly that role. Do NOT scale this path: a real vocabulary
+    * (32k merges) means 32k driver-sequential Spark jobs. The scale path
+    * is [[trainDeep]]/[[deepMerges]] — one corpus-scale sample job plus a
+    * driver-local delta trainer — and the native `bpe_tokenize` encoder. */
   def trainMerges(docs: DataFrame, rounds: Int = Rounds): Seq[(String, String, Long)] =
     trainInstrumented(docs, rounds)._3
 
@@ -231,24 +240,49 @@ object Bpe {
   /** SentencePiece space meta-symbol (U+2581). */
   val Meta = "▁"
 
-  /** Deep-trainer defaults for the oracled queries: ≥256 merges over the
-    * top-`DeepCap` segments by frequency. */
+  /** Deep-trainer defaults for the oracled queries: ≥256 merges over a
+    * hash-sample of `DeepCap` sentence pieces. */
   val DeepRounds = 256
   val DeepCap = 200
 
-  /** The one corpus-scale job of the deep trainer: distinct-segment
-    * frequencies, capped at the `cap` most frequent (ties broken by the
-    * segment's binary string order — identical in Spark's UTF8String and
-    * DuckDB's default collation). orderBy+limit plans as TakeOrdered:
-    * bounded driver state, the centroid-sample discipline. */
+  /** Scale-depth merge count for the `txt_bpe_tokenize_1k` variant — deep
+    * enough that the heap-walk encoder's rank queue actually binds. */
+  val Deep1kRounds = 1024
+
+  /** Sentence-piece pattern: maximal runs of non-terminators plus their
+    * trailing `.!?` terminators — non-overlapping whole matches, the same
+    * semantics under Java regex (Spark) and RE2 (DuckDB; no lookaround
+    * used). Unpunctuated text degrades to one piece = the whole document. */
+  private[graft] val SentenceRx = "[^.!?]+[.!?]*"
+
+  /** Salt for the trainer's sample hash — decorrelates the pick from every
+    * other salted-md5 sample in the engine (IVF centroid seeds, mix gates). */
+  private val SegSalt = "bpeseg:"
+
+  /** The one corpus-scale job of the deep trainer: a DETERMINISTIC
+    * HASH-SAMPLE of `cap` sentence pieces (VERDICT r12 #1 — the previous
+    * groupBy-full-text-then-cap form shuffled all corpus text and, with
+    * real corpora ~all frequency-1, let the binary-order tie-break pick
+    * the 200 lexicographically smallest documents; a salted-md5 sample is
+    * representative and never shuffles text). Shape: sentence extraction
+    * and the meta-symbol rewrite are row-local; orderBy(hash)+limit plans
+    * as TakeOrdered — per-partition top-`cap`, bounded driver state, the
+    * [[Similarity.hashCentroids]] discipline. Frequencies are counted
+    * WITHIN the sample (duplicate pieces share a hash, so all copies of a
+    * sampled piece enter together and the multiset is deterministic);
+    * repetition-carrying corpora thus still train frequency-weighted.
+    * Output order: freq DESC, then the piece's binary string order. */
   private[graft] def segmentTable(docs: DataFrame, cap: Int): Seq[(String, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.where(length(trim(col("text"))) > 0)
-      .select(expr(s"replace(trim(text), ' ', '$Meta')").as("seg"))
+      .select(explode(expr(s"regexp_extract_all(trim(text), '$SentenceRx', 0)")).as("s"))
+      .select(expr(s"replace(trim(s), ' ', '$Meta')").as("seg"))
+      .where(length(col("seg")) > 0)
+      .withColumn("__h", graft.functions.Hashes.md5Long60(concat(lit(SegSalt), col("seg"))))
+      .orderBy("__h", "seg").limit(cap)
       .groupBy("seg").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("seg"))
-      .limit(cap)
       .as[(String, Long)].collect().toSeq
   }
 
@@ -506,6 +540,14 @@ object Bpe {
     trainDeep(Tables.documents(spark, dir))
   def tokenizeQuery(spark: SparkSession, dir: String): DataFrame =
     tokenizeDeep(Tables.documents(spark, dir))
+  /** `txt_bpe_tokenize_1k` — the SCALE-DEPTH rung (VERDICT r12 #8): the
+    * same train-then-tokenize chain at 1024 merges, where the heap-walk
+    * encoder's O(L log L) rank queue actually binds (at 256 merges most
+    * ranks never enter a segment's queue). Same oracle recipe with the
+    * recursive CTE depth parameter raised — correctness of the deep path
+    * is oracle-checked, not just probe-measured. */
+  def tokenize1kQuery(spark: SparkSession, dir: String): DataFrame =
+    tokenizeDeep(Tables.documents(spark, dir), rounds = Deep1kRounds)
   def vocabDeepQuery(spark: SparkSession, dir: String): DataFrame =
     vocabDeep(Tables.documents(spark, dir))
 

@@ -440,14 +440,26 @@ object Sampling {
   /** Row-local JVM mirror of the batch weight column: md5-bucket every
     * whitespace token of the trimmed text, Σ count·lr(bucket). Null text
     * scores None (the batch explode drops the doc from the weight frame
-    * entirely). Spec-pinned bit-identical to [[dsirWeights]]. */
+    * entirely). Spec-pinned bit-identical to [[dsirWeights]].
+    *
+    * Hot-path economics (VERDICT r12 #7): ONE MessageDigest instance per
+    * call (digest() self-resets between tokens — the
+    * [[graft.analytics.Dedup.localMinhashSignature]] discipline), and the
+    * 60-bit bucket key is read straight off the digest bytes (first 15
+    * hex nibbles = bytes 0–6 plus the high nibble of byte 7) instead of
+    * allocating a 32-char hex string + substring + parseLong per token —
+    * this mirror is the advertised one-scan 100 TB ingest gate, so
+    * per-token factory/garbage cost is the whole latency story. */
   def localDsirWeight(text: String, lr: Array[Long]): Option[Long] =
     Option(text).map { t =>
+      val md = java.security.MessageDigest.getInstance("MD5")
       t.trim.split("\\s+").iterator.map { w =>
-        val d = java.security.MessageDigest.getInstance("MD5")
-          .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        val b = (java.lang.Long.parseLong(d.substring(0, 15), 16) % lr.length).toInt
-        lr(b)
+        val d = md.digest(w.getBytes("UTF-8"))
+        var v = 0L
+        var i = 0
+        while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+        v = (v << 4) | ((d(7) & 0xf0L) >> 4)
+        lr((v % lr.length).toInt)
       }.sum
     }
 
