@@ -183,6 +183,13 @@ object Bench {
     // smallest table so the first measured query's number is its plan
     // cost, not reader bring-up
     Tables.region(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // serving artifacts (IVF/PQ/SQ8 indexes) are DEPLOYMENT STATE, built
+    // once at index time — pre-build them here, untimed, so each *_served
+    // / served-composition measurement is the serving cost alone. The
+    // BUILD cost is still measured: it is exactly what the inline twins
+    // (knn_ann_ivf_pq, knn_ann_ivf, …) pay in-plan every run.
+    graft.analytics.Similarity.ensureServingArtifacts(spark, sfDir)
+    dropPersisted(spark)
     // optional warm-up passes (profiling: separates JIT/codegen cost from
     // steady-state query cost; the driver's bench runs with 1 pass)
     (1 until sys.env.get("SPARK_GRAFT_PASSES").flatMap(_.toIntOption)

@@ -192,6 +192,7 @@ object SparkEntry {
     "knn_quantized" -> ((s: SparkSession, d: String) => Similarity.knnQuantized(s, d)), // SQ8 accuracy baseline (quadratic, like knn_exact)
     "knn_ann_ivf_sq8" -> (Similarity.annIvfSq8Query _), // IVF probing over SQ8-coded residents: the compressed-index serving path
     "knn_ann_ivf_pq" -> (Similarity.annIvfPqQuery _), // IVF + product quantization, ADC lookup-table scoring: the 64x-compressed serving path
+    "knn_ann_ivf_pq_served" -> (Similarity.annIvfPqServedQuery _), // the PQ rung through the persisted-artifact lifecycle: codebooks/codes/centroids/assign from files, no training in-plan
     "dedup_embedding_exact" -> (Similarity.embeddingDupExactQuery _),
     "dedup_embedding_lsh" -> (Similarity.embeddingDupLshQuery _), // oracled (same sig CTEs) + recall spec
     "dedup_embedding_clusters" -> (Similarity.embeddingClustersQuery _),
@@ -829,7 +830,14 @@ object SparkEntry {
              FROM dots GROUP BY vec_id, band)"""
   }
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    // the artifact-served PQ rung must reproduce the inline-trained rung
+    // EXACTLY — same oracle by construction (the round trip changes the
+    // plan, never a row; IndexArtifactsSpec pins row equality too)
+    "knn_ann_ivf_pq_served" -> oracleSqlBase("knn_ann_ivf_pq"),
+  )
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "ml1_ridge_forecast" -> ml1OracleSql(perKey = false),
     "ml1_ridge_forecast_per_key" -> ml1OracleSql(perKey = true),
     "ml1_boost_forecast" -> ml1BoostOracleSql(perKey = false),

