@@ -955,6 +955,66 @@ object ScaleProbe {
     ok
   }
 
+  /** PageRank under POWER-LAW skew (VERDICT r12 #6) — the crawl-graph
+    * failure regime the uniform-cycle probe cannot exercise: one hub
+    * with in-degree ~n^0.8 (≈110k at the 2M default; a real crawl's
+    * hottest host) over a background chain. What the shape predicts and
+    * this arm verifies by measurement:
+    *  - the SINK-KEYED SUM (`groupBy(dst).sum`) absorbs the hub BEFORE
+    *    the shuffle — partial aggregation folds each partition's ~n^0.8/P
+    *    hub contributions to ONE row, so the reduce side of the hot key
+    *    receives P rows, not n^0.8 (the reason no salting layer is
+    *    needed here, unlike a shuffle-then-aggregate formulation);
+    *  - the CONTRIBUTION JOIN's hot key is 1 (rank row) × n^0.8 (edge
+    *    rows) — the one-row-per-key probe side streams, nothing buffers.
+    *  The "skew tax" reported is hub-graph time over same-n cycle time
+    *  measured in the SAME session; a tax ≳2 would flag a real hot-key
+    *  bottleneck and the fix would be salting the contribution
+    *  aggregation. Bit-exactness under skew is asserted structurally:
+    *  ranks are identical under a different edge partitioning (the
+    *  integer recurrence has no accumulation-order freedom). */
+  private def probePagerankSkew(spark: org.apache.spark.sql.SparkSession, n: Long): Boolean = {
+    import graft.analytics.GraphRank
+    val hubDeg = math.max(1000L, math.pow(n.toDouble, 0.8).toLong)
+    val stride = math.max(1L, (n - 1) / hubDeg)
+    val chain = spark.range(1L, n - 1)
+      .select(col("id").as("vec_a"), (col("id") + 1).as("vec_b"))
+    val spokes = spark.range(hubDeg)
+      .select(lit(0L).as("vec_a"), (col("id") * stride + 1).as("vec_b"))
+    val edges = chain.unionByName(spokes)
+    val (top, tSkew) = timed {
+      GraphRank.pagerank(edges, iters = 10)
+        .orderBy(col("r").desc, col("node")).limit(1).head()
+    }
+    spark.sharedState.cacheManager.clearCache()
+    // same-session uniform baseline for the tax ratio
+    val cyc = spark.range(n)
+      .select(col("id").as("a"), ((col("id") + 1) % n).as("b"))
+      .select(least(col("a"), col("b")).as("vec_a"),
+        greatest(col("a"), col("b")).as("vec_b"))
+    val (_, tCyc) = timed {
+      GraphRank.pagerank(cyc, iters = 10).agg(count(lit(1))).head()
+    }
+    spark.sharedState.cacheManager.clearCache()
+    // partition-invariance under skew: the all-integer recurrence must
+    // yield bit-identical ranks on a reshuffled edge frame
+    val r1 = GraphRank.pagerank(edges, iters = 10)
+    val r2 = GraphRank.pagerank(edges.repartition(13), iters = 10)
+    val nDiff = r1.join(r2.withColumnRenamed("r", "r2"), "node")
+      .where(col("r") =!= col("r2")).count()
+    val nJoin = r1.join(r2.select("node"), "node").count()
+    spark.sharedState.cacheManager.clearCache()
+    val tax = tSkew / math.max(0.1, tCyc)
+    val ok = top.getLong(0) == 0L && nDiff == 0L && nJoin >= n - 2
+    println(s"""{"probe":"pagerankskew","n":$n,"hub_deg":$hubDeg,""" +
+      s""""skew_sec":${f"$tSkew%.1f"},"cycle_sec":${f"$tCyc%.1f"},""" +
+      s""""skew_tax":${f"$tax%.2f"},"hub_top":${top.getLong(0)},""" +
+      s""""hub_mass":${top.getLong(1)},"repart_diff":$nDiff}""")
+    if (!ok) System.err.println(
+      s"[scaleprobe] pagerankskew FAILED: top=${top.getLong(0)} diff=$nDiff join=$nJoin")
+    ok
+  }
+
   /** MMR probe: the greedy loop at WORKLOAD volume — `nQ` queries × 12
     * candidates (the corpus never enters [[graft.analytics.Similarity
     * .mmrGreedy]]; its cost is |Q|·depth² by construction, which is the
@@ -1082,7 +1142,9 @@ object ScaleProbe {
     // pagerank: 2M-node graphs, 10 rounds x 2 shuffles of id+long rows;
     // mmr: 200k queries x 12 candidates -> 26M cached pair rows, the
     // workload-volume regime (the corpus never enters the loop)
-    "pagerank" -> 2000000L, "mmr" -> 200000L,
+    // pagerankskew: same volume, one hub at in-degree n^0.8 (the
+    // power-law crawl regime) + a partition-invariance bit-equality pass
+    "pagerank" -> 2000000L, "pagerankskew" -> 2000000L, "mmr" -> 200000L,
     // dsir: 1M 40-word docs -> 40M word occurrences through the bucket
     // model and the weight aggregation; model stays 64 rows
     "dsir" -> 1000000L,
@@ -1241,6 +1303,7 @@ object ScaleProbe {
       case "chunk" => probeChunk(spark, size)
       case "cdc" => probeCdc(spark, size)
       case "pagerank" => probePagerank(spark, size)
+      case "pagerankskew" => probePagerankSkew(spark, size)
       case "mmr" => probeMmr(spark, size)
       case "dsir" => probeDsir(spark, size)
       case other =>
