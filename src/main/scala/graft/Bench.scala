@@ -133,6 +133,37 @@ object Bench {
     finally src.close()
   }
 
+  /** Guard threshold: a measurement above max(2× warm ref, ref + 1 s JIT
+    * allowance) is flagged — for re-measurement during the sweep, and for
+    * the `regr` provenance field if the post-retry MINIMUM still exceeds
+    * it (a high min survives retries: regression signal, not contention). */
+  private[graft] def threshold(name: String): Double = {
+    val ref = refSf01.getOrElse(name, 1.5)
+    math.max(2.0 * ref, ref + 1.0)
+  }
+
+  /** Short query aliases for the tail line (VERDICT r12 #3): the full
+    * 164-name surface at ~17 chars/name no longer fits the driver's
+    * ~1.9 KB capture window, and shedding entries loses exactly the
+    * per-query resolution a regression chase needs. The CHECKED-IN map
+    * `graft/bench-aliases.properties` (query → ≤8-char alias; generated
+    * from segment initials with uniqueness fallbacks, regenerated only
+    * on surface changes) lets the aliased line rungs report EVERY entry;
+    * `"alias":1` on the line marks the keying so the judge maps names
+    * back through the resource. BenchAliasSpec asserts bijective
+    * coverage of `SparkEntry.queries.keySet`. */
+  private[graft] lazy val aliases: Map[String, String] = {
+    val in = getClass.getResourceAsStream("/graft/bench-aliases.properties")
+    require(in != null, "generated resource graft/bench-aliases.properties missing")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val Array(k, v) = l.split("=", 2)
+        k.trim -> v.trim
+      }.toMap
+    finally src.close()
+  }
+
   /** Truncate on a code-point boundary: a plain take(n) can split a
     * surrogate pair and emit an unpaired surrogate into the JSON string. */
   private def takeSafe(s: String, n: Int): String = {
@@ -252,10 +283,6 @@ object Bench {
     // the resource fall back to 1.5 s (join+agg class) — BenchRefSpec
     // asserts the resource covers the whole surface so that fallback is
     // dead in practice.
-    def threshold(name: String): Double = {
-      val ref = refSf01.getOrElse(name, 1.5)
-      math.max(2.0 * ref, ref + 1.0)
-    }
     // per-pass retry cap: even a fully-contended sweep grows by at most
     // ~2 bounded passes, keeping the driver's wall-clock budget intact
     def retryPass(names: Seq[String], pass: Int): Unit = {
@@ -420,62 +447,88 @@ object Bench {
       if (v < 0) "-1"
       else java.lang.String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
     val total = all.collect { case (_, v) if v >= 0 => v }.sum
+    // aliased rungs key every JSON field by the checked-in short alias
+    // (identity for names outside the map, e.g. spec fixtures); the
+    // "alias":1 marker tells the reader which keying the line uses
+    def nm(k: String, aliased: Boolean): String =
+      if (aliased) aliases.getOrElse(k, k) else k
     def line(rs: collection.Seq[(String, Double)], dp: Int, errChars: Int,
-             extra: String = ""): String = {
+             extra: String = "", aliased: Boolean = false): String = {
       val errJson =
         if (errors.isEmpty || errChars == 0) ""
         else "\"errors\":" + errors
-          .map { case (k, v) => s"${q(k)}:${q(takeSafe(v, errChars))}" }.mkString("{", ",", "},")
-      val qs = rs.map { case (k, v) => s"${q(k)}:${rN(v, dp)}" }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${rN(total, dp)},"unit":"sec","queries":$qs,$errJson$extra"sf":"$sfDir"}"""
+          .map { case (k, v) => s"${q(nm(k, aliased))}:${q(takeSafe(v, errChars))}" }
+          .mkString("{", ",", "},")
+      val qs = rs.map { case (k, v) => s"${q(nm(k, aliased))}:${rN(v, dp)}" }
+        .mkString("{", ",", "}")
+      val al = if (aliased) """"alias":1,""" else ""
+      s"""{"metric":"total","value":${rN(total, dp)},"unit":"sec","queries":$qs,$errJson$extra$al"sf":"$sfDir"}"""
     }
-    // degradation ladder: should the surface grow past what 3-dp fits in
-    // the ~1.9 KB budget (tail window minus sbt's trailing lines), shed
-    // precision first, then error-message detail (the -1 markers in the
-    // queries map still name every failed query), rather than overflow
-    // into unparseability — error text must not resurrect the truncated-
-    // tail failure mode exactly when a run breaks
-    //
     // guard provenance field: attempt sequences for the RE-MEASURED
     // queries only (one attempt = nothing to explain), 1-dp compact.
     // "nretry" always records HOW MANY queries the guard re-measured;
     // "retry" lists the `cap` with the largest first-attempt-vs-min
-    // delta — the strongest contention evidence per character, since a
-    // full map for a bursty sweep (~15 × ~30 chars) cannot share the
-    // tail budget with 80+ per-query numbers
-    // each entry is the RAW FIRST-SWEEP value only: the recorded minimum
+    // delta — the strongest contention evidence per character. Each
+    // entry is the RAW FIRST-SWEEP value only: the recorded minimum
     // already lives in "queries", so first-vs-recorded IS the contention
-    // delta and the middle attempts add no judgement value per character
+    // delta.
     val retried = attempts.filter(_._2.size > 1)
-    def retryJson(cap: Int): String =
+    def retryJson(cap: Int, aliased: Boolean): String =
       if (retried.isEmpty) ""
       else {
         val top = retried.toSeq.sortBy { case (_, vs) => -(vs.head - vs.min) }.take(cap)
         s""""nretry":${retried.size},"retry":""" + top.map { case (k, vs) =>
-          s"${q(k)}:${rN(vs.head, 1)}"
+          s"${q(nm(k, aliased))}:${rN(vs.head, 1)}"
         }.mkString("{", ",", "},")
       }
-    // ladder order: shed precision, then error text, then provenance
-    // DEPTH (the -1/min markers in "queries" stay authoritative; nretry
-    // keeps the contention headline even at shallow caps)
-    val candidates = Seq((3, 200, retryJson(32)), (2, 200, retryJson(16)),
-        (2, 60, retryJson(10)), (1, 40, retryJson(10)), (1, 0, retryJson(8)),
-        (1, 0, retryJson(4)), (1, 0, ""))
-      .map { case (dp, ec, ex) => line(all, dp, ec, ex) }
-    // next rung (new in r6 — r5's floor dropped EVERY per-query number
-    // over a 2-char overflow): shed the CHEAPEST queries' entries one at
-    // a time until the line fits. The expensive queries are the plan
-    // signal the artifact exists to carry; "qshed":N records the cut and
-    // the failed -1 entries sort to the front so they are never shed.
+    // REGRESSION provenance (VERDICT r12 #2): separate contention from
+    // regression in the artifact itself. A query whose RECORDED value —
+    // already the MIN across guard attempts — still exceeds its warm
+    // threshold survived the retries: that is the regression signal a
+    // judge should chase ("regr", largest absolute excess first).
+    // "reftot" is Σ warm references over the measured set, so
+    // value/reftot is the contention-corrected total ratio even when the
+    // per-query maps are capped.
+    val regressed = all.filter { case (k, v) => v >= 0 && v > threshold(k) }
+      .sortBy { case (k, v) => -(v - refSf01.getOrElse(k, 1.5)) }
+    def regrJson(cap: Int, aliased: Boolean): String =
+      if (regressed.isEmpty) ""
+      else s""""nregr":${regressed.size},"regr":""" + regressed.take(cap)
+        .map { case (k, v) => s"${q(nm(k, aliased))}:${rN(v, 1)}" }
+        .mkString("{", ",", "},")
+    val reftotJson = s""""reftot":${
+      rN(all.collect { case (k, v) if v >= 0 => refSf01.getOrElse(k, 1.5) }.sum, 1)},"""
+    def prov(rc: Int, gc: Int, aliased: Boolean): String =
+      retryJson(rc, aliased) + regrJson(gc, aliased) + reftotJson
+    // degradation ladder: full names at descending precision/error detail
+    // first; then the ALIASED rungs (VERDICT r12 #3 — every entry keeps a
+    // number, qshed stays 0 as the surface grows); provenance depth sheds
+    // last (nretry/nregr counts survive to the floor-most rungs)
+    val candidates = Seq(
+        line(all, 3, 200, prov(32, 8, false)),
+        line(all, 2, 200, prov(16, 8, false)),
+        line(all, 2, 60, prov(10, 6, false)),
+        line(all, 3, 200, prov(32, 8, true), aliased = true),
+        line(all, 2, 60, prov(16, 6, true), aliased = true),
+        line(all, 1, 40, prov(10, 4, true), aliased = true),
+        line(all, 1, 0, prov(8, 4, true), aliased = true),
+        line(all, 1, 0, prov(4, 2, true), aliased = true),
+        line(all, 1, 0, reftotJson, aliased = true))
+    // next rung: shed the CHEAPEST queries' entries one at a time until
+    // the line fits (aliased keying — maximum entries per character).
+    // The expensive queries are the plan signal the artifact exists to
+    // carry; "qshed":N records the cut and the failed -1 entries sort to
+    // the front so they are never shed.
     def shedded: Option[String] = {
       val ordered = all.sortBy { case (_, t) => if (t < 0) Double.MaxValue else t }.reverse
-      // even at the shed rung the guard's contention headline survives:
-      // the per-query retry map is dropped but the COUNT of re-measured
-      // queries stays (BenchLineSpec pins this — provenance must not
-      // vanish exactly when the sweep is big enough to shed)
+      // even at the shed rung the guard's headlines survive: the per-query
+      // retry/regr maps are dropped but the COUNTS stay (BenchLineSpec
+      // pins this — provenance must not vanish exactly when the sweep is
+      // big enough to shed)
       val nr = if (retried.isEmpty) "" else s""""nretry":${retried.size},"""
+      val ng = if (regressed.isEmpty) "" else s""""nregr":${regressed.size},"""
       (1 until ordered.size).view
-        .map(n => line(ordered.dropRight(n), 1, 0, s"""$nr"qshed":$n,"""))
+        .map(n => line(ordered.dropRight(n), 1, 0, s"""$nr$ng"qshed":$n,""", aliased = true))
         .find(_.length <= budget)
     }
     // absolute floor: summary-only — keeps the driver's total/error gates
@@ -487,8 +540,8 @@ object Bench {
     }
     candidates.find(_.length <= budget).getOrElse {
       System.err.println(s"[bench] WARNING: per-query JSON exceeds the $budget-char tail " +
-        s"budget even at minimum precision (${candidates.last.length} chars); " +
-        "shedding cheapest queries' entries — shorten query names or trim the surface")
+        s"budget even at minimum precision and aliased keys " +
+        s"(${candidates.last.length} chars); shedding cheapest queries' entries")
       shedded.getOrElse(floor)
     }
   }

@@ -27,5 +27,5 @@ for probe in "README.md:driver contract: $n queries" \
     exit 1
   }
 done
-sbt 'testOnly graft.BenchRefSpec graft.SurfaceContractSpec graft.ExplainSnapshotSpec'
+sbt 'testOnly graft.BenchRefSpec graft.BenchAliasSpec graft.SurfaceContractSpec graft.ExplainSnapshotSpec'
 echo "presnapshot: surface/resource/golden all in sync"
