@@ -148,6 +148,9 @@ object SparkEntry {
     "txt_lang_id" -> (TextAnalysis.langIdQuery _),
     "txt_fingerprint" -> (TextAnalysis.fingerprintQuery _),
     "txt_top_bigrams" -> (TextAnalysis.topBigramsQuery _),
+    "txt_pmi_bigrams" -> (TextAnalysis.pmiBigramsQuery _), // collocation detection: per-term 1e-8-grid ln PMI over adjacent pairs, top-50
+    "q_kmv_distinct" -> (TextAnalysis.kmvDistinctQuery _), // native KMV sketch: per-source distinct-shingle estimate vs the exact baseline
+    "q_phrase_search" -> (TextAnalysis.phraseSearchQuery _), // exact 3-word phrase containment: row-local trigrams, broadcast phrase set
     "txt_vocab" -> (TextAnalysis.vocabQuery _),
     "txt_tfidf" -> (TextAnalysis.tfidfQuery _),
     "txt_lm_score" -> (TextAnalysis.lmScoreQuery _),
@@ -2185,6 +2188,65 @@ object SparkEntry {
                  WHERE len(w) >= 2) b
            GROUP BY bigram) t
          WHERE rank <= 50""",
+    "txt_pmi_bigrams" ->
+      // per-term ln rounds to the 1e-8 grid BEFORE the sum (the
+      // txt_lm_score rule) so pmi_e8 is exact BIGINT arithmetic
+      s"""WITH toks AS MATERIALIZED (SELECT $toksSql AS ws FROM documents
+            WHERE len(trim(text)) > 0),
+          uni AS MATERIALIZED (SELECT w, count(*)::BIGINT AS c
+            FROM (SELECT unnest(ws) AS w FROM toks) u GROUP BY w),
+          bi AS (SELECT ws[i] AS w1, ws[i+1] AS w2, count(*)::BIGINT AS n_pair
+                 FROM toks, LATERAL (SELECT unnest(range(1, len(ws))) AS i) r
+                 WHERE len(ws) >= 2 GROUP BY 1, 2),
+          n AS (SELECT sum(c)::BIGINT AS n FROM uni)
+          SELECT w1, w2, n_pair, pmi_e8,
+                 row_number() OVER (ORDER BY pmi_e8 DESC, w1, w2) AS rank
+          FROM (SELECT w1, w2, bi.n_pair,
+                  (round(ln(bi.n_pair) * 1e8) + round(ln(n.n) * 1e8)
+                   - round(ln(u1.c) * 1e8) - round(ln(u2.c) * 1e8))::BIGINT AS pmi_e8
+                FROM bi, n
+                JOIN uni u1 ON u1.w = bi.w1
+                JOIN uni u2 ON u2.w = bi.w2
+                WHERE bi.n_pair >= 5) s
+          QUALIFY rank <= 50 ORDER BY rank""",
+    "q_kmv_distinct" ->
+      // the serial replay of the KMV set semantics: k smallest distinct
+      // 60-bit salted hashes per group; estimator (k-1)*2^60/h_k is one
+      // IEEE double division + round, bit-identical cross-engine
+      s"""WITH sh AS (SELECT DISTINCT source,
+                 ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+               FROM (SELECT source, $toksSql AS ws FROM documents
+                     WHERE len(trim(text)) > 0) t,
+                    LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) r
+               WHERE len(ws) >= 3),
+          h AS (SELECT source, shingle,
+                  ${md5L60("'kmv:'||shingle")} AS h FROM sh),
+          mins AS (SELECT source, h,
+                     row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+                   FROM (SELECT DISTINCT source, h FROM h) d QUALIFY rk <= 64),
+          ex AS (SELECT source, count(DISTINCT shingle)::BIGINT AS n_exact
+                 FROM h GROUP BY source),
+          sk AS (SELECT source, count(*)::BIGINT AS n_kept, max(h) AS kth
+                 FROM mins GROUP BY source)
+          SELECT ex.source, ex.n_exact, sk.n_kept,
+                 CASE WHEN sk.n_kept < 64 THEN sk.n_kept
+                      ELSE round(63 * 1152921504606846976.0 / kth)::BIGINT END AS n_est,
+                 abs(CASE WHEN sk.n_kept < 64 THEN sk.n_kept
+                      ELSE round(63 * 1152921504606846976.0 / kth)::BIGINT END
+                     - ex.n_exact) * 1000 // ex.n_exact AS err_pm
+          FROM ex JOIN sk USING (source) ORDER BY source""",
+    "q_phrase_search" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS ws FROM documents
+            WHERE len(trim(text)) > 0),
+          q AS (SELECT doc_id AS q_id, ws[1] || ' ' || ws[2] || ' ' || ws[3] AS phrase
+                FROM toks WHERE doc_id < 5 AND len(ws) >= 3),
+          tri AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS tri
+                  FROM toks, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) r
+                  WHERE len(ws) >= 3)
+          SELECT q.q_id, q.phrase, t.doc_id, count(*)::BIGINT AS n_hits
+          FROM q JOIN tri t ON t.tri = q.phrase
+          GROUP BY q.q_id, q.phrase, t.doc_id
+          ORDER BY q.q_id, t.doc_id""",
     "txt_vocab" ->
       s"""SELECT term, tf, df, rank FROM (
             SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df,

@@ -412,4 +412,107 @@ object TextAnalysis {
 
   def bm25Query(spark: SparkSession, dir: String): DataFrame =
     bm25(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** Approximate distinct-count via the native KMV sketch —
+    * `q_kmv_distinct`: per source, the distinct 3-word-shingle
+    * cardinality estimated from the k smallest hashes
+    * ([[graft.functions.KmvSketch]]) beside the exact
+    * `count(DISTINCT …)` baseline. Shingle cardinality is the quantity
+    * MinHash dedup math actually depends on (band/row tuning is a
+    * function of it), and at 100 TB the exact form — every distinct
+    * shingle shuffled to its group — is unaffordable by construction;
+    * the sketch ships ≤ k longs per partition per group. `n_est` is the
+    * classic KMV estimator `(k−1)·2^60 / h_(k)` (IEEE-deterministic:
+    * exact integer inputs, one double division, one round — both
+    * engines agree bit-for-bit), or the EXACT sketch size when fewer
+    * than k distinct shingles exist; `err_pm` is the per-mille error
+    * against the exact baseline (expected |err| ~ 127‰·z at k=64). */
+  def kmvDistinct(docs: DataFrame, k: Int = 64): DataFrame = {
+    val sh = docs.where(length(trim(col("text"))) > 0)
+      .select(col("source"), tokens(col("text")).as("ws"))
+      .where(size(col("ws")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))"))
+        .as("shingle"))
+    sh.groupBy("source")
+      .agg(count_distinct(col("shingle")).as("n_exact"),
+        expr(s"kmv_sketch(shingle, $k)").as("mins"))
+      .select(col("source"), col("n_exact"),
+        size(col("mins")).cast("long").as("n_kept"),
+        when(size(col("mins")) < k, size(col("mins")).cast("long"))
+          .otherwise(round(lit((k - 1).toDouble) * lit(graft.functions.KmvSketch.Hash60Range)
+            / element_at(col("mins"), -1), 0).cast("long")).as("n_est"))
+      .withColumn("err_pm", expr("abs(n_est - n_exact) * 1000 div n_exact"))
+  }
+
+  def kmvDistinctQuery(spark: SparkSession, dir: String): DataFrame =
+    kmvDistinct(Tables.documents(spark, dir)).orderBy("source")
+
+  /** Pointwise mutual information over adjacent token pairs —
+    * `txt_pmi_bigrams`: PMI(x,y) = ln(c_xy·N / (c_x·c_y)) for pairs with
+    * count ≥ `minPair`, the standard collocation/multi-word-expression
+    * detector (Church & Hanks 1990) a tokenizer-vocabulary audit runs
+    * beside raw bigram counts (`txt_top_bigrams` ranks by frequency;
+    * PMI ranks by ASSOCIATION — high-count pairs of independently-common
+    * words score low). Integer discipline: each ln term rounds to the
+    * 1e-8 grid BEFORE the sum (the `txt_lm_score` rule), so `pmi_e8` is
+    * exact BIGINT arithmetic in both engines. Shapes: one map-side-
+    * combined unigram aggregation, one bigram aggregation (the dominant
+    * shuffle — pair-count rows, never text), vocabulary-sized joins, and
+    * the TakeOrdered-then-bounded-window top-k discipline. */
+  def pmiBigrams(docs: DataFrame, minPair: Long = 5, topK: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.where(length(trim(col("text"))) > 0)
+      .select(tokens(col("text")).as("ws"))
+    val uni = toks.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bi = toks.where(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS w1, ws[i] AS w2))")).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2")).agg(count(lit(1)).as("n_pair"))
+    val n = uni.agg(sum("c").as("n"))
+    def lnE8(c: Column): Column = round(log(c) * 1e8, 0).cast("long")
+    bi.where(col("n_pair") >= minPair)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        (lnE8(col("n_pair")) + lnE8(col("n")) - lnE8(col("c1")) - lnE8(col("c2"))).as("pmi_e8"))
+      .orderBy(col("pmi_e8").desc, col("w1"), col("w2")).limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pmi_e8").desc, col("w1"), col("w2"))).cast("long"))
+  }
+
+  def pmiBigramsQuery(spark: SparkSession, dir: String): DataFrame =
+    pmiBigrams(Tables.documents(spark, dir)).orderBy("rank")
+
+  /** Exact phrase search — `q_phrase_search`: which documents contain a
+    * given consecutive 3-word phrase, and how often. The query phrases
+    * are the first trigrams of the `nQueries` lowest doc_ids (an
+    * in-corpus workload, the [[Similarity.knnExact]] convention). Shape
+    * at scale: trigrams are a ROW-LOCAL transform over the token array,
+    * the tiny phrase set broadcasts, matching happens scan-side on the
+    * exploded trigram stream, and ONLY matching rows enter the
+    * (q_id, doc_id) count aggregation — the corpus text never shuffles
+    * and non-matching trigrams never leave their partition (contrast a
+    * positional-postings self-join, which shuffles every posting
+    * twice). */
+  def phraseSearch(docs: DataFrame, nQueries: Int = 5): DataFrame = {
+    val toks = docs.where(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .where(size(col("ws")) >= 3)
+    val q = toks.where(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_id"),
+        concat_ws(" ", element_at(col("ws"), 1), element_at(col("ws"), 2),
+          element_at(col("ws"), 3)).as("phrase"))
+    toks.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))"))
+        .as("tri"))
+      .join(broadcast(q), col("tri") === col("phrase"))
+      .groupBy("q_id", "phrase", "doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  def phraseSearchQuery(spark: SparkSession, dir: String): DataFrame =
+    phraseSearch(Tables.documents(spark, dir)).orderBy("q_id", "doc_id")
 }

@@ -121,6 +121,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         CmsSketch(children(0), intArg(1), intArg(2))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[KmvSketch].getCanonicalName, "kmv_sketch"),
+      (children: Seq[Expression]) => {
+        val kArg = children(1) match {
+          case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+          case e => throw new IllegalArgumentException(
+            s"kmv_sketch argument 2 must be a literal int, got $e")
+        }
+        KmvSketch(children(0), kArg)
+      }))
     // BPE tokenization against a frozen merge table: argument 2 is the
     // BpeCoder-encoded merges literal, parsed ONCE here so the plan node
     // carries the table as metadata, not as a child (constant plan size

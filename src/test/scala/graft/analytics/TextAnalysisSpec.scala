@@ -203,4 +203,52 @@ class TextAnalysisSpec extends SparkSpec {
       if (tfs.forall(_ == 0)) assert(gScore == 0.0)
     }
   }
+
+  test("pmi_bigrams: every row replays from independent unigram/bigram counts") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val texts = docs.select("text").collect().map(_.getString(0))
+      .filter(t => t != null && t.trim.nonEmpty)
+    val tokLists = texts.map(_.trim.split("\\s+").toSeq)
+    val uni = tokLists.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bi = tokLists.flatMap(ws => ws.zip(ws.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = uni.values.sum
+    def lnE8(c: Long): Long = math.round(math.log(c.toDouble) * 1e8)
+    val rows = TextAnalysis.pmiBigrams(docs).collect()
+    assert(rows.length == 50)
+    assert(rows.map(_.getLong(4)).sorted.toSeq == (1L to 50L))
+    rows.foreach { r =>
+      val (w1, w2, nPair, pmi) =
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+      assert(nPair >= 5 && bi((w1, w2)) == nPair, s"($w1,$w2)")
+      assert(pmi == lnE8(nPair) + lnE8(n) - lnE8(uni(w1)) - lnE8(uni(w2)), s"($w1,$w2)")
+    }
+    // PMI ranks association, not frequency: the top-frequency bigram is
+    // not automatically rank 1 unless its parts are rare
+    val topFreq = bi.maxBy { case ((a, b), c) => (c, a, b) }
+    info(s"top-PMI ${rows.head.getString(0)} ${rows.head.getString(1)} vs " +
+      s"top-freq ${topFreq._1}")
+  }
+
+  test("phrase_search: hits replay from a brute trigram scan; every query finds itself") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val all = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .filter { case (_, t) => t != null && t.trim.nonEmpty }
+    def tris(t: String): Seq[String] = {
+      val ws = t.trim.split("\\s+").toSeq
+      if (ws.size < 3) Nil else ws.sliding(3).map(_.mkString(" ")).toSeq
+    }
+    val phrases = all.filter(_._1 < 5).map { case (id, t) => id -> tris(t).head }.toMap
+    val expect = for {
+      (qid, ph) <- phrases.toSeq
+      (did, t) <- all
+      n = tris(t).count(_ == ph) if n > 0
+    } yield ((qid, ph, did), n.toLong)
+    val got = TextAnalysis.phraseSearch(docs).collect()
+      .map(r => ((r.getLong(0), r.getString(1), r.getLong(2)), r.getLong(3))).toMap
+    assert(got == expect.toMap)
+    // self-hit: each query doc contains its own leading trigram
+    phrases.keys.foreach(qid => assert(got.contains((qid, phrases(qid), qid))))
+  }
 }
