@@ -955,6 +955,51 @@ object ScaleProbe {
     ok
   }
 
+  /** KMV distinct-count probe: the sketch's scale claim measured — at n
+    * synthetic values (16 groups, group g carrying (g+1)·n/136 distinct
+    * ids, so cardinalities span ~n/136 … ~n/8.5), the native aggregate
+    * ships ≤ k longs per partition per group while exact
+    * `count(DISTINCT …)` shuffles EVERY distinct value to its group.
+    * Reports both wall times, the ratio, and the worst per-group
+    * relative estimator error (gate: < 5/√(k−2), the 5σ bound —
+    * deterministic, the hash is fixed). */
+  private def probeKmv(spark: org.apache.spark.sql.SparkSession, n: Long): Boolean = {
+    val k = 256
+    // group g ∈ [0,16) gets a contiguous id range of (g+1) shares of the
+    // triangular total — deterministic, skewed cardinalities
+    val vals = spark.range(n).select(
+      (floor(sqrt(col("id").cast("double") * 2 / (n.toDouble / 136) + 0.25) - 0.5))
+        .cast("int").as("gRaw"), col("id"))
+      .select(least(col("gRaw"), lit(15)).as("g"),
+        concat(lit("v"), col("id").cast("string")).as("v"))
+    vals.cache(); vals.count()
+    val (sk, tSk) = timed {
+      vals.groupBy("g").agg(expr(s"kmv_sketch(v, $k)").as("m"))
+        .select(col("g"), size(col("m")).as("kept"),
+          element_at(col("m"), -1).as("kth"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    }
+    val (ex, tEx) = timed {
+      vals.groupBy("g").agg(count_distinct(col("v")).as("n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    }
+    vals.unpersist()
+    val errs = sk.map { case (g, kept, kth) =>
+      val est = if (kept < k) kept.toLong
+        else math.round((k - 1) * graft.functions.KmvSketch.Hash60Range / kth)
+      math.abs(est - ex(g)).toDouble / ex(g)
+    }
+    val worst = errs.max
+    val bound = 5.0 / math.sqrt(k - 2.0)
+    val ok = worst < bound && sk.length == 16
+    println(s"""{"probe":"kmv","n":$n,"k":$k,"groups":${sk.length},""" +
+      s""""sketch_sec":${f"$tSk%.1f"},"exact_sec":${f"$tEx%.1f"},""" +
+      s""""speedup":${f"${tEx / math.max(0.1, tSk)}%.2f"},""" +
+      s""""worst_rel_err":${f"$worst%.4f"},"err_bound":${f"$bound%.4f"}}""")
+    if (!ok) System.err.println(s"[scaleprobe] kmv FAILED: worst=$worst bound=$bound")
+    ok
+  }
+
   /** PageRank under POWER-LAW skew (VERDICT r12 #6) — the crawl-graph
     * failure regime the uniform-cycle probe cannot exercise: one hub
     * with in-degree ~n^0.8 (≈110k at the 2M default; a real crawl's
@@ -1145,6 +1190,9 @@ object ScaleProbe {
     // pagerankskew: same volume, one hub at in-degree n^0.8 (the
     // power-law crawl regime) + a partition-invariance bit-equality pass
     "pagerank" -> 2000000L, "pagerankskew" -> 2000000L, "mmr" -> 200000L,
+    // kmv: 20M string values across 16 skew-sized groups; the exact
+    // count-distinct beside it is the cost being escaped
+    "kmv" -> 20000000L,
     // dsir: 1M 40-word docs -> 40M word occurrences through the bucket
     // model and the weight aggregation; model stays 64 rows
     "dsir" -> 1000000L,
@@ -1304,6 +1352,7 @@ object ScaleProbe {
       case "cdc" => probeCdc(spark, size)
       case "pagerank" => probePagerank(spark, size)
       case "pagerankskew" => probePagerankSkew(spark, size)
+      case "kmv" => probeKmv(spark, size)
       case "mmr" => probeMmr(spark, size)
       case "dsir" => probeDsir(spark, size)
       case other =>
