@@ -370,20 +370,42 @@ object Bpe {
     import org.apache.spark.unsafe.types.UTF8String
     def u8Lt(a: String, b: String): Boolean =
       UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
-    val state: Array[Array[String]] = segs.toArray.map { case (s, _) =>
-      s.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    // INTERNED symbols (the BpeCoder.Table discipline, r13): every symbol
+    // string gets an int id, a pair is ONE packed long, and the hot maps
+    // key on longs — the tuple-of-strings form hashed two strings per
+    // count/index op, a cost that grows with symbol length exactly once
+    // the sample is representative and merged symbols keep matching
+    // (measured ~1.7 s per 256-round train on the sf0.1 sample; ids cut
+    // the string work to tie-breaks of the per-round argmax only).
+    val symStrs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val symIds = new java.util.HashMap[String, Integer]()
+    def idOf(s: String): Int = {
+      var v = symIds.get(s)
+      if (v == null) { v = Integer.valueOf(symStrs.size); symIds.put(s, v); symStrs += s }
+      v.intValue()
+    }
+    def pk(a: Int, b: Int): Long = (a.toLong << 32) | b.toLong
+    val state: Array[Array[Int]] = segs.toArray.map { case (s, _) =>
+      s.codePoints().toArray.map(cp => idOf(new String(Character.toChars(cp))))
     }
     val freq: Array[Long] = segs.toArray.map(_._2)
-    val counts = new java.util.HashMap[(String, String), Long]()
-    val index = new java.util.HashMap[(String, String), java.util.TreeSet[Integer]]()
-    def addPair(p: (String, String), f: Long, w: Int): Unit = {
-      counts.merge(p, f, _ + _)
-      index.computeIfAbsent(p, _ => new java.util.TreeSet[Integer]()).add(w)
+    val counts = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    val index = new java.util.HashMap[java.lang.Long, java.util.TreeSet[Integer]]()
+    def bump(p: Long, d: Long): Unit = {
+      val nc = counts.merge(p, java.lang.Long.valueOf(d), (x, y) =>
+        java.lang.Long.valueOf(x.longValue() + y.longValue()))
+      if (nc.longValue() == 0L) { counts.remove(p); () }
     }
-    def pairsOf(syms: Array[String]): Iterator[(String, String)] =
-      (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1)))
+    def addCarrier(p: Long, w: Int): Unit = {
+      index.computeIfAbsent(p, _ => new java.util.TreeSet[Integer]()).add(w); ()
+    }
     state.zipWithIndex.foreach { case (syms, w) =>
-      pairsOf(syms).foreach(p => addPair(p, freq(w), w))
+      var i = 0
+      while (i < syms.length - 1) {
+        bump(pk(syms(i), syms(i + 1)), freq(w))
+        addCarrier(pk(syms(i), syms(i + 1)), w)
+        i += 1
+      }
     }
     val out = Seq.newBuilder[(String, String, Long)]
     var r = 0
@@ -391,17 +413,27 @@ object Bpe {
     while (r < rounds && !dry) {
       if (counts.isEmpty) dry = true
       else {
-        var best: ((String, String), Long) = null
+        // argmax: count DESC, then lhs/rhs in UTF-8 BYTE order — string
+        // comparisons only run on count ties
+        var bestKey = 0L
+        var bestCnt = Long.MinValue
         counts.forEach { (p, c) =>
-          if (best == null || c > best._2 ||
-              (c == best._2 && (u8Lt(p._1, best._1._1) ||
-                (p._1 == best._1._1 && u8Lt(p._2, best._1._2)))))
-            best = (p, c)
+          val cv = c.longValue()
+          if (cv > bestCnt) { bestCnt = cv; bestKey = p.longValue() }
+          else if (cv == bestCnt) {
+            val pl = symStrs((p.longValue() >>> 32).toInt)
+            val pr = symStrs((p.longValue() & 0xFFFFFFFFL).toInt)
+            val bl = symStrs((bestKey >>> 32).toInt)
+            val br = symStrs((bestKey & 0xFFFFFFFFL).toInt)
+            if (u8Lt(pl, bl) || (pl == bl && u8Lt(pr, br))) bestKey = p.longValue()
+          }
         }
-        val ((l, rr), c) = best
-        out += ((l, rr, c))
-        val merged = l + rr
-        val carriers = index.get((l, rr))
+        val lId = (bestKey >>> 32).toInt
+        val rId = (bestKey & 0xFFFFFFFFL).toInt
+        val l = symStrs(lId); val rr = symStrs(rId)
+        out += ((l, rr, bestCnt))
+        val mergedId = idOf(l + rr)
+        val carriers = index.get(bestKey)
         // iterate a snapshot: delta updates mutate the index
         val touched = carriers.toArray(Array.empty[Integer])
         touched.foreach { wI =>
@@ -409,32 +441,33 @@ object Bpe {
           val syms = state(w)
           val f = freq(w)
           // per-segment multiset delta: old adjacencies out, new in
-          val delta = new java.util.HashMap[(String, String), Long]()
-          pairsOf(syms).foreach(p => delta.merge(p, -f, _ + _))
-          val b = Array.newBuilder[String]
+          val delta = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+          def dMerge(p: Long, d: Long): Unit = {
+            delta.merge(p, java.lang.Long.valueOf(d), (x, y) =>
+              java.lang.Long.valueOf(x.longValue() + y.longValue())); ()
+          }
           var i = 0
+          while (i < syms.length - 1) { dMerge(pk(syms(i), syms(i + 1)), -f); i += 1 }
+          val b = Array.newBuilder[Int]
+          i = 0
           while (i < syms.length) {
-            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == rr) {
-              b += merged; i += 2
+            if (i + 1 < syms.length && syms(i) == lId && syms(i + 1) == rId) {
+              b += mergedId; i += 2
             } else { b += syms(i); i += 1 }
           }
           val next = b.result()
           state(w) = next
-          pairsOf(next).foreach(p => delta.merge(p, f, _ + _))
-          delta.forEach { (p, d) =>
-            if (d != 0) {
-              val nc = counts.merge(p, d, _ + _)
-              if (nc == 0) counts.remove(p)
-            }
-            // carrier maintenance is presence-based, not count-based:
-            // recompute from the new symbols below
-          }
+          i = 0
+          while (i < next.length - 1) { dMerge(pk(next(i), next(i + 1)), f); i += 1 }
+          delta.forEach { (p, d) => if (d.longValue() != 0L) bump(p.longValue(), d.longValue()) }
           // presence updates for this segment: pairs it no longer
           // carries leave the index; new pairs join
-          val oldSet = new java.util.HashSet[(String, String)]()
-          pairsOf(syms).foreach(oldSet.add)
-          val newSet = new java.util.HashSet[(String, String)]()
-          pairsOf(next).foreach(newSet.add)
+          val oldSet = new java.util.HashSet[java.lang.Long]()
+          i = 0
+          while (i < syms.length - 1) { oldSet.add(pk(syms(i), syms(i + 1))); i += 1 }
+          val newSet = new java.util.HashSet[java.lang.Long]()
+          i = 0
+          while (i < next.length - 1) { newSet.add(pk(next(i), next(i + 1))); i += 1 }
           oldSet.forEach { p =>
             if (!newSet.contains(p)) {
               val s = index.get(p)
@@ -442,8 +475,7 @@ object Bpe {
             }
           }
           newSet.forEach { p =>
-            if (!oldSet.contains(p))
-              index.computeIfAbsent(p, _ => new java.util.TreeSet[Integer]()).add(wI)
+            if (!oldSet.contains(p)) addCarrier(p.longValue(), wI.intValue())
           }
         }
       }

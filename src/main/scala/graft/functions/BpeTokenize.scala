@@ -32,18 +32,18 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 final class BpeCoder(val merges: Seq[(String, String)]) extends Serializable {
 
-  /** rank by wrapped pair key; a pair can appear at most once in a valid
-    * BPE merge table (a merged pair never re-forms), enforced at build. */
-  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer](merges.size * 2)
-    merges.zipWithIndex.foreach { case ((l, r), i) =>
-      val prev = m.put(l + "\u0000" + r, Integer.valueOf(i))
-      require(prev == null, s"duplicate merge pair ($l,$r) at ranks $prev/$i")
-    }
-    m
-  }
-
-  private def rankOf(l: String, r: String): Integer = ranks.get(l + "\u0000" + r)
+  /** Interned symbol tables (built once per coder, lazily — the
+    * duplicate-pair guard throws here, on first encode): every distinct
+    * symbol STRING in the merge table (lhs, rhs, merged) gets an integer
+    * id, pair ranks key on the packed `(lid << 32) | rid` long in a
+    * SORTED array probed by binary search, and each rank knows its
+    * merged symbol's id. The encode walk below then never touches a
+    * string: the previous string-keyed form concatenated + hashed the
+    * two symbol strings PER RANK PROBE — a cost that grows with symbol
+    * length exactly when the vocabulary is representative (long merged
+    * symbols that keep matching), measured as the dominant tokenize
+    * cost after the r13 sample fix. */
+  @transient private lazy val table: BpeCoder.Table = BpeCoder.buildTable(merges)
 
   /** Encode one segment (must contain no space — callers pre-substitute
     * the SentencePiece `▁` meta-symbol) to its space-joined BPE tokens. */
@@ -52,18 +52,35 @@ final class BpeCoder(val merges: Seq[(String, String)]) extends Serializable {
 
   def encodeString(seg: String): String = {
     if (seg.isEmpty) return ""
-    // codepoint symbol array + doubly-linked alive list
+    // codepoint array; each position carries its symbol as an interned ID
+    // (for rank probes) plus its codepoint RANGE end (for output): a fuse
+    // concatenates ADJACENT ranges, so every live symbol is a substring
+    // of the original segment and no symbol string is ever built here
     val cps = seg.codePoints().toArray
     val n = cps.length
-    val syms = new Array[String](n)
-    var i = 0
-    while (i < n) { syms(i) = new String(Character.toChars(cps(i))); i += 1 }
     if (n > 1 && !merges.isEmpty) {
+      val t = table
+      val ids = new Array[Int](n)
+      val symEnd = new Array[Int](n)
       val nxt = new Array[Int](n)
       val prv = new Array[Int](n)
       val alive = new Array[Boolean](n)
-      i = 0
-      while (i < n) { nxt(i) = i + 1; prv(i) = i - 1; alive(i) = true; i += 1 }
+      var i = 0
+      while (i < n) {
+        ids(i) = t.cpIdOf(cps(i)) // -1: participates in no merge
+        symEnd(i) = i + 1
+        nxt(i) = i + 1; prv(i) = i - 1; alive(i) = true
+        i += 1
+      }
+      def rankOf(p: Int, q: Int): Int = {
+        val a = ids(p); val b = ids(q)
+        if (a < 0 || b < 0) -1
+        else {
+          val ix = java.util.Arrays.binarySearch(
+            t.pairKeys, (a.toLong << 32) | b.toLong)
+          if (ix >= 0) t.pairRank(ix) else -1
+        }
+      }
       // binary min-heap of (rank, pos) packed into a long: rank<<32 | pos.
       // Ordering (rank, then pos) = lowest-ranked merge first, leftmost
       // occurrence first — positions are stable (fuses delete, never move),
@@ -92,8 +109,8 @@ final class BpeCoder(val merges: Seq[(String, String)]) extends Serializable {
         top
       }
       def offer(pos: Int, next: Int): Unit = {
-        val rk = rankOf(syms(pos), syms(next))
-        if (rk != null) push((rk.longValue() << 32) | pos.toLong)
+        val rk = rankOf(pos, next)
+        if (rk >= 0) push((rk.toLong << 32) | pos.toLong)
       }
       i = 0
       while (i < n - 1) { offer(i, i + 1); i += 1 }
@@ -104,11 +121,11 @@ final class BpeCoder(val merges: Seq[(String, String)]) extends Serializable {
         if (alive(p)) {
           val q = nxt(p)
           if (q < n && alive(q)) {
-            val cur = rankOf(syms(p), syms(q))
             // stale unless the pair at p still carries this exact rank
             // (rank is unique per pair, so equal rank == equal pair)
-            if (cur != null && cur.intValue() == rk) {
-              syms(p) = syms(p) + syms(q)
+            if (rankOf(p, q) == rk) {
+              ids(p) = t.mergedIdByRank(rk)
+              symEnd(p) = symEnd(q)
               alive(q) = false
               nxt(p) = nxt(q)
               if (nxt(p) < n) prv(nxt(p)) = p
@@ -124,16 +141,85 @@ final class BpeCoder(val merges: Seq[(String, String)]) extends Serializable {
       while (i < n) {
         if (alive(i)) {
           if (!first) sb.append(' ')
-          sb.append(syms(i)); first = false
+          var j = i
+          while (j < symEnd(i)) { sb.appendCodePoint(cps(j)); j += 1 }
+          first = false
         }
         i += 1
       }
       sb.toString
-    } else syms.mkString(" ")
+    } else {
+      // single codepoint or empty merge table: tokens = the codepoints;
+      // still force table construction so an invalid merge table
+      // (duplicate pair) is rejected deterministically on any input
+      if (merges.nonEmpty) { val _ = table }
+      val sb = new java.lang.StringBuilder(seg.length * 2)
+      var i = 0
+      while (i < n) {
+        if (i > 0) sb.append(' ')
+        sb.appendCodePoint(cps(i))
+        i += 1
+      }
+      sb.toString
+    }
   }
 }
 
 object BpeCoder {
+
+  /** The interned form of a merge table: `pairKeys` sorted packed
+    * `(lhsId << 32) | rhsId` longs with `pairRank` aligned (rank of the
+    * key at the same index), `mergedIdByRank` the id of rank r's fused
+    * symbol, and the single-codepoint id table (`cpKeys` sorted,
+    * `cpIds` aligned) for seeding a segment. Symbol ids are assigned by
+    * STRING identity over every lhs/rhs/merged in table order, so two
+    * merges producing the same string share one id — exactly the
+    * string-equality semantics the replace-chain contract defines. */
+  final class Table(val pairKeys: Array[Long], val pairRank: Array[Int],
+                    val mergedIdByRank: Array[Int],
+                    val cpKeys: Array[Int], val cpIds: Array[Int]) extends Serializable {
+    def cpIdOf(cp: Int): Int = {
+      val ix = java.util.Arrays.binarySearch(cpKeys, cp)
+      if (ix >= 0) cpIds(ix) else -1
+    }
+  }
+
+  private[functions] def buildTable(merges: Seq[(String, String)]): Table = {
+    val symId = new java.util.HashMap[String, Integer]()
+    def idOf(s: String): Int = {
+      var v = symId.get(s)
+      if (v == null) { v = Integer.valueOf(symId.size); symId.put(s, v) }
+      v.intValue()
+    }
+    val m = merges.size
+    val keys = new Array[Long](m)
+    val mergedIds = new Array[Int](m)
+    val seen = new java.util.HashMap[java.lang.Long, Integer]()
+    var i = 0
+    merges.foreach { case (l, r) =>
+      val k = (idOf(l).toLong << 32) | idOf(r).toLong
+      val prev = seen.put(java.lang.Long.valueOf(k), Integer.valueOf(i))
+      require(prev == null, s"duplicate merge pair ($l,$r) at ranks $prev/$i")
+      keys(i) = k
+      mergedIds(i) = idOf(l + r)
+      i += 1
+    }
+    // co-sort (key, rank) by key for the binary-searched probe
+    val order = (0 until m).sortBy(keys(_)).toArray
+    val sortedKeys = new Array[Long](m)
+    val rankAt = new Array[Int](m)
+    i = 0
+    while (i < m) { sortedKeys(i) = keys(order(i)); rankAt(i) = order(i); i += 1 }
+    // single-codepoint symbols seed segment positions
+    val cpPairs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    symId.forEach { (s, id) =>
+      if (s.codePointCount(0, s.length) == 1) cpPairs += ((s.codePointAt(0), id.intValue()))
+    }
+    val cpSorted = cpPairs.sortBy(_._1).toArray
+    new Table(sortedKeys, rankAt, mergedIds,
+      cpSorted.map(_._1), cpSorted.map(_._2))
+  }
+
   /** Separators for the merges literal (`bpe_tokenize` argument 2). The
     * symbols themselves come from corpus codepoints + `▁`, which the
     * corpus guard keeps free of these controls. */
