@@ -536,6 +536,59 @@ object Similarity {
   def annIvfBalancedQuery(spark: SparkSession, dir: String): DataFrame =
     annIvfBalanced(spark, dir).orderBy("q_id", "rank")
 
+  /** Build the BALANCED IVF index artifacts (closing the last un-persisted
+    * model-parameter family from VERDICT r12): `<path>/centroids`,
+    * `<path>/assign` (membership under the PENALIZED assignment rule),
+    * and `<path>/penalties` (c_id, pen) — the index METADATA a balanced
+    * index must ship: serving probes by plain cosine (a query has no
+    * load to shed), but any LATER insert must assign new residents by
+    * the same penalized rule or the balance property silently erodes, so
+    * the penalty map is part of the artifact, not a training byproduct. */
+  def buildBalancedIvfIndex(spark: SparkSession, dir: String, path: String,
+                            nLists: Int = 16, rounds: Int = 3,
+                            lambdaI: Long = 5000L): Unit = {
+    val emb = embeddingsD(spark, dir)
+    val (cents, pen) = ivfLloydRefineBalanced(emb, hashCentroids(emb, nLists), rounds, lambdaI)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          cents.toSeq.map { case (cid, ce) => org.apache.spark.sql.Row(cid, ce.toSeq) }, 1),
+        new org.apache.spark.sql.types.StructType()
+          .add("c_id", "long", nullable = false)
+          .add("ce", "array<double>"))
+      .write.mode("overwrite").parquet(path + "/centroids")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          cents.toSeq.map { case (cid, _) =>
+            org.apache.spark.sql.Row(cid, pen.getOrElse(cid, 0L)) }, 1),
+        new org.apache.spark.sql.types.StructType()
+          .add("c_id", "long", nullable = false)
+          .add("pen", "long", nullable = false))
+      .write.mode("overwrite").parquet(path + "/penalties")
+    emb.withColumn("list_id", listIdColPenalized(cents, pen)(col("e")))
+      .select("vec_id", "list_id")
+      .write.mode("overwrite").parquet(path + "/assign")
+  }
+
+  /** Load the penalty-map artifact back as the driver-side metadata an
+    * incremental insert consumes alongside [[loadIvfCentroids]]. */
+  def loadIvfPenalties(spark: SparkSession, path: String): Map[Long, Long] =
+    spark.read.parquet(path + "/penalties")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Balanced IVF served FROM the artifacts: centroids load as model
+    * parameters, the penalized membership is a parquet scan — no Lloyd
+    * rounds, no assignment expression in-plan. Rows are bit-identical to
+    * [[annIvfBalanced]] at the same parameters (same centroids + same
+    * membership ⇒ same candidates ⇒ same exact-cosine ranking). */
+  def annIvfBalancedServe(spark: SparkSession, dir: String, path: String,
+                          nQueries: Int = 10, k: Int = 5, nProbe: Int = 4): DataFrame = {
+    val emb = embeddingsD(spark, dir)
+    rankCandidates(ivfServedCandidates(spark, emb, path,
+      emb.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("e").as("qe")),
+      nProbe), k)
+  }
+
   /** The candidate-generation half of the IVF machinery, shared by the
     * Flat/SQ8 paths (exact-cosine scoring in [[annIvfCore]]) and the PQ
     * path (ADC scoring in [[annIvfPq]]): centroid sample → one-scan list

@@ -90,6 +90,30 @@ class IndexArtifactsSpec extends SparkSpec {
     assert(inlinePlan.contains("array_max"), "marker: inline assigns in-plan")
   }
 
+  // -- balanced IVF (the penalty map IS part of the artifact) --
+
+  test("balanced index: penalty map round-trips; served == inline; plan assignment-free") {
+    val p = tmp("bal")
+    Similarity.buildBalancedIvfIndex(spark, sfDir, p)
+    val pen = Similarity.loadIvfPenalties(spark, p)
+    assert(pen.size === 16 && pen.values.forall(_ >= 0L))
+    // a rebuild reproduces centroids AND penalties bit-exactly
+    val p2 = tmp("bal2")
+    Similarity.buildBalancedIvfIndex(spark, sfDir, p2)
+    assert(Similarity.loadIvfPenalties(spark, p2) === pen)
+    val c1 = Similarity.loadIvfCentroids(spark, p)
+    val c2 = Similarity.loadIvfCentroids(spark, p2)
+    c1.zip(c2).foreach { case ((i1, a), (i2, b)) =>
+      assert(i1 === i2 && java.util.Arrays.equals(a, b))
+    }
+    val served = rows4(Similarity.annIvfBalancedServe(spark, sfDir, p))
+    val inline = rows4(Similarity.annIvfBalanced(spark, sfDir))
+    assert(served.nonEmpty && served === inline)
+    val plan = Similarity.annIvfBalancedServe(spark, sfDir, p)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("assign") && !plan.contains("array_max"))
+  }
+
   // -- deep-BPE model --
 
   test("BPE merge-table artifact round-trips and serves bit-identically") {
