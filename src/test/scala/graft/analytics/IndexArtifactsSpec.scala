@@ -114,6 +114,58 @@ class IndexArtifactsSpec extends SparkSpec {
     assert(plan.contains("assign") && !plan.contains("array_max"))
   }
 
+  // -- incremental insert + compaction (VERDICT r13 #3) --
+
+  test("ivfInsert: base build + insert by the stored rule == fresh full rebuild; compaction changes nothing") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val embL = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val h = graft.functions.Hashes.md5Long60(col("vec_id").cast("string"))
+    val p = tmp("ins")
+    Similarity.buildIvfIndexOf(spark,
+      embL.where(h < lit(Similarity.InsertHashThreshold)), p, nLists = 16, rounds = 0)
+    Similarity.ivfInsert(spark, p, embL.where(h >= lit(Similarity.InsertHashThreshold)))
+    // the union membership equals a fresh full-corpus build's (the seed
+    // set is contained in the base split by construction, so the stored
+    // centroids are the full build's centroids)
+    val p2 = tmp("insfull")
+    Similarity.buildIvfIndexOf(spark, embL, p2, nLists = 16, rounds = 0)
+    def assignRows(path: String) = spark.read.parquet(path + "/assign")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a1 = assignRows(p)
+    assert(a1.nonEmpty && a1 === assignRows(p2),
+      "base+insert membership must equal the fresh rebuild's")
+    // serving equality, and compaction is a pure file rewrite
+    val before = rows4(Similarity.annIvfServe(spark, sfDir, p))
+    Similarity.ivfCompact(spark, p)
+    assert(assignRows(p) === a1, "compaction must not change a membership row")
+    val after = rows4(Similarity.annIvfServe(spark, sfDir, p))
+    val fresh = rows4(Similarity.annIvfServe(spark, sfDir, p2))
+    assert(before.nonEmpty && before === after && before === fresh)
+  }
+
+  test("insert into a balanced index assigns by the STORED penalized rule") {
+    import org.apache.spark.sql.functions.col
+    val p = tmp("balins")
+    Similarity.buildBalancedIvfIndex(spark, sfDir, p)
+    val cents = Similarity.loadIvfCentroids(spark, p)
+    val pen = Similarity.loadIvfPenalties(spark, p)
+    val embL = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    // "late arrivals": existing vectors under fresh ids, so the expected
+    // assignment is computable from the stored artifacts alone
+    val nw = embL.where(col("vec_id") < 50)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("e"))
+    Similarity.ivfInsert(spark, p, nw)
+    val got = spark.read.parquet(p + "/assign").where(col("vec_id") >= 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = nw.select(col("vec_id"),
+        Similarity.listIdColPenalized(cents, pen)(col("e")).as("l"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size === want.size && got === want,
+      "balanced inserts must follow the penalty map the artifact ships")
+  }
+
   // -- deep-BPE model --
 
   test("BPE merge-table artifact round-trips and serves bit-identically") {
