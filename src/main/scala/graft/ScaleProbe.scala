@@ -1061,14 +1061,15 @@ object ScaleProbe {
     // control: ONE ticker, the hot series, alone in its own query
     val (_, ctrlState, ctrlT) = run(Seq(series("CTRL", hotTicks, 0, hotTicks)))
     val ctrlVec = keyVectors(ctrlT)("CTRL")
-    // main run: n cold + nHot hot keys, each series split across 2 batches
+    // main run: n cold + nHot hot keys, each series split across 2
+    // batches (hot and cold split at their OWN halfway points)
     val hotNames = (0 until nHot).map(i => s"H$i")
-    def batch(from: Int, untilHot: Int, untilCold: Int): Seq[RawTick] =
-      hotNames.flatMap(t => series(t, hotTicks, from, untilHot)) ++
-        (0L until n).flatMap(k => series(s"C$k", coldTicks, from, untilCold))
+    def batch(fromHot: Int, untilHot: Int, fromCold: Int, untilCold: Int): Seq[RawTick] =
+      hotNames.flatMap(t => series(t, hotTicks, fromHot, untilHot)) ++
+        (0L until n).flatMap(k => series(s"C$k", coldTicks, fromCold, untilCold))
     val ((times, stateRows, evT), tAll) = timed {
-      run(Seq(batch(0, hotTicks / 2, coldTicks / 2),
-        batch(coldTicks / 2, hotTicks, coldTicks)))
+      run(Seq(batch(0, hotTicks / 2, 0, coldTicks / 2),
+        batch(hotTicks / 2, hotTicks, coldTicks / 2, coldTicks)))
     }
     // note: batch 2 carries the hot series' SECOND half (ticks 2..40 of
     // 40) so its arriving volume exceeds batch 1's — the latency gate

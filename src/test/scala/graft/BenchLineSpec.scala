@@ -99,4 +99,39 @@ class BenchLineSpec extends AnyFunSuite {
     assert(om.readTree(Bench.renderFull(Seq(("a", 1.0)), Map.empty, Map.empty, "/sf"))
       .get("retry").size == 0)
   }
+
+  test("full artifact carries host-load + job provenance and the COMPLETE regr list") {
+    // VERDICT r13 #1: the artifact must be self-defending — per-attempt
+    // load samples, per-query job counts, and every over-threshold query
+    // with its threshold, uncapped
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val all = Seq(("cheap_one", 0.2), ("slow_one", 99.0), ("other_slow", 98.0))
+    val prov = Map(
+      "cheap_one" -> Vector(Bench.Prov(1.5, 12L, 7)),
+      "slow_one" -> Vector(Bench.Prov(30.0, 940L, 41), Bench.Prov(2.0, 5L, 41)))
+    val root = om.readTree(Bench.renderFull(all, Map.empty,
+      Map("slow_one" -> Vector(99.0, 99.5)), "/sf0.1", prov))
+    // detail: one entry per measured query in prov, attempt-aligned arrays
+    val d = root.get("detail").get("slow_one")
+    assert(d.get("xcpu_pm").size == 2 && d.get("xcpu_pm").get(0).asLong == 940L)
+    assert(d.get("load1").get(0).asDouble == 30.0)
+    assert(d.get("jobs").asInt == 41)
+    // regr: EVERY query above threshold (99 and 98 both exceed any warm
+    // ref in the resource, or the 1.5 s fallback), with its threshold
+    assert(root.get("nregr").asInt >= 2)
+    assert(root.get("regr").get("slow_one").get("thr").isNumber)
+    assert(root.get("regr").get("other_slow") != null, "regr list must be uncapped in the file")
+    // sweep-level load summary
+    assert(root.get("load").get("xcpu_pm_max").asLong == 940L)
+  }
+
+  test("tail line carries the sweep-level xload summary at every rung") {
+    val all = results(120)
+    val prov = all.map { case (k, _) => k -> Vector(Bench.Prov(1.0, 37L, 3)) }.toMap
+    val tight = Bench.renderLine(all, Map.empty, Map.empty, "/sf", 1850, prov)
+    assert(tight.contains(""""xload":{"avg":37,"max":37}"""),
+      s"xload summary missing from the shed/aliased rung: $tight")
+    val wide = Bench.renderLine(all, Map.empty, Map.empty, "/sf", Int.MaxValue, prov)
+    assert(wide.contains(""""xload":"""))
+  }
 }
