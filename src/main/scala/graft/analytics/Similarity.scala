@@ -2061,16 +2061,22 @@ object Similarity {
     * a long-lived index accumulates small files (the classic streaming-
     * ingest tax — at scale, file-count growth degrades scan planning
     * long before data size does). Rewrites `assign` clustered by
-    * `list_id` into `nFiles` files and swaps directories via two FS
-    * renames; rows are untouched, so serving is bit-identical before and
-    * after (spec-pinned). */
+    * `list_id` into `nFiles` files — dropping the exact-duplicate rows an
+    * at-least-once streaming replay can append — and swaps directories
+    * via two FS renames; the membership SET is untouched, so serving is
+    * bit-identical before and after (spec-pinned). */
   def ivfCompact(spark: SparkSession, path: String, nFiles: Int = 1): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val assign = new org.apache.hadoop.fs.Path(path + "/assign")
     val tmp = new org.apache.hadoop.fs.Path(path + "/assign_compact_tmp")
     val old = new org.apache.hadoop.fs.Path(path + "/assign_old")
     val fs = assign.getFileSystem(conf)
+    // dropDuplicates: an at-least-once ingest replay ([[StreamingIvfIngest]])
+    // appends bit-identical rows (the stored-rule assignment is
+    // deterministic); they are invisible to serving (probes dedup on
+    // (q_id, n_id)) and compaction is where they physically disappear
     spark.read.parquet(assign.toString)
+      .dropDuplicates("vec_id", "list_id")
       .repartition(nFiles, col("list_id"))
       .write.mode("overwrite").parquet(tmp.toString)
     fs.rename(assign, old)
@@ -2087,7 +2093,7 @@ object Similarity {
     * rounds-0 base-built centroids equal a full-corpus build's exactly —
     * which is what makes base+insert provably identical to the fresh
     * rebuild the oracle replays. */
-  private[analytics] val InsertHashThreshold: Long = (1152921504606846976L / 10L) * 9L
+  private[graft] val InsertHashThreshold: Long = (1152921504606846976L / 10L) * 9L
 
   /** The session's base+insert+compact IVF artifact — the full ingest
     * lifecycle, built once per session like every serving artifact. */
@@ -2139,8 +2145,6 @@ object Similarity {
     * workload-sized frames — nQ·k rows per side — so the eval layer adds
     * no corpus-scale work on top of the rungs it measures. */
   def knnEval(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val gains = ndcgGains(k)
-    val idcg = gains.sum
     val exact = knnExact(spark, dir, nQueries, k)
       .select(col("q_id"), col("n_id"), lit(1L).as("__hit"))
     def tagged(rung: String, df: DataFrame): DataFrame =
@@ -2154,6 +2158,19 @@ object Similarity {
       .unionByName(tagged("pq",
         annIvfPqServe(spark, dir, servingPqPath(spark, dir), nQueries, k)))
       .unionByName(tagged("proj", annIvfProjected(spark, dir, nQueries, k)))
+    evalRungs(exact, ev, nQueries, k)
+  }
+
+  /** The scoring core of [[knnEval]] over prepared frames — `exact` is
+    * (q_id, n_id, __hit=1), `ev` is (rung, q_id, rank, n_id) — factored
+    * out so the metric laws are testable on constructed frames
+    * (`KnnEvalSpec`: a rung equal to the ground truth scores
+    * 1000/1000000/1000; a disjoint rung scores 0/0/0; a rank-1-only hit
+    * scores exactly the first gain's share). */
+  private[graft] def evalRungs(exact: DataFrame, ev: DataFrame,
+                               nQueries: Int, k: Int): DataFrame = {
+    val gains = ndcgGains(k)
+    val idcg = gains.sum
     val perQ = ev.join(broadcast(exact), Seq("q_id", "n_id"), "left")
       .select(col("rung"), col("q_id"), col("rank"),
         coalesce(col("__hit"), lit(0L)).as("hit"))
