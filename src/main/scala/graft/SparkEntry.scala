@@ -198,6 +198,7 @@ object SparkEntry {
     "knn_ann_ivf_pq_served" -> (Similarity.annIvfPqServedQuery _), // the PQ rung through the persisted-artifact lifecycle: codebooks/codes/centroids/assign from files, no training in-plan
     "knn_ann_ivf_sq8_served" -> (Similarity.annIvfSq8ServedQuery _), // the SQ8 rung served from its persisted codes/centroids/assign artifacts: no quantize pass in-plan
     "knn_ann_ivf_ins_served" -> (Similarity.annIvfInsertServedQuery _), // the ingest lifecycle: base build + incremental insert by the stored rule + compaction, served; must equal the fresh full index
+    "knn_ann_ivf_del_served" -> (Similarity.annIvfDeleteServedQuery _), // the delete lifecycle: full build + tombstoned high-hash tenth, served through the live anti-join path
     "knn_eval" -> (Similarity.knnEvalQuery _), // retrieval-quality eval table: recall@k / MRR@k / NDCG@k per ANN rung vs the exact ground truth, all-integer metrics
     "dedup_embedding_exact" -> (Similarity.embeddingDupExactQuery _),
     "dedup_embedding_lsh" -> (Similarity.embeddingDupLshQuery _), // oracled (same sig CTEs) + recall spec
@@ -847,8 +848,46 @@ object SparkEntry {
     // rounds-0 seed set is contained in the base split by construction
     // (Similarity.InsertHashThreshold), so the same oracle applies
     "knn_ann_ivf_ins_served" -> oracleSqlBase("knn_ann_ivf"),
+    // the delete lifecycle serves with LIVE tombstones: residents are the
+    // low-hash survivors, centroids/queries stay full-corpus (the seed
+    // set is all low-hash, so it survives the delete by construction)
+    "knn_ann_ivf_del_served" -> ivfFlatOracleSql(
+      s"WHERE ${md5L60("v.vec_id::VARCHAR")} < ${graft.analytics.Similarity.InsertHashThreshold}"),
     "knn_eval" -> knnEvalOracleSql,
   )
+
+  /** Deterministic IVF-Flat oracle: hash-sampled centroids ->
+    * nearest-list assignment -> probe 4 lists -> exact cosine rank
+    * (mirror of `Similarity.annIvfCosine`; cosines rounded to 4 before
+    * ranking on both sides, ties by id). `residentFilter` narrows the
+    * RESIDENT set only (`knn_ann_ivf_del_served`: tombstoned ids are
+    * gone from the lists) — centroid seeds and the query batch always
+    * come from the full corpus, exactly like the engine (queries are
+    * arrivals; the seed set survives a high-hash delete by
+    * construction). */
+  private def ivfFlatOracleSql(residentFilter: String): String = {
+    def nn(filter: String, keep: Int, idAs: String, eAs: String) =
+      s"""SELECT $idAs, $eAs, c_id AS list_id FROM (
+            SELECT v.vec_id AS $idAs, v.embedding::DOUBLE[] AS $eAs, c.c_id,
+              row_number() OVER (PARTITION BY v.vec_id
+                ORDER BY round(list_cosine_similarity(v.embedding::DOUBLE[], c.ce), 4) DESC,
+                         c.c_id) AS rk
+            FROM embeddings v, cent c $filter) t WHERE rk <= $keep"""
+    s"""WITH cent AS (
+          SELECT vec_id AS c_id, embedding::DOUBLE[] AS ce FROM embeddings
+          ORDER BY ${md5L60("vec_id::VARCHAR")}, vec_id LIMIT 16),
+        lists AS (${nn(residentFilter, 1, "vec_id", "e")}),
+        probes AS (${nn("WHERE v.vec_id < 10", 4, "q_id", "qe")}),
+        cand AS (SELECT DISTINCT p.q_id, p.qe, l.vec_id AS n_id, l.e
+                 FROM lists l JOIN probes p ON p.list_id = l.list_id
+                                           AND l.vec_id <> p.q_id)
+        SELECT q_id, n_id, rank, cos FROM (
+          SELECT q_id, n_id, round(list_cosine_similarity(qe, e), 4) AS cos,
+            row_number() OVER (PARTITION BY q_id
+              ORDER BY round(list_cosine_similarity(qe, e), 4) DESC, n_id)::BIGINT AS rank
+          FROM cand) t
+        WHERE rank <= 5"""
+  }
 
   /** `knn_eval` oracle: each rung's existing oracle SQL becomes a CTE
     * (scopes nest, so CTE-name reuse across rungs shadows harmlessly),
@@ -3162,33 +3201,7 @@ object SparkEntry {
                   ORDER BY rrf DESC, n_id)::BIGINT AS rank FROM fused) t
           WHERE rank <= 5"""
     },
-    "knn_ann_ivf" -> {
-      // deterministic IVF-Flat: hash-sampled centroids -> nearest-list
-      // assignment -> probe 4 lists -> exact cosine rank (mirror of
-      // Similarity.annIvfCosine; cosines rounded to 4 before ranking on
-      // both sides, ties by id)
-      def nn(filter: String, keep: Int, idAs: String, eAs: String) =
-        s"""SELECT $idAs, $eAs, c_id AS list_id FROM (
-              SELECT v.vec_id AS $idAs, v.embedding::DOUBLE[] AS $eAs, c.c_id,
-                row_number() OVER (PARTITION BY v.vec_id
-                  ORDER BY round(list_cosine_similarity(v.embedding::DOUBLE[], c.ce), 4) DESC,
-                           c.c_id) AS rk
-              FROM embeddings v, cent c $filter) t WHERE rk <= $keep"""
-      s"""WITH cent AS (
-            SELECT vec_id AS c_id, embedding::DOUBLE[] AS ce FROM embeddings
-            ORDER BY ${md5L60("vec_id::VARCHAR")}, vec_id LIMIT 16),
-          lists AS (${nn("", 1, "vec_id", "e")}),
-          probes AS (${nn("WHERE v.vec_id < 10", 4, "q_id", "qe")}),
-          cand AS (SELECT DISTINCT p.q_id, p.qe, l.vec_id AS n_id, l.e
-                   FROM lists l JOIN probes p ON p.list_id = l.list_id
-                                             AND l.vec_id <> p.q_id)
-          SELECT q_id, n_id, rank, cos FROM (
-            SELECT q_id, n_id, round(list_cosine_similarity(qe, e), 4) AS cos,
-              row_number() OVER (PARTITION BY q_id
-                ORDER BY round(list_cosine_similarity(qe, e), 4) DESC, n_id)::BIGINT AS rank
-            FROM cand) t
-          WHERE rank <= 5"""
-    },
+    "knn_ann_ivf" -> ivfFlatOracleSql(""),
     "knn_mmr" -> {
       // mirror of Similarity.mmrRerank: the knn_ann_ivf candidate chain
       // at depth 12, relevance/pairwise cosines on the exact decimal

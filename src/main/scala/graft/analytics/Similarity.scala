@@ -713,13 +713,24 @@ object Similarity {
   /** IVF candidate frame served FROM a persisted artifact: centroids
     * load as model parameters, the inverted-list membership is a parquet
     * scan joined to the stored vectors — NO assignment expression in the
-    * plan. `corpus` must be (vec_id, e [, extras…]); extras ride through
-    * to the candidates (the [[ivfCandidatesOver]] contract). */
+    * plan. When the index carries a tombstone artifact ([[ivfDelete]]),
+    * deleted residents are anti-joined out BEFORE probing, so they can
+    * never surface as neighbors; the tombstone set is delete-volume
+    * sized (broadcast-able in practice). `corpus` must be
+    * (vec_id, e [, extras…]); extras ride through to the candidates
+    * (the [[ivfCandidatesOver]] contract). */
   private[analytics] def ivfServedCandidates(spark: SparkSession, corpus: DataFrame,
-      path: String, queries: DataFrame, nProbe: Int): DataFrame =
-    ivfCandidatesOver(spark,
-      corpus.join(spark.read.parquet(path + "/assign"), "vec_id"),
+      path: String, queries: DataFrame, nProbe: Int): DataFrame = {
+    val assign0 = spark.read.parquet(path + "/assign")
+    val tomb = new org.apache.hadoop.fs.Path(path + "/tombstones")
+    val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val assign =
+      if (fs.exists(tomb))
+        assign0.join(spark.read.parquet(tomb.toString), Seq("vec_id"), "left_anti")
+      else assign0
+    ivfCandidatesOver(spark, corpus.join(assign, "vec_id"),
       queries, loadIvfCentroids(spark, path), nProbe)
+  }
 
   /** Top-k ANN served FROM the persisted artifact: no assignment
     * recompute, no training. Result rows are bit-identical to
@@ -2074,16 +2085,44 @@ object Similarity {
     // dropDuplicates: an at-least-once ingest replay ([[StreamingIvfIngest]])
     // appends bit-identical rows (the stored-rule assignment is
     // deterministic); they are invisible to serving (probes dedup on
-    // (q_id, n_id)) and compaction is where they physically disappear
-    spark.read.parquet(assign.toString)
-      .dropDuplicates("vec_id", "list_id")
+    // (q_id, n_id)) and compaction is where they physically disappear.
+    // Tombstones ([[ivfDelete]]) are applied here too: the rewrite drops
+    // the deleted residents and clears the tombstone artifact — serving
+    // is identical before and after (the anti-join moves from query time
+    // into the layout).
+    val tombP = new org.apache.hadoop.fs.Path(path + "/tombstones")
+    val base = spark.read.parquet(assign.toString).dropDuplicates("vec_id", "list_id")
+    val applied =
+      if (fs.exists(tombP))
+        base.join(spark.read.parquet(tombP.toString), Seq("vec_id"), "left_anti")
+      else base
+    applied
       .repartition(nFiles, col("list_id"))
       .write.mode("overwrite").parquet(tmp.toString)
     fs.rename(assign, old)
     fs.rename(tmp, assign)
     fs.delete(old, true)
+    fs.delete(tombP, true)
     ()
   }
+
+  /** DELETE from a persisted IVF index — the other half of the ingest
+    * lifecycle ([[ivfInsert]]): `ids` (a (vec_id) frame) are appended to
+    * a TOMBSTONE artifact at `<path>/tombstones`; serving anti-joins
+    * them out before probing ([[ivfServedCandidates]]), and the next
+    * [[ivfCompact]] applies them physically and clears the artifact —
+    * the standard log-structured delete (tombstone now, merge later):
+    * the corpus-scale membership is never rewritten at delete time, a
+    * delete costs one id-frame append, and re-deleting an id (or
+    * deleting one that was never a resident) is harmless by
+    * construction. Works identically for every index family that serves
+    * through the shared membership artifact (flat/refined/balanced/
+    * SQ8/PQ). Laws in `IndexArtifactsSpec`: delete+serve ≡ a fresh
+    * index over the surviving corpus under the same centroids;
+    * compaction applies tombstones with serving unchanged. */
+  def ivfDelete(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    ids.select(col("vec_id"))
+      .write.mode("append").parquet(path + "/tombstones")
 
   /** Split threshold for the registered insert-lifecycle query: vectors
     * whose seed hash `md5Long60(vec_id)` lands in the TOP tenth of the
@@ -2114,6 +2153,28 @@ object Similarity {
     * lifecycle must reproduce the fresh full-corpus index row-for-row. */
   def annIvfInsertServedQuery(spark: SparkSession, dir: String): DataFrame =
     annIvfServe(spark, dir, servingIvfInsPath(spark, dir)).orderBy("q_id", "rank")
+
+  /** The session's delete-lifecycle IVF artifact: FULL-corpus rounds-0
+    * build, then [[ivfDelete]] of the high-hash tenth (the same split
+    * the insert lifecycle uses, from the other side) — tombstones stay
+    * LIVE so the registered query serves through the anti-join path;
+    * compaction's physical apply is spec-pinned separately. */
+  private[analytics] def servingIvfDelPath(spark: SparkSession, dir: String): String =
+    ArtifactCache.path(s"ivfdel:$dir:16") { p =>
+      val emb = embeddingsD(spark, dir)
+      buildIvfIndexOf(spark, emb, p, nLists = 16, rounds = 0)
+      val h = graft.functions.Hashes.md5Long60(col("vec_id").cast("string"))
+      ivfDelete(spark, p, emb.where(h >= lit(InsertHashThreshold)).select("vec_id"))
+    }
+
+  /** `knn_ann_ivf_del_served` — top-k ANN served from an index with LIVE
+    * tombstones: the full corpus was indexed, the high-hash tenth
+    * deleted, and serving must behave exactly as if the survivors were
+    * the whole corpus (same centroids — the seed set is all low-hash, so
+    * it survives the delete by construction). The oracle replays the
+    * plain IVF SQL with the resident set filtered to the survivors. */
+  def annIvfDeleteServedQuery(spark: SparkSession, dir: String): DataFrame =
+    annIvfServe(spark, dir, servingIvfDelPath(spark, dir)).orderBy("q_id", "rank")
 
   // -- retrieval-quality eval operators (VERDICT r13 #4) --
 

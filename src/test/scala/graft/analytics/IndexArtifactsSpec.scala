@@ -144,6 +144,41 @@ class IndexArtifactsSpec extends SparkSpec {
     assert(before.nonEmpty && before === after && before === fresh)
   }
 
+  test("ivfDelete: tombstoned residents vanish from serving; compaction applies them physically") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val embL = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val h = graft.functions.Hashes.md5Long60(col("vec_id").cast("string"))
+    val p = tmp("del")
+    Similarity.buildIvfIndexOf(spark, embL, p, nLists = 16, rounds = 0)
+    Similarity.ivfDelete(spark, p,
+      embL.where(h >= lit(Similarity.InsertHashThreshold)).select(col("vec_id")))
+    val served = rows4(Similarity.annIvfServe(spark, sfDir, p))
+    // law 1: serving with live tombstones == a fresh index over the
+    // survivors (same centroids — the seed set is all low-hash)
+    val p2 = tmp("delsurv")
+    Similarity.buildIvfIndexOf(spark,
+      embL.where(h < lit(Similarity.InsertHashThreshold)), p2, nLists = 16, rounds = 0)
+    assert(served.nonEmpty && served === rows4(Similarity.annIvfServe(spark, sfDir, p2)))
+    val deleted = embL.where(h >= lit(Similarity.InsertHashThreshold))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(deleted.nonEmpty && served.forall { case (_, nId, _, _) => !deleted(nId) },
+      "a tombstoned id must never surface as a neighbor")
+    // law 2: re-deleting / deleting a never-resident id is harmless
+    Similarity.ivfDelete(spark, p,
+      spark.range(999999L, 1000002L).select(col("id").as("vec_id")))
+    assert(rows4(Similarity.annIvfServe(spark, sfDir, p)) === served)
+    // law 3: compaction applies tombstones physically and clears them
+    Similarity.ivfCompact(spark, p)
+    val tombP = new org.apache.hadoop.fs.Path(p + "/tombstones")
+    val fs = tombP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(tombP), "compaction must clear the tombstone artifact")
+    val nAssign = spark.read.parquet(p + "/assign").count()
+    val nSurvivors = embL.where(h < lit(Similarity.InsertHashThreshold)).count()
+    assert(nAssign === nSurvivors, "compaction must drop tombstoned membership rows")
+    assert(rows4(Similarity.annIvfServe(spark, sfDir, p)) === served)
+  }
+
   test("insert into a balanced index assigns by the STORED penalized rule") {
     import org.apache.spark.sql.functions.col
     val p = tmp("balins")
