@@ -199,6 +199,7 @@ object SparkEntry {
     "knn_ann_ivf_sq8_served" -> (Similarity.annIvfSq8ServedQuery _), // the SQ8 rung served from its persisted codes/centroids/assign artifacts: no quantize pass in-plan
     "knn_ann_ivf_ins_served" -> (Similarity.annIvfInsertServedQuery _), // the ingest lifecycle: base build + incremental insert by the stored rule + compaction, served; must equal the fresh full index
     "knn_ann_ivf_del_served" -> (Similarity.annIvfDeleteServedQuery _), // the delete lifecycle: full build + tombstoned high-hash tenth, served through the live anti-join path
+    "q_ivf_list_stats" -> (Similarity.ivfListStatsQuery _), // index ops audit: per-list resident histogram from the persisted membership; oracle replays the rule from scratch = artifact-integrity gate
     "knn_eval" -> (Similarity.knnEvalQuery _), // retrieval-quality eval table: recall@k / MRR@k / NDCG@k per ANN rung vs the exact ground truth, all-integer metrics
     "dedup_embedding_exact" -> (Similarity.embeddingDupExactQuery _),
     "dedup_embedding_lsh" -> (Similarity.embeddingDupLshQuery _), // oracled (same sig CTEs) + recall spec
@@ -854,6 +855,28 @@ object SparkEntry {
     "knn_ann_ivf_del_served" -> ivfFlatOracleSql(
       s"WHERE ${md5L60("v.vec_id::VARCHAR")} < ${graft.analytics.Similarity.InsertHashThreshold}"),
     "knn_eval" -> knnEvalOracleSql,
+    // per-list resident histogram: the oracle re-derives the assignment
+    // from the rule while the engine reads the persisted artifact — a
+    // match is an integrity proof of the membership, not just arithmetic
+    "q_ivf_list_stats" -> {
+      def nn(filter: String, keep: Int, idAs: String, eAs: String) =
+        s"""SELECT $idAs, $eAs, c_id AS list_id FROM (
+              SELECT v.vec_id AS $idAs, v.embedding::DOUBLE[] AS $eAs, c.c_id,
+                row_number() OVER (PARTITION BY v.vec_id
+                  ORDER BY round(list_cosine_similarity(v.embedding::DOUBLE[], c.ce), 4) DESC,
+                           c.c_id) AS rk
+              FROM embeddings v, cent c $filter) t WHERE rk <= $keep"""
+      s"""WITH cent AS (
+            SELECT vec_id AS c_id, embedding::DOUBLE[] AS ce FROM embeddings
+            ORDER BY ${md5L60("vec_id::VARCHAR")}, vec_id LIMIT 16),
+          lists AS (${nn("", 1, "vec_id", "e")}),
+          counts AS (SELECT list_id, count(*)::BIGINT AS n_residents
+                     FROM lists GROUP BY list_id),
+          tot AS (SELECT sum(n_residents)::BIGINT AS n FROM counts)
+          SELECT list_id, n_residents,
+                 (n_residents * 1000 // tot.n)::BIGINT AS share_pm
+          FROM counts, tot ORDER BY list_id"""
+    },
   )
 
   /** Deterministic IVF-Flat oracle: hash-sampled centroids ->

@@ -2176,6 +2176,28 @@ object Similarity {
   def annIvfDeleteServedQuery(spark: SparkSession, dir: String): DataFrame =
     annIvfServe(spark, dir, servingIvfDelPath(spark, dir)).orderBy("q_id", "rank")
 
+  /** `q_ivf_list_stats` — the index OPERATIONS audit table a serving
+    * stack monitors: per-list resident counts and per-mille share of the
+    * session's rounds-0 IVF serving artifact, read from the PERSISTED
+    * membership (one id+long scan + a 16-group aggregate — never the
+    * vectors). The balance story in one table: worst-case probe latency
+    * is the hottest probed list, so this histogram IS the serving-latency
+    * audit ([[ivfLloydRefineBalanced]]'s motivation). Because the oracle
+    * replays the assignment FROM SCRATCH in SQL while the engine reads
+    * the artifact, a hash-match is also an integrity proof that the
+    * stored membership still equals the stored rule — drift between
+    * artifact and rule (a corrupted or stale assign dir) breaks the gate
+    * at the query surface. */
+  def ivfListStatsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val assign = spark.read.parquet(servingIvfPath(spark, dir) + "/assign")
+    val counts = assign.groupBy("list_id").agg(count(lit(1)).as("n_residents"))
+    val tot = counts.agg(sum("n_residents").as("__n"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("list_id"), col("n_residents"),
+        expr("n_residents * 1000 div __n").as("share_pm"))
+      .orderBy("list_id")
+  }
+
   // -- retrieval-quality eval operators (VERDICT r13 #4) --
 
   /** Per-position NDCG gains on the 1e8 integer grid: gain(i) =

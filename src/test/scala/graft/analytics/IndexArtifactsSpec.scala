@@ -201,6 +201,17 @@ class IndexArtifactsSpec extends SparkSpec {
       "balanced inserts must follow the penalty map the artifact ships")
   }
 
+  test("list-stats audit: histogram covers the whole corpus and shares sum to ~1000") {
+    val rows = Similarity.ivfListStatsQuery(spark, sfDir).collect()
+    assert(rows.length === 16)
+    val corpus = graft.Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum === corpus,
+      "every corpus vector must appear in exactly one list")
+    val shareSum = rows.map(_.getLong(2)).sum
+    // per-list truncating div loses at most 1 per-mille per list
+    assert(shareSum <= 1000 && shareSum >= 1000 - rows.length)
+  }
+
   // -- deep-BPE model --
 
   test("BPE merge-table artifact round-trips and serves bit-identically") {
