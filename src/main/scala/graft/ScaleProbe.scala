@@ -1067,15 +1067,17 @@ object ScaleProbe {
     def batch(fromHot: Int, untilHot: Int, fromCold: Int, untilCold: Int): Seq[RawTick] =
       hotNames.flatMap(t => series(t, hotTicks, fromHot, untilHot)) ++
         (0L until n).flatMap(k => series(s"C$k", coldTicks, fromCold, untilCold))
-    val ((times, stateRows, evT), tAll) = timed {
-      run(Seq(batch(0, hotTicks / 2, 0, coldTicks / 2),
-        batch(hotTicks / 2, hotTicks, coldTicks / 2, coldTicks)))
-    }
-    // note: batch 2 carries the hot series' SECOND half (ticks 2..40 of
-    // 40) so its arriving volume exceeds batch 1's — the latency gate
-    // compares against that volume ratio, not 1:1
-    val vol1 = nHot * (hotTicks / 2) + n * (coldTicks / 2)
-    val vol2 = nHot * (hotTicks / 2) + n * (coldTicks / 2)
+    val b1 = batch(0, hotTicks / 2, 0, coldTicks / 2)
+    val b2 = batch(hotTicks / 2, hotTicks, coldTicks / 2, coldTicks)
+    val ((times, stateRows, evT), tAll) = timed { run(Seq(b1, b2)) }
+    // arriving volume per batch, derived from the ACTUAL built batches
+    // (equal by construction — every series splits at its own halfway
+    // point), so the emitted provenance matches the latency gate below:
+    // equal volume in, so batch 2's latency must track batch 1's, not
+    // the resident key count (r14 ADVICE: the old hand-derived vol1/vol2
+    // carried a stale "batch 2 exceeds batch 1" note)
+    val vol1 = b1.size
+    val vol2 = b2.size
     val hotVecs = keyVectors(evT.where(col("ticker").startsWith("H")))
     val isolation = hotNames.forall(t => hotVecs.get(t).contains(ctrlVec))
     val stateOk = stateRows == n + nHot && ctrlState == 1L

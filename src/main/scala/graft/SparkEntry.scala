@@ -199,6 +199,7 @@ object SparkEntry {
     "knn_ann_ivf_sq8_served" -> (Similarity.annIvfSq8ServedQuery _), // the SQ8 rung served from its persisted codes/centroids/assign artifacts: no quantize pass in-plan
     "knn_ann_ivf_ins_served" -> (Similarity.annIvfInsertServedQuery _), // the ingest lifecycle: base build + incremental insert by the stored rule + compaction, served; must equal the fresh full index
     "knn_ann_ivf_del_served" -> (Similarity.annIvfDeleteServedQuery _), // the delete lifecycle: full build + tombstoned high-hash tenth, served through the live anti-join path
+    "knn_ann_ivf_proj_served" -> (Similarity.annIvfProjServedQuery _), // the projected rung served from its persisted transform/centroids/assign artifacts: stored sign matrix projects the queries, no corpus projection in-plan
     "q_ivf_list_stats" -> (Similarity.ivfListStatsQuery _), // index ops audit: per-list resident histogram from the persisted membership; oracle replays the rule from scratch = artifact-integrity gate
     "knn_eval" -> (Similarity.knnEvalQuery _), // retrieval-quality eval table: recall@k / MRR@k / NDCG@k per ANN rung vs the exact ground truth, all-integer metrics
     "dedup_embedding_exact" -> (Similarity.embeddingDupExactQuery _),
@@ -854,6 +855,10 @@ object SparkEntry {
     // set is all low-hash, so it survives the delete by construction)
     "knn_ann_ivf_del_served" -> ivfFlatOracleSql(
       s"WHERE ${md5L60("v.vec_id::VARCHAR")} < ${graft.analytics.Similarity.InsertHashThreshold}"),
+    // the projected rung's artifact round trip must change nothing: the
+    // stored sign matrix IS the build matrix, centroids/membership are
+    // the inline chain's — same oracle as the inline twin
+    "knn_ann_ivf_proj_served" -> oracleSqlBase("knn_ann_ivf_proj"),
     "knn_eval" -> knnEvalOracleSql,
     // per-list resident histogram: the oracle re-derives the assignment
     // from the rule while the engine reads the persisted artifact — a
@@ -921,17 +926,43 @@ object SparkEntry {
   private def knnEvalOracleSql: String = {
     val gains = graft.analytics.Similarity.ndcgGains(5)
     val idcg = gains.sum
+    // the delete lifecycle's survivor set: low-hash ids (the engine's
+    // InsertHashThreshold split) — both its serving rung AND its exact
+    // ground truth are scoped to the survivors, so the del row measures
+    // quality-invariance under delete (== a fresh index on the survivors)
+    val survF =
+      s"WHERE ${md5L60("v.vec_id::VARCHAR")} < ${graft.analytics.Similarity.InsertHashThreshold}"
     s"""WITH exact_gt AS (${oracleSqlBase("knn_exact")}),
+        exact_surv AS (
+          SELECT q_id, n_id FROM (
+            SELECT q.q_id, v.vec_id AS n_id,
+              row_number() OVER (PARTITION BY q.q_id
+                ORDER BY round(list_cosine_similarity(q.qe, v.embedding::DOUBLE[]), 4) DESC,
+                         v.vec_id) AS rank
+            FROM (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
+                  FROM embeddings WHERE vec_id < 10) q, embeddings v
+            $survF AND v.vec_id <> q.q_id) t
+          WHERE rank <= 5),
         r_ivf AS (${oracleSqlBase("knn_ann_ivf")}),
         r_pq AS (${oracleSqlBase("knn_ann_ivf_pq")}),
         r_proj AS (${oracleSqlBase("knn_ann_ivf_proj")}),
+        r_del AS (${ivfFlatOracleSql(survF)}),
         ev AS (SELECT 'ivf' AS rung, q_id, rank, n_id FROM r_ivf
                UNION ALL SELECT 'pq' AS rung, q_id, rank, n_id FROM r_pq
-               UNION ALL SELECT 'proj' AS rung, q_id, rank, n_id FROM r_proj),
+               UNION ALL SELECT 'proj' AS rung, q_id, rank, n_id FROM r_proj
+               -- the ingest lifecycle reproduces the fresh index
+               -- row-for-row (the knn_ann_ivf_ins_served law), so its
+               -- eval rung replays from the same fresh-IVF SQL
+               UNION ALL SELECT 'ivf_ins' AS rung, q_id, rank, n_id FROM r_ivf),
         hits AS (SELECT ev.rung, ev.q_id, ev.rank,
                    CASE WHEN e.n_id IS NOT NULL THEN 1 ELSE 0 END AS hit
                  FROM ev LEFT JOIN exact_gt e
-                   ON e.q_id = ev.q_id AND e.n_id = ev.n_id),
+                   ON e.q_id = ev.q_id AND e.n_id = ev.n_id
+                 UNION ALL
+                 SELECT 'ivf_del' AS rung, d.q_id, d.rank,
+                   CASE WHEN s.n_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+                 FROM r_del d LEFT JOIN exact_surv s
+                   ON s.q_id = d.q_id AND s.n_id = d.n_id),
         perq AS (SELECT rung, q_id, sum(hit)::BIGINT AS n_hits,
                    min(CASE WHEN hit = 1 THEN rank END) AS first_hit,
                    sum(CASE WHEN hit = 1

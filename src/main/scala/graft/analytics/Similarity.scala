@@ -52,11 +52,21 @@ object Similarity {
 
   /** Exact cosine top-k: for each query vector (`vec_id < nQueries`), the
     * `k` nearest other vectors. Output: (q_id, n_id, rank, cos). */
-  def knnExact(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+  def knnExact(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame =
+    knnExactWhere(spark, dir, nQueries, k, lit(true))
+
+  /** [[knnExact]] with the NEIGHBOR-candidate corpus filtered by
+    * `corpusPred` — the ground truth for lifecycle rungs whose serving
+    * corpus is a subset (the delete lifecycle's survivors): quality must
+    * be judged against the best answer the SERVING corpus can give, not
+    * against neighbors the index was told to forget. Queries stay
+    * full-corpus (arrivals), exactly like the served rungs. */
+  private[analytics] def knnExactWhere(spark: SparkSession, dir: String, nQueries: Int,
+                                       k: Int, corpusPred: Column): DataFrame = {
     val emb = embeddingsD(spark, dir)
     val q = emb.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
-    val scored = emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
+    val scored = emb.where(corpusPred).join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         round(cosine(col("qe"), col("e")), 4).as("cos"))
     scored.withColumn("rank", row_number().over(
@@ -810,6 +820,13 @@ object Similarity {
     servingPqPath(spark, dir)
     servingSq8Path(spark, dir)
     servingIvfInsPath(spark, dir)
+    // r14 ADVICE: the delete-lifecycle index is benched (not in
+    // headlineSkip) — without a pre-build its first timed attempt pays
+    // the full-corpus rounds-0 build, violating the warm-up contract
+    // that served measurements capture serving cost alone
+    servingIvfDelPath(spark, dir)
+    // r15: the projected rung's artifact (knn_eval reads it too)
+    servingProjPath(spark, dir)
   }
 
   // -- query entry points --
@@ -1144,15 +1161,29 @@ object Similarity {
     * projection as an `outDims`-long array<double> column (each
     * coordinate = exact BIGINT signed sum / 1e6 — one IEEE division, so
     * the doubles are engine-identical). Row-local, zero shuffle. */
-  private[graft] def withProjection(emb: DataFrame, dims: Int, outDims: Int): DataFrame = {
-    val projs = (0 until outDims).map { j =>
-      val signs = typedLit((0 until dims).map(i => rpSign(j, i)))
+  private[graft] def withProjection(emb: DataFrame, dims: Int, outDims: Int): DataFrame =
+    withProjectionSigns(emb, rpSignMatrix(dims, outDims))
+
+  /** The generated ±1 sign matrix itself (row j = output dim j's signs) —
+    * the transform [[buildProjIndex]] persists: a serving session must
+    * project queries with the SAME matrix the index was built with, so
+    * the matrix is index METADATA, not a derivable constant the serving
+    * code may silently re-derive with different parameters. */
+  private[graft] def rpSignMatrix(dims: Int, outDims: Int): Seq[Seq[Long]] =
+    (0 until outDims).map(j => (0 until dims).map(i => rpSign(j, i)))
+
+  /** [[withProjection]] under a CALLER-SUPPLIED sign matrix — the form
+    * the served path uses with the matrix loaded from the artifact
+    * (bit-identical arithmetic: the signs are plan literals either way). */
+  private[graft] def withProjectionSigns(emb: DataFrame, signsM: Seq[Seq[Long]]): DataFrame = {
+    val projs = signsM.zipWithIndex.map { case (sj, j) =>
+      val signs = typedLit(sj)
       (aggregate(zip_with(col("__q"), signs, (x, s) => x * s),
         lit(0L), (a, v) => a + v).cast("double") / lit(1e6)).as(s"__p$j")
     }
     emb.withColumn("__q", transform(col("e"), x => round(x * 1e6, 0).cast("long")))
       .select(Seq(col("vec_id"), col("e")) ++ projs: _*)
-      .withColumn("ep", array((0 until outDims).map(j => col(s"__p$j")): _*))
+      .withColumn("ep", array(signsM.indices.map(j => col(s"__p$j")): _*))
       .select("vec_id", "e", "ep")
   }
 
@@ -1196,8 +1227,21 @@ object Similarity {
       new org.apache.spark.sql.types.StructType()
         .add("c_id", "long", nullable = false)
         .add("ce", "array<double>"))
-    val probes = proj.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("ep").as("qep"))
+    projProbeRank(lists,
+      proj.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"), col("ep").as("qep")),
+      cent, nProbe, k)
+  }
+
+  /** The projected-coarse / exact-fine tail shared by the inline and
+    * served projected rungs: queries probe their nProbe nearest lists by
+    * PROJECTED cosine (`qep` vs the projected-space centroids), the
+    * candidate rank is exact FULL-dimension cosine — identical
+    * expressions to the pre-refactor inline chain, so rows and plan
+    * shape are unchanged. */
+  private def projProbeRank(lists: DataFrame, queriesP: DataFrame,
+                            cent: DataFrame, nProbe: Int, k: Int): DataFrame = {
+    val probes = queriesP
       .join(broadcast(cent), lit(true))
       .select(col("q_id"), col("qe"), col("c_id"),
         round(cosine(col("qep"), col("ce")), 4).as("__cos"))
@@ -1205,20 +1249,88 @@ object Similarity {
         Window.partitionBy("q_id").orderBy(col("__cos").desc, col("c_id"))))
       .where(col("__rk") <= nProbe)
       .select(col("q_id"), col("qe"), col("c_id").as("list_id"))
-    lists.join(broadcast(probes), Seq("list_id"))
-      .where(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("qe"), col("vec_id").as("n_id"), col("e"))
-      .dropDuplicates("q_id", "n_id")
-      .select(col("q_id"), col("n_id"),
-        round(cosine(col("qe"), col("e")), 4).as("cos"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))).cast("long"))
-      .where(col("rank") <= k)
-      .select("q_id", "n_id", "rank", "cos")
+    rankCandidates(
+      lists.join(broadcast(probes), Seq("list_id"))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("qe"), col("vec_id").as("n_id"), col("e"))
+        .dropDuplicates("q_id", "n_id"), k)
   }
 
   def annIvfProjectedQuery(spark: SparkSession, dir: String): DataFrame =
     annIvfProjected(spark, dir).orderBy("q_id", "rank")
+
+  // -- persisted projected-IVF index (VERDICT r14 #3: the proj rung's
+  //    artifact face — the OPQ-style coarse stage production serves from
+  //    disk, previously re-trained inline on every run) --
+
+  /** Build the PROJECTED-IVF index artifacts:
+    *  - `<path>/proj`: the signed JL transform itself, one row per
+    *    output dim `(j, signs: array<long>)` — the matrix is part of the
+    *    index (queries must be projected with the SAME transform at
+    *    serve time or probing is meaningless);
+    *  - `<path>/centroids`: (c_id, ce) with `ce` in PROJECTED space;
+    *  - `<path>/assign`: the membership under the projected-space rule.
+    * Build cost is the [[annIvfProjected]] inline chain's training half
+    * paid once; serving reads files (the [[buildIvfIndex]] story with
+    * the transform as a third artifact). */
+  def buildProjIndex(spark: SparkSession, dir: String, path: String,
+                     nLists: Int = 16, outDims: Int = 16, dims: Int = 64): Unit = {
+    val signsM = rpSignMatrix(dims, outDims)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          signsM.zipWithIndex.map { case (sj, j) =>
+            org.apache.spark.sql.Row(j.toLong, sj) }, 1),
+        new org.apache.spark.sql.types.StructType()
+          .add("j", "long", nullable = false)
+          .add("signs", "array<long>"))
+      .write.mode("overwrite").parquet(path + "/proj")
+    val proj = withProjectionSigns(embeddingsD(spark, dir), signsM)
+    val cents = hashCentroids(proj.select(col("vec_id"), col("ep").as("e")), nLists)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          cents.toSeq.map { case (cid, ce) => org.apache.spark.sql.Row(cid, ce.toSeq) }, 1),
+        new org.apache.spark.sql.types.StructType()
+          .add("c_id", "long", nullable = false)
+          .add("ce", "array<double>"))
+      .write.mode("overwrite").parquet(path + "/centroids")
+    proj.withColumn("list_id", listIdColFor(cents)(col("ep")))
+      .select("vec_id", "list_id")
+      .write.mode("overwrite").parquet(path + "/assign")
+  }
+
+  /** Load the persisted sign matrix back (row order = output dim). */
+  def loadProjSigns(spark: SparkSession, path: String): Seq[Seq[Long]] =
+    spark.read.parquet(path + "/proj").orderBy("j")
+      .collect().map(_.getSeq[Long](1)).toSeq
+
+  /** Projected-IVF served FROM the artifacts: the stored sign matrix
+    * projects the QUERIES (plan literals, exactly the build arithmetic),
+    * centroids load as model parameters, membership is a parquet scan —
+    * no corpus projection pass, no assignment expression in the plan.
+    * Rows are bit-identical to [[annIvfProjected]] at the same
+    * parameters ([[IndexArtifactsSpec]] pins the equality; the oracled
+    * `knn_ann_ivf_proj_served` replays the inline SQL). */
+  def annIvfProjServe(spark: SparkSession, dir: String, path: String,
+                      nQueries: Int = 10, k: Int = 5, nProbe: Int = 4): DataFrame = {
+    val signsM = loadProjSigns(spark, path)
+    val emb = embeddingsD(spark, dir)
+    val cent = spark.read.parquet(path + "/centroids")
+    val lists = emb.join(spark.read.parquet(path + "/assign"), "vec_id")
+    projProbeRank(lists,
+      withProjectionSigns(emb.where(col("vec_id") < nQueries), signsM)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"), col("ep").as("qep")),
+      cent, nProbe, k)
+  }
+
+  /** The session's build-once projected-IVF serving artifact. */
+  private[analytics] def servingProjPath(spark: SparkSession, dir: String): String =
+    ArtifactCache.path(s"proj:$dir")(p => buildProjIndex(spark, dir, p))
+
+  /** `knn_ann_ivf_proj_served` — the projected rung through the
+    * build-once/serve-forever lifecycle. Oracle: identical SQL to
+    * `knn_ann_ivf_proj` — the artifact round trip must change nothing. */
+  def annIvfProjServedQuery(spark: SparkSession, dir: String): DataFrame =
+    annIvfProjServe(spark, dir, servingProjPath(spark, dir)).orderBy("q_id", "rank")
 
   /** Contrastive training-triplet mining — the (query, positive,
     * negatives) assembly an embedding-model training run consumes
@@ -2060,6 +2172,17 @@ object Similarity {
     val cents = loadIvfCentroids(spark, path)
     val penPath = new org.apache.hadoop.fs.Path(path + "/penalties")
     val fs = penPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // r14 ADVICE guard: an SQ8/PQ index serves through an inner join on
+    // its codes artifact — a membership-only insert would leave the new
+    // vectors code-less and they would silently vanish from serving.
+    // Insert currently supports the flat/refined/balanced families only;
+    // fail loudly instead of corrupting a coded index.
+    Seq("codes", "codebooks").foreach { art =>
+      require(!fs.exists(new org.apache.hadoop.fs.Path(path + "/" + art)),
+        s"ivfInsert into $path: index carries a '$art' artifact (SQ8/PQ family) — " +
+          "membership-only insert would drop the new vectors from coded serving; " +
+          "rebuild the coded index instead")
+    }
     val assignCol =
       if (fs.exists(penPath)) listIdColPenalized(cents, loadIvfPenalties(spark, path))(col("e"))
       else listIdColFor(cents)(col("e"))
@@ -2075,13 +2198,32 @@ object Similarity {
     * `list_id` into `nFiles` files — dropping the exact-duplicate rows an
     * at-least-once streaming replay can append — and swaps directories
     * via two FS renames; the membership SET is untouched, so serving is
-    * bit-identical before and after (spec-pinned). */
+    * bit-identical before and after (spec-pinned).
+    *
+    * Crash safety + concurrency contract (r14 ADVICE): every rename's
+    * boolean result is CHECKED — a failed first rename aborts with the
+    * live `assign` untouched (tmp cleaned), a failed second rename rolls
+    * the old dir back before aborting — and a stale `assign_old` left by
+    * an interrupted prior compaction fails fast instead of being
+    * silently deleted. Compaction REQUIRES the ingest to be quiesced:
+    * membership files appended between the snapshot read and the swap
+    * would vanish with the old dir, so the swap re-lists the directory
+    * and aborts if the file set moved under it (best-effort guard — the
+    * authoritative rule is "do not compact under live ingest";
+    * [[StreamingIvfIngest]] documents the same exclusion). */
   def ivfCompact(spark: SparkSession, path: String, nFiles: Int = 1): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val assign = new org.apache.hadoop.fs.Path(path + "/assign")
     val tmp = new org.apache.hadoop.fs.Path(path + "/assign_compact_tmp")
     val old = new org.apache.hadoop.fs.Path(path + "/assign_old")
     val fs = assign.getFileSystem(conf)
+    require(!fs.exists(old),
+      s"stale $old from an interrupted compaction — resolve it (restore or delete) first")
+    // snapshot of the membership file set: the swap below re-checks it so
+    // rows appended by a concurrent ingest micro-batch are never dropped
+    def assignFiles(): Set[String] =
+      fs.listStatus(assign).map(_.getPath.getName).toSet
+    val snapshotFiles = assignFiles()
     // dropDuplicates: an at-least-once ingest replay ([[StreamingIvfIngest]])
     // appends bit-identical rows (the stored-rule assignment is
     // deterministic); they are invisible to serving (probes dedup on
@@ -2099,8 +2241,23 @@ object Similarity {
     applied
       .repartition(nFiles, col("list_id"))
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.rename(assign, old)
-    fs.rename(tmp, assign)
+    if (assignFiles() != snapshotFiles) {
+      fs.delete(tmp, true)
+      sys.error(s"membership files changed under compaction of $path " +
+        "(live ingest?) — aborted; quiesce the ingest and retry")
+    }
+    if (!fs.rename(assign, old)) {
+      fs.delete(tmp, true)
+      sys.error(s"compaction of $path aborted: rename($assign, $old) failed; index untouched")
+    }
+    if (!fs.rename(tmp, assign)) {
+      // roll back so the index never loses its assign dir
+      if (!fs.rename(old, assign))
+        sys.error(s"compaction of $path failed AND rollback failed: " +
+          s"membership is at $old — restore it manually")
+      fs.delete(tmp, true)
+      sys.error(s"compaction of $path aborted: rename($tmp, $assign) failed; index rolled back")
+    }
     fs.delete(old, true)
     fs.delete(tombP, true)
     ()
@@ -2232,16 +2389,39 @@ object Similarity {
       .select(col("q_id"), col("n_id"), lit(1L).as("__hit"))
     def tagged(rung: String, df: DataFrame): DataFrame =
       df.select(lit(rung).as("rung"), col("q_id"), col("rank"), col("n_id"))
-    // ivf/pq enter through their SERVED faces — row-identical to the
-    // inline chains (IndexArtifactsSpec pins both equalities, and the
+    // every rung enters through its SERVED face — row-identical to the
+    // inline chains (IndexArtifactsSpec pins the equalities, and the
     // oracle replays the inline SQL), but the eval measures QUALITY, so
     // it reads the session's persisted indexes instead of re-paying
-    // Lloyd/encode training per run; proj has no artifact face yet
+    // Lloyd/encode/projection training per run (r14 VERDICT #3: proj now
+    // has its artifact face and reads it here like the others)
     val ev = tagged("ivf", annIvfServed(spark, dir, nQueries, k))
       .unionByName(tagged("pq",
         annIvfPqServe(spark, dir, servingPqPath(spark, dir), nQueries, k)))
-      .unionByName(tagged("proj", annIvfProjected(spark, dir, nQueries, k)))
+      .unionByName(tagged("proj",
+        annIvfProjServe(spark, dir, servingProjPath(spark, dir), nQueries, k)))
+      // the CRUD lifecycle faces (r14 VERDICT #4): an ingest cycle that
+      // silently dropped tombstone anti-joins or double-counted replayed
+      // membership rows would still pass same-session row-equality specs
+      // — here its RECALL is an oracled row. ivf_ins serves base+insert+
+      // compact and must score exactly like the fresh `ivf` rung (the
+      // lifecycle reproduces the fresh index row-for-row)...
+      .unionByName(tagged("ivf_ins",
+        annIvfServe(spark, dir, servingIvfInsPath(spark, dir), nQueries, k)))
+    // ...while ivf_del serves with live tombstones and is judged against
+    // the exact ground truth OVER THE SURVIVORS — the best answer the
+    // post-delete corpus can give — so its metrics equal a fresh index
+    // built on the surviving corpus (quality-invariance under delete)
+    val survPred =
+      graft.functions.Hashes.md5Long60(col("vec_id").cast("string")) <
+        lit(InsertHashThreshold)
+    val exactSurv = knnExactWhere(spark, dir, nQueries, k, survPred)
+      .select(col("q_id"), col("n_id"), lit(1L).as("__hit"))
+    val evDel = tagged("ivf_del",
+      annIvfServe(spark, dir, servingIvfDelPath(spark, dir), nQueries, k))
     evalRungs(exact, ev, nQueries, k)
+      .unionByName(evalRungs(exactSurv, evDel, nQueries, k))
+      .orderBy("rung")
   }
 
   /** The scoring core of [[knnEval]] over prepared frames — `exact` is

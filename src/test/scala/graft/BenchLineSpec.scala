@@ -108,7 +108,8 @@ class BenchLineSpec extends AnyFunSuite {
     val all = Seq(("cheap_one", 0.2), ("slow_one", 99.0), ("other_slow", 98.0))
     val prov = Map(
       "cheap_one" -> Vector(Bench.Prov(1.5, 12L, 7)),
-      "slow_one" -> Vector(Bench.Prov(30.0, 940L, 41), Bench.Prov(2.0, 5L, 41)))
+      "slow_one" -> Vector(Bench.Prov(30.0, 940L, 41, 3L, 12L, 0L),
+        Bench.Prov(2.0, 5L, 41, 880L, 951L, 7L)))
     val root = om.readTree(Bench.renderFull(all, Map.empty,
       Map("slow_one" -> Vector(99.0, 99.5)), "/sf0.1", prov))
     // detail: one entry per measured query in prov, attempt-aligned arrays
@@ -116,22 +117,46 @@ class BenchLineSpec extends AnyFunSuite {
     assert(d.get("xcpu_pm").size == 2 && d.get("xcpu_pm").get(0).asLong == 940L)
     assert(d.get("load1").get(0).asDouble == 30.0)
     assert(d.get("jobs").asInt == 41)
+    // r15: the I/O/memory provenance rides in the same attempt-aligned form
+    assert(d.get("iow_pm").get(1).asLong == 880L)
+    assert(d.get("psi_io").get(1).asLong == 951L)
+    assert(d.get("psi_mem").get(1).asLong == 7L)
     // regr: EVERY query above threshold (99 and 98 both exceed any warm
     // ref in the resource, or the 1.5 s fallback), with its threshold
     assert(root.get("nregr").asInt >= 2)
     assert(root.get("regr").get("slow_one").get("thr").isNumber)
     assert(root.get("regr").get("other_slow") != null, "regr list must be uncapped in the file")
-    // sweep-level load summary
+    // r15: a regr entry must be adjudicable ALONE — it carries the full
+    // per-attempt provenance arrays, not just value/threshold
+    val rg = root.get("regr").get("slow_one")
+    assert(rg.get("xcpu_pm").size == 2 && rg.get("iow_pm").get(1).asLong == 880L &&
+      rg.get("psi_io").get(1).asLong == 951L && rg.get("psi_mem").size == 2 &&
+      rg.get("load1").get(0).asDouble == 30.0,
+      s"regr entry must carry attempt provenance: $rg")
+    // sweep-level load summary: CPU avg/max plus the I/O-class maxima
     assert(root.get("load").get("xcpu_pm_max").asLong == 940L)
+    assert(root.get("load").get("iow_pm_max").asLong == 880L)
+    assert(root.get("load").get("psi_io_max").asLong == 951L)
+    assert(root.get("load").get("psi_mem_max").asLong == 7L)
   }
 
   test("tail line carries the sweep-level xload summary at every rung") {
     val all = results(120)
-    val prov = all.map { case (k, _) => k -> Vector(Bench.Prov(1.0, 37L, 3)) }.toMap
+    val prov = all.map { case (k, _) =>
+      k -> Vector(Bench.Prov(1.0, 37L, 3, 5L, 9L, 0L)) }.toMap
     val tight = Bench.renderLine(all, Map.empty, Map.empty, "/sf", 1850, prov)
-    assert(tight.contains(""""xload":{"avg":37,"max":37}"""),
+    assert(tight.contains(""""xload":{"avg":37,"max":37,"iow":5,"psio":9,"psim":0}"""),
       s"xload summary missing from the shed/aliased rung: $tight")
     val wide = Bench.renderLine(all, Map.empty, Map.empty, "/sf", Int.MaxValue, prov)
     assert(wide.contains(""""xload":"""))
+  }
+
+  test("PSI stall per-mille arithmetic and sentinels") {
+    // 1 s wall window with 0.4 s some-stalled => 400 pm; clamped at 1000;
+    // -1 sentinels when the counter is unreadable or the window is empty
+    assert(Bench.HostLoad.psiPm(1000000L, 1400000L, 0L, 1000000000L) == 400L)
+    assert(Bench.HostLoad.psiPm(0L, 5000000L, 0L, 1000000000L) == 1000L)
+    assert(Bench.HostLoad.psiPm(-1L, 100L, 0L, 1000000000L) == -1L)
+    assert(Bench.HostLoad.psiPm(0L, 100L, 5L, 5L) == -1L)
   }
 }

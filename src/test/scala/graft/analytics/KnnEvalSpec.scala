@@ -71,13 +71,40 @@ class KnnEvalSpec extends SparkSpec {
     assert(metrics(half)("h") === ((1000L / 2, 1000000L / 2, 1000L / 2)))
   }
 
-  test("the registered query's three rungs stay within metric ranges on real data") {
+  test("the registered query's five rungs stay within metric ranges on real data") {
     val rows = Similarity.knnEval(spark, sfDir).collect()
-    assert(rows.map(_.getString(0)).toSeq === Seq("ivf", "pq", "proj"))
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("ivf", "ivf_del", "ivf_ins", "pq", "proj"))
     rows.foreach { r =>
       assert(r.getLong(1) >= 0 && r.getLong(1) <= 1000, s"recall_pm out of range: $r")
       assert(r.getLong(2) >= 0 && r.getLong(2) <= 1000000, s"mrr_ppm out of range: $r")
       assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000, s"ndcg_pm out of range: $r")
     }
+  }
+
+  test("lifecycle quality-invariance (VERDICT r14 #4): ins scores == fresh ivf; del == fresh index on survivors") {
+    val t = Similarity.knnEval(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // base build + insert by the stored rule + compact must not move a
+    // single quality metric off the fresh index's
+    assert(t("ivf_ins") === t("ivf"),
+      s"ingest lifecycle regressed retrieval quality: ${t("ivf_ins")} vs ${t("ivf")}")
+    // the delete lifecycle, judged against the survivors' exact ground
+    // truth, must equal a FRESH index built on the surviving corpus
+    import org.apache.spark.sql.functions.{col, lit}
+    val survPred = graft.functions.Hashes.md5Long60(col("vec_id").cast("string")) <
+      lit(Similarity.InsertHashThreshold)
+    val exactSurv = Similarity.knnExactWhere(spark, sfDir, 10, 5, survPred)
+      .select(col("q_id"), col("n_id"), lit(1L).as("__hit"))
+    val embL = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val p = java.nio.file.Files.createTempDirectory("graft_evalsurv").toString
+    Similarity.buildIvfIndexOf(spark, embL.where(survPred), p, nLists = 16, rounds = 0)
+    val freshDel = Similarity.annIvfServe(spark, sfDir, p)
+      .select(lit("ivf_del").as("rung"), col("q_id"), col("rank"), col("n_id"))
+    val want = Similarity.evalRungs(exactSurv, freshDel, 10, 5).collect()
+      .map(r => ((r.getLong(1), r.getLong(2), r.getLong(3)))).head
+    assert(t("ivf_del") === want,
+      s"delete lifecycle quality != fresh survivor index: ${t("ivf_del")} vs $want")
   }
 }
