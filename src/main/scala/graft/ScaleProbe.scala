@@ -1293,6 +1293,9 @@ object ScaleProbe {
     // streamkeys: 100k tickers through the ingest state machine (the
     // many-key axis); the 1M rung is run/recorded manually in SCALING.md
     "streamkeys" -> 100000L,
+    // ivfingest: 1M-vector index + 100 one-file insert batches — the
+    // file-count regime where ivfCompact's motivation is measurable
+    "ivfingest" -> 1000000L,
     // dsir: 1M 40-word docs -> 40M word occurrences through the bucket
     // model and the weight aggregation; model stays 64 rows
     "dsir" -> 1000000L,
@@ -1424,6 +1427,89 @@ object ScaleProbe {
     ok
   }
 
+  /** INDEX-INGEST LIFECYCLE at probe volume (VERDICT r14 #5):
+    * [[graft.analytics.Similarity.ivfCompact]]'s motivation — "file-count
+    * growth degrades scan planning long before data size does" — was
+    * asserted, never measured. This arm builds a rounds-0 IVF index over
+    * `n` synthetic vectors, streams 100 [[Similarity.ivfInsert]] batches
+    * into it (one appended file each, the streaming-ingest shape),
+    * measures SERVE latency at batch counts {0, 25, 50, 100}, compacts
+    * through the [[Similarity.ivfCompactIfNeeded]] trigger, then applies
+    * a 10% tombstone mass and re-measures through the live anti-join and
+    * after the tombstone-applying compaction. Correctness rides along:
+    * the serving fingerprint is bit-stable across compaction (membership
+    * set untouched), and no tombstoned id ever surfaces as a neighbor. */
+  private def probeIvfIngest(spark: org.apache.spark.sql.SparkSession, n: Long): Boolean = {
+    import graft.analytics.Similarity
+    val batches = 100
+    val batchSize = math.max(100L, n / 1000)
+    def synth(from: Long, until: Long): DataFrame =
+      spark.range(from, until).select(col("id").as("vec_id"))
+        .select(col("vec_id"), expr(
+          """transform(sequence(0, 63), d ->
+            |  ((cast(conv(substring(md5(concat('v:', cast(vec_id as string), ':', cast(d as string))), 1, 15), 16, 10) as long) % 2001) - 1000) / 1000.0D)""".stripMargin)
+          .as("e"))
+    // the full post-ingest corpus: serving joins it to the membership, so
+    // pre-insert serves simply see no rows for the not-yet-inserted ids
+    val full = synth(0, n + batches * batchSize).cache()
+    full.count()
+    val p = java.nio.file.Files.createTempDirectory("graft_ivfingest").toString
+    val (_, tBuild) = timed {
+      Similarity.buildIvfIndexOf(spark, full.where(col("vec_id") < n), p,
+        nLists = 64, rounds = 0)
+    }
+    def serve(): Double = run(Similarity.annIvfServeOf(spark, full, p, nProbe = 8))
+    def fp(): Long = Similarity.annIvfServeOf(spark, full, p, nProbe = 8)
+      .agg(sum(col("q_id") * 1000003L + col("n_id") * 31L + col("rank"))).head().getLong(0)
+    val files0 = Similarity.ivfAssignFileCount(spark, p)
+    val tServe0 = serve()
+    val serveAt = scala.collection.mutable.LinkedHashMap[Int, Double]()
+    val (_, tIngest) = timed {
+      var b = 0
+      while (b < batches) {
+        Similarity.ivfInsert(spark, p,
+          synth(n + b * batchSize, n + (b + 1) * batchSize).coalesce(1))
+        b += 1
+        if (b == 25 || b == 50) serveAt(b) = serve()
+      }
+    }
+    val files100 = Similarity.ivfAssignFileCount(spark, p)
+    serveAt(100) = serve()
+    val fpPre = fp()
+    val (compacted, tCompact) = timed {
+      Similarity.ivfCompactIfNeeded(spark, p, maxFiles = 64, nFiles = 8)
+    }
+    val filesC = Similarity.ivfAssignFileCount(spark, p)
+    val tServeC = serve()
+    val fpPost = fp()
+    // 10% tombstone mass over the ingested index
+    val thr = graft.analytics.Similarity.InsertHashThreshold
+    val h = graft.functions.Hashes.md5Long60(col("vec_id").cast("string"))
+    val deleted = full.where(h >= lit(thr)).select("vec_id")
+    Similarity.ivfDelete(spark, p, deleted)
+    val tServeTomb = serve()
+    val leak = Similarity.annIvfServeOf(spark, full, p, nProbe = 8)
+      .join(deleted.withColumnRenamed("vec_id", "n_id"), "n_id").count()
+    Similarity.ivfCompact(spark, p, nFiles = 8)
+    val tServeTc = serve()
+    full.unpersist()
+    val ok = compacted && fpPre == fpPost && leak == 0L &&
+      files100 >= files0 + batches && filesC <= 8
+    println(s"""{"probe":"ivfingest","n":$n,"batches":$batches,""" +
+      s""""batch_size":$batchSize,"build_sec":${f"$tBuild%.1f"},""" +
+      s""""ingest_sec":${f"$tIngest%.1f"},""" +
+      s""""files":{"base":$files0,"after100":$files100,"compacted":$filesC},""" +
+      s""""serve_sec":{"b0":${f"$tServe0%.2f"},"b25":${f"${serveAt(25)}%.2f"},""" +
+      s""""b50":${f"${serveAt(50)}%.2f"},"b100":${f"${serveAt(100)}%.2f"},""" +
+      s""""compacted":${f"$tServeC%.2f"},"tombstoned":${f"$tServeTomb%.2f"},""" +
+      s""""tomb_compacted":${f"$tServeTc%.2f"}},""" +
+      s""""compact_sec":${f"$tCompact%.1f"},"fp_stable":${fpPre == fpPost},""" +
+      s""""tomb_leak":$leak,"ok":$ok}""")
+    if (!ok) System.err.println(s"[scaleprobe] ivfingest NOT ok: compacted=$compacted " +
+      s"fp $fpPre/$fpPost leak=$leak files $files0/$files100/$filesC")
+    ok
+  }
+
   def main(args: Array[String]): Unit = {
     val (which, nOpt) = args.toList match {
       case name :: num :: _ => (name, Some(num.toLong))
@@ -1454,6 +1540,7 @@ object ScaleProbe {
       case "pagerankskew" => probePagerankSkew(spark, size)
       case "kmv" => probeKmv(spark, size)
       case "streamkeys" => probeStreamKeys(spark, size)
+      case "ivfingest" => probeIvfIngest(spark, size)
       case "mmr" => probeMmr(spark, size)
       case "dsir" => probeDsir(spark, size)
       case other =>

@@ -229,6 +229,8 @@ object SparkEntry {
     "mm_decode_features" -> (Multimodal.decodeFeaturesQuery _),
     "mm_frame_sample" -> (Multimodal.frameSampleQuery _),
     "mm_media_probe" -> (Multimodal.mediaProbeQuery _), // REAL BMP/WAV header build+parse round trip
+    "mm_phash_dedup" -> (Multimodal.phashDedupQuery _), // perceptual dHash over the decoded BMP grid -> banded-Hamming near-dup pairs (never all-pairs)
+    "txt_html_extract" -> (TextAnalysis.htmlExtractQuery _), // HTML -> text boilerplate extraction (tag strip + text-density + link-density block gates), chained into the c4 gate
   )
 
   // ---- DuckDB oracle SQL building blocks (documents track) ----
@@ -384,6 +386,34 @@ object SparkEntry {
   /** 60-bit / 32-bit md5-derived ints (mirror of graft.functions.Hashes). */
   private def md5L60(x: String) = s"('0x'||substr(md5($x),1,15))::UBIGINT::BIGINT"
   private def md5L32(x: String) = s"('0x'||substr(md5($x),1,8))::UBIGINT::BIGINT"
+
+  /** The c4 quality-gate verdict SELECT over a (doc_id, text) relation
+    * (mirror of `TextAnalysis.c4Filter`) — shared by `txt_c4_filter`
+    * (over documents) and `txt_html_extract` (over its extracted-text
+    * CTE), so the gate arithmetic cannot drift between the two faces. */
+  private def c4GateOracleSql(srcRel: String): String =
+    s"""SELECT doc_id, n_tokens, lang_pred,
+          reason = 'ok' AS keep, reason FROM (
+            SELECT doc_id, n_tokens, lang_pred,
+              CASE WHEN n_tokens < 20 THEN 'too_short'
+                   WHEN n_tokens > 1000 THEN 'too_long'
+                   WHEN n_punct * 10 > n_chars THEN 'too_much_punct'
+                   WHEN n_stop * 20 < n_tokens THEN 'too_few_stopwords'
+                   WHEN lang_pred <> 'en' THEN 'non_english'
+                   ELSE 'ok' END AS reason
+            FROM (
+              SELECT doc_id, len($toksSql)::BIGINT AS n_tokens,
+                length(text)::BIGINT AS n_chars,
+                len(regexp_extract_all(text, '[.!?,;:]'))::BIGINT AS n_punct,
+                len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is)\\b'))::BIGINT AS n_stop,
+                CASE WHEN len(regexp_extract_all(text, '\\b(the|order|fast|scan)\\b')) >= len(regexp_extract_all(text, '\\b(stream|merge|window)\\b'))
+                      AND len(regexp_extract_all(text, '\\b(the|order|fast|scan)\\b')) >= len(regexp_extract_all(text, '\\b(table|query|group)\\b'))
+                      AND len(regexp_extract_all(text, '\\b(the|order|fast|scan)\\b')) >= len(regexp_extract_all(text, '\\b(join|filter|sort)\\b')) THEN 'en'
+                     WHEN len(regexp_extract_all(text, '\\b(stream|merge|window)\\b')) >= len(regexp_extract_all(text, '\\b(table|query|group)\\b'))
+                      AND len(regexp_extract_all(text, '\\b(stream|merge|window)\\b')) >= len(regexp_extract_all(text, '\\b(join|filter|sort)\\b')) THEN 'de'
+                     WHEN len(regexp_extract_all(text, '\\b(table|query|group)\\b')) >= len(regexp_extract_all(text, '\\b(join|filter|sort)\\b')) THEN 'es'
+                     ELSE 'fr' END AS lang_pred
+              FROM $srcRel) b) r"""
 
   /** Extent-merged duplicated-position islands (mirror of
     * `Dedup.mergedIntervals`): positions in a `(doc_id, pos)` hit CTE
@@ -2647,29 +2677,43 @@ object SparkEntry {
                                 ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS wmin
             FROM g) t
           WHERE fp = wmin""",
-    "txt_c4_filter" ->
-      s"""SELECT doc_id, n_tokens, lang_pred,
-          reason = 'ok' AS keep, reason FROM (
-            SELECT doc_id, n_tokens, lang_pred,
-              CASE WHEN n_tokens < 20 THEN 'too_short'
-                   WHEN n_tokens > 1000 THEN 'too_long'
-                   WHEN n_punct * 10 > n_chars THEN 'too_much_punct'
-                   WHEN n_stop * 20 < n_tokens THEN 'too_few_stopwords'
-                   WHEN lang_pred <> 'en' THEN 'non_english'
-                   ELSE 'ok' END AS reason
-            FROM (
-              SELECT doc_id, len($toksSql)::BIGINT AS n_tokens,
-                length(text)::BIGINT AS n_chars,
-                len(regexp_extract_all(text, '[.!?,;:]'))::BIGINT AS n_punct,
-                len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is)\\b'))::BIGINT AS n_stop,
-                CASE WHEN len(regexp_extract_all(text, '\\b(the|order|fast|scan)\\b')) >= len(regexp_extract_all(text, '\\b(stream|merge|window)\\b'))
-                      AND len(regexp_extract_all(text, '\\b(the|order|fast|scan)\\b')) >= len(regexp_extract_all(text, '\\b(table|query|group)\\b'))
-                      AND len(regexp_extract_all(text, '\\b(the|order|fast|scan)\\b')) >= len(regexp_extract_all(text, '\\b(join|filter|sort)\\b')) THEN 'en'
-                     WHEN len(regexp_extract_all(text, '\\b(stream|merge|window)\\b')) >= len(regexp_extract_all(text, '\\b(table|query|group)\\b'))
-                      AND len(regexp_extract_all(text, '\\b(stream|merge|window)\\b')) >= len(regexp_extract_all(text, '\\b(join|filter|sort)\\b')) THEN 'de'
-                     WHEN len(regexp_extract_all(text, '\\b(table|query|group)\\b')) >= len(regexp_extract_all(text, '\\b(join|filter|sort)\\b')) THEN 'es'
-                     ELSE 'fr' END AS lang_pred
-              FROM documents) b) r""",
+    "txt_c4_filter" -> c4GateOracleSql("documents"),
+    "txt_html_extract" ->
+      // the extraction CTEs mirror TextAnalysis.htmlOf/htmlExtract (same
+      // RE2-safe regexes, same integer link-density per-mille, same
+      // block-order string_agg), then the SHARED c4-gate SQL runs over
+      // the extracted text exactly as it runs over documents
+      s"""WITH h AS (SELECT doc_id,
+            '<html><head><title>Doc ' || doc_id || '</title></head><body>' || chr(10) ||
+            '<div class="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a> <a href="/login">Log in</a></div>' || chr(10) ||
+            '<h1>Document ' || doc_id || '</h1>' || chr(10) ||
+            '<p>' || regexp_replace(text, 'spark', '<a href="/spark">spark framework docs link</a>', 'g') || '</p>' || chr(10) ||
+            '<p>See <a href="/d">the canonical version</a> and <a href="/r">a related document</a>.</p>' || chr(10) ||
+            '<div class="footer"><a href="/terms">Terms</a> <a href="/privacy">Privacy</a> <a href="/imprint">Imprint</a></div>' || chr(10) ||
+            '</body></html>' AS html
+          FROM documents),
+          bl AS (SELECT doc_id, p.i AS pos, l[p.i] AS block
+                 FROM (SELECT doc_id, string_split(html, chr(10)) AS l FROM h) t,
+                      LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) p),
+          sc AS (SELECT doc_id, pos,
+                   trim(regexp_replace(block, '<[^>]*>', '', 'g')) AS btext,
+                   -- coalesce: DuckDB's array_to_string of an EMPTY
+                   -- extract list is NULL, not '' (Spark's array_join
+                   -- gives ''), and a NULL alen would null the gate
+                   coalesce(length(array_to_string(
+                     regexp_extract_all(block, '<a [^>]*>([^<]*)</a>', 1), '')), 0)::BIGINT AS alen
+                 FROM bl),
+          g2 AS (SELECT doc_id, pos, btext,
+                   length(btext) >= 25 AND alen * 1000 // greatest(length(btext), 1) <= 300 AS keepb
+                 FROM sc),
+          ex AS (SELECT doc_id, count(*)::BIGINT AS n_blocks,
+                   sum(CASE WHEN keepb THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+                   coalesce(string_agg(CASE WHEN keepb THEN btext END, ' ' ORDER BY pos), '') AS text
+                 FROM g2 GROUP BY doc_id),
+          cg AS (${c4GateOracleSql("ex")})
+          SELECT e.doc_id, e.n_blocks, e.n_kept, length(e.text)::BIGINT AS ex_chars,
+                 c.n_tokens, c.lang_pred, c.keep, c.reason
+          FROM ex e JOIN cg c USING (doc_id)""",
     "pipe_prep" ->
       // the composition mirror: each CTE is the oracle of one already-
       // verified stage (c4 gate, exact-dedup keepers, fold split, 13-gram
@@ -3675,5 +3719,48 @@ object SparkEntry {
           SELECT doc_id, k*4 AS frame_idx, n_frames,
             md5(substring(text, (k*128 + 1)::INT, 32)) AS frame_md5
           FROM s""",
+    "mm_phash_dedup" ->
+      // replays Multimodal.dHash's decoded-BMP arithmetic from first
+      // principles on the text side (ascii parity: byte == char): the
+      // width-9 wrap puts payload byte 3p..3p+2 under pixel p (row
+      // padding consumes no payload), so lum(p) = (b0+b1+b2) div 3 with
+      // zero fill past len; 9x8 average-pooled cells (cell row =
+      // pixelrow*8 div height, missing cells 0), dHash bit = left > right
+      // neighbor, halves h0/h1 by bit (r%4)*8+j; then the SAME 4x16-bit
+      // banded-Hamming pair join the engine runs (Dedup.hash64Pairs)
+      """WITH d AS (SELECT doc_id, text, length(text)::BIGINT AS len,
+                      greatest(1, (((length(text) + 2) // 3) + 8) // 9)::BIGINT AS hh
+                    FROM documents),
+          px AS (SELECT doc_id, hh, p.p,
+                   ((CASE WHEN 3*p.p   < len THEN ascii(substr(text, (3*p.p+1)::INT, 1)) ELSE 0 END
+                   + CASE WHEN 3*p.p+1 < len THEN ascii(substr(text, (3*p.p+2)::INT, 1)) ELSE 0 END
+                   + CASE WHEN 3*p.p+2 < len THEN ascii(substr(text, (3*p.p+3)::INT, 1)) ELSE 0 END) // 3)::BIGINT AS lum
+                 FROM d, LATERAL (SELECT unnest(range(0, 9*hh)) AS p) p),
+          cells0 AS (SELECT doc_id, ((p // 9) * 8 // hh)::BIGINT AS cr, (p % 9)::BIGINT AS cc,
+                       (sum(lum) // count(*))::BIGINT AS avgl
+                     FROM px GROUP BY doc_id, cr, cc),
+          grid AS (SELECT dd.doc_id, r.r AS cr, c.c AS cc, coalesce(cl.avgl, 0)::BIGINT AS avgl
+                   FROM (SELECT doc_id FROM d) dd
+                   CROSS JOIN (SELECT unnest(range(0, 8)) AS r) r
+                   CROSS JOIN (SELECT unnest(range(0, 9)) AS c) c
+                   LEFT JOIN cells0 cl ON cl.doc_id = dd.doc_id AND cl.cr = r.r AND cl.cc = c.c),
+          bits AS (SELECT a.doc_id, a.cr, a.cc,
+                     CASE WHEN a.avgl > b.avgl THEN 1 ELSE 0 END AS bit
+                   FROM grid a JOIN grid b ON b.doc_id = a.doc_id AND b.cr = a.cr AND b.cc = a.cc + 1
+                   WHERE a.cc < 8),
+          hv AS (SELECT doc_id,
+                   sum(CASE WHEN cr < 4 THEN bit * (1::BIGINT << ((cr*8 + cc))::INT) ELSE 0 END)::BIGINT AS h0,
+                   sum(CASE WHEN cr >= 4 THEN bit * (1::BIGINT << (((cr-4)*8 + cc))::INT) ELSE 0 END)::BIGINT AS h1
+                 FROM bits GROUP BY doc_id),
+          banded AS (SELECT doc_id, h0, h1, b.b AS band,
+                       CASE b.b WHEN 0 THEN h0 % 65536 WHEN 1 THEN h0 // 65536
+                                WHEN 2 THEN h1 % 65536 ELSE h1 // 65536 END AS bv
+                     FROM hv CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b)
+          SELECT doc_a, doc_b, hamming FROM (
+            SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+              (bit_count(xor(a.h0, b2.h0)) + bit_count(xor(a.h1, b2.h1)))::BIGINT AS hamming
+            FROM banded a JOIN banded b2
+              ON a.band = b2.band AND a.bv = b2.bv AND a.doc_id < b2.doc_id) t
+          WHERE hamming <= 3""",
   )
 }

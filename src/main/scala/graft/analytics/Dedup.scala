@@ -317,6 +317,38 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Banded-Hamming near-dup pairs over a 64-bit fingerprint carried as
+    * TWO 32-bit halves `(doc_id, h0, h1)` — the [[simhashPairs]] bucket
+    * machinery generalized to a caller-computed hash (the perceptual
+    * image dHash, [[Multimodal.dHash]], is the first consumer): 4 bands
+    * of 16 bits, so the pigeonhole guarantees full recall for
+    * `maxHamming ≤ 3`; the quadratic step is within (band, value)
+    * buckets only, capped like every LSH family member — never
+    * all-pairs. Two positive 32-bit halves instead of one signed 64-bit
+    * value so the oracle's integer arithmetic (`xor`/`bit_count` on
+    * BIGINT) never touches the sign bit. */
+  def hash64Pairs(sig: DataFrame, maxHamming: Int = 3,
+                  maxBucket: Long = 100000L): DataFrame = {
+    val sh = materialized(sig) // self-joined below: hash once, read twice
+    val banded = capBuckets(
+      sh.select(col("doc_id"), col("h0"), col("h1"),
+        explode(array(
+          struct(lit(0).as("band"), col("h0").bitwiseAND(lit(0xFFFFL)).as("bv")),
+          struct(lit(1).as("band"), shiftright(col("h0"), 16).as("bv")),
+          struct(lit(2).as("band"), col("h1").bitwiseAND(lit(0xFFFFL)).as("bv")),
+          struct(lit(3).as("band"), shiftright(col("h1"), 16).as("bv")))).as("bb"))
+        .select(col("doc_id"), col("h0"), col("h1"), col("bb.band"), col("bb.bv")),
+      Seq("band", "bv"), maxBucket)
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (bit_count(col("a.h0").bitwiseXOR(col("b.h0"))) +
+          bit_count(col("a.h1").bitwiseXOR(col("b.h1")))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Connected components over a near-dup pair list: every document maps
     * to its cluster KEEPER (the minimum doc_id reachable through dup
     * edges; docs in no pair keep themselves). This is the resolution step

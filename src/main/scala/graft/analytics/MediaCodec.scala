@@ -34,12 +34,18 @@ object MediaCodec {
   private def le(n: Int): Int = n // readability marker for LE fields
 
   /** Wrap arbitrary bytes as a real 24-bpp bottom-up BMP (BITMAPFILEHEADER
-    * + BITMAPINFOHEADER + pixel rows, zero-padded tail): width fixed at
-    * [[BmpWidth]], height = ceil(ceil(len/3) / width), min 1. */
-  def toBmp(data: Array[Byte]): Array[Byte] = {
+    * + BITMAPINFOHEADER + pixel rows, zero-padded tail): width defaults to
+    * [[BmpWidth]], height = ceil(ceil(len/3) / width), min 1. Rows honor
+    * the format's 4-byte stride alignment: payload byte `3p..3p+2` is
+    * pixel `p`'s BGR triple, laid out at file offset
+    * `54 + (p/width)·stride + 3·(p%width)` with zero pad bytes between
+    * rows when `3·width` is not a multiple of 4 (width 64 → stride 192,
+    * already aligned, so the r14 byte-layout is unchanged). */
+  def toBmp(data: Array[Byte], width: Int = BmpWidth): Array[Byte] = {
+    require(width > 0)
     val pixels = (data.length + 2) / 3
-    val height = math.max(1, (pixels + BmpWidth - 1) / BmpWidth)
-    val stride = BmpWidth * 3
+    val height = math.max(1, (pixels + width - 1) / width)
+    val stride = ((width * 3 + 3) / 4) * 4
     val imageSize = stride * height
     val fileSize = 54 + imageSize
     val b = ByteBuffer.allocate(fileSize).order(ByteOrder.LITTLE_ENDIAN)
@@ -48,7 +54,7 @@ object MediaCodec {
     b.putInt(0)            // reserved
     b.putInt(le(54))       // pixel-data offset
     b.putInt(le(40))       // BITMAPINFOHEADER size
-    b.putInt(le(BmpWidth))
+    b.putInt(le(width))
     b.putInt(le(height))
     b.putShort(1)          // planes
     b.putShort(24)         // bpp
@@ -56,7 +62,16 @@ object MediaCodec {
     b.putInt(le(imageSize))
     b.putInt(2835).putInt(2835) // 72 dpi
     b.putInt(0).putInt(0)  // palette
-    b.put(data)            // pixel bytes (payload), zero tail from allocate
+    if (stride == width * 3) b.put(data) // aligned: contiguous payload
+    else {
+      var r = 0
+      while (r < height) {
+        val off = r * width * 3
+        val n = math.min(width * 3, math.max(0, data.length - off))
+        if (n > 0) { b.position(54 + r * stride); b.put(data, off, n) }
+        r += 1
+      }
+    }
     b.array()
   }
 

@@ -36,8 +36,39 @@ import graft.Tables
   * end-to-end by its mirrored CTE chain. */
 object PrepPipeline {
 
+  /** Whole-chain AQE-off via a session CLONE (VERDICT r14 #2 — the MMR
+    * recipe, `Similarity.mmrRerank`): the prep compositions were the
+    * last family with r12-shaped contention-amplification exposure —
+    * 94/77/63 Spark jobs on `pipe_prep_semantic`/`_clean`/`_dsir`,
+    * because AQE materializes EVERY shuffle stage of every eager
+    * inter-stage checkpoint as its own sequential blocking job, and
+    * each blocking job is a re-queue point under host load (the
+    * r12/r13 30-70× amplification mechanism). The clone shares the
+    * context, catalog, and cache; rows are oracle-pinned identical.
+    * Measured at sf0.1: semantic 94 → 23 jobs, clean 77 → 17,
+    * dsir 63 → 16 — at the honest price of losing AQE's TOY-SCALE
+    * conveniences (runtime broadcast of the id-keeper joins, partition
+    * coalescing of the tiny inter-stage shuffles), ~1.4-1.6× wall on
+    * this family at sf0.1; the warm refs carry the new values and
+    * docs/SCALING.md documents the trade. The static shuffle width is
+    * sized for the bench's data (8); both knobs are deployment conf:
+    * a 1000-executor run at real scale sets `graft.prep.adaptive=true`
+    * on the parent session to keep AQE's skew handling (there the id
+    * frames are corpus-sized, nothing is broadcastable anyway, and
+    * per-job launch latency is noise), and `graft.prep.partitions`
+    * to the corpus-appropriate width. */
+  private def prepSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    if (!spark.conf.getOption("graft.prep.adaptive").contains("true")) {
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.conf.set("spark.sql.shuffle.partitions",
+        spark.conf.getOption("graft.prep.partitions").getOrElse("8"))
+    }
+    s
+  }
+
   def manifest(spark: SparkSession, dir: String): DataFrame =
-    manifestOf(Tables.documents(spark, dir))
+    manifestOf(Tables.documents(prepSession(spark), dir))
 
   /** The same composition over an arbitrary (doc_id, text, ...) frame —
     * what the streaming→batch handoff runs over ingest-dedup survivors
@@ -49,7 +80,7 @@ object PrepPipeline {
   }
 
   def manifestQuality(spark: SparkSession, dir: String): DataFrame =
-    manifestQualityOf(Tables.documents(spark, dir))
+    manifestQualityOf(Tables.documents(prepSession(spark), dir))
 
   /** The quality-keeper variant: stage 2 is near-dup clustering over the
     * gated corpus (simhash banded-Hamming pairs → [[Dedup.dupClusters]])
@@ -73,7 +104,7 @@ object PrepPipeline {
   }
 
   def manifestClean(spark: SparkSession, dir: String): DataFrame =
-    manifestCleanOf(Tables.documents(spark, dir))
+    manifestCleanOf(Tables.documents(prepSession(spark), dir))
 
   /** The full curation chain — the Lee-et-al + FineWeb composition:
     * gate → SUBSTRING EXCISION ([[Dedup.substringCut]]: non-canonical
@@ -105,8 +136,10 @@ object PrepPipeline {
         .select(col("best_doc_id").as("doc_id")))
   }
 
-  def manifestSemantic(spark: SparkSession, dir: String): DataFrame =
-    manifestSemanticOf(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+  def manifestSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val s = prepSession(spark)
+    manifestSemanticOf(Tables.documents(s, dir), Tables.embeddings(s, dir))
+  }
 
   /** The v4 chain — the full modern curation recipe (the one SemDeDup
     * is published as a stage OF): gate → substring excision → near-dup
@@ -154,7 +187,7 @@ object PrepPipeline {
   }
 
   def manifestTrain(spark: SparkSession, dir: String): DataFrame =
-    manifestTrainOf(Tables.documents(spark, dir))
+    manifestTrainOf(Tables.documents(prepSession(spark), dir))
 
   /** The TRAINING-READY view — the list the training loader actually
     * consumes, where the manifest variants stop at bookkeeping: the
@@ -199,7 +232,7 @@ object PrepPipeline {
   }
 
   def manifestTok(spark: SparkSession, dir: String): DataFrame =
-    manifestTokOf(Tables.documents(spark, dir))
+    manifestTokOf(Tables.documents(prepSession(spark), dir))
 
   /** The training-ready view packed by REAL tokenizer counts —
     * `pipe_prep_tok`, the v5 composition that closes the loop between
@@ -242,7 +275,7 @@ object PrepPipeline {
   }
 
   def manifestDsir(spark: SparkSession, dir: String): DataFrame =
-    manifestDsirOf(Tables.documents(spark, dir))
+    manifestDsirOf(Tables.documents(prepSession(spark), dir))
 
   /** The v6 composition — the curation chain ending in the IMPORTANCE
     * GATE (`mix_dsir`) instead of a quality heuristic: the pipe_prep

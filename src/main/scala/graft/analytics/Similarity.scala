@@ -747,12 +747,47 @@ object Similarity {
     * [[annIvfRefined]] with the same parameters (same centroids ⇒ same
     * lists ⇒ same candidates ⇒ same exact-cosine ranking). */
   def annIvfServe(spark: SparkSession, dir: String, path: String,
-                  nQueries: Int = 10, k: Int = 5, nProbe: Int = 4): DataFrame = {
-    val emb = embeddingsD(spark, dir)
-    rankCandidates(ivfServedCandidates(spark, emb, path,
-      emb.where(col("vec_id") < nQueries)
+                  nQueries: Int = 10, k: Int = 5, nProbe: Int = 4): DataFrame =
+    annIvfServeOf(spark, embeddingsD(spark, dir), path, nQueries, k, nProbe)
+
+  /** [[annIvfServe]] over a caller-supplied `(vec_id, e)` corpus frame —
+    * the form the scale probes drive with synthetic volume
+    * (`ScaleProbe ivfingest`). */
+  def annIvfServeOf(spark: SparkSession, corpus: DataFrame, path: String,
+                    nQueries: Int = 10, k: Int = 5, nProbe: Int = 4): DataFrame =
+    rankCandidates(ivfServedCandidates(spark, corpus, path,
+      corpus.where(col("vec_id") < nQueries)
         .select(col("vec_id").as("q_id"), col("e").as("qe")),
       nProbe), k)
+
+  /** Number of DATA files currently backing the membership artifact —
+    * the compaction trigger's input ([[ivfCompactIfNeeded]]): every
+    * [[ivfInsert]] batch appends its own files, and scan-planning cost
+    * grows with file count long before data size moves (the
+    * `ScaleProbe ivfingest` measurement behind the default trigger). */
+  def ivfAssignFileCount(spark: SparkSession, path: String): Int = {
+    val assign = new org.apache.hadoop.fs.Path(path + "/assign")
+    val fs = assign.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(assign)) 0
+    else fs.listStatus(assign).count { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
+  /** The compaction-trigger heuristic an ingest loop calls after each
+    * insert batch: compact when the membership artifact's file count
+    * exceeds `maxFiles`. The default is probe-derived (ivfingest,
+    * docs/SCALING.md): serve latency at this SF degrades measurably by
+    * ~100 appended files while a compacted index serves at base
+    * latency, so 64 bounds the tax at well under a compaction's cost.
+    * Returns true when a compaction ran. Same quiesce contract as
+    * [[ivfCompact]]. */
+  def ivfCompactIfNeeded(spark: SparkSession, path: String,
+                         maxFiles: Int = 64, nFiles: Int = 1): Boolean = {
+    val over = ivfAssignFileCount(spark, path) > maxFiles
+    if (over) ivfCompact(spark, path, nFiles)
+    over
   }
 
   // -- session-scoped serving-artifact cache (VERDICT r12 #4/#5) --

@@ -313,6 +313,86 @@ object TextAnalysis {
       .select("doc_id", "n_tokens", "lang_pred", "keep", "reason")
       .orderBy("doc_id")
 
+  // -- HTML boilerplate extraction (VERDICT r14 #6: real LLM pipelines
+  //    START from HTML — C4 and FineWeb both open with an HTML → text
+  //    extraction stage; every operator here previously assumed the
+  //    extraction had already happened) --
+
+  /** Deterministic HTML fixture over the documents table: each document
+    * rendered as a 7-block page — title/head, a nav bar of links, an h1,
+    * the CONTENT paragraph (with every occurrence of 'spark' wrapped in
+    * an inline anchor, so content link-density varies with the data), a
+    * see-also block that is mostly links, a footer of links, and the
+    * closing tags. One block per line, so the block segmentation is the
+    * fixture's contract. This is the corpus a crawl actually yields and
+    * what [[htmlExtract]] must clean. */
+  def htmlOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title></head><body>\n"),
+      lit("<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+        "<a href=\"/contact\">Contact</a> <a href=\"/login\">Log in</a></div>\n"),
+      lit("<h1>Document "), col("doc_id").cast("string"), lit("</h1>\n<p>"),
+      regexp_replace(col("text"), lit("spark"),
+        lit("<a href=\"/spark\">spark framework docs link</a>")),
+      lit("</p>\n<p>See <a href=\"/d\">the canonical version</a> and " +
+        "<a href=\"/r\">a related document</a>.</p>\n"),
+      lit("<div class=\"footer\"><a href=\"/terms\">Terms</a> " +
+        "<a href=\"/privacy\">Privacy</a> <a href=\"/imprint\">Imprint</a></div>\n"),
+      lit("</body></html>")).as("html"))
+
+  /** HTML → text extraction by the public boilerplate heuristics (the
+    * jusText/C4 family, simplified to two block gates): split the page
+    * into blocks, strip tags per block, and keep a block iff
+    *  - its stripped text is ≥ `minChars` (text-density gate: headers,
+    *    chrome, and empty structural lines drop), and
+    *  - its LINK DENSITY — anchor-text chars per stripped-text char, in
+    *    exact integer per-mille — is ≤ `maxLinkPm` (navigation, footers,
+    *    and link-farm paragraphs drop; jusText's core signal).
+    * Output per document: (doc_id, n_blocks, n_kept, text) with `text`
+    * the kept blocks' stripped text joined in block order.
+    *
+    * Scale shape: one scan — split + per-block regex projections, then
+    * one groupBy(doc_id) reassembly (the only shuffle, rows = blocks).
+    * All regexes are RE2-safe (no lookaround), so the DuckDB oracle
+    * replays them verbatim. */
+  def htmlExtract(html: DataFrame, minChars: Int = 25, maxLinkPm: Long = 300): DataFrame = {
+    val blocks = html.select(col("doc_id"),
+      posexplode(split(col("html"), "\n")).as(Seq("pos", "block")))
+    val scored = blocks
+      .withColumn("btext", trim(regexp_replace(col("block"), lit("<[^>]*>"), lit(""))))
+      .withColumn("alen", length(array_join(
+        regexp_extract_all(col("block"), lit("<a [^>]*>([^<]*)</a>"), lit(1)), ""))
+        .cast("long"))
+      .withColumn("blen", length(col("btext")).cast("long"))
+      .withColumn("link_pm", expr("alen * 1000 div greatest(blen, 1)"))
+      .withColumn("keep_block",
+        col("blen") >= minChars && col("link_pm") <= maxLinkPm)
+    scored.groupBy("doc_id").agg(
+      count(lit(1)).as("n_blocks"),
+      sum(when(col("keep_block"), 1L).otherwise(0L)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(when(col("keep_block"),
+          struct(col("pos"), col("btext"))))),
+        x => x.getField("btext")), " ").as("text"))
+  }
+
+  /** `txt_html_extract` — the extraction chained straight into the c4
+    * quality gate, the order a real pipeline runs (HTML → text → gate):
+    * per document the block stats plus the c4 verdict ON THE EXTRACTED
+    * TEXT. A doc whose content paragraph was link-dense enough to drop
+    * (n_kept = 0) gates as too_short downstream — extraction failures
+    * surface as curation decisions, not silent empties. */
+  def htmlExtractQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ex = htmlExtract(htmlOf(Tables.documents(spark, dir)))
+    val gate = c4Filter(ex.select(col("doc_id"), col("text")))
+    ex.join(gate.select("doc_id", "n_tokens", "lang_pred", "keep", "reason"), "doc_id")
+      .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+        length(col("text")).cast("long").as("ex_chars"),
+        col("n_tokens"), col("lang_pred"), col("keep"), col("reason"))
+      .orderBy("doc_id")
+  }
+
   /** Training-sequence prep: overlapping token-window chunks. Each doc
     * yields chunks of up to `window` tokens starting every `stride`
     * tokens (overlap = window - stride), the standard long-document

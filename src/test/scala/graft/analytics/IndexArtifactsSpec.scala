@@ -265,6 +265,32 @@ class IndexArtifactsSpec extends SparkSpec {
     assert(rows4(Similarity.annIvfServe(spark, sfDir, p)).nonEmpty)
   }
 
+  test("ivfCompactIfNeeded: no-op under the file threshold, compacts above it, serving invariant") {
+    import org.apache.spark.sql.functions.col
+    val embL = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val p = tmp("trigger")
+    Similarity.buildIvfIndexOf(spark, embL, p, nLists = 16, rounds = 0)
+    val before = rows4(Similarity.annIvfServe(spark, sfDir, p))
+    val f0 = Similarity.ivfAssignFileCount(spark, p)
+    assert(f0 > 0)
+    // under threshold: untouched
+    assert(!Similarity.ivfCompactIfNeeded(spark, p, maxFiles = f0 + 10))
+    assert(Similarity.ivfAssignFileCount(spark, p) === f0)
+    // push the file count over with one-file insert batches of fresh ids
+    (0 until 4).foreach { b =>
+      Similarity.ivfInsert(spark, p,
+        embL.where(col("vec_id") < 10)
+          .select((col("vec_id") + 5000000L + b * 100L).as("vec_id"), col("e"))
+          .coalesce(1))
+    }
+    assert(Similarity.ivfAssignFileCount(spark, p) >= f0 + 4)
+    assert(Similarity.ivfCompactIfNeeded(spark, p, maxFiles = f0 + 3, nFiles = 2))
+    assert(Similarity.ivfAssignFileCount(spark, p) <= 2)
+    // original members' serving is untouched by the trigger's compaction
+    assert(rows4(Similarity.annIvfServe(spark, sfDir, p)) === before)
+  }
+
   // -- deep-BPE model --
 
   test("BPE merge-table artifact round-trips and serves bit-identically") {

@@ -106,4 +106,54 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
     assert(probed == Map(1L -> Some("bmp"), 2L -> Some("wav"), 3L -> None))
   }
+
+  test("toBmp with unaligned width: stride pads to 4 bytes, payload byte 3p sits under pixel p") {
+    val data = (0 until 100).map(_.toByte).toArray
+    val bmp = MediaCodec.toBmp(data, width = 9) // stride 27 -> padded to 28
+    val info = MediaCodec.probe(bmp).get
+    assert(info.fmt == "bmp" && info.width == 9L)
+    assert(info.height == ((100 + 2) / 3 + 8) / 9) // ceil(34 pixels / 9)
+    // pixel p's BGR triple is payload bytes 3p..3p+2 at offset
+    // 54 + (p/9)*28 + 3*(p%9) — spot-check across a row boundary
+    for (p <- Seq(0, 8, 9, 17, 33)) {
+      val off = 54 + (p / 9) * 28 + 3 * (p % 9)
+      for (k <- 0 until 3) {
+        val want = if (3 * p + k < data.length) data(3 * p + k) else 0.toByte
+        assert(bmp(off + k) == want, s"pixel $p byte $k")
+      }
+    }
+  }
+
+  test("dHash: identical payloads collide at hamming 0; the hash reads the DECODED grid") {
+    import spark.implicits._
+    val t = "the quick brown fox jumps over the lazy dog " * 8
+    val docs = Seq((1L, t), (2L, t), (3L, t.replace("quick", "slow")),
+      (4L, "zzzz " * 60)).toDF("doc_id", "text")
+    val hv = Multimodal.dHash(spark, docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(hv(1L) === hv(2L), "identical payloads must hash identically")
+    // halves are 32-bit non-negative (the sign-safe contract)
+    hv.values.foreach { case (h0, h1) =>
+      assert(h0 >= 0L && h0 < (1L << 32) && h1 >= 0L && h1 < (1L << 32))
+    }
+    val pairs = Dedup.hash64Pairs(Multimodal.dHash(spark, docs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.contains((1L, 2L, 0L)), s"exact dup pair missing: ${pairs.toSeq}")
+  }
+
+  test("hash64Pairs: banded join finds EXACTLY the brute-force hamming<=3 pairs (pigeonhole recall)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val hv = Multimodal.dHash(spark, docs)
+    val banded = Dedup.hash64Pairs(hv).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = hv.as("a").join(hv.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (bit_count(col("a.h0").bitwiseXOR(col("b.h0"))) +
+          bit_count(col("a.h1").bitwiseXOR(col("b.h1")))).cast("long").as("hamming"))
+      .where(col("hamming") <= 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded === brute,
+      "4x16-bit banding must be recall-exact for hamming <= 3 (pigeonhole)")
+  }
 }
