@@ -230,6 +230,7 @@ object SparkEntry {
     "mm_frame_sample" -> (Multimodal.frameSampleQuery _),
     "mm_media_probe" -> (Multimodal.mediaProbeQuery _), // REAL BMP/WAV header build+parse round trip
     "mm_phash_dedup" -> (Multimodal.phashDedupQuery _), // perceptual dHash over the decoded BMP grid -> banded-Hamming near-dup pairs (never all-pairs)
+    "mm_phash_clusters" -> (Multimodal.phashClustersQuery _), // cluster resolution over the perceptual pairs: min-reachable-id keeper per image, the post-pair decision stage
     "txt_html_extract" -> (TextAnalysis.htmlExtractQuery _), // HTML -> text boilerplate extraction (tag strip + text-density + link-density block gates), chained into the c4 gate
   )
 
@@ -3719,16 +3720,33 @@ object SparkEntry {
           SELECT doc_id, k*4 AS frame_idx, n_frames,
             md5(substring(text, (k*128 + 1)::INT, 32)) AS frame_md5
           FROM s""",
-    "mm_phash_dedup" ->
-      // replays Multimodal.dHash's decoded-BMP arithmetic from first
-      // principles on the text side (ascii parity: byte == char): the
-      // width-9 wrap puts payload byte 3p..3p+2 under pixel p (row
-      // padding consumes no payload), so lum(p) = (b0+b1+b2) div 3 with
-      // zero fill past len; 9x8 average-pooled cells (cell row =
-      // pixelrow*8 div height, missing cells 0), dHash bit = left > right
-      // neighbor, halves h0/h1 by bit (r%4)*8+j; then the SAME 4x16-bit
-      // banded-Hamming pair join the engine runs (Dedup.hash64Pairs)
-      """WITH d AS (SELECT doc_id, text, length(text)::BIGINT AS len,
+    "mm_phash_dedup" -> s"WITH $mmPhashCtes\n          SELECT doc_a, doc_b, hamming FROM phpairs",
+    "mm_phash_clusters" ->
+      // the perceptual pairs' components fixpoint — the identical
+      // recursive-CTE shape every cluster family replays
+      s"""WITH RECURSIVE $mmPhashCtes,
+          edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM phpairs
+                    UNION ALL SELECT doc_b, doc_a FROM phpairs),
+          reach(id, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.id)
+          SELECT id AS doc_id, min(lbl) AS keeper FROM reach GROUP BY id""",
+  )
+
+  /** The perceptual-hash CTE chain shared by `mm_phash_dedup` and
+    * `mm_phash_clusters` — replays [[graft.analytics.Multimodal
+    * .localDHash]]'s decoded-BMP arithmetic from first principles on the
+    * text side (ascii parity: byte == char): the width-9 wrap puts
+    * payload byte 3p..3p+2 under pixel p (row padding consumes no
+    * payload), so lum(p) = (b0+b1+b2) div 3 with zero fill past len;
+    * 9x8 average-pooled cells (cell row = pixelrow*8 div height,
+    * missing cells 0), dHash bit = left > right neighbor, halves h0/h1
+    * by bit (r%4)*8+j; then the SAME 4x16-bit banded-Hamming pair join
+    * the engine runs (Dedup.hash64Pairs). Ends with
+    * `phpairs(doc_a, doc_b, hamming)`. */
+  private def mmPhashCtes: String =
+    """d AS (SELECT doc_id, text, length(text)::BIGINT AS len,
                       greatest(1, (((length(text) + 2) // 3) + 8) // 9)::BIGINT AS hh
                     FROM documents),
           px AS (SELECT doc_id, hh, p.p,
@@ -3755,12 +3773,11 @@ object SparkEntry {
           banded AS (SELECT doc_id, h0, h1, b.b AS band,
                        CASE b.b WHEN 0 THEN h0 % 65536 WHEN 1 THEN h0 // 65536
                                 WHEN 2 THEN h1 % 65536 ELSE h1 // 65536 END AS bv
-                     FROM hv CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b)
-          SELECT doc_a, doc_b, hamming FROM (
+                     FROM hv CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
+          phpairs AS MATERIALIZED (SELECT doc_a, doc_b, hamming FROM (
             SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
               (bit_count(xor(a.h0, b2.h0)) + bit_count(xor(a.h1, b2.h1)))::BIGINT AS hamming
             FROM banded a JOIN banded b2
               ON a.band = b2.band AND a.bv = b2.bv AND a.doc_id < b2.doc_id) t
-          WHERE hamming <= 3""",
-  )
+          WHERE hamming <= 3)"""
 }

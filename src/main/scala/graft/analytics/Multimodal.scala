@@ -187,48 +187,56 @@ object Multimodal {
     val payloads = docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
     val rdd = payloads.rdd.mapPartitions { it =>
       it.map { r =>
-        val id = r.getLong(0)
         val data = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
-        val bmp = MediaCodec.toBmp(data, width = 9)
-        // REAL decode: geometry from the parsed header, not the inputs
-        val info = MediaCodec.probe(bmp).getOrElse(
-          sys.error(s"doc $id: self-built BMP failed its own probe"))
-        val w = info.width.toInt
-        val hgt = info.height.toInt
-        val stride = ((w * 3 + 3) / 4) * 4
-        val sums = Array.ofDim[Long](8, 9)
-        val cnts = Array.ofDim[Long](8, 9)
-        var rr = 0
-        while (rr < hgt) {
-          val cr = rr * 8 / hgt
-          var cc = 0
-          while (cc < w) {
-            val off = 54 + rr * stride + 3 * cc
-            val lum = ((bmp(off) & 0xFF) + (bmp(off + 1) & 0xFF) + (bmp(off + 2) & 0xFF)) / 3
-            sums(cr)(cc) += lum; cnts(cr)(cc) += 1
-            cc += 1
-          }
-          rr += 1
-        }
-        def avg(r0: Int, c0: Int): Long =
-          if (cnts(r0)(c0) == 0) 0L else sums(r0)(c0) / cnts(r0)(c0)
-        var h0 = 0L; var h1 = 0L
-        var cr = 0
-        while (cr < 8) {
-          var j = 0
-          while (j < 8) {
-            if (avg(cr, j) > avg(cr, j + 1)) {
-              if (cr < 4) h0 |= 1L << (cr * 8 + j)
-              else h1 |= 1L << ((cr - 4) * 8 + j)
-            }
-            j += 1
-          }
-          cr += 1
-        }
-        Row(id, h0, h1)
+        val (h0, h1) = localDHash(data)
+        Row(r.getLong(0), h0, h1)
       }
     }
     spark.createDataFrame(rdd, phashSchema)
+  }
+
+  /** The row-local dHash core — wrap as a width-9 BMP, parse the header
+    * BACK (geometry from the container, not the inputs), pool, compare.
+    * Shared by the batch pass above and the streaming ingest mirror
+    * ([[graft.streaming.StreamingPhash]]), so the two faces are
+    * bit-identical by construction. */
+  def localDHash(data: Array[Byte]): (Long, Long) = {
+    val bmp = MediaCodec.toBmp(data, width = 9)
+    val info = MediaCodec.probe(bmp).getOrElse(
+      sys.error("self-built BMP failed its own probe"))
+    val w = info.width.toInt
+    val hgt = info.height.toInt
+    val stride = ((w * 3 + 3) / 4) * 4
+    val sums = Array.ofDim[Long](8, 9)
+    val cnts = Array.ofDim[Long](8, 9)
+    var rr = 0
+    while (rr < hgt) {
+      val cr = rr * 8 / hgt
+      var cc = 0
+      while (cc < w) {
+        val off = 54 + rr * stride + 3 * cc
+        val lum = ((bmp(off) & 0xFF) + (bmp(off + 1) & 0xFF) + (bmp(off + 2) & 0xFF)) / 3
+        sums(cr)(cc) += lum; cnts(cr)(cc) += 1
+        cc += 1
+      }
+      rr += 1
+    }
+    def avg(r0: Int, c0: Int): Long =
+      if (cnts(r0)(c0) == 0) 0L else sums(r0)(c0) / cnts(r0)(c0)
+    var h0 = 0L; var h1 = 0L
+    var cr = 0
+    while (cr < 8) {
+      var j = 0
+      while (j < 8) {
+        if (avg(cr, j) > avg(cr, j + 1)) {
+          if (cr < 4) h0 |= 1L << (cr * 8 + j)
+          else h1 |= 1L << ((cr - 4) * 8 + j)
+        }
+        j += 1
+      }
+      cr += 1
+    }
+    (h0, h1)
   }
 
   // -- query entry points --
@@ -270,6 +278,20 @@ object Multimodal {
   def phashDedupQuery(spark: SparkSession, dir: String): DataFrame =
     Dedup.hash64Pairs(dHash(spark, asciiParityGuard(Tables.documents(spark, dir))))
       .orderBy("doc_a", "doc_b")
+
+  /** `mm_phash_clusters` — cluster resolution over the perceptual pairs:
+    * every document maps to its near-dup cluster KEEPER (min reachable
+    * id through dHash edges; singletons keep themselves) — the decision
+    * stage an image-dedup pipeline runs after pair generation, reusing
+    * [[Dedup.dupClusters]]' size-guarded label propagation verbatim.
+    * Oracle: the phash pair CTEs + the same recursive-CTE components
+    * fixpoint every cluster family replays. */
+  def phashClustersQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = asciiParityGuard(Tables.documents(spark, dir))
+    Dedup.dupClusters(docs,
+        Dedup.hash64Pairs(dHash(spark, docs)).select("doc_a", "doc_b"))
+      .orderBy("doc_id")
+  }
 
   /** Media ingest round-trip with the REAL codecs: each document's bytes
     * are containerized as an actual BMP (even doc_id) or PCM WAV (odd),
