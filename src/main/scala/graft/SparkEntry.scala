@@ -176,6 +176,7 @@ object SparkEntry {
     "pipe_prep_train" -> (PrepPipeline.manifestTrain _), // the training-ready view: survivors -> curriculum stage -> concat-chunk sequences
     "pipe_prep_tok" -> (PrepPipeline.manifestTok _), // v5: the tokenizer is trained ON the curated corpus and the packing runs over real BPE token counts
     "pipe_prep_dsir" -> (PrepPipeline.manifestDsir _), // v6: the curation chain ends in the importance gate (positive-LLR half packed)
+    "pipe_prep_html" -> (PrepPipeline.manifestHtml _), // v7: curation FROM CRAWL HTML — boilerplate extraction feeds the unchanged gate->dedup->split->decontam->pack chain
     "chunk_overlap" -> (TextAnalysis.chunkQuery _), // overlapping token-window training chunks
     // --- similarity search over embeddings ---
     "knn_exact" -> (Similarity.knnExactQuery _),
@@ -469,7 +470,12 @@ object SparkEntry {
   /** Stage 1 of the prep compositions: the c4 quality-gate CTE `c4` and
     * the gated corpus `k(doc_id, text)` (mirror of TextAnalysis.c4Filter
     * over documents). Shared by pipe_prep and pipe_prep_quality. */
-  private lazy val prepGateCtes =
+  private lazy val prepGateCtes = prepGateCtesOver("documents")
+
+  /** [[prepGateCtes]] over an arbitrary (doc_id, text) relation — the
+    * pipe_prep_html chain gates the EXTRACTED corpus (`ex`), documents
+    * everywhere else; one SQL body so the gate cannot drift. */
+  private def prepGateCtesOver(src: String) =
     s"""c4 AS MATERIALIZED (
             SELECT doc_id FROM (
               SELECT doc_id, len($toksSql)::BIGINT AS n_tokens,
@@ -483,10 +489,10 @@ object SparkEntry {
                       AND len(regexp_extract_all(text, '\\b(stream|merge|window)\\b')) >= len(regexp_extract_all(text, '\\b(join|filter|sort)\\b')) THEN 'de'
                      WHEN len(regexp_extract_all(text, '\\b(table|query|group)\\b')) >= len(regexp_extract_all(text, '\\b(join|filter|sort)\\b')) THEN 'es'
                      ELSE 'fr' END AS lang_pred
-              FROM documents) b
+              FROM $src) b
             WHERE NOT (n_tokens < 20 OR n_tokens > 1000 OR n_punct * 10 > n_chars
                        OR n_stop * 20 < n_tokens OR lang_pred <> 'en')),
-          k AS MATERIALIZED (SELECT d.doc_id, d.text FROM documents d JOIN c4 USING (doc_id))"""
+          k AS MATERIALIZED (SELECT d.doc_id, d.text FROM $src d JOIN c4 USING (doc_id))"""
 
   /** Stages 3–5 of the prep compositions over a `dd(doc_id, text)` CTE
     * (fold split, TRAIN-side 13-gram decontamination, per-shard packing)
@@ -2684,37 +2690,23 @@ object SparkEntry {
       // RE2-safe regexes, same integer link-density per-mille, same
       // block-order string_agg), then the SHARED c4-gate SQL runs over
       // the extracted text exactly as it runs over documents
-      s"""WITH h AS (SELECT doc_id,
-            '<html><head><title>Doc ' || doc_id || '</title></head><body>' || chr(10) ||
-            '<div class="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a> <a href="/login">Log in</a></div>' || chr(10) ||
-            '<h1>Document ' || doc_id || '</h1>' || chr(10) ||
-            '<p>' || regexp_replace(text, 'spark', '<a href="/spark">spark framework docs link</a>', 'g') || '</p>' || chr(10) ||
-            '<p>See <a href="/d">the canonical version</a> and <a href="/r">a related document</a>.</p>' || chr(10) ||
-            '<div class="footer"><a href="/terms">Terms</a> <a href="/privacy">Privacy</a> <a href="/imprint">Imprint</a></div>' || chr(10) ||
-            '</body></html>' AS html
-          FROM documents),
-          bl AS (SELECT doc_id, p.i AS pos, l[p.i] AS block
-                 FROM (SELECT doc_id, string_split(html, chr(10)) AS l FROM h) t,
-                      LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) p),
-          sc AS (SELECT doc_id, pos,
-                   trim(regexp_replace(block, '<[^>]*>', '', 'g')) AS btext,
-                   -- coalesce: DuckDB's array_to_string of an EMPTY
-                   -- extract list is NULL, not '' (Spark's array_join
-                   -- gives ''), and a NULL alen would null the gate
-                   coalesce(length(array_to_string(
-                     regexp_extract_all(block, '<a [^>]*>([^<]*)</a>', 1), '')), 0)::BIGINT AS alen
-                 FROM bl),
-          g2 AS (SELECT doc_id, pos, btext,
-                   length(btext) >= 25 AND alen * 1000 // greatest(length(btext), 1) <= 300 AS keepb
-                 FROM sc),
-          ex AS (SELECT doc_id, count(*)::BIGINT AS n_blocks,
-                   sum(CASE WHEN keepb THEN 1 ELSE 0 END)::BIGINT AS n_kept,
-                   coalesce(string_agg(CASE WHEN keepb THEN btext END, ' ' ORDER BY pos), '') AS text
-                 FROM g2 GROUP BY doc_id),
+      s"""WITH $htmlExtractCtes,
           cg AS (${c4GateOracleSql("ex")})
           SELECT e.doc_id, e.n_blocks, e.n_kept, length(e.text)::BIGINT AS ex_chars,
                  c.n_tokens, c.lang_pred, c.keep, c.reason
           FROM ex e JOIN cg c USING (doc_id)""",
+    "pipe_prep_html" ->
+      // the v7 composition: the SHARED html-extraction CTEs produce the
+      // extracted corpus `ex`, then the UNCHANGED pipe_prep chain (gate
+      // -> exact dedup -> split -> decontam -> pack) runs over it — the
+      // gate CTEs are the same SQL body retargeted (prepGateCtesOver)
+      s"""WITH ${htmlExtractCtes},
+          ${prepGateCtesOver("ex")},
+          keepers AS MATERIALIZED (
+            SELECT min(doc_id) AS doc_id FROM (
+              SELECT doc_id, md5($normSql) AS h FROM k) t GROUP BY h),
+          dd AS MATERIALIZED (SELECT k.doc_id, k.text FROM k JOIN keepers USING (doc_id)),
+          $prepTailSql""",
     "pipe_prep" ->
       // the composition mirror: each CTE is the oracle of one already-
       // verified stage (c4 gate, exact-dedup keepers, fold split, 13-gram
@@ -3733,6 +3725,40 @@ object SparkEntry {
             SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.id)
           SELECT id AS doc_id, min(lbl) AS keeper FROM reach GROUP BY id""",
   )
+
+  /** The HTML-extraction CTE chain shared by `txt_html_extract` and
+    * `pipe_prep_html` — mirror of `TextAnalysis.htmlOf`/`htmlExtract`
+    * (deterministic 7-block page fixture; per block: tag strip, text-
+    * density ≥ 25 chars, integer link-density ≤ 300‰; kept blocks join
+    * in block order). Ends with `ex(doc_id, n_blocks, n_kept, text)`. */
+  private def htmlExtractCtes: String =
+    s"""h AS (SELECT doc_id,
+            '<html><head><title>Doc ' || doc_id || '</title></head><body>' || chr(10) ||
+            '<div class="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a> <a href="/login">Log in</a></div>' || chr(10) ||
+            '<h1>Document ' || doc_id || '</h1>' || chr(10) ||
+            '<p>' || regexp_replace(text, 'spark', '<a href="/spark">spark framework docs link</a>', 'g') || '</p>' || chr(10) ||
+            '<p>See <a href="/d">the canonical version</a> and <a href="/r">a related document</a>.</p>' || chr(10) ||
+            '<div class="footer"><a href="/terms">Terms</a> <a href="/privacy">Privacy</a> <a href="/imprint">Imprint</a></div>' || chr(10) ||
+            '</body></html>' AS html
+          FROM documents),
+          bl AS (SELECT doc_id, p.i AS pos, l[p.i] AS block
+                 FROM (SELECT doc_id, string_split(html, chr(10)) AS l FROM h) t,
+                      LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) p),
+          sc AS (SELECT doc_id, pos,
+                   trim(regexp_replace(block, '<[^>]*>', '', 'g')) AS btext,
+                   -- coalesce: DuckDB's array_to_string of an EMPTY
+                   -- extract list is NULL, not '' (Spark's array_join
+                   -- gives ''), and a NULL alen would null the gate
+                   coalesce(length(array_to_string(
+                     regexp_extract_all(block, '<a [^>]*>([^<]*)</a>', 1), '')), 0)::BIGINT AS alen
+                 FROM bl),
+          g2 AS (SELECT doc_id, pos, btext,
+                   length(btext) >= 25 AND alen * 1000 // greatest(length(btext), 1) <= 300 AS keepb
+                 FROM sc),
+          ex AS MATERIALIZED (SELECT doc_id, count(*)::BIGINT AS n_blocks,
+                   sum(CASE WHEN keepb THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+                   coalesce(string_agg(CASE WHEN keepb THEN btext END, ' ' ORDER BY pos), '') AS text
+                 FROM g2 GROUP BY doc_id)"""
 
   /** The perceptual-hash CTE chain shared by `mm_phash_dedup` and
     * `mm_phash_clusters` — replays [[graft.analytics.Multimodal

@@ -79,6 +79,26 @@ object PrepPipeline {
     assemble(kept, Dedup.exact(kept).select(col("keep_doc_id").as("doc_id")))
   }
 
+  def manifestHtml(spark: SparkSession, dir: String): DataFrame =
+    manifestHtmlOf(Tables.documents(prepSession(spark), dir))
+
+  /** The v7 chain — curation FROM CRAWL HTML (`pipe_prep_html`): real
+    * pipelines' stage zero is HTML → text (C4 and FineWeb both open
+    * there), so the flagship composition gets a face whose corpus IS
+    * the extraction output: [[TextAnalysis.htmlOf]] renders each
+    * document as the 7-block page fixture, [[TextAnalysis.htmlExtract]]
+    * strips boilerplate by the block gates, and the UNCHANGED pipe_prep
+    * chain (gate → exact dedup → split → decontam → pack) runs over the
+    * extracted text. A document whose content block was link-dense
+    * enough to drop extracts to '' and exits at the c4 gate
+    * (too_short) — extraction failures surface as curation decisions.
+    * Scale: the extraction adds one scan + one blocks-sized groupBy in
+    * front of the chain; everything after shuffles digests/ids exactly
+    * as pipe_prep does. */
+  def manifestHtmlOf(docs: DataFrame): DataFrame =
+    manifestOf(TextAnalysis.htmlExtract(TextAnalysis.htmlOf(docs))
+      .select("doc_id", "text"))
+
   def manifestQuality(spark: SparkSession, dir: String): DataFrame =
     manifestQualityOf(Tables.documents(prepSession(spark), dir))
 

@@ -59,4 +59,18 @@ class HtmlExtractSpec extends SparkSpec {
     assert(ex.exists(_.getLong(2) == 1L) && ex.exists(_.getLong(2) == 0L),
       "fixture must exercise both keep and drop at the block gate")
   }
+
+  test("pipe_prep_html: only extract-surviving, gate-passing docs enter the v7 manifest") {
+    val manifest = PrepPipeline.manifestHtml(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    // columns: doc_id, n_blocks, n_kept, ex_chars, n_tokens, lang_pred, keep, reason
+    val gate = TextAnalysis.htmlExtractQuery(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(manifest.nonEmpty)
+    assert(manifest.forall(gate(_)),
+      "a doc that failed the post-extraction c4 gate must never reach the manifest")
+    // the manifest is the gate's survivors minus dedup losers and
+    // decontaminated train docs — a subset, never a superset
+    assert(manifest.subsetOf(gate.filter(_._2).keySet))
+  }
 }
