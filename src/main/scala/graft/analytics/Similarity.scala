@@ -2218,6 +2218,16 @@ object Similarity {
           "membership-only insert would drop the new vectors from coded serving; " +
           "rebuild the coded index instead")
     }
+    // same class of hazard for the PROJECTED family (r15): its stored
+    // centroids live in the 16-dim projected space, so assigning raw
+    // full-dimension arrivals against them would SILENTLY mis-assign
+    // (the cosine would compare mismatched spaces); a projected insert
+    // must project with the stored sign matrix first — not wired yet,
+    // so refuse rather than corrupt.
+    require(!fs.exists(new org.apache.hadoop.fs.Path(path + "/proj")),
+      s"ivfInsert into $path: index carries a 'proj' transform artifact — " +
+        "raw vectors must be projected with the stored matrix before assignment; " +
+        "rebuild the projected index instead")
     val assignCol =
       if (fs.exists(penPath)) listIdColPenalized(cents, loadIvfPenalties(spark, path))(col("e"))
       else listIdColFor(cents)(col("e"))

@@ -245,6 +245,14 @@ class IndexArtifactsSpec extends SparkSpec {
       Similarity.ivfInsert(spark, pqPath, embL.limit(1))
     }
     assert(e2.getMessage.contains("cod"), s"PQ index must be refused too: ${e2.getMessage}")
+    // the projected family's centroids live in projected space — a raw
+    // full-dim insert would silently mis-assign, so it is refused too
+    val pp = tmp("projins")
+    Similarity.buildProjIndex(spark, sfDir, pp)
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.ivfInsert(spark, pp, embL.limit(1))
+    }
+    assert(e3.getMessage.contains("proj"), s"proj index must be refused: ${e3.getMessage}")
   }
 
   test("ivfCompact fails fast on a stale assign_old from an interrupted compaction") {
