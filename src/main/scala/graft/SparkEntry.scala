@@ -101,6 +101,12 @@ object SparkEntry {
     "q14_promo_share" -> (Relational.promoShare _), // TPC-H Q14: promo revenue share by ship year
     "q18_big_orders" -> ((s: SparkSession, d: String) => Relational.bigOrders(s, d)), // TPC-H Q18: large-volume orders
     "q19_bracket_revenue" -> (Relational.bracketRevenue _), // TPC-H Q19: disjunctive bracket predicate pushdown
+    "q8_market_share" -> ((s: SparkSession, d: String) => Relational.marketShare(s, d)), // TPC-H Q8: national market share, exact BIGINT ratio
+    "q9_nation_profit" -> ((s: SparkSession, d: String) => Relational.nationProfit(s, d)), // TPC-H Q9: profit by nation/year (retailprice cost proxy)
+    "q13_order_dist" -> (Relational.custOrderDistribution _), // TPC-H Q13: customer order-count distribution incl. zeros
+    "q15_top_supplier" -> ((s: SparkSession, d: String) => Relational.topSupplier(s, d)), // TPC-H Q15: max-revenue supplier via broadcast scalar frame
+    "q17_small_qty_revenue" -> ((s: SparkSession, d: String) => Relational.smallQtyRevenue(s, d)), // TPC-H Q17: decorrelated 20%-of-avg quantity cut
+    "q22_lapsed_balance" -> ((s: SparkSession, d: String) => Relational.lapsedHighBalance(s, d)), // TPC-H Q22: lapsed high-balance customers, anti-join recency
     "q_retention" -> (SeriesQueries.retention _), // weekly cohort retention matrix, one user-keyed shuffle
     "ts_cusum" -> (SeriesQueries.cusum _), // exact-integer CUSUM changepoint scan per key
     "q_cms_counts" -> (SeriesQueries.cmsCounts _), // native Count-Min aggregate vs exact counts
@@ -1727,6 +1733,107 @@ object SparkEntry {
          WHERE (p_brand='Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
             OR (p_brand='Brand#23' AND p_size BETWEEN 10 AND 25 AND l_quantity BETWEEN 10 AND 25)
             OR (p_brand='Brand#34' AND p_size BETWEEN 20 AND 35 AND l_quantity BETWEEN 20 AND 35)""",
+    "q8_market_share" ->
+      // share = BIGINT 1e-4-dollar sums in ONE IEEE division (both
+      // engines divide the same two exact integers)
+      """WITH base AS (
+           SELECT year(o_orderdate)::BIGINT AS o_year,
+                  CAST(round(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev1e4,
+                  sn.n_name AS supp_nation
+           FROM lineitem
+           JOIN orders    ON l_orderkey = o_orderkey
+           JOIN part      ON l_partkey = p_partkey
+           JOIN customer  ON o_custkey = c_custkey
+           JOIN nation cn ON c_nationkey = cn.n_nationkey
+           JOIN region    ON cn.n_regionkey = r_regionkey
+           JOIN supplier  ON l_suppkey = s_suppkey
+           JOIN nation sn ON s_nationkey = sn.n_nationkey
+           WHERE r_name = 'EUROPE' AND p_type = 'STANDARD')
+         SELECT o_year,
+                round(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev1e4 ELSE 0 END)::BIGINT::DOUBLE
+                      / sum(rev1e4)::BIGINT::DOUBLE, 6) AS mkt_share
+         FROM base GROUP BY o_year ORDER BY o_year""",
+    "q9_nation_profit" ->
+      // profit on the 1e-4-dollar BIGINT grid: rev1e4 − retail_cents·qty·100,
+      // summed exactly (retailprice cost proxy — the driver schema ships
+      // no partsupp); the 2-decimal rounding is integer half-away-from-
+      // zero on the grid (round(double,2) flips on half-cent sums)
+      """SELECT nation, o_year,
+                (CASE WHEN sum(amount1e4) >= 0
+                      THEN  (sum(amount1e4)::BIGINT + 50) // 100
+                      ELSE -((-sum(amount1e4)::BIGINT + 50) // 100) END)
+                / 100.0 AS sum_profit
+         FROM (
+           SELECT sn.n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+                  CAST(round(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(round(l_discount*100) AS BIGINT))
+                  - CAST(round(p_retailprice*100) AS BIGINT)
+                    * CAST(round(l_quantity) AS BIGINT) * 100 AS amount1e4
+           FROM lineitem
+           JOIN orders    ON l_orderkey = o_orderkey
+           JOIN part      ON l_partkey = p_partkey
+           JOIN supplier  ON l_suppkey = s_suppkey
+           JOIN nation sn ON s_nationkey = sn.n_nationkey
+           WHERE p_name LIKE '%widget%') t
+         GROUP BY nation, o_year ORDER BY nation, o_year""",
+    "q13_order_dist" ->
+      """WITH c_orders AS (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey)
+         SELECT c_count, count(*) AS custdist
+         FROM c_orders GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""",
+    "q15_top_supplier" ->
+      // the max cut compares BIGINT 1e-4-dollar totals — no float ulp
+      """WITH rev AS (
+           SELECT l_suppkey AS supplier_no,
+                  sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                      * (100 - CAST(round(l_discount*100) AS BIGINT)))::BIGINT AS total1e4
+           FROM lineitem
+           WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, round(total1e4 / 10000.0, 2) AS total_revenue
+         FROM supplier JOIN rev ON s_suppkey = supplier_no
+         WHERE total1e4 = (SELECT max(total1e4) FROM rev)
+         ORDER BY s_suppkey""",
+    "q17_small_qty_revenue" ->
+      // all-integer 20%-of-average cut: qty·5·cnt < Σqty picks identical
+      // rows in both engines; revenue is an exact cents sum divided twice
+      // in the same order (/100.0 then /7.0)
+      """WITH agg AS (
+           SELECT l_partkey AS a_partkey,
+                  sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS sum_qty,
+                  count(*)::BIGINT AS cnt
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_brand = 'Brand#23'
+           GROUP BY l_partkey)
+         SELECT round(sum(CAST(round(l_extendedprice*100) AS BIGINT))::BIGINT
+                  / 100.0 / 7.0, 2) AS avg_yearly,
+                count(*) AS n_small
+         FROM lineitem JOIN agg ON l_partkey = a_partkey
+         WHERE CAST(round(l_quantity) AS BIGINT) * 5 * cnt < sum_qty""",
+    "q22_lapsed_balance" ->
+      // average-balance cut as BIGINT cross-multiplication (bal·cnt > Σ);
+      // recency as NOT EXISTS ≡ the Spark side's left-anti join
+      """WITH pos AS (
+           SELECT sum(CAST(round(c_acctbal*100) AS BIGINT))::BIGINT AS sum_c,
+                  count(*)::BIGINT AS cnt
+           FROM customer WHERE c_acctbal > 0),
+         idle AS (
+           SELECT c_custkey, c_nationkey,
+                  CAST(round(c_acctbal*100) AS BIGINT) AS bal_c
+           FROM customer
+           WHERE CAST(round(c_acctbal*100) AS BIGINT) * (SELECT cnt FROM pos)
+                   > (SELECT sum_c FROM pos)
+             AND NOT EXISTS (SELECT 1 FROM orders
+                             WHERE o_custkey = c_custkey
+                               AND o_orderdate >= DATE '1999-01-01'))
+         SELECT n_name AS nation, count(*) AS numcust,
+                round(sum(bal_c)::BIGINT / 100.0, 2) AS totacctbal
+         FROM idle JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
     "q_retention" ->
       // distinct-activity + cohort-join formulation — semantically equal
       // to the Spark side's single-shuffle collect_set form; retention is

@@ -687,4 +687,182 @@ object Relational {
       .select("name_a", "name_b", "dist", "n_a", "n_b")
       .orderBy("name_a", "name_b")
   }
+
+  /** TPC-H Q8 analog — national market share: of all STANDARD-part
+    * revenue sold to customers in region EUROPE, the share supplied by
+    * one nation, per order year. Eight-way join where only
+    * lineitem⋈orders shuffles: part/customer/supplier/nation/region are
+    * dimensions and broadcast (customer restricted to the region FIRST,
+    * so the broadcast side is pre-shrunk). Share = BIGINT/BIGINT cents
+    * sums in one IEEE division, so the ratio is summation-order-free. */
+  def marketShare(spark: SparkSession, dir: String,
+      region: String = "EUROPE", nation: String = "NATION_3",
+      ptype: String = "STANDARD"): DataFrame = {
+    val regionCust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(Tables.nation(spark, dir)
+          .join(broadcast(Tables.region(spark, dir).where(col("r_name") === region)
+            .select("r_regionkey")), col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("cn_key"))),
+        col("c_nationkey") === col("cn_key"))
+      .select("c_custkey")
+    val stdPart = Tables.part(spark, dir)
+      .where(col("p_type") === ptype).select("p_partkey")
+    val suppNation = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(broadcast(stdPart), col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(regionCust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === nation, rev1e4).otherwise(0L)).as("nat1e4"),
+        sum(rev1e4).as("all1e4"))
+      .select(col("o_year"),
+        round(col("nat1e4").cast("double") / col("all1e4").cast("double"), 6)
+          .as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q9 analog — product-line profit by supplier nation and order
+    * year. The driver schema has no partsupp, so unit cost is proxied by
+    * the public p_retailprice (documented adaptation; the join/agg shape
+    * is Q9's). Profit is kept on the 1e-4-dollar BIGINT grid end to end:
+    * rev1e4 − retail_cents·qty·100, summed exactly — and the final
+    * 2-decimal rounding is ALSO integer (half-away-from-zero on the
+    * grid, then one exact /100.0): `round(double, 2)` diverges between
+    * engines on half-cent sums (Spark rounds the shortest decimal
+    * rendering, DuckDB the binary value — a real 0.01 mismatch at
+    * sf0.001), so no double ever gets rounded. */
+  def nationProfit(spark: SparkSession, dir: String,
+      nameToken: String = "widget"): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .where(col("p_name").contains(nameToken))
+      .select("p_partkey", "p_retailprice")
+    val suppNation = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "nation")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount")
+    val amount1e4 = rev1e4 -
+      round(col("p_retailprice") * 100, 0).cast("long") *
+      round(col("l_quantity"), 0).cast("long") * lit(100L)
+    li.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(amount1e4).as("s"))
+      .select(col("nation"), col("o_year"),
+        (when(col("s") >= 0, expr("(s + 50) div 100"))
+          .otherwise(-expr("(-s + 50) div 100")) / 100.0).as("sum_profit"))
+      .orderBy("nation", "o_year")
+  }
+
+  /** TPC-H Q13 analog — customer distribution by order count, zeros
+    * included. Shape note for 100 TB: customers are NOT a broadcastable
+    * dimension here (the output is per-customer before the histogram),
+    * so this is the one relational query that legitimately shuffles the
+    * customer table — once, on c_custkey, against the pre-aggregated
+    * order counts (orders collapse to ≤1 row per customer map-side
+    * before the join). */
+  def custOrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir).select("o_custkey")
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+    Tables.customer(spark, dir).select("c_custkey")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n"), lit(0L)).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q15 analog — top supplier(s) by revenue in one quarter. The
+    * max-revenue cut is a 1-row aggregate broadcast back over the
+    * supplier revenues (the repo's scalar-frame pattern) and compares
+    * BIGINT cents, so the winner can't flip on a float ulp. The shipdate
+    * window is pushed to the parquet scan. */
+  def topSupplier(spark: SparkSession, dir: String,
+      from: String = "1996-01-01", until: String = "1996-04-01"): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit(from).cast("date") &&
+             col("l_shipdate") < lit(until).cast("date"))
+      .select("l_suppkey", "l_extendedprice", "l_discount")
+      .groupBy("l_suppkey").agg(sum(rev1e4).as("total1e4"))
+    val best = rev.agg(max("total1e4").as("best1e4"))
+    rev.join(broadcast(best), col("total1e4") === col("best1e4"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("total1e4") / 10000.0, 2).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q17 analog — revenue that would be lost by dropping
+    * small-quantity (< 20% of the part's average) line items of one
+    * brand, per year. The classic correlated scalar subquery, decorrelated
+    * the Spark-native way: one groupBy over the brand-filtered fact rows
+    * produces (sum_qty, cnt) per part, rejoined to the same filtered
+    * rows. The 20%-of-average cut is all-integer (qty·5·cnt < Σqty), so
+    * both engines pick identical rows; the revenue sum is exact cents. */
+  def smallQtyRevenue(spark: SparkSession, dir: String,
+      brand: String = "Brand#23"): DataFrame = {
+    val branded = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(Tables.part(spark, dir)
+        .where(col("p_brand") === brand).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"),
+        round(col("l_quantity"), 0).cast("long").as("qty"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("ext_c"))
+    val perPart = branded.groupBy(col("l_partkey").as("a_partkey"))
+      .agg(sum("qty").as("sum_qty"), count(lit(1)).as("cnt"))
+    branded.join(perPart, col("l_partkey") === col("a_partkey"))
+      .where(col("qty") * lit(5L) * col("cnt") < col("sum_qty"))
+      .agg(
+        round(sum("ext_c") / 100.0 / 7.0, 2).as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+  }
+
+  /** TPC-H Q22 analog — lapsed high-balance customers: above the
+    * average positive account balance, with no order since the cutoff.
+    * The driver schema has no phone country code, so the grouping key is
+    * the nation (documented adaptation). The average-balance cut
+    * compares bal_cents·cnt > Σcents — two BIGINTs, no float average —
+    * and the recency probe is a left-anti join whose date filter reaches
+    * the orders scan. */
+  def lapsedHighBalance(spark: SparkSession, dir: String,
+      since: String = "1999-01-01"): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("bal_c"))
+    // the average-balance cut is a driver-side scalar probe (the
+    // quartile-cutoff precedent): ONE 1-row aggregate collect, then the
+    // threshold is a literal — the balance filter reaches the customer
+    // scan instead of riding a nested-loop join. Exact: both sides of
+    // bal·cnt > Σ are BIGINTs.
+    val pos = cust.where(col("bal_c") > 0)
+      .agg(sum("bal_c").as("sum_c"), count(lit(1)).as("cnt"))
+      .head()
+    val (sumC, cnt) = (pos.getLong(0), pos.getLong(1))
+    val recent = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit(since).cast("date"))
+      .select("o_custkey")
+    cust.where(col("bal_c") * lit(cnt) > lit(sumC))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name").as("nation"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("nation")
+      .agg(count(lit(1)).as("numcust"),
+        round(sum("bal_c") / 100.0, 2).as("totacctbal"))
+      .orderBy("nation")
+  }
 }

@@ -287,4 +287,72 @@ class RelationalSpec extends SparkSpec {
       assert(got == want, s"buckets=$b diverges from the windowed form")
     }
   }
+
+  test("q8 market share is a valid ratio per year") {
+    val rows = Relational.marketShare(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length, "one row per year")
+    assert(rows.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+  }
+
+  test("q13 distribution partitions customers and recovers the order total") {
+    val rows = Relational.custOrderDistribution(spark, sfDir).collect()
+    val nCust = graft.Tables.customer(spark, sfDir).count()
+    val nOrd = graft.Tables.orders(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == nCust, "custdist sums to all customers")
+    assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum == nOrd,
+      "sum(c_count*custdist) recovers the order count")
+  }
+
+  test("q15 winner really is the max-revenue supplier of the quarter") {
+    import org.apache.spark.sql.functions._
+    val win = Relational.topSupplier(spark, sfDir).collect()
+    assert(win.nonEmpty)
+    val all = graft.Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+             col("l_shipdate") < lit("1996-04-01").cast("date"))
+      .groupBy("l_suppkey")
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val best = all.values.max
+    assert(win.forall(r => all(r.getLong(0)) == best), "every returned row is at the max")
+    assert(win.length == all.count(_._2 == best), "ALL argmax suppliers returned")
+  }
+
+  test("q17 picks exactly the below-20%-of-average rows (windowed reference)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val branded = graft.Tables.lineitem(spark, sfDir)
+      .join(graft.Tables.part(spark, sfDir).where(col("p_brand") === "Brand#23")
+        .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+    val w = Window.partitionBy("l_partkey")
+    val nSmall = branded
+      .withColumn("sq", sum(round(col("l_quantity"), 0).cast("long")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .where(round(col("l_quantity"), 0).cast("long") * 5 * col("cnt") < col("sq"))
+      .count()
+    val got = Relational.smallQtyRevenue(spark, sfDir).collect().head
+    assert(got.getLong(1) == nSmall, s"n_small ${got.getLong(1)} vs windowed $nSmall")
+  }
+
+  test("q22: every lapsed customer is above average balance with no recent order") {
+    import org.apache.spark.sql.functions._
+    val cust = graft.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("bal_c"))
+    val pos = cust.where(col("bal_c") > 0)
+      .agg(sum("bal_c").as("s"), count(lit(1)).as("c")).head()
+    val (s, c) = (pos.getLong(0), pos.getLong(1))
+    val lapsedKeys = cust.where(col("bal_c") * c > s)
+      .join(graft.Tables.orders(spark, sfDir)
+        .where(col("o_orderdate") >= lit("1999-01-01").cast("date"))
+        .select("o_custkey"), col("c_custkey") === col("o_custkey"), "left_anti")
+    val byNation = lapsedKeys.groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+    val got = Relational.lapsedHighBalance(spark, sfDir).collect()
+    assert(got.map(_.getLong(1)).sum == byNation.values.sum)
+    assert(got.nonEmpty)
+  }
 }
