@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Bpe, Dedup, Distill, ForecastQueries, GraphRank, Hybrid, Layout, Multimodal, PrepPipeline, Relational, Sampling, SeriesQueries, Similarity, TextAnalysis}
+import graft.analytics.{Bpe, CurationAudit, Dedup, Distill, ForecastQueries, GraphRank, Hybrid, Layout, Multimodal, PrepPipeline, Relational, Sampling, SeriesQueries, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -224,6 +224,11 @@ object SparkEntry {
     "pack_concat_chunk" -> (Sampling.concatChunkQuery _), // GPT-style concat-and-chunk: docs split across fixed-length sequences, zero padding
     "mix_epochs" -> (Sampling.mixEpochsQuery _), // data-constrained epoch schedule (repeat-capped, deficit-reported; Muennighoff 2023)
     "mix_curriculum" -> (Sampling.curriculumQuery _), // easy->hard curriculum stages by exact global quality rank (bucketed, no global sort)
+    // curation observability (CurationAudit): the audit tables between corpus versions
+    "ds_snapshot_diff" -> (CurationAudit.snapshotDiff _), // per-source added/removed/changed/churn between corpus snapshots; digests shuffle, text never
+    "pack_length_buckets" -> (CurationAudit.lengthBuckets _), // power-of-two length buckets + integer padding-waste per-mille (batch-scheduler audit)
+    "txt_ngram_novelty" -> ((s: SparkSession, d: String) => CurationAudit.ngramNovelty(s, d)), // per-doc trigram novelty vs the held-in reference slice
+    "mix_source_kl" -> (CurationAudit.sourceKl _), // KL(source ‖ corpus) over unigram distributions on the ln·1e8 grid (mixture drift)
     "mix_epochs_expand" -> (Sampling.mixEpochsExpandQuery _), // the epoch schedule materialized: per-copy rows, fractional epoch via salted hash
     "sample_stratified" -> (Sampling.stratifiedSampleQuery _),
     "mix_sources" -> (Sampling.mixSourcesQuery _), // deterministic static domain reweighting (DoReMi-style)
@@ -2400,6 +2405,92 @@ object SparkEntry {
           SELECT doc_id, quality,
             ntile(4) OVER (ORDER BY quality ASC, doc_id) AS stage
           FROM q""",
+    "ds_snapshot_diff" ->
+      // mirror of CurationAudit.snapshotDiff: v1/v2 are the salted-md5
+      // derived snapshots (5% added, 5% removed, 10% re-extracted to 100
+      // chars), diffed by text digest per source; churn is integer per-mille
+      """WITH v1 AS (
+           SELECT doc_id, source, md5(text) AS dig FROM documents
+           WHERE (('0x'||substr(md5('v1:'||doc_id::VARCHAR),1,15))::UBIGINT::BIGINT % 1000) >= 50),
+         v2 AS (
+           SELECT doc_id, source,
+             md5(CASE WHEN (('0x'||substr(md5('chg:'||doc_id::VARCHAR),1,15))::UBIGINT::BIGINT % 1000) < 100
+                      THEN substr(text, 1, 100) ELSE text END) AS dig
+           FROM documents
+           WHERE NOT ((('0x'||substr(md5('v2:'||doc_id::VARCHAR),1,15))::UBIGINT::BIGINT % 1000) >= 950)),
+         d AS (
+           SELECT coalesce(v1.source, v2.source) AS src,
+             CASE WHEN v1.doc_id IS NULL THEN 'added'
+                  WHEN v2.doc_id IS NULL THEN 'removed'
+                  WHEN v1.dig <> v2.dig THEN 'changed'
+                  ELSE 'unchanged' END AS status
+           FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+         SELECT src,
+                sum(CASE WHEN status='added' THEN 1 ELSE 0 END)::BIGINT AS n_added,
+                sum(CASE WHEN status='removed' THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+                sum(CASE WHEN status='changed' THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+                sum(CASE WHEN status='unchanged' THEN 1 ELSE 0 END)::BIGINT AS n_unchanged,
+                count(*) AS n_total,
+                ((sum(CASE WHEN status IN ('added','removed','changed') THEN 1 ELSE 0 END)::BIGINT
+                  * 1000) // count(*)) AS churn_pm
+         FROM d GROUP BY src ORDER BY src""",
+    "pack_length_buckets" ->
+      // all-integer power-of-two bucketing: floor(log2) from the binary
+      // string length (no float log near a power-of-two boundary)
+      s"""SELECT bucket_top, count(*) AS n_docs, sum(n_tokens)::BIGINT AS sum_tokens,
+                 (bucket_top * count(*))::BIGINT AS capacity,
+                 (((bucket_top * count(*) - sum(n_tokens)) * 1000)
+                   // (bucket_top * count(*)))::BIGINT AS waste_pm
+          FROM (SELECT n_tokens,
+                  CAST(pow(2, CASE WHEN (n_tokens & (n_tokens - 1)) = 0
+                                   THEN length(bin(n_tokens)) - 1
+                                   ELSE length(bin(n_tokens)) END) AS BIGINT) AS bucket_top
+                FROM (SELECT len($toksSql)::BIGINT AS n_tokens FROM documents) a) b
+          GROUP BY bucket_top ORDER BY bucket_top""",
+    "txt_ngram_novelty" ->
+      // trigram variant of the shingle CTE (distinct AFTER hashing, the
+      // Dedup.shingleHashes discipline); reference slice = salted 10%
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         shs AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+                 FROM ws, LATERAL (SELECT unnest(range(1, len(w)-1)) AS i) r
+                 WHERE len(w) >= 3),
+         sh AS (SELECT DISTINCT doc_id,
+                  ('0x'||substr(md5(shingle),1,8))::UBIGINT::BIGINT AS h1,
+                  ('0x'||substr(md5(shingle),9,8))::UBIGINT::BIGINT AS h2
+                FROM shs),
+         refset AS (SELECT DISTINCT h1, h2 FROM sh
+                    WHERE (('0x'||substr(md5('ref:'||doc_id::VARCHAR),1,15))::UBIGINT::BIGINT % 1000) < 100),
+         cand AS (SELECT * FROM sh
+                  WHERE (('0x'||substr(md5('ref:'||doc_id::VARCHAR),1,15))::UBIGINT::BIGINT % 1000) >= 100),
+         novel AS (SELECT doc_id, count(*) AS n_novel FROM cand
+                   WHERE NOT EXISTS (SELECT 1 FROM refset
+                                     WHERE refset.h1 = cand.h1 AND refset.h2 = cand.h2)
+                   GROUP BY doc_id)
+         SELECT c.doc_id, count(*) AS n_tri,
+                coalesce(any_value(novel.n_novel), 0)::BIGINT AS n_novel,
+                ((coalesce(any_value(novel.n_novel), 0) * 1000) // count(*))::BIGINT AS novelty_pm
+         FROM cand c LEFT JOIN novel ON novel.doc_id = c.doc_id
+         GROUP BY c.doc_id ORDER BY c.doc_id""",
+    "mix_source_kl" ->
+      // mirror of CurationAudit.sourceKl: both log-probabilities quantized
+      // to the ln·1e8 BIGINT grid BEFORE arithmetic (txt_lm_score recipe);
+      // kl_e8 is an integer division of two BIGINTs
+      s"""WITH toks AS MATERIALIZED (
+            SELECT source, unnest($toksSql) AS term FROM documents),
+          bysrc AS MATERIALIZED (
+            SELECT source, term, count(*)::BIGINT AS cs FROM toks GROUP BY 1, 2),
+          byterm AS (SELECT term, sum(cs)::BIGINT AS c FROM bysrc GROUP BY term),
+          st AS (SELECT source, sum(cs)::BIGINT AS ns FROM bysrc GROUP BY source),
+          tot AS (SELECT sum(c)::BIGINT AS n FROM byterm),
+          terms AS (
+            SELECT b.source, b.cs,
+                   CAST(round(ln(b.cs::DOUBLE / st.ns) * 1e8) AS BIGINT)
+                 - CAST(round(ln(t.c::DOUBLE / tot.n) * 1e8) AS BIGINT) AS dln_e8
+            FROM bysrc b JOIN byterm t USING (term) JOIN st USING (source), tot)
+          SELECT source, sum(cs)::BIGINT AS n_tokens, count(*) AS n_terms,
+                 (sum(cs * dln_e8)::BIGINT // sum(cs)::BIGINT) AS kl_e8,
+                 (sum(cs * dln_e8)::BIGINT // sum(cs)::BIGINT) / 1e8 AS kl
+          FROM terms GROUP BY source ORDER BY source""",
     "pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, len($toksSql)::BIGINT AS n_tokens,
                  ('0x'||substr(md5(doc_id::VARCHAR),1,15))::UBIGINT::BIGINT % 8 AS shard
