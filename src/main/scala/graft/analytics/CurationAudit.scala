@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.Hashes
 
 /** Curation observability: the audit tables an iterative training-data
   * pipeline reads between corpus versions — what changed since the last
@@ -36,10 +35,10 @@ object CurationAudit {
     * and 10% re-extracted to their first 100 chars (a boilerplate-pass
     * change). Buckets are salted md5 over doc_id — stable across engines
     * and scale factors. */
-  private[analytics] def snapshotV1(docs: DataFrame): DataFrame =
+  private[graft] def snapshotV1(docs: DataFrame): DataFrame =
     docs.where(bucket("v1:", col("doc_id")) >= 50)
 
-  private[analytics] def snapshotV2(docs: DataFrame): DataFrame =
+  private[graft] def snapshotV2(docs: DataFrame): DataFrame =
     docs.where(!(bucket("v2:", col("doc_id")) >= 950))
       .withColumn("text",
         when(bucket("chg:", col("doc_id")) < 100, substring(col("text"), 1, 100))
