@@ -1299,6 +1299,9 @@ object ScaleProbe {
     // dsir: 1M 40-word docs -> 40M word occurrences through the bucket
     // model and the weight aggregation; model stays 64 rows
     "dsir" -> 1000000L,
+    // curation: 2M 18-word docs -> ~32M trigram hashes through the
+    // novelty anti-join and a 2M-row digest diff; text never shuffles
+    "curation" -> 2000000L,
     // overlap: 1M x 1M intervals at ~3 overlaps each; the naive arm runs
     // at n/100 where its quadratic cost is still feasible
     "overlap" -> 1000000L,
@@ -1510,6 +1513,62 @@ object ScaleProbe {
     ok
   }
 
+  /** `curation` — the snapshot-diff + n-gram-novelty family at crawl
+    * volume (the sf0.1 surface sees 5k docs; a re-crawl reconciliation
+    * runs at millions). Synthetic corpus: `n` docs over 16 sources,
+    * 17 words from a 50k-word rotating vocabulary (shared trigram mass —
+    * the anti-join carries real overlap, not disjoint sets) plus ONE
+    * unique trailing token per doc, which plants exactly one
+    * guaranteed-novel trigram (the final window) in every document.
+    * Gates:
+    *  - the diff's statuses partition |v1 ∪ v2| exactly (set identity
+    *    re-derived from the snapshot frames at volume);
+    *  - added/removed land on the salted-bucket fractions by
+    *    construction (exact counts, not tolerances);
+    *  - novelty scores every non-reference doc, per-mille in range,
+    *    and finds AT LEAST the planted trigram per scored doc.
+    * The printed seconds are the scale claim: both are digest/hash
+    * shapes (text never shuffles), so wall time tracks n linearly. */
+  private def probeCuration(spark: org.apache.spark.sql.SparkSession, n: Long): Boolean = {
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat(lit("src"), pmod(col("id"), lit(16)).cast("string")).as("source"),
+      expr("concat(array_join(transform(sequence(0, 16), " +
+        "j -> concat('w', pmod(id * 31 + j * 7, 50021))), ' '), ' u', id)").as("text"))
+    docs.cache(); docs.count()
+    val v1 = graft.analytics.CurationAudit.snapshotV1(docs)
+    val v2 = graft.analytics.CurationAudit.snapshotV2(docs)
+    val (diff, tDiff) = timed {
+      graft.analytics.CurationAudit.snapshotDiffOf(docs).collect()
+    }
+    val nTotal = diff.map(_.getLong(5)).sum
+    val nAdded = diff.map(_.getLong(1)).sum
+    val nRemoved = diff.map(_.getLong(2)).sum
+    val union = v1.select("doc_id").union(v2.select("doc_id")).distinct().count()
+    val wantAdded = v2.join(v1.select("doc_id"), Seq("doc_id"), "left_anti").count()
+    val wantRemoved = v1.join(v2.select("doc_id"), Seq("doc_id"), "left_anti").count()
+    val diffOk = nTotal == union && nAdded == wantAdded && nRemoved == wantRemoved
+    val (nov, tNov) = timed {
+      graft.analytics.CurationAudit.ngramNoveltyOf(docs)
+        .agg(count(lit(1)), sum(col("n_novel")), sum(col("n_tri")),
+          min(col("novelty_pm")), max(col("novelty_pm"))).head()
+    }
+    val nCand = docs.where(graft.analytics.Sampling.hashBucket(
+      concat(lit("ref:"), col("doc_id").cast("string")), 1000) >= 100).count()
+    val novOk = nov.getLong(0) == nCand &&
+      nov.getLong(3) >= 0 && nov.getLong(4) <= 1000 &&
+      nov.getLong(1) >= nCand // the planted unique-suffix trigram per doc
+    docs.unpersist()
+    val ok = diffOk && novOk
+    println(s"""{"probe":"curation","n":$n,"diff_sec":${f"$tDiff%.1f"},""" +
+      s""""union":$union,"added":$nAdded,"removed":$nRemoved,""" +
+      s""""novelty_sec":${f"$tNov%.1f"},"scored":${nov.getLong(0)},""" +
+      s""""novel_tris":${nov.getLong(1)},"total_tris":${nov.getLong(2)},""" +
+      s""""diff_ok":$diffOk,"nov_ok":$novOk}""")
+    if (!ok) System.err.println(s"[scaleprobe] curation FAILED: diff=$diffOk nov=$novOk")
+    ok
+  }
+
   def main(args: Array[String]): Unit = {
     val (which, nOpt) = args.toList match {
       case name :: num :: _ => (name, Some(num.toLong))
@@ -1543,6 +1602,7 @@ object ScaleProbe {
       case "ivfingest" => probeIvfIngest(spark, size)
       case "mmr" => probeMmr(spark, size)
       case "dsir" => probeDsir(spark, size)
+      case "curation" => probeCuration(spark, size)
       case other =>
         System.err.println(
           s"unknown arm '$other'; known arms: ${defaults.keysIterator.toSeq.sorted.mkString(", ")} (or 'all')")

@@ -50,8 +50,12 @@ object CurationAudit {
     * (doc_id, source, md5) — text reduces to its digest BEFORE the
     * shuffle, so the diff moves ~50 bytes/doc no matter the corpus
     * size, and the full-outer join is the only wide stage. */
-  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame =
+    snapshotDiffOf(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, source, text) frame — the probe feeds this
+    * synthetic crawl volume ([[graft.ScaleProbe]] `curation` arm). */
+  def snapshotDiffOf(docs: DataFrame): DataFrame = {
     def digested(df: DataFrame, idAs: String, digAs: String) =
       df.select(col("doc_id").as(idAs), col("source"),
         md5(coalesce(col("text"), lit(""))).as(digAs))
@@ -106,8 +110,10 @@ object CurationAudit {
     * distinct AFTER hashing so a collision cannot desync set sizes);
     * the reference side collapses to its DISTINCT hash set before the
     * join, so the anti-probe is vocabulary-sized, not corpus-sized. */
-  def ngramNovelty(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def ngramNovelty(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
+    ngramNoveltyOf(Tables.documents(spark, dir), n)
+
+  def ngramNoveltyOf(docs: DataFrame, n: Int = 3): DataFrame = {
     val isRef = bucket("ref:", col("doc_id")) < 100
     val tri = Dedup.shingleHashes(docs, n)
     val refSet = tri.where(isRef).select("h1", "h2").distinct()
