@@ -229,6 +229,7 @@ object SparkEntry {
     "pack_length_buckets" -> (CurationAudit.lengthBuckets _), // power-of-two length buckets + integer padding-waste per-mille (batch-scheduler audit)
     "txt_ngram_novelty" -> ((s: SparkSession, d: String) => CurationAudit.ngramNovelty(s, d)), // per-doc trigram novelty vs the held-in reference slice
     "mix_source_kl" -> (CurationAudit.sourceKl _), // KL(source ‖ corpus) over unigram distributions on the ln·1e8 grid (mixture drift)
+    "emb_label_drift" -> (CurationAudit.labelDrift _), // per-label centroid distance/cosine vs the corpus centroid on the 1e6 grid (semantic drift)
     "mix_epochs_expand" -> (Sampling.mixEpochsExpandQuery _), // the epoch schedule materialized: per-copy rows, fractional epoch via salted hash
     "sample_stratified" -> (Sampling.stratifiedSampleQuery _),
     "mix_sources" -> (Sampling.mixSourcesQuery _), // deterministic static domain reweighting (DoReMi-style)
@@ -2491,6 +2492,33 @@ object SparkEntry {
                  (sum(cs * dln_e8)::BIGINT // sum(cs)::BIGINT) AS kl_e8,
                  (sum(cs * dln_e8)::BIGINT // sum(cs)::BIGINT) / 1e8 AS kl
           FROM terms GROUP BY source ORDER BY source""",
+    "emb_label_drift" ->
+      // mirror of CurationAudit.labelDrift: components quantize to the 1e6
+      // BIGINT grid before summation, per-dim means re-quantize after one
+      // IEEE division each, and the sqrt/divide chain is the same IEEE
+      // sequence — every aggregated value is an exact integer
+      """WITH q AS (
+           SELECT label, i AS d,
+                  CAST(round(embedding[i]::DOUBLE * 1e6) AS BIGINT) AS q
+           FROM embeddings,
+                LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) r),
+         bl AS (SELECT label, d, sum(q)::BIGINT AS s, count(*)::BIGINT AS nl
+                FROM q GROUP BY 1, 2),
+         c AS (SELECT d, sum(s)::BIGINT AS cs, sum(nl)::BIGINT AS cn
+               FROM bl GROUP BY d),
+         m AS (SELECT label, nl,
+                 CAST(round(s::DOUBLE / nl - cs::DOUBLE / cn) AS BIGINT) AS md,
+                 CAST(round(s::DOUBLE / nl) AS BIGINT) AS ml,
+                 CAST(round(cs::DOUBLE / cn) AS BIGINT) AS mc
+               FROM bl JOIN c USING (d))
+         SELECT label, max(nl) AS n_vecs,
+                sum(md * md)::BIGINT AS dist2_e12,
+                round(sqrt(sum(md * md)) / 1e6, 6) AS dist,
+                CASE WHEN sum(ml * ml) > 0 AND sum(mc * mc) > 0
+                     THEN round(sum(ml * mc)
+                                / (sqrt(sum(ml * ml)) * sqrt(sum(mc * mc))), 6)
+                END AS cos_sim
+         FROM m GROUP BY label ORDER BY label""",
     "pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, len($toksSql)::BIGINT AS n_tokens,
                  ('0x'||substr(md5(doc_id::VARCHAR),1,15))::UBIGINT::BIGINT % 8 AS shard

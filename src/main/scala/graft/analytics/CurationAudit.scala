@@ -128,6 +128,50 @@ object CurationAudit {
       .orderBy("doc_id")
   }
 
+  /** Embedding-space drift per label — the vector-side sibling of
+    * [[sourceKl]]: distance and cosine between each label's embedding
+    * centroid and the corpus centroid, the "is this slice drifting away
+    * from the blend" signal for semantic (rather than lexical) shift.
+    * Exactness recipe: components quantize to the 1e6 integer grid BEFORE
+    * summation (per-dimension BIGINT sums are order-free), per-dim means
+    * come back through one IEEE division each, their difference
+    * re-quantizes to the grid, and the final sqrt/divide chain is the
+    * same IEEE sequence in both engines. Shuffle profile: one
+    * (label, dim)-keyed partial aggregation of n·64 integer rows (map-
+    * side combined), the 64-row corpus frame broadcast back. */
+  def labelDrift(spark: SparkSession, dir: String): DataFrame =
+    labelDriftOf(Tables.embeddings(spark, dir))
+
+  def labelDriftOf(embeddings: DataFrame): DataFrame = {
+    val q = embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("label"), col("d"),
+        round(col("x").cast("double") * 1e6, 0).cast("long").as("q"))
+    val byLabel = q.groupBy("label", "d")
+      .agg(sum("q").as("s"), count(lit(1)).as("nl"))
+    val corpus = byLabel.groupBy("d").agg(sum("s").as("cs"), sum("nl").as("cn"))
+    byLabel.join(broadcast(corpus), "d")
+      .select(col("label"), col("nl"),
+        round(col("s").cast("double") / col("nl") -
+              col("cs").cast("double") / col("cn"), 0).cast("long").as("md"),
+        round(col("s").cast("double") / col("nl"), 0).cast("long").as("ml"),
+        round(col("cs").cast("double") / col("cn"), 0).cast("long").as("mc"))
+      .groupBy("label")
+      .agg(max("nl").as("n_vecs"),
+        sum(col("md") * col("md")).as("dist2_e12"),
+        sum(col("ml") * col("mc")).as("dot_e12"),
+        sum(col("ml") * col("ml")).as("nl2_e12"),
+        sum(col("mc") * col("mc")).as("nc2_e12"))
+      .select(col("label"), col("n_vecs"), col("dist2_e12"),
+        round(sqrt(col("dist2_e12")) / 1e6, 6).as("dist"),
+        // a zero centroid (either side) makes the cosine undefined — null,
+        // not a division-by-zero (the operator must be total on any input)
+        when(col("nl2_e12") > 0 && col("nc2_e12") > 0,
+          round(col("dot_e12") /
+            (sqrt(col("nl2_e12")) * sqrt(col("nc2_e12"))), 6)).as("cos_sim"))
+      .orderBy("label")
+  }
+
   /** Per-source distribution drift: KL(source ‖ corpus) over the
     * whitespace-unigram distributions, the mixture-health metric that
     * tells a data-mixing stage which source is furthest from the blend

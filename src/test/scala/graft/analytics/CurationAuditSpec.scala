@@ -101,4 +101,26 @@ class CurationAuditSpec extends SparkSpec {
     // identical halves: cs*2 == c for every term, so every dln is ln(1)=0
     assert(out.forall(_.getLong(1) == 0L))
   }
+
+  test("label drift: bounds, coverage, and the single-label / mirror identities") {
+    val d = CurationAudit.labelDrift(spark, sfDir).collect()
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    assert(d.map(_.getLong(1)).sum == emb.count(), "n_vecs partitions the table")
+    assert(d.forall(r => r.getDouble(3) >= 0.0), "dist >= 0")
+    assert(d.forall(r => math.abs(r.getDouble(4)) <= 1.0 + 1e-9), "|cos| <= 1")
+    import spark.implicits._
+    // one label == the corpus: its centroid IS the corpus centroid
+    val single = Seq((0L, Array(1.0f, 2.0f, -3.0f)), (1L, Array(0.5f, -1.0f, 2.0f)))
+      .toDF("vec_id", "embedding").withColumn("label", lit(7L))
+    val s = CurationAudit.labelDriftOf(single).collect()
+    assert(s.length == 1 && s.head.getLong(2) == 0L && s.head.getDouble(4) == 1.0)
+    // two labels mirrored around zero: corpus centroid 0 per dim, so each
+    // label's diff-vector is its own centroid and dist2 matches it exactly
+    val mirrored = Seq((0L, Array(1.0f, -2.0f), 0L), (1L, Array(-1.0f, 2.0f), 1L))
+      .toDF("vec_id", "embedding", "label")
+    val m = CurationAudit.labelDriftOf(mirrored).collect()
+    val want = 1000000L * 1000000L + 2000000L * 2000000L
+    assert(m.forall(_.getLong(2) == want), s"dist2_e12 ${m.map(_.getLong(2)).toSeq}")
+    assert(m.forall(_.isNullAt(4)), "zero corpus centroid: cosine undefined, null")
+  }
 }
