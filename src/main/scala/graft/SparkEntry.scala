@@ -183,6 +183,7 @@ object SparkEntry {
     "pipe_prep_tok" -> (PrepPipeline.manifestTok _), // v5: the tokenizer is trained ON the curated corpus and the packing runs over real BPE token counts
     "pipe_prep_dsir" -> (PrepPipeline.manifestDsir _), // v6: the curation chain ends in the importance gate (positive-LLR half packed)
     "pipe_prep_html" -> (PrepPipeline.manifestHtml _), // v7: curation FROM CRAWL HTML — boilerplate extraction feeds the unchanged gate->dedup->split->decontam->pack chain
+    "pipe_prep_incr" -> (PrepPipeline.manifestIncr _), // v8: INCREMENTAL re-crawl curation — snapshot-diff increment + novelty floor + resident-corpus dedup feed the unchanged chain
     "chunk_overlap" -> (TextAnalysis.chunkQuery _), // overlapping token-window training chunks
     // --- similarity search over embeddings ---
     "knn_exact" -> (Similarity.knnExactQuery _),
@@ -2931,6 +2932,55 @@ object SparkEntry {
           keepers AS MATERIALIZED (
             SELECT min(doc_id) AS doc_id FROM (
               SELECT doc_id, md5($normSql) AS h FROM k) t GROUP BY h),
+          dd AS MATERIALIZED (SELECT k.doc_id, k.text FROM k JOIN keepers USING (doc_id)),
+          $prepTailSql""",
+    "pipe_prep_incr" ->
+      // v8: the increment (digest anti-join of the two snapshot CTEs, the
+      // ds_snapshot_diff semantics) through the novelty floor (≥1 trigram
+      // the resident corpus lacks) into the UNCHANGED gate/dedup/tail —
+      // with the keeper set also anti-joined against v1's normalized
+      // digests (the dedup_incremental semantics)
+      s"""WITH v1 AS MATERIALIZED (
+            SELECT doc_id, text FROM documents
+            WHERE (('0x'||substr(md5('v1:'||doc_id::VARCHAR),1,15))::UBIGINT::BIGINT % 1000) >= 50),
+          v2 AS MATERIALIZED (
+            SELECT doc_id,
+                   CASE WHEN (('0x'||substr(md5('chg:'||doc_id::VARCHAR),1,15))::UBIGINT::BIGINT % 1000) < 100
+                        THEN substr(text, 1, 100) ELSE text END AS text
+            FROM documents
+            WHERE NOT ((('0x'||substr(md5('v2:'||doc_id::VARCHAR),1,15))::UBIGINT::BIGINT % 1000) >= 950)),
+          v1d AS (SELECT doc_id, md5(text) AS dig FROM v1),
+          inc AS MATERIALIZED (
+            SELECT v2.doc_id, v2.text FROM v2 LEFT JOIN v1d
+              ON v2.doc_id = v1d.doc_id AND md5(v2.text) = v1d.dig
+            WHERE v1d.doc_id IS NULL),
+          rtri AS MATERIALIZED (
+            SELECT DISTINCT ${md5L32("shingle")} AS h1,
+                   ('0x'||substr(md5(shingle),9,8))::UBIGINT::BIGINT AS h2
+            FROM (SELECT array_to_string(w[i:i+2], ' ') AS shingle
+                  FROM (SELECT string_split(text, ' ') AS w FROM v1) rws,
+                       LATERAL (SELECT unnest(range(1, len(w)-1)) AS i) r
+                  WHERE len(w) >= 3) s),
+          itri AS (
+            SELECT DISTINCT doc_id, ${md5L32("shingle")} AS h1,
+                   ('0x'||substr(md5(shingle),9,8))::UBIGINT::BIGINT AS h2
+            FROM (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+                  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM inc) iws,
+                       LATERAL (SELECT unnest(range(1, len(w)-1)) AS i) r
+                  WHERE len(w) >= 3) s),
+          novel AS (SELECT DISTINCT doc_id FROM itri
+                    WHERE NOT EXISTS (SELECT 1 FROM rtri
+                                      WHERE rtri.h1 = itri.h1 AND rtri.h2 = itri.h2)),
+          fresh AS MATERIALIZED (
+            SELECT inc.doc_id, inc.text FROM inc JOIN novel USING (doc_id)),
+          ${prepGateCtesOver("fresh")},
+          v1n AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+                  FROM v1),
+          keepers AS MATERIALIZED (
+            SELECT min(doc_id) AS doc_id FROM (
+              SELECT doc_id, md5($normSql) AS h FROM k) t
+            WHERE NOT EXISTS (SELECT 1 FROM v1n WHERE v1n.h = t.h)
+            GROUP BY h),
           dd AS MATERIALIZED (SELECT k.doc_id, k.text FROM k JOIN keepers USING (doc_id)),
           $prepTailSql""",
     "pipe_prep" ->

@@ -335,6 +335,54 @@ object PrepPipeline {
       .orderBy("shard", "seq_id", "doc_id")
   }
 
+  def manifestIncr(spark: SparkSession, dir: String): DataFrame =
+    manifestIncrOf(Tables.documents(prepSession(spark), dir))
+
+  /** The v8 composition — INCREMENTAL re-crawl curation
+    * (`pipe_prep_incr`): the nightly shape, where curation runs over the
+    * crawl INCREMENT against the resident corpus instead of re-curating
+    * from scratch. Stage 0a extracts the increment (v2 docs new or
+    * changed vs the v1 snapshot — an anti-join on (doc_id, digest), the
+    * [[CurationAudit.snapshotDiff]] semantics); 0b applies the novelty
+    * floor (keep only increment docs contributing ≥1 trigram the
+    * RESIDENT corpus has never seen — [[CurationAudit.ngramNovelty]]'s
+    * machinery as a gate); then the UNCHANGED pipe_prep chain, with
+    * exact dedup extended to the resident corpus (a kept doc whose
+    * normalized digest already lives in v1 is a cross-snapshot duplicate
+    * and drops — the `dedup_incremental` semantics inside the flagship).
+    *
+    * Scale: the increment is a small fraction of the corpus (the whole
+    * point of incremental curation); the resident side contributes only
+    * DIGEST-SIZED frames — v1's text never shuffles (doc-digests for the
+    * diff, distinct trigram hashes for the novelty floor, normalized
+    * digests for the dedup), so the per-cycle cost is
+    * O(increment + resident digests), not O(corpus re-scan). */
+  def manifestIncrOf(docs: DataFrame): DataFrame = {
+    val v1 = CurationAudit.snapshotV1(docs).select("doc_id", "text")
+    val v2 = CurationAudit.snapshotV2(docs).select("doc_id", "text")
+    val v1dig = v1.select(col("doc_id"), md5(col("text")).as("dig"))
+    // 0a. the increment: new-or-changed docs (digest anti-join)
+    val inc = materialized(
+      v2.withColumn("dig", md5(col("text")))
+        .join(v1dig, Seq("doc_id", "dig"), "left_anti")
+        .select("doc_id", "text"))
+    // 0b. novelty floor vs the resident trigram set
+    val refTris = Dedup.shingleHashes(v1, 3).select("h1", "h2").distinct()
+    val novelIds = Dedup.shingleHashes(inc, 3)
+      .join(refTris, Seq("h1", "h2"), "left_anti")
+      .select("doc_id").distinct()
+    val fresh = inc.join(novelIds, "doc_id")
+    // 1-2. the standard gate, then exact dedup within the increment AND
+    // against the resident corpus's normalized digests
+    val kept = materialized(gated(fresh))
+    val residentNorm = v1
+      .select(md5(TextAnalysis.normalized(col("text"))).as("h")).distinct()
+    val keepers = Dedup.exact(kept)
+      .join(residentNorm, Seq("h"), "left_anti")
+      .select(col("keep_doc_id").as("doc_id"))
+    assemble(kept, keepers)
+  }
+
   /** Materialize an inter-stage frame AND truncate its lineage
     * (`localCheckpoint`, the [[Dedup.dupClusters]] idiom — on a cluster
     * this is `checkpoint()` against reliable storage / the manifest

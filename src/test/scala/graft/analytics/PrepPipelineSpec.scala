@@ -264,4 +264,40 @@ class PrepPipelineSpec extends SparkSpec {
       if (seq < tail) assert(chunks.map(_._6).sum == 256L)
     }
   }
+
+  test("pipe_prep_incr: every output doc is in the increment, novel, gated, and nowhere in v1") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val out = PrepPipeline.manifestIncr(spark, sfDir).collect()
+    assert(out.nonEmpty, "the increment chain must keep something at sf0.001")
+    val outIds = out.map(_.getLong(0)).toSet
+    val v1 = CurationAudit.snapshotV1(docs).select("doc_id", "text")
+    val v2 = CurationAudit.snapshotV2(docs).select("doc_id", "text")
+    // membership: output ⊆ the new-or-changed increment
+    val v1Dig = v1.select(col("doc_id"), md5(col("text")).as("dig"))
+    val incIds = v2.withColumn("dig", md5(col("text")))
+      .join(v1Dig, Seq("doc_id", "dig"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(outIds.subsetOf(incIds), "output must come from the increment only")
+    // resident dedup: no output doc's normalized digest exists in v1
+    val v1Norm = v1.select(md5(TextAnalysis.normalized(col("text"))).as("h"))
+      .collect().map(_.getString(0)).toSet
+    import spark.implicits._
+    val outNorm = v2.join(outIds.toSeq.toDF("doc_id"), "doc_id")
+      .select(md5(TextAnalysis.normalized(col("text"))).as("h"))
+      .collect().map(_.getString(0))
+    assert(outNorm.forall(h => !v1Norm(h)), "resident duplicates must drop")
+    // novelty floor: every output doc has >= 1 trigram absent from v1
+    val refTris = Dedup.shingleHashes(v1, 3).select("h1", "h2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val outTris = Dedup.shingleHashes(
+        v2.join(outIds.toSeq.toDF("doc_id"), "doc_id"), 3)
+      .collect().groupBy(_.getLong(0))
+    assert(outIds.forall(id => outTris(id)
+        .exists(r => !refTris((r.getLong(1), r.getLong(2))))),
+      "every kept doc must contribute a resident-unseen trigram")
+    // tail laws shared with pipe_prep: folds legal, train-only packing
+    assert(out.forall(r => Set("train", "val", "test")(r.getString(1))))
+    assert(out.filter(_.getString(1) != "train").forall(_.isNullAt(3)))
+  }
 }
