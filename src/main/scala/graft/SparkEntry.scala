@@ -231,6 +231,7 @@ object SparkEntry {
     "txt_ngram_novelty" -> ((s: SparkSession, d: String) => CurationAudit.ngramNovelty(s, d)), // per-doc trigram novelty vs the held-in reference slice
     "mix_source_kl" -> (CurationAudit.sourceKl _), // KL(source ‖ corpus) over unigram distributions on the ln·1e8 grid (mixture drift)
     "emb_label_drift" -> (CurationAudit.labelDrift _), // per-label centroid distance/cosine vs the corpus centroid on the 1e6 grid (semantic drift)
+    "dedup_threshold_sweep" -> ((s: SparkSession, d: String) => Dedup.thresholdSweep(graft.Tables.documents(s, d))), // pair/doc counts at several Jaccard cutoffs from ONE verified-pairs pass
     "mix_epochs_expand" -> (Sampling.mixEpochsExpandQuery _), // the epoch schedule materialized: per-copy rows, fractional epoch via salted hash
     "sample_stratified" -> (Sampling.stratifiedSampleQuery _),
     "mix_sources" -> (Sampling.mixSourcesQuery _), // deterministic static domain reweighting (DoReMi-style)
@@ -2054,6 +2055,37 @@ object SparkEntry {
                    FROM shf a JOIN shf b
                    ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id),
           ${jaccardVerifySql("doc_a, doc_b, inter, jaccard", 0.8)}""",
+    "dedup_threshold_sweep" ->
+      // same candidate/verify CTEs at the sweep floor 0.7, then each pair
+      // fans out to the thresholds it clears; n_pairs = exploded-rows/2
+      s"""WITH $shinglesCte,
+          rare AS (SELECT h1, h2 FROM sh GROUP BY h1, h2
+                   HAVING count(*) BETWEEN 2 AND 1000),
+          shf AS (SELECT sh.doc_id, sh.h1, sh.h2 FROM sh JOIN rare USING (h1, h2)),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM shf a JOIN shf b
+                   ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id),
+          sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+          inter AS (SELECT doc_a, doc_b, count(*) AS inter
+                    FROM cand
+                    JOIN sh sa ON sa.doc_id = cand.doc_a
+                    JOIN sh sb ON sb.doc_id = cand.doc_b
+                              AND sb.h1 = sa.h1 AND sb.h2 = sa.h2
+                    GROUP BY doc_a, doc_b),
+          vp AS (SELECT doc_a, doc_b,
+                   CAST(round(round(inter / (na.n_sh + nb.n_sh - inter), 4) * 10000)
+                     AS BIGINT) AS j4
+                 FROM inter
+                 JOIN sizes na ON na.doc_id = doc_a
+                 JOIN sizes nb ON nb.doc_id = doc_b
+                 WHERE round(inter / (na.n_sh + nb.n_sh - inter), 4) >= 0.7),
+          taus(tau_e4) AS (VALUES (7000), (8000), (9000)),
+          e AS (SELECT tau_e4, doc_a, doc_b FROM vp, taus WHERE j4 >= tau_e4)
+          SELECT tau_e4::BIGINT AS tau_e4, (count(*) // 2)::BIGINT AS n_pairs,
+                 count(DISTINCT d) AS n_docs
+          FROM (SELECT tau_e4, doc_a AS d FROM e
+                UNION ALL SELECT tau_e4, doc_b AS d FROM e) u
+          GROUP BY tau_e4 ORDER BY tau_e4""",
     "dedup_containment" ->
       // same candidate CTEs as dedup_ngram_jaccard; the verified metric is
       // the overlap coefficient inter/min(|A|,|B|) (doc-in-doc detection)

@@ -90,6 +90,31 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "inter", "jaccard")
 
+  /** Threshold-tuning sweep: pair and affected-document counts at several
+    * Jaccard cutoffs from ONE verified-pairs pass — the table a curation
+    * run reads to pick its dedup τ (how much mass each notch removes)
+    * without re-running candidate generation per candidate threshold.
+    * The sweep floor (min τ) bounds the single pass; each pair then
+    * fans out to the thresholds it clears via an explode (scan-shaped —
+    * no join against the τ list, so no nested-loop plan). Comparisons
+    * ride the e4 integer grid of the already-4-dp-rounded metric. */
+  def thresholdSweep(docs: DataFrame, n: Int = 5,
+                     tausE4: Seq[Long] = Seq(7000L, 8000L, 9000L),
+                     maxDf: Long = 1000): DataFrame = {
+    val floor = tausE4.min / 10000.0
+    val p = ngramJaccardPairs(docs, n, floor, maxDf)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard") * 10000, 0).cast("long").as("j4"))
+    p.select(explode(array(tausE4.map(lit(_)): _*)).as("tau_e4"),
+        col("doc_a"), col("doc_b"), col("j4"))
+      .where(col("j4") >= col("tau_e4"))
+      .select(col("tau_e4"), explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy("tau_e4")
+      .agg(expr("count(1) div 2").as("n_pairs"),
+        count_distinct(col("d")).as("n_docs"))
+      .orderBy("tau_e4")
+  }
+
   /** Containment near-dup pairs (overlap coefficient |A∩B| / min(|A|,|B|))
     * — catches the doc-in-doc duplication Jaccard misses: a page quoted
     * whole inside a larger one has low Jaccard (the big doc's extra

@@ -145,4 +145,21 @@ class DedupSpec extends SparkSpec {
     // same-fold overlap (docs 1 and 4) must not be flagged
     assert(!got.exists(_._1 == 3L) && !got.exists(_._1 == 4L))
   }
+
+  test("threshold sweep: monotone in tau, and each notch equals its solo pair pass") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val sweep = Dedup.thresholdSweep(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sweep.map(_._1).toSeq == Seq(7000L, 8000L, 9000L))
+    assert(sweep.sliding(2).forall { case Array(a, b) => a._2 >= b._2 && a._3 >= b._3 },
+      s"pair/doc counts must be non-increasing in tau: ${sweep.toSeq}")
+    // cross-check every notch against a solo ngramJaccardPairs run at
+    // that threshold (the sweep must not distort candidate generation)
+    for ((tau, nPairs, nDocs) <- sweep) {
+      val solo = Dedup.ngramJaccardPairs(docs, threshold = tau / 10000.0)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(solo.length.toLong == nPairs, s"tau=$tau: $nPairs vs solo ${solo.length}")
+      assert(solo.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong == nDocs)
+    }
+  }
 }
