@@ -195,7 +195,16 @@ object CurationAudit {
     def lnE8(c: Column): Column = round(log(c) * 1e8, 0).cast("long")
     val toks = Tables.documents(spark, dir)
       .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("term"))
-    val bySrc = toks.groupBy("source", "term").agg(count(lit(1)).as("cs"))
+    // ONE materialized tokenize+count pass: bySrc feeds four consumers
+    // (byTerm, the source totals, the corpus total through byTerm, and
+    // the final join) — un-materialized, the explode scan replays per
+    // consumer. (source, term, count) rows only — vocabulary-sized.
+    val bySrc = {
+      val cp = toks.groupBy("source", "term").agg(count(lit(1)).as("cs"))
+        .localCheckpoint(false)
+      cp.count()
+      cp
+    }
     val byTerm = bySrc.groupBy("term").agg(sum("cs").as("c"))
     val srcTotals = bySrc.groupBy("source").agg(sum("cs").as("ns"))
     val corpusTotal = byTerm.agg(sum("c").as("n"))
