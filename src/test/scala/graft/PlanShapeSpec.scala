@@ -56,7 +56,12 @@ class PlanShapeSpec extends SparkSpec {
 
   test("dimension joins broadcast: the TPC-H analog fact plans carry no shuffle join for dims") {
     for ((name, minBhj) <- Seq("q3_top_orders" -> 1, "q5_nation_revenue" -> 2,
-        "q10_returned_cust" -> 2, "q14_promo_share" -> 1, "q19_bracket_revenue" -> 1)) {
+        "q10_returned_cust" -> 2, "q14_promo_share" -> 1, "q19_bracket_revenue" -> 1,
+        // the r15 remainder batch: q8's 8-way join broadcasts part,
+        // region-pruned customers and supplier-nation (only li⋈orders
+        // shuffles); q9 broadcasts parts and supplier-nation
+        "q8_market_share" -> 3, "q9_nation_profit" -> 2,
+        "q17_small_qty_revenue" -> 1)) {
       val bhj = nodes(planOf(name)).count(_.isInstanceOf[BroadcastHashJoinExec])
       assert(bhj >= minBhj, s"$name: expected >= $minBhj broadcast hash joins, got $bhj")
     }
