@@ -232,6 +232,7 @@ object SparkEntry {
     "mix_source_kl" -> (CurationAudit.sourceKl _), // KL(source ‖ corpus) over unigram distributions on the ln·1e8 grid (mixture drift)
     "emb_label_drift" -> (CurationAudit.labelDrift _), // per-label centroid distance/cosine vs the corpus centroid on the 1e6 grid (semantic drift)
     "dedup_threshold_sweep" -> ((s: SparkSession, d: String) => Dedup.thresholdSweep(graft.Tables.documents(s, d))), // pair/doc counts at several Jaccard cutoffs from ONE verified-pairs pass
+    "sample_group_reservoir" -> (Sampling.groupReservoirQuery _), // per-source Efraimidis-Spirakis top-k: balanced per-domain sampling, group-partitioned window
     "mix_epochs_expand" -> (Sampling.mixEpochsExpandQuery _), // the epoch schedule materialized: per-copy rows, fractional epoch via salted hash
     "sample_stratified" -> (Sampling.stratifiedSampleQuery _),
     "mix_sources" -> (Sampling.mixSourcesQuery _), // deterministic static domain reweighting (DoReMi-style)
@@ -2324,6 +2325,17 @@ object SparkEntry {
     // BEFORE the /weight division, so both engines rank identical IEEE
     // doubles (integer numerator / integer weight) — recipe (c) of the
     // bit-parity notes, same as txt_tfidf/txt_lm_score
+    "sample_group_reservoir" ->
+      // sample_weighted's ES recipe with PARTITION BY source — per-domain
+      // top-10; the quantized ln numerator / integer weight division is
+      // the same IEEE double in both engines
+      """SELECT doc_id, source, n_chars, rank FROM (
+           SELECT doc_id, source, n_chars, row_number() OVER (PARTITION BY source ORDER BY
+               CAST(round(ln((('0x'||substr(md5('gr:'||doc_id::VARCHAR),1,15))::UBIGINT::BIGINT + 1)
+                             / 1152921504606846976.0) * 1e8) AS BIGINT)::DOUBLE
+                 / greatest(n_chars, 1) DESC, doc_id) AS rank
+           FROM documents) t
+         WHERE rank <= 10 ORDER BY source, rank""",
     "sample_weighted" ->
       """SELECT doc_id, n_chars, rank FROM (
            SELECT doc_id, n_chars, row_number() OVER (ORDER BY

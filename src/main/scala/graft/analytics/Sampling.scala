@@ -111,6 +111,34 @@ object Sampling {
       .drop("__es")
   }
 
+  /** Per-group deterministic weighted reservoir — the balanced-per-domain
+    * variant of [[weightedSample]]: an independent Efraimidis–Spirakis
+    * draw inside every group (PARTITION BY), so each domain contributes
+    * exactly min(k, |group|) documents regardless of the global weight
+    * distribution — the per-domain cap real mixing stages apply before
+    * temperature weighting. Same e8-quantized ln(u) key as the global
+    * form (both engines rank identical IEEE doubles); the window is
+    * group-partitioned, so at scale it is per-task top-k per domain,
+    * never a global sort. */
+  def groupReservoir(df: DataFrame, group: Column, key: Column,
+                     weight: Column, k: Int): DataFrame = {
+    val u = (Hashes.md5Long60(concat(lit("gr:"), key.cast("string"))).cast("double") + 1d) /
+      1.152921504606846976e18 // (h+1)/2^60 ∈ (0,1], never ln(0)
+    val lnq = round(log(u) * 1e8).cast("long")
+    val esKey = lnq.cast("double") / greatest(weight, lit(1L)).cast("double")
+    df.withColumn("__es", esKey)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(group).orderBy(col("__es").desc, key)).cast("long"))
+      .where(col("rank") <= k)
+      .drop("__es")
+  }
+
+  def groupReservoirQuery(spark: SparkSession, dir: String): DataFrame =
+    groupReservoir(
+      Tables.documents(spark, dir).select("doc_id", "source", "n_chars"),
+      col("source"), col("doc_id"), col("n_chars"), k = 10)
+      .orderBy("source", "rank")
+
   /** Deterministic source mixing — static domain reweighting for a
     * training corpus (the DoReMi/The-Pile recipe): given target mix
     * proportions `t_pm` (per-mille) over sources, the largest achievable

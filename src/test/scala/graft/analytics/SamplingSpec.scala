@@ -244,4 +244,31 @@ class SamplingSpec extends SparkSpec {
       else assert(served == data * 4, s"$src: capped but served != 4 epochs")
     }
   }
+
+  test("group reservoir: exactly min(k,|group|) per source, ES keeper set re-derived locally") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "n_chars")
+    val got = Sampling.groupReservoirQuery(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(3)))
+    val sizes = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.length.toLong == math.min(10L, sizes(src)), src)
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq, s"$src ranks")
+    }
+    // local ES replay for one group: same salted key, same ordering
+    val src0 = docs.where(col("source") === "src0")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def es(id: Long, w: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"gr:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 1d) / 1.152921504606846976e18
+      math.round(math.log(u) * 1e8).toDouble / math.max(w, 1L)
+    }
+    val want = src0.sortBy { case (id, w) => (-es(id, w), id) }.take(10).map(_._1).toSeq
+    val gotSrc0 = got.filter(_._1 == "src0").sortBy(_._3).map(_._2).toSeq
+    assert(gotSrc0 == want, "src0 keeper order must match the local ES replay")
+  }
 }
