@@ -37,7 +37,8 @@ object Bench {
       * direct signal for exactly that contention class. `ns` anchors the
       * PSI deltas to the attempt's wall window. */
     final case class Snap(load1: Double, total: Long, idle: Long, iow: Long,
-                          self: Long, psiIo: Long, psiMem: Long, ns: Long)
+                          self: Long, psiIo: Long, psiMem: Long, ns: Long,
+                          psiCpu: Long = -1L, schedWait: Long = -1L)
     private def firstLine(path: String): String =
       try {
         val src = scala.io.Source.fromFile(path)
@@ -70,8 +71,36 @@ object Bench {
       } catch { case _: Throwable => -1L }
       Snap(la, total, idle, iow,
         self, psiSomeTotal("/proc/pressure/io"), psiSomeTotal("/proc/pressure/memory"),
-        System.nanoTime())
+        System.nanoTime(), psiSomeTotal("/proc/pressure/cpu"), selfSchedWait())
     }
+    /** Nanoseconds this JVM's threads spent RUNNABLE BUT NOT RUNNING
+      * (scheduler run-delay), summed over `/proc/self/task/∗/schedstat`
+      * field 2 (VERDICT r15 #2). This is the channel that records
+      * invisible contention directly: cgroup CPU quota, sub-sampling-
+      * interval bursts, and scheduler noise all park threads in the
+      * runnable queue without moving host-wide jiffies (xcpu ≈ 0), PSI
+      * io/mem (0), or iowait (0) — the exact r15 excursion signature.
+      * `/proc/self/schedstat` alone covers only the main thread; the sum
+      * over tasks covers the executor pool where the waiting happens.
+      * Threads that die between snapshots under-count the delta —
+      * acceptable: the channel exists to EXPLAIN excursions, and an
+      * inflated attempt's executor threads are alive for its window.
+      * -1 sentinel when unreadable (off-Linux / schedstats off). */
+    private def selfSchedWait(): Long =
+      try {
+        val dir = new java.io.File("/proc/self/task")
+        val tasks = dir.listFiles()
+        if (tasks == null) -1L
+        else {
+          var sum = 0L
+          var seen = false
+          tasks.foreach { t =>
+            val parts = firstLine(s"${t.getPath}/schedstat").split(" ")
+            if (parts.length >= 2) parts(1).toLongOption.foreach { w => sum += w; seen = true }
+          }
+          if (seen) sum else -1L
+        }
+      } catch { case _: Throwable => -1L }
     /** External-CPU per-mille of host capacity between two snaps; -1 when
       * the window is empty or a proc read failed. `busy` excludes idle
       * AND iowait, so the semantics are identical to r14's (where iowait
@@ -104,16 +133,43 @@ object Bench {
     }
     def psiIoPm(a: Snap, b: Snap): Long = psiPm(a.psiIo, b.psiIo, a.ns, b.ns)
     def psiMemPm(a: Snap, b: Snap): Long = psiPm(a.psiMem, b.psiMem, a.ns, b.ns)
+    /** CPU pressure-stall per-mille of the wall window — µs SOME task was
+      * runnable-but-waiting for a CPU / µs elapsed (`/proc/pressure/cpu`).
+      * Fires on over-subscription AND cgroup-quota throttling, whichever
+      * process caused it (VERDICT r15 #2). */
+    def psiCpuPm(a: Snap, b: Snap): Long = psiPm(a.psiCpu, b.psiCpu, a.ns, b.ns)
+    /** This JVM's scheduler run-delay over the window, per-mille of
+      * wall × availableProcessors — the share of the machine's scheduling
+      * capacity the bench itself spent RUNNABLE BUT NOT RUNNING. Can
+      * legitimately exceed 1000 only when more runnable threads than
+      * cores queue; clamped to 1000 like the other channels (the decision
+      * signal is "near 0" vs "large", not the magnitude above the cap). */
+    def schedPm(a: Snap, b: Snap): Long = {
+      val wall = b.ns - a.ns
+      if (a.schedWait < 0 || b.schedWait < 0 || wall <= 0) -1L
+      else {
+        val cap = wall * Runtime.getRuntime.availableProcessors()
+        math.min(1000L, math.max(0L, (b.schedWait - a.schedWait) * 1000 / cap))
+      }
+    }
   }
 
   /** Per-attempt provenance: 1-min loadavg at start, external-CPU
-    * per-mille over the attempt window, Spark jobs launched by it, and —
-    * new r15, closing the non-CPU provenance hole — iowait share plus
-    * io/memory pressure-stall shares, so an excursion with xcpu ≈ 0 is
-    * still decidable from the artifact (iow/psi high ⇒ I/O contention). */
+    * per-mille over the attempt window, Spark jobs launched by it,
+    * iowait share plus io/memory pressure-stall shares (r15 — an
+    * excursion with xcpu ≈ 0 and iow/psi_io high is I/O contention),
+    * and — new r16, closing the channel all three of those missed —
+    * CPU pressure-stall share plus the bench JVM's own scheduler
+    * run-delay share, which record "runnable but not running" directly,
+    * whatever the cause (cgroup quota, sub-interval bursts, scheduler
+    * noise). An r15-signature excursion (xcpu 0 / iow 0 / psi_io 0
+    * beside 5-11× inflation) is now decidable from the artifact:
+    * psi_cpu/sched_pm high ⇒ CPU starvation; ALL channels ≈ 0 beside a
+    * repeated excess ⇒ genuine regression. */
   private[graft] final case class Prov(load1: Double, xcpuPm: Long, jobs: Int,
                                        iowPm: Long = -1L, psiIoPm: Long = -1L,
-                                       psiMemPm: Long = -1L)
+                                       psiMemPm: Long = -1L, psiCpuPm: Long = -1L,
+                                       schedPm: Long = -1L)
   /** Full storage isolation between measured queries. `clearCache()` only
     * covers Dataset-level caches (the cacheManager); `localCheckpoint`
     * blocks (dupClusters' iterative rounds) are RDD-level persisted blocks
@@ -269,6 +325,23 @@ object Bench {
     finally src.close()
   }
 
+  /** Flagged queries ordered by retry PRIORITY — excess over threshold,
+    * descending (VERDICT r15 #1). Pure so BenchGuardSpec can pin the law
+    * without a sweep: under any cap `take(n)`, the n largest excursions
+    * are the ones retried. Failed (-1) entries never flag. */
+  private[graft] def retryOrder(results: collection.Map[String, Double],
+      thr: String => Double): Seq[String] =
+    results.collect { case (n, t) if t >= 0 && t > thr(n) => (n, t - thr(n)) }
+      .toSeq.sortBy(-_._2).map(_._1)
+
+  /** The regr-guarantee selection: every still-flagged query whose attempt
+    * array is a single element — i.e. would be recorded as a regression
+    * from one contended sample. Preserves the (already excess-descending)
+    * input order. */
+  private[graft] def unretriedFlagged(flagged: Seq[String],
+      attempts: collection.Map[String, Vector[Double]]): Seq[String] =
+    flagged.filter(n => attempts.getOrElse(n, Vector.empty).size < 2)
+
   /** Truncate on a code-point boundary: a plain take(n) can split a
     * surrogate pair and emit an unpaired surrogate into the JSON string. */
   private def takeSafe(s: String, n: Int): String = {
@@ -387,7 +460,8 @@ object Bench {
         attempts(name) = attempts.getOrElse(name, Vector.empty) :+ dt
         prov(name) = prov.getOrElse(name, Vector.empty) :+
           Prov(s0.load1, HostLoad.xcpuPm(s0, s1), dJobs,
-            HostLoad.iowPm(s0, s1), HostLoad.psiIoPm(s0, s1), HostLoad.psiMemPm(s0, s1))
+            HostLoad.iowPm(s0, s1), HostLoad.psiIoPm(s0, s1), HostLoad.psiMemPm(s0, s1),
+            HostLoad.psiCpuPm(s0, s1), HostLoad.schedPm(s0, s1))
         dt
       }
       else -1.0
@@ -431,8 +505,14 @@ object Bench {
         System.err.println(
           s"[bench] contention guard pass $pass re-measured ${names.size} queries, $improved improved")
     }
-    def flaggedNow: Seq[String] =
-      results.collect { case (name, t) if t > threshold(name) => name }.toSeq
+    // Flagged queries WORST EXCESS FIRST (VERDICT r15 #1): the retry caps
+    // below bound the sweep's wall-clock, and in r15's broadly-contended
+    // window (39/137 flagged) sweep-order truncation spent the whole
+    // budget on early cheap queries — the three LARGEST excursions
+    // (pipe_prep_train recorded 51.6 s vs a 4.8 s warm value) got ZERO
+    // retries. Sorting by value − threshold descending puts every capped
+    // pass's budget where the artifact needs defending most.
+    def flaggedNow: Seq[String] = retryOrder(results, threshold)
     val flagged1 = flaggedNow.take(32)
     retryPass(flagged1, 1)
     val burst = flagged1.size * 4 > results.size
@@ -456,6 +536,23 @@ object Bench {
         "after in-sweep retries; spacing 20 s before the end-of-sweep solo pass")
       Thread.sleep(20000)
       retryPass(finalFlags, 3)
+    }
+    // regr-guarantee pass (VERDICT r15 #1): no query may be recorded as a
+    // regression from a SINGLE attempt. The capped passes above can still
+    // leave flagged queries un-retried when a contended window flags more
+    // than the caps cover (13 of r15's 21 regr survivors carried
+    // single-element attempt arrays); whatever is still over threshold
+    // with only one attempt gets exactly one solo re-measure here, worst
+    // excess first — bounded (≤1 extra measurement per query, only for
+    // queries every earlier pass missed), and it converts "unadjudicable
+    // single sample" into either a cleared minimum or a genuinely
+    // repeated excess with two provenance samples. BenchGuardSpec pins
+    // the selection laws; renderFull keeps every attempt it produces.
+    val unretried = unretriedFlagged(flaggedNow, attempts)
+    if (unretried.nonEmpty) {
+      System.err.println(s"[bench] regr guarantee: ${unretried.size} flagged queries " +
+        "still carry a single attempt; one solo re-measure each before recording")
+      retryPass(unretried, 4)
     }
     // reference-map regeneration (VERDICT r6 #6): with SPARK_GRAFT_EMIT_REF
     // set, write the sweep's per-query minima (post retry passes) as the
@@ -558,7 +655,9 @@ object Bench {
         s""", "xcpu_pm": [${ps.map(_.xcpuPm).mkString(", ")}]""" +
         s""", "iow_pm": [${ps.map(_.iowPm).mkString(", ")}]""" +
         s""", "psi_io": [${ps.map(_.psiIoPm).mkString(", ")}]""" +
-        s""", "psi_mem": [${ps.map(_.psiMemPm).mkString(", ")}]"""
+        s""", "psi_mem": [${ps.map(_.psiMemPm).mkString(", ")}]""" +
+        s""", "psi_cpu": [${ps.map(_.psiCpuPm).mkString(", ")}]""" +
+        s""", "sched_pm": [${ps.map(_.schedPm).mkString(", ")}]"""
     }
     val regrJson = regressed.map { case (k, v) =>
       s"  ${q(k)}: {${'"'}value${'"'}: ${r3(v)}, ${'"'}thr${'"'}: ${r3(threshold(k))}" +
@@ -576,6 +675,8 @@ object Bench {
         s"${'"'}iow_pm${'"'}: [${ps.map(_.iowPm).mkString(", ")}], " +
         s"${'"'}psi_io${'"'}: [${ps.map(_.psiIoPm).mkString(", ")}], " +
         s"${'"'}psi_mem${'"'}: [${ps.map(_.psiMemPm).mkString(", ")}], " +
+        s"${'"'}psi_cpu${'"'}: [${ps.map(_.psiCpuPm).mkString(", ")}], " +
+        s"${'"'}sched_pm${'"'}: [${ps.map(_.schedPm).mkString(", ")}], " +
         s"${'"'}jobs${'"'}: ${ps.headOption.map(_.jobs).getOrElse(-1)}}"
     }.mkString("{\n", ",\n", "\n}")
     val xs = prov.values.flatMap(_.map(_.xcpuPm)).filter(_ >= 0)
@@ -585,7 +686,8 @@ object Bench {
       if (xs.isEmpty) "{}"
       else s"""{"xcpu_pm_avg": ${xs.sum / xs.size}, "xcpu_pm_max": ${xs.max}, """ +
         s""""iow_pm_max": ${mx(_.iowPm)}, "psi_io_max": ${mx(_.psiIoPm)}, """ +
-        s""""psi_mem_max": ${mx(_.psiMemPm)}}"""
+        s""""psi_mem_max": ${mx(_.psiMemPm)}, "psi_cpu_max": ${mx(_.psiCpuPm)}, """ +
+        s""""sched_pm_max": ${mx(_.schedPm)}}"""
     s"""{
        |"metric": "total",
        |"value": ${r3(total)},
@@ -700,7 +802,8 @@ object Bench {
         provMap.values.flatMap(_.map(f)).filter(_ >= 0).foldLeft(-1L)(math.max)
       if (xs.isEmpty) ""
       else s""""xload":{"avg":${xs.sum / xs.size},"max":${xs.max},""" +
-        s""""iow":${mx(_.iowPm)},"psio":${mx(_.psiIoPm)},"psim":${mx(_.psiMemPm)}},"""
+        s""""iow":${mx(_.iowPm)},"psio":${mx(_.psiIoPm)},"psim":${mx(_.psiMemPm)},""" +
+        s""""psic":${mx(_.psiCpuPm)},"sched":${mx(_.schedPm)}},"""
     }
     def prov(rc: Int, gc: Int, aliased: Boolean): String =
       retryJson(rc, aliased) + regrJson(gc, aliased) + reftotJson + xloadJson

@@ -1803,14 +1803,14 @@ object SparkEntry {
            FROM lineitem
            WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
            GROUP BY l_suppkey)
-         SELECT s_suppkey, s_name, round(total1e4 / 10000.0, 2) AS total_revenue
+         SELECT s_suppkey, s_name, ((total1e4 + 50) // 100) / 100.0 AS total_revenue
          FROM supplier JOIN rev ON s_suppkey = supplier_no
          WHERE total1e4 = (SELECT max(total1e4) FROM rev)
          ORDER BY s_suppkey""",
     "q17_small_qty_revenue" ->
       // all-integer 20%-of-average cut: qty·5·cnt < Σqty picks identical
-      // rows in both engines; revenue is an exact cents sum divided twice
-      // in the same order (/100.0 then /7.0)
+      // rows in both engines; avg_yearly rounds half-up on the cents grid
+      // ((2s+7) // 14 = floor(s/7 + 1/2)) before the single exact /100.0
       """WITH agg AS (
            SELECT l_partkey AS a_partkey,
                   sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS sum_qty,
@@ -1818,8 +1818,8 @@ object SparkEntry {
            FROM lineitem JOIN part ON l_partkey = p_partkey
            WHERE p_brand = 'Brand#23'
            GROUP BY l_partkey)
-         SELECT round(sum(CAST(round(l_extendedprice*100) AS BIGINT))::BIGINT
-                  / 100.0 / 7.0, 2) AS avg_yearly,
+         SELECT ((2 * sum(CAST(round(l_extendedprice*100) AS BIGINT))::BIGINT + 7) // 14)
+                  / 100.0 AS avg_yearly,
                 count(*) AS n_small
          FROM lineitem JOIN agg ON l_partkey = a_partkey
          WHERE CAST(round(l_quantity) AS BIGINT) * 5 * cnt < sum_qty""",
@@ -1829,7 +1829,7 @@ object SparkEntry {
       """WITH pos AS (
            SELECT sum(CAST(round(c_acctbal*100) AS BIGINT))::BIGINT AS sum_c,
                   count(*)::BIGINT AS cnt
-           FROM customer WHERE c_acctbal > 0),
+           FROM customer WHERE CAST(round(c_acctbal*100) AS BIGINT) > 0),
          idle AS (
            SELECT c_custkey, c_nationkey,
                   CAST(round(c_acctbal*100) AS BIGINT) AS bal_c
@@ -2534,8 +2534,8 @@ object SparkEntry {
                  - CAST(round(ln(t.c::DOUBLE / tot.n) * 1e8) AS BIGINT) AS dln_e8
             FROM bysrc b JOIN byterm t USING (term) JOIN st USING (source), tot)
           SELECT source, sum(cs)::BIGINT AS n_tokens, count(*) AS n_terms,
-                 (sum(cs * dln_e8)::BIGINT // sum(cs)::BIGINT) AS kl_e8,
-                 (sum(cs * dln_e8)::BIGINT // sum(cs)::BIGINT) / 1e8 AS kl
+                 (greatest(sum(cs * dln_e8), 0)::BIGINT // sum(cs)::BIGINT) AS kl_e8,
+                 (greatest(sum(cs * dln_e8), 0)::BIGINT // sum(cs)::BIGINT) / 1e8 AS kl
           FROM terms GROUP BY source ORDER BY source""",
     "emb_label_drift" ->
       // mirror of CurationAudit.labelDrift: components quantize to the 1e6

@@ -218,8 +218,13 @@ object CurationAudit {
       .groupBy("source")
       .agg(sum(col("cs") * col("dln_e8")).as("sum_e8"),
         sum("cs").as("n_tokens"), count(lit(1)).as("n_terms"))
-      // KL ≥ 0 (Gibbs) so the integer division truncates a nonnegative
-      .withColumn("kl_e8", expr("sum_e8 div n_tokens"))
+      // KL ≥ 0 (Gibbs) in exact arithmetic, but the per-term ln·1e8
+      // quantization (±1 e8-unit each) can push a near-zero-KL source's
+      // sum slightly negative — and Spark's `div` truncates toward zero
+      // while DuckDB's `//` floors, so a negative sum would read 0 here
+      // and -1 in the mirror. Clamp at 0 on BOTH sides to make the
+      // nonnegativity explicit instead of load-bearing.
+      .withColumn("kl_e8", expr("greatest(sum_e8, 0L) div n_tokens"))
       .withColumn("kl", col("kl_e8") / 1e8)
       .select("source", "n_tokens", "n_terms", "kl_e8", "kl")
       .orderBy("source")

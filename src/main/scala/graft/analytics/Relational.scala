@@ -800,8 +800,12 @@ object Relational {
     rev.join(broadcast(best), col("total1e4") === col("best1e4"))
       .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
         col("l_suppkey") === col("s_suppkey"))
+      // 2-decimal rounding stays on the integer grid (Q9 rule):
+      // round(double, 2) diverges between engines on half-tie sums, so
+      // the 1e-4-dollar total rounds half-up in BIGINT (total1e4 ≥ 0 —
+      // prices positive, discount ≤ 100%) and only then divides once
       .select(col("s_suppkey"), col("s_name"),
-        round(col("total1e4") / 10000.0, 2).as("total_revenue"))
+        (expr("(total1e4 + 50) div 100") / 100.0).as("total_revenue"))
       .orderBy("s_suppkey")
   }
 
@@ -826,9 +830,13 @@ object Relational {
       .agg(sum("qty").as("sum_qty"), count(lit(1)).as("cnt"))
     branded.join(perPart, col("l_partkey") === col("a_partkey"))
       .where(col("qty") * lit(5L) * col("cnt") < col("sum_qty"))
-      .agg(
-        round(sum("ext_c") / 100.0 / 7.0, 2).as("avg_yearly"),
-        count(lit(1)).as("n_small"))
+      .agg(sum("ext_c").as("s_c"), count(lit(1)).as("n_small"))
+      // avg_yearly = round(Σcents/700, 2): half-up of Σcents/7 on the
+      // BIGINT grid — (2s+7) div 14 = floor(s/7 + 1/2) for s ≥ 0 — then
+      // one exact /100.0, so no double is ever rounded (Q9 rule)
+      .select(
+        (expr("(2 * s_c + 7) div 14") / 100.0).as("avg_yearly"),
+        col("n_small"))
   }
 
   /** TPC-H Q22 analog — lapsed high-balance customers: above the

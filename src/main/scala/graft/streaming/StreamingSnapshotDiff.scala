@@ -57,7 +57,12 @@ object StreamingSnapshotDiff {
               case (Some(t), Some(prev)) =>
                 val dig = md5Hex(t)
                 state.update(DocState(dig, src))
-                Some(DocChange(id, src,
+                // the batch diff's coalesce(v1.source, v2.source) picks
+                // the RESIDENT source for changed/unchanged rows, so a
+                // document that migrates sources between crawls must be
+                // attributed to where it lived, not where it arrived;
+                // the new source still lands in state for the next cycle
+                Some(DocChange(id, prev.source,
                   if (dig == prev.digest) "unchanged" else "changed", crawl))
               case (None, Some(prev)) =>
                 state.remove()

@@ -108,8 +108,8 @@ class BenchLineSpec extends AnyFunSuite {
     val all = Seq(("cheap_one", 0.2), ("slow_one", 99.0), ("other_slow", 98.0))
     val prov = Map(
       "cheap_one" -> Vector(Bench.Prov(1.5, 12L, 7)),
-      "slow_one" -> Vector(Bench.Prov(30.0, 940L, 41, 3L, 12L, 0L),
-        Bench.Prov(2.0, 5L, 41, 880L, 951L, 7L)))
+      "slow_one" -> Vector(Bench.Prov(30.0, 940L, 41, 3L, 12L, 0L, 14L, 2L),
+        Bench.Prov(2.0, 5L, 41, 880L, 951L, 7L, 903L, 412L)))
     val root = om.readTree(Bench.renderFull(all, Map.empty,
       Map("slow_one" -> Vector(99.0, 99.5)), "/sf0.1", prov))
     // detail: one entry per measured query in prov, attempt-aligned arrays
@@ -121,6 +121,9 @@ class BenchLineSpec extends AnyFunSuite {
     assert(d.get("iow_pm").get(1).asLong == 880L)
     assert(d.get("psi_io").get(1).asLong == 951L)
     assert(d.get("psi_mem").get(1).asLong == 7L)
+    // r16: the CPU-starvation channels (VERDICT r15 #2) ride attempt-aligned
+    assert(d.get("psi_cpu").get(1).asLong == 903L)
+    assert(d.get("sched_pm").get(1).asLong == 412L)
     // regr: EVERY query above threshold (99 and 98 both exceed any warm
     // ref in the resource, or the 1.5 s fallback), with its threshold
     assert(root.get("nregr").asInt >= 2)
@@ -131,6 +134,7 @@ class BenchLineSpec extends AnyFunSuite {
     val rg = root.get("regr").get("slow_one")
     assert(rg.get("xcpu_pm").size == 2 && rg.get("iow_pm").get(1).asLong == 880L &&
       rg.get("psi_io").get(1).asLong == 951L && rg.get("psi_mem").size == 2 &&
+      rg.get("psi_cpu").get(1).asLong == 903L && rg.get("sched_pm").get(1).asLong == 412L &&
       rg.get("load1").get(0).asDouble == 30.0,
       s"regr entry must carry attempt provenance: $rg")
     // sweep-level load summary: CPU avg/max plus the I/O-class maxima
@@ -138,14 +142,17 @@ class BenchLineSpec extends AnyFunSuite {
     assert(root.get("load").get("iow_pm_max").asLong == 880L)
     assert(root.get("load").get("psi_io_max").asLong == 951L)
     assert(root.get("load").get("psi_mem_max").asLong == 7L)
+    assert(root.get("load").get("psi_cpu_max").asLong == 903L)
+    assert(root.get("load").get("sched_pm_max").asLong == 412L)
   }
 
   test("tail line carries the sweep-level xload summary at every rung") {
     val all = results(120)
     val prov = all.map { case (k, _) =>
-      k -> Vector(Bench.Prov(1.0, 37L, 3, 5L, 9L, 0L)) }.toMap
+      k -> Vector(Bench.Prov(1.0, 37L, 3, 5L, 9L, 0L, 11L, 2L)) }.toMap
     val tight = Bench.renderLine(all, Map.empty, Map.empty, "/sf", 1850, prov)
-    assert(tight.contains(""""xload":{"avg":37,"max":37,"iow":5,"psio":9,"psim":0}"""),
+    assert(tight.contains(
+      """"xload":{"avg":37,"max":37,"iow":5,"psio":9,"psim":0,"psic":11,"sched":2}"""),
       s"xload summary missing from the shed/aliased rung: $tight")
     val wide = Bench.renderLine(all, Map.empty, Map.empty, "/sf", Int.MaxValue, prov)
     assert(wide.contains(""""xload":"""))

@@ -74,4 +74,20 @@ class StreamingSnapshotDiffSpec extends SparkSpec {
     assert(byKey((2L, 2L)) == "unchanged")
     assert(!byKey.contains((3L, 2L)), "tombstone for an unknown id emits nothing")
   }
+
+  test("source migration attributes changed/unchanged to the RESIDENT source") {
+    // the batch diff's coalesce(v1.source, v2.source) picks v1's source
+    // for changed/unchanged rows; a doc that moves s1 → s2 between
+    // crawls must count under s1 this cycle and under s2 the next
+    val got = run(Seq(
+      Seq((1L, "s1", Some("aa"), 1L), (2L, "s1", Some("bb"), 1L)),
+      Seq((1L, "s2", Some("aa"), 2L), (2L, "s2", Some("bb2"), 2L)),
+      Seq((1L, "s2", Some("aa3"), 3L), (2L, "s2", None, 3L))))
+    val byKey = got.map(c => (c.doc_id, c.crawl) -> (c.source, c.status)).toMap
+    assert(byKey((1L, 2L)) == ("s1", "unchanged"))
+    assert(byKey((2L, 2L)) == ("s1", "changed"))
+    // state carried the new source: next cycle attributes to s2
+    assert(byKey((1L, 3L)) == ("s2", "changed"))
+    assert(byKey((2L, 3L)) == ("s2", "removed"))
+  }
 }
