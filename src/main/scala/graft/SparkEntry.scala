@@ -184,6 +184,7 @@ object SparkEntry {
     "pipe_prep_dsir" -> (PrepPipeline.manifestDsir _), // v6: the curation chain ends in the importance gate (positive-LLR half packed)
     "pipe_prep_html" -> (PrepPipeline.manifestHtml _), // v7: curation FROM CRAWL HTML — boilerplate extraction feeds the unchanged gate->dedup->split->decontam->pack chain
     "pipe_prep_incr" -> (PrepPipeline.manifestIncr _), // v8: INCREMENTAL re-crawl curation — snapshot-diff increment + novelty floor + resident-corpus dedup feed the unchanged chain
+    "pipe_prep_mm" -> (PrepPipeline.manifestMm _), // v9: MULTIMODAL curation — perceptual image-cluster keepers gate rows alongside the text gate + exact dedup
     "chunk_overlap" -> (TextAnalysis.chunkQuery _), // overlapping token-window training chunks
     // --- similarity search over embeddings ---
     "knn_exact" -> (Similarity.knnExactQuery _),
@@ -3027,6 +3028,29 @@ object SparkEntry {
             GROUP BY h),
           dd AS MATERIALIZED (SELECT k.doc_id, k.text FROM k JOIN keepers USING (doc_id)),
           $prepTailSql""",
+    "pipe_prep_mm" ->
+      // v9: the shared gate CTEs, the shared dHash chain OVER THE GATED
+      // corpus (mmPhashCtesOver("k") — one SQL body with mm_phash_dedup),
+      // the mm_phash_clusters components fixpoint, and keepers = exact
+      // text keepers ∩ image-cluster keepers (min reachable id == self)
+      // feeding the unchanged tail
+      s"""WITH RECURSIVE $prepGateCtes,
+          ${mmPhashCtesOver("k")},
+          edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM phpairs
+                    UNION ALL SELECT doc_b, doc_a FROM phpairs),
+          reach(id, lbl) AS (
+            SELECT doc_id, doc_id FROM k
+            UNION
+            SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.id),
+          imgkeep AS MATERIALIZED (
+            SELECT id AS doc_id FROM reach GROUP BY id HAVING min(lbl) = id),
+          keepers AS MATERIALIZED (
+            SELECT tk.doc_id FROM (
+              SELECT min(doc_id) AS doc_id FROM (
+                SELECT doc_id, md5($normSql) AS h FROM k) t0 GROUP BY h) tk
+            JOIN imgkeep USING (doc_id)),
+          dd AS MATERIALIZED (SELECT k.doc_id, k.text FROM k JOIN keepers USING (doc_id)),
+          $prepTailSql""",
     "pipe_prep" ->
       // the composition mirror: each CTE is the oracle of one already-
       // verified stage (c4 gate, exact-dedup keepers, fold split, 13-gram
@@ -4091,10 +4115,15 @@ object SparkEntry {
     * by bit (r%4)*8+j; then the SAME 4x16-bit banded-Hamming pair join
     * the engine runs (Dedup.hash64Pairs). Ends with
     * `phpairs(doc_a, doc_b, hamming)`. */
-  private def mmPhashCtes: String =
-    """d AS (SELECT doc_id, text, length(text)::BIGINT AS len,
+  private def mmPhashCtes: String = mmPhashCtesOver("documents")
+
+  /** [[mmPhashCtes]] over an arbitrary (doc_id, text) relation — the
+    * pipe_prep_mm chain fingerprints the GATED corpus (`k`), documents
+    * everywhere else; one SQL body so the dHash mirror cannot drift. */
+  private def mmPhashCtesOver(src: String): String =
+    s"""d AS (SELECT doc_id, text, length(text)::BIGINT AS len,
                       greatest(1, (((length(text) + 2) // 3) + 8) // 9)::BIGINT AS hh
-                    FROM documents),
+                    FROM $src),
           px AS (SELECT doc_id, hh, p.p,
                    ((CASE WHEN 3*p.p   < len THEN ascii(substr(text, (3*p.p+1)::INT, 1)) ELSE 0 END
                    + CASE WHEN 3*p.p+1 < len THEN ascii(substr(text, (3*p.p+2)::INT, 1)) ELSE 0 END

@@ -249,7 +249,7 @@ object Multimodal {
     * the happy path. The library operators above stay byte-semantics-only
     * (a real media corpus is binary); only the oracle-facing query entry
     * points carry the guard. */
-  private def asciiParityGuard(docs: DataFrame): DataFrame =
+  private[analytics] def asciiParityGuard(docs: DataFrame): DataFrame =
     docs.withColumn("text",
       when(col("text").isNull || length(col("text")) === octet_length(col("text")),
         col("text"))

@@ -139,6 +139,22 @@ object Sampling {
       col("source"), col("doc_id"), col("n_chars"), k = 10)
       .orderBy("source", "rank")
 
+  /** Row-local JVM mirror of [[groupReservoir]]'s ES ranking key —
+    * md5("gr:" ++ key) → u ∈ (0,1] → round(ln(u)·1e8) / max(w,1) — shared
+    * by the streaming ingest mirror ([[graft.streaming
+    * .StreamingReservoir]]) and the batch spec's local replay, so the
+    * two faces rank by ONE formula. The rounding is BigDecimal HALF_UP
+    * on the double's exact binary value, bit-identical to Spark's
+    * `round(col)`. */
+  def localGroupEsKey(key: Long, weight: Long): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"gr:$key".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+    val u = (java.lang.Long.parseLong(hex, 16).toDouble + 1d) / 1.152921504606846976e18
+    val lnq = new java.math.BigDecimal(math.log(u) * 1e8)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    lnq.toDouble / math.max(weight, 1L)
+  }
+
   /** Deterministic source mixing — static domain reweighting for a
     * training corpus (the DoReMi/The-Pile recipe): given target mix
     * proportions `t_pm` (per-mille) over sources, the largest achievable

@@ -300,4 +300,53 @@ class PrepPipelineSpec extends SparkSpec {
     assert(out.forall(r => Set("train", "val", "test")(r.getString(1))))
     assert(out.filter(_.getString(1) != "train").forall(_.isNullAt(3)))
   }
+
+  test("pipe_prep_mm: an image near-dup with distinct text drops at the image stage") {
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val gated0 = TextAnalysis.c4Filter(docs).where($"keep")
+      .select("doc_id").as[Long].collect().toSet
+    val maxId = docs.agg(max($"doc_id")).as[Long].head()
+    // clone a gated doc with ONE in-place char edit inside a token none
+    // of the gate regexes count: the normalized digests differ (text
+    // dedup keeps both) while the pooled-luminance grid moves by at most
+    // one cell (dHash pairs them); the clone's id is higher, so the
+    // cluster keeper is the original and the clone must drop
+    val special = Set("the", "a", "of", "and", "to", "in", "is",
+      "order", "fast", "scan", "stream", "merge", "window",
+      "table", "query", "group", "join", "filter", "sort")
+    val (srcId, srcText) = docs.where($"doc_id" === gated0.min)
+      .as[(Long, String)].head()
+    val pos = {
+      var p = -1; var off = 0
+      for (tok <- srcText.split(" ") if p < 0) {
+        if (tok.length >= 4 && !special(tok.toLowerCase) &&
+            tok.forall(c => c >= 'a' && c <= 'y')) p = off + 1
+        off += tok.length + 1
+      }
+      assert(p >= 0, "corpus must contain an editable token"); p
+    }
+    val mutated = srcText.updated(pos, (srcText(pos) + 1).toChar)
+    val cloneId = maxId + 1
+    val corpus = docs.unionByName(Seq((cloneId, mutated)).toDF("doc_id", "text"))
+    // precondition: the edit keeps every gate stat (same token count,
+    // same counted-word hits) — the clone reaches stage 2
+    assert(TextAnalysis.c4Filter(corpus)
+      .where($"keep" && $"doc_id" === cloneId).count() == 1)
+    val mm = PrepPipeline.manifestMmOf(spark, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    val base = PrepPipeline.manifestOf(corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(base(cloneId), "text-only pipeline keeps the clone (distinct digest)")
+    assert(!mm(cloneId), "the image stage must drop the clone (near-dup image, higher id)")
+    assert(mm(srcId) == base(srcId), "the canonical member's fate is unchanged")
+    // the general law: every mm survivor is a text keeper AND its image
+    // cluster's keeper, and mm adds nothing the text pipeline rejected
+    val kept = corpus.join(TextAnalysis.c4Filter(corpus).where($"keep")
+      .select("doc_id"), "doc_id")
+    val imgKeepers = Dedup.dupClusters(kept,
+        Dedup.hash64Pairs(Multimodal.dHash(spark, kept)).select("doc_a", "doc_b"))
+      .where($"doc_id" === $"keeper").select("doc_id").as[Long].collect().toSet
+    val textKeepers = Dedup.exact(kept).select("keep_doc_id").as[Long].collect().toSet
+    assert(mm.forall(id => textKeepers(id) && imgKeepers(id)))
+  }
 }

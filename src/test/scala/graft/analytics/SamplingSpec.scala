@@ -261,13 +261,9 @@ class SamplingSpec extends SparkSpec {
     val src0 = docs.where(col("source") === "src0")
       .select("doc_id", "n_chars").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    def es(id: Long, w: Long): Double = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"gr:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
-      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 1d) / 1.152921504606846976e18
-      math.round(math.log(u) * 1e8).toDouble / math.max(w, 1L)
-    }
-    val want = src0.sortBy { case (id, w) => (-es(id, w), id) }.take(10).map(_._1).toSeq
+    // one body with the streaming mirror: Sampling.localGroupEsKey
+    val want = src0.sortBy { case (id, w) =>
+      (-Sampling.localGroupEsKey(id, w), id) }.take(10).map(_._1).toSeq
     val gotSrc0 = got.filter(_._1 == "src0").sortBy(_._3).map(_._2).toSeq
     assert(gotSrc0 == want, "src0 keeper order must match the local ES replay")
   }
