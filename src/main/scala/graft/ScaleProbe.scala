@@ -1569,6 +1569,55 @@ object ScaleProbe {
     ok
   }
 
+  /** Perceptual image-dedup probe ([[graft.analytics.Multimodal.dHash]] →
+    * [[graft.analytics.Dedup.hash64Pairs]] → [[graft.analytics.Dedup
+    * .dupClusters]], the `pipe_prep_mm` stage-2 chain) at synthetic
+    * payload volume: n ~400-byte payloads (24 md5 blocks), every 100th
+    * doc a PLANTED image near-dup of its successor — the successor's
+    * bytes with ONE byte edited in place ('x' never appears in md5 hex),
+    * which moves at most one pooled-luminance cell, so the dHash pair is
+    * within the hamming-3 pigeonhole bound BY CONSTRUCTION and recovery
+    * must be exact. Measures the three stages separately (the fingerprint
+    * scan is the byte-volume-proportional part; pairs/clusters see only
+    * 3 longs per doc) and reports any non-planted pair mass (near-dHash
+    * coincidences of random payloads) rather than gating on it. */
+  private def probePhash(spark: org.apache.spark.sql.SparkSession, n: Long): Boolean = {
+    import graft.analytics.{Dedup, Multimodal}
+    val base = """concat_ws(' ', transform(sequence(0, 23), j ->
+        substring(md5(concat(cast(%ID% AS STRING), ':', cast(j AS STRING))), 1, 16)))"""
+    val docs = spark.range(n).selectExpr("id AS doc_id",
+      s"""CASE WHEN id % 100 = 0 AND id + 1 < $n
+           THEN concat(substring(${base.replace("%ID%", "id + 1")}, 1, 50), 'x',
+                       substring(${base.replace("%ID%", "id + 1")}, 52))
+           ELSE ${base.replace("%ID%", "id")}
+         END AS text""")
+    val t0 = System.nanoTime()
+    val sig = Dedup.materialized(Multimodal.dHash(spark, docs))
+    val tSig = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val pairs = Dedup.materialized(
+      Dedup.hash64Pairs(sig).select("doc_a", "doc_b"))
+    val nPairs = pairs.count()
+    val tPairs = (System.nanoTime() - t1) / 1e9
+    val t2 = System.nanoTime()
+    val keepers = Dedup.dupClusters(docs, pairs)
+      .where(col("doc_id") === col("keeper")).count()
+    val tClusters = (System.nanoTime() - t2) / 1e9
+    val planted = docs.where(col("doc_id") % 100 === 0 && col("doc_id") + 1 < n)
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+    val plantedN = planted.count()
+    val recovered = planted.join(pairs, Seq("doc_a", "doc_b"), "left_semi").count()
+    val extras = nPairs - recovered
+    val ok = recovered == plantedN && keepers <= n - plantedN
+    println(s"""{"probe":"phash","n_docs":$n,"sig_sec":${f"$tSig%.1f"},""" +
+      s""""pairs_sec":${f"$tPairs%.1f"},"clusters_sec":${f"$tClusters%.1f"},""" +
+      s""""planted":$plantedN,"recovered":$recovered,"extra_pairs":$extras,""" +
+      s""""keepers":$keepers,"ok":$ok}""")
+    if (!ok) System.err.println(
+      s"[scaleprobe] phash NOT ok: recovered=$recovered/$plantedN keepers=$keepers")
+    ok
+  }
+
   def main(args: Array[String]): Unit = {
     val (which, nOpt) = args.toList match {
       case name :: num :: _ => (name, Some(num.toLong))
@@ -1603,6 +1652,7 @@ object ScaleProbe {
       case "mmr" => probeMmr(spark, size)
       case "dsir" => probeDsir(spark, size)
       case "curation" => probeCuration(spark, size)
+      case "phash" => probePhash(spark, size)
       case other =>
         System.err.println(
           s"unknown arm '$other'; known arms: ${defaults.keysIterator.toSeq.sorted.mkString(", ")} (or 'all')")

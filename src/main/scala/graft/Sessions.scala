@@ -17,14 +17,21 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // deployment-conf passthrough for the pipe_prep AQE knob
+    // (PrepPipeline.prepSession reads `graft.prep.adaptive`): lets the
+    // contention-robustness demos flip the config per PROCESS without
+    // code edits — exactly how a cluster deployment would set it
+    sys.env.get("SPARK_GRAFT_PREP_ADAPTIVE").foreach { v =>
+      builder.config("graft.prep.adaptive", if (v == "1") "true" else v); ()
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -248,6 +248,7 @@ object SparkEntry {
     "mm_media_probe" -> (Multimodal.mediaProbeQuery _), // REAL BMP/WAV header build+parse round trip
     "mm_phash_dedup" -> (Multimodal.phashDedupQuery _), // perceptual dHash over the decoded BMP grid -> banded-Hamming near-dup pairs (never all-pairs)
     "mm_phash_clusters" -> (Multimodal.phashClustersQuery _), // cluster resolution over the perceptual pairs: min-reachable-id keeper per image, the post-pair decision stage
+    "mm_phash_incr" -> (Multimodal.phashIncrQuery _), // incremental perceptual dedup: the crawl increment against the RESIDENT fingerprint index (banded, never all-pairs)
     "txt_html_extract" -> (TextAnalysis.htmlExtractQuery _), // HTML -> text boilerplate extraction (tag strip + text-density + link-density block gates), chained into the c4 gate
   )
 
@@ -4057,6 +4058,49 @@ object SparkEntry {
             md5(substring(text, (k*128 + 1)::INT, 32)) AS frame_md5
           FROM s""",
     "mm_phash_dedup" -> s"WITH $mmPhashCtes\n          SELECT doc_a, doc_b, hamming FROM phpairs",
+    "mm_phash_incr" ->
+      // the v8 snapshot/increment CTEs (one SQL body with pipe_prep_incr's
+      // stage 0a), the SHARED dHash hash stage instantiated twice (resident
+      // prefix r, increment prefix i — mmHvCtes), a banded resident×increment
+      // join, and the verdict neighbor as an integer-encoded lexicographic
+      // min (hamming·2^40 + rid — Spark's min(struct) ordering, exactly)
+      s"""WITH v1 AS MATERIALIZED (
+            SELECT doc_id, text FROM documents
+            WHERE (('0x'||substr(md5('v1:'||doc_id::VARCHAR),1,15))::UBIGINT::BIGINT % 1000) >= 50),
+          v2 AS MATERIALIZED (
+            SELECT doc_id,
+                   CASE WHEN (('0x'||substr(md5('chg:'||doc_id::VARCHAR),1,15))::UBIGINT::BIGINT % 1000) < 100
+                        THEN substr(text, 1, 100) ELSE text END AS text
+            FROM documents
+            WHERE NOT ((('0x'||substr(md5('v2:'||doc_id::VARCHAR),1,15))::UBIGINT::BIGINT % 1000) >= 950)),
+          v1d AS (SELECT doc_id, md5(text) AS dig FROM v1),
+          inc AS MATERIALIZED (
+            SELECT v2.doc_id, v2.text FROM v2 LEFT JOIN v1d
+              ON v2.doc_id = v1d.doc_id AND md5(v2.text) = v1d.dig
+            WHERE v1d.doc_id IS NULL),
+          ${mmHvCtes("v1", "r")},
+          ${mmHvCtes("inc", "i")},
+          rb AS (SELECT doc_id, h0, h1, b.b AS band,
+                   CASE b.b WHEN 0 THEN h0 % 65536 WHEN 1 THEN h0 // 65536
+                            WHEN 2 THEN h1 % 65536 ELSE h1 // 65536 END AS bv
+                 FROM rhv CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
+          ib AS (SELECT doc_id, h0, h1, b.b AS band,
+                   CASE b.b WHEN 0 THEN h0 % 65536 WHEN 1 THEN h0 // 65536
+                            WHEN 2 THEN h1 % 65536 ELSE h1 // 65536 END AS bv
+                 FROM ihv CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
+          best AS (
+            SELECT i.doc_id AS iid, min(
+                (bit_count(xor(i.h0, r.h0)) + bit_count(xor(i.h1, r.h1)))::BIGINT
+                  * 1099511627776 + r.doc_id) AS hr
+            FROM ib i JOIN rb r ON i.band = r.band AND i.bv = r.bv
+            WHERE bit_count(xor(i.h0, r.h0)) + bit_count(xor(i.h1, r.h1)) <= 3
+            GROUP BY i.doc_id)
+          SELECT inc.doc_id,
+                 CASE WHEN b.hr IS NOT NULL THEN b.hr % 1099511627776 END AS dup_of,
+                 CASE WHEN b.hr IS NOT NULL THEN b.hr // 1099511627776 END AS hamming,
+                 b.hr IS NULL AS kept
+          FROM inc LEFT JOIN best b ON b.iid = inc.doc_id
+          ORDER BY inc.doc_id""",
     "mm_phash_clusters" ->
       // the perceptual pairs' components fixpoint — the identical
       // recursive-CTE shape every cluster family replays
@@ -4120,31 +4164,38 @@ object SparkEntry {
   /** [[mmPhashCtes]] over an arbitrary (doc_id, text) relation — the
     * pipe_prep_mm chain fingerprints the GATED corpus (`k`), documents
     * everywhere else; one SQL body so the dHash mirror cannot drift. */
-  private def mmPhashCtesOver(src: String): String =
-    s"""d AS (SELECT doc_id, text, length(text)::BIGINT AS len,
+  /** The dHash HASH stage alone — `${p}d … ${p}hv(doc_id, h0, h1)` over
+    * an arbitrary (doc_id, text) relation, name-prefixed so a query can
+    * hash TWO relations (mm_phash_incr hashes the resident snapshot and
+    * the increment; the substringCutCtes precedent). */
+  private def mmHvCtes(src: String, p: String = ""): String =
+    s"""${p}d AS (SELECT doc_id, text, length(text)::BIGINT AS len,
                       greatest(1, (((length(text) + 2) // 3) + 8) // 9)::BIGINT AS hh
                     FROM $src),
-          px AS (SELECT doc_id, hh, p.p,
+          ${p}px AS (SELECT doc_id, hh, p.p,
                    ((CASE WHEN 3*p.p   < len THEN ascii(substr(text, (3*p.p+1)::INT, 1)) ELSE 0 END
                    + CASE WHEN 3*p.p+1 < len THEN ascii(substr(text, (3*p.p+2)::INT, 1)) ELSE 0 END
                    + CASE WHEN 3*p.p+2 < len THEN ascii(substr(text, (3*p.p+3)::INT, 1)) ELSE 0 END) // 3)::BIGINT AS lum
-                 FROM d, LATERAL (SELECT unnest(range(0, 9*hh)) AS p) p),
-          cells0 AS (SELECT doc_id, ((p // 9) * 8 // hh)::BIGINT AS cr, (p % 9)::BIGINT AS cc,
+                 FROM ${p}d, LATERAL (SELECT unnest(range(0, 9*hh)) AS p) p),
+          ${p}cells0 AS (SELECT doc_id, ((p // 9) * 8 // hh)::BIGINT AS cr, (p % 9)::BIGINT AS cc,
                        (sum(lum) // count(*))::BIGINT AS avgl
-                     FROM px GROUP BY doc_id, cr, cc),
-          grid AS (SELECT dd.doc_id, r.r AS cr, c.c AS cc, coalesce(cl.avgl, 0)::BIGINT AS avgl
-                   FROM (SELECT doc_id FROM d) dd
+                     FROM ${p}px GROUP BY doc_id, cr, cc),
+          ${p}grid AS (SELECT dd.doc_id, r.r AS cr, c.c AS cc, coalesce(cl.avgl, 0)::BIGINT AS avgl
+                   FROM (SELECT doc_id FROM ${p}d) dd
                    CROSS JOIN (SELECT unnest(range(0, 8)) AS r) r
                    CROSS JOIN (SELECT unnest(range(0, 9)) AS c) c
-                   LEFT JOIN cells0 cl ON cl.doc_id = dd.doc_id AND cl.cr = r.r AND cl.cc = c.c),
-          bits AS (SELECT a.doc_id, a.cr, a.cc,
+                   LEFT JOIN ${p}cells0 cl ON cl.doc_id = dd.doc_id AND cl.cr = r.r AND cl.cc = c.c),
+          ${p}bits AS (SELECT a.doc_id, a.cr, a.cc,
                      CASE WHEN a.avgl > b.avgl THEN 1 ELSE 0 END AS bit
-                   FROM grid a JOIN grid b ON b.doc_id = a.doc_id AND b.cr = a.cr AND b.cc = a.cc + 1
+                   FROM ${p}grid a JOIN ${p}grid b ON b.doc_id = a.doc_id AND b.cr = a.cr AND b.cc = a.cc + 1
                    WHERE a.cc < 8),
-          hv AS (SELECT doc_id,
+          ${p}hv AS (SELECT doc_id,
                    sum(CASE WHEN cr < 4 THEN bit * (1::BIGINT << ((cr*8 + cc))::INT) ELSE 0 END)::BIGINT AS h0,
                    sum(CASE WHEN cr >= 4 THEN bit * (1::BIGINT << (((cr-4)*8 + cc))::INT) ELSE 0 END)::BIGINT AS h1
-                 FROM bits GROUP BY doc_id),
+                 FROM ${p}bits GROUP BY doc_id)"""
+
+  private def mmPhashCtesOver(src: String): String =
+    s"""${mmHvCtes(src)},
           banded AS (SELECT doc_id, h0, h1, b.b AS band,
                        CASE b.b WHEN 0 THEN h0 % 65536 WHEN 1 THEN h0 // 65536
                                 WHEN 2 THEN h1 % 65536 ELSE h1 // 65536 END AS bv

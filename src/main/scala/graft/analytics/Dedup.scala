@@ -61,7 +61,7 @@ object Dedup {
     * measured ~4× slower than materialize-then-compose. At corpus scale
     * this is the persist/checkpoint step of a dedup run. (LRU-evicted, so
     * leaving entries cached across queries is safe.) */
-  private def materialized(df: DataFrame): DataFrame = { df.cache().count(); df }
+  private[graft] def materialized(df: DataFrame): DataFrame = { df.cache().count(); df }
 
   /** Hashed shingles, cached + materialized (see [[materialized]]). */
   private def shinglesCached(docs: DataFrame, n: Int): DataFrame =

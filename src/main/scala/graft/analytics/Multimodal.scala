@@ -293,6 +293,55 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** `mm_phash_incr` — INCREMENTAL perceptual dedup, the image
+    * counterpart of `dedup_incremental` (and the multimodal face of the
+    * v8 nightly shape): the crawl increment (v2 docs new or changed vs
+    * the v1 snapshot — the [[CurationAudit.snapshotDiff]] digest
+    * anti-join) is admitted only if its dHash has no banded neighbor
+    * within hamming 3 in the RESIDENT corpus's fingerprint index. Each
+    * increment doc reports its verdict: `dup_of` = the smallest resident
+    * doc whose image it near-duplicates (null ⇒ kept), `hamming` that
+    * neighbor's distance. Resident text never rides the comparison —
+    * the resident side contributes 3 longs per doc (the persisted
+    * fingerprint index a production pipeline maintains), the increment
+    * side one row-local dHash scan, and the join is banded
+    * (16-bit × 4, pigeonhole-exact at ≤3) — never all-pairs. */
+  def phashIncrQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = asciiParityGuard(Tables.documents(spark, dir))
+    val v1 = CurationAudit.snapshotV1(docs).select("doc_id", "text")
+    val v2 = CurationAudit.snapshotV2(docs).select("doc_id", "text")
+    val v1dig = v1.select(col("doc_id"), md5(col("text")).as("dig"))
+    val inc = v2.withColumn("dig", md5(col("text")))
+      .join(v1dig, Seq("doc_id", "dig"), "left_anti")
+      .select("doc_id", "text")
+    def banded(df: DataFrame, p: String) = {
+      val sig = dHash(spark, df).toDF(s"${p}id", s"${p}h0", s"${p}h1")
+      sig.select(col(s"${p}id"), col(s"${p}h0"), col(s"${p}h1"),
+        explode(array(
+          struct(lit(0).as("band"), col(s"${p}h0").bitwiseAND(lit(0xFFFFL)).as("bv")),
+          struct(lit(1).as("band"), shiftright(col(s"${p}h0"), 16).as("bv")),
+          struct(lit(2).as("band"), col(s"${p}h1").bitwiseAND(lit(0xFFFFL)).as("bv")),
+          struct(lit(3).as("band"), shiftright(col(s"${p}h1"), 16).as("bv")))).as("bb"))
+        .select(col(s"${p}id"), col(s"${p}h0"), col(s"${p}h1"),
+          col("bb.band").as("band"), col("bb.bv").as("bv"))
+    }
+    val hits = banded(inc, "i").join(banded(v1, "r"), Seq("band", "bv"))
+      .select(col("iid"),
+        (bit_count(col("ih0").bitwiseXOR(col("rh0"))) +
+          bit_count(col("ih1").bitwiseXOR(col("rh1")))).cast("long").as("hamming"),
+        col("rid"))
+      .where(col("hamming") <= 3)
+      // the verdict neighbor: smallest hamming, ties to the smallest
+      // resident id — deterministic on both engines
+      .groupBy("iid")
+      .agg(min(struct(col("hamming"), col("rid"))).as("best"))
+      .select(col("iid"), col("best.rid").as("dup_of"), col("best.hamming").as("hamming"))
+    inc.select("doc_id").join(hits, col("doc_id") === col("iid"), "left")
+      .select(col("doc_id"), col("dup_of"), col("hamming"),
+        col("dup_of").isNull.as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** Media ingest round-trip with the REAL codecs: each document's bytes
     * are containerized as an actual BMP (even doc_id) or PCM WAV (odd),
     * then the header is parsed back by [[MediaCodec.probe]] — so the

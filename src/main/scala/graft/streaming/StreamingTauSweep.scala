@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One threshold notch's cumulative tuning gauge after a micro-batch:
+  * `seq` the emission counter, `n_pairs` distinct near-dup pairs whose
+  * signature-agreement estimate reached the notch so far, `n_docs` the
+  * distinct documents those pairs touch — the live version of one
+  * `dedup_threshold_sweep` row. */
+final case class TauGauge(tau_e4: Long, seq: Long, n_pairs: Long, n_docs: Long)
+
+/** Streaming counterpart of the `dedup_threshold_sweep` tuning table
+  * (VERDICT r15 #6 — the dedup family's last batch-only signal): a
+  * per-notch gauge of how much near-dup mass each candidate threshold τ
+  * would catch, maintained AT INGEST over the LSH candidate stream
+  * ([[StreamingLsh.candidates]] — the same banded machinery, so the
+  * gauge costs nothing the ingest dedup stage doesn't already pay).
+  *
+  * Semantics note, mirrored from the family split the batch side already
+  * makes: the batch sweep prices notches by EXACT n-gram Jaccard (it can
+  * re-read both texts); a bounded-state ingest stage holds signatures,
+  * not text, so the stream gauge prices notches by the SIGNATURE-
+  * AGREEMENT estimate — exactly `dedup_minhash_lsh`'s estimate-vs-exact
+  * relationship, and the reason this face is a gauge (tuning signal),
+  * not the tuning table's oracle twin. [[StreamingTauSweepSpec]] pins
+  * the gauge ≡ a batch-side twin computed from the SAME signatures
+  * (per-pair agreement over banded candidates), per notch, under
+  * arbitrary batch splits, plus τ-monotonicity.
+  *
+  * Scale shape: input is the PAIR stream (dup-mass-sized — the LSH
+  * premise is that pairs are rare relative to the corpus), exploded to
+  * the notches it clears, grouped BY NOTCH so the notches gauge in
+  * parallel; per-notch state is the distinct pair set (dup-mass-sized,
+  * the same order as the LSH buckets' FIFO state), never corpus-sized. */
+object StreamingTauSweep {
+
+  def gauge(cands: Dataset[StreamDupCandidate], tausE4: Seq[Long]): Dataset[TauGauge] = {
+    require(tausE4.nonEmpty && tausE4.forall(t => t > 0 && t <= 10000))
+    import cands.sparkSession.implicits._
+    val notches = tausE4.distinct.sorted
+    cands.flatMap { c =>
+        // the candidate's 4-dp estimate back on the e4 integer grid the
+        // batch sweep's notches live on
+        val j4 = math.rint(c.est_jaccard * 10000).toLong
+        notches.withFilter(j4 >= _).map(t => (t, c.doc_a, c.doc_b))
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tau: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[(Set[(Long, Long)], Long)]) =>
+          val (prev, seq0) = state.getOption.getOrElse((Set.empty[(Long, Long)], 0L))
+          // distinct pairs: the same pair can surface from several bands
+          // (and re-surface across batches) — the gauge counts it once,
+          // like the batch sweep's verified-pair input
+          val pairs = prev ++ rows.map(r => (r._2, r._3))
+          state.update((pairs, seq0 + 1))
+          val docs = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+          Iterator.single(TauGauge(tau, seq0 + 1, pairs.size.toLong, docs.size.toLong))
+      }
+  }
+
+  /** Text face: sign + band + bucket-check arriving documents at the
+    * sweep FLOOR (the batch sweep's one-pass-at-min-τ design), then
+    * gauge every notch from the one candidate stream. */
+  def gaugeOverText(docs: Dataset[(Long, String)], tausE4: Seq[Long],
+                    n: Int = 5, bands: Int = 4, rowsPerBand: Int = 4,
+                    capacity: Int = 256): Dataset[TauGauge] =
+    gauge(StreamingLsh.candidates(docs, n, bands, rowsPerBand,
+      threshold = tausE4.min / 10000.0, capacity), tausE4)
+}

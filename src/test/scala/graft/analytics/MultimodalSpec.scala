@@ -156,4 +156,36 @@ class MultimodalSpec extends SparkSpec {
     assert(banded === brute,
       "4x16-bit banding must be recall-exact for hamming <= 3 (pigeonhole)")
   }
+
+  test("phash_incr: verdicts equal the brute-force increment×resident sweep") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val v1 = CurationAudit.snapshotV1(docs).select("doc_id", "text")
+    val v2 = CurationAudit.snapshotV2(docs).select("doc_id", "text")
+    val v1dig = v1.select(col("doc_id"), md5(col("text")).as("dig"))
+    val inc = v2.withColumn("dig", md5(col("text")))
+      .join(v1dig, Seq("doc_id", "dig"), "left_anti").select("doc_id", "text")
+    def sigs(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      Multimodal.dHash(spark, df).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (rs, is) = (sigs(v1), sigs(inc))
+    def ham(a: (Long, Long), b: (Long, Long)): Long =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    // brute-force verdict per increment doc: lexicographic-min
+    // (hamming, resident id) among neighbors within 3
+    val want = is.map { case (id, s) =>
+      val best = rs.iterator.map { case (rid, r) => (ham(r, s), rid) }
+        .filter(_._1 <= 3L).minOption
+      id -> best
+    }
+    val got = Multimodal.phashIncrQuery(spark, sfDir).collect().map { r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) None
+                       else Some((r.getLong(2), r.getLong(1))))
+    }.toMap
+    assert(got.keySet == want.keySet, "one verdict row per increment doc")
+    assert(got == want.map { case (k, v) => k -> v },
+      "banded verdicts must equal the brute-force sweep")
+    // the increment must contain both outcomes for the law to bite
+    assert(want.values.exists(_.isDefined) && want.values.exists(_.isEmpty))
+  }
 }
