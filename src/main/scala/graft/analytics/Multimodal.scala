@@ -325,7 +325,11 @@ object Multimodal {
         .select(col(s"${p}id"), col(s"${p}h0"), col(s"${p}h1"),
           col("bb.band").as("band"), col("bb.bv").as("bv"))
     }
-    val hits = banded(inc, "i").join(banded(v1, "r"), Seq("band", "bv"))
+    // the increment side broadcasts: the nightly premise is increment ≪
+    // resident, so the resident fingerprint index (the big side — the
+    // whole corpus's 3 longs/doc) must never shuffle; with RDD-backed
+    // frames Catalyst has no stats to find this on its own
+    val hits = broadcast(banded(inc, "i")).join(banded(v1, "r"), Seq("band", "bv"))
       .select(col("iid"),
         (bit_count(col("ih0").bitwiseXOR(col("rh0"))) +
           bit_count(col("ih1").bitwiseXOR(col("rh1")))).cast("long").as("hamming"),
