@@ -142,6 +142,7 @@ object SparkEntry {
     "dedup_clusters" -> (Dedup.clustersQuery _),
     "dedup_fold_leakage" -> (Dedup.foldLeakageQuery _),
     "dedup_contam" -> (Dedup.contaminationQuery _),
+    "dedup_contam_semantic" -> (Similarity.semanticContaminationQuery _), // SEMANTIC eval leakage: cross-fold LSH candidates verified by exact cosine (what 13-grams can't see)
     "dedup_substring_spans" -> (Dedup.substringSpansQuery _), // Lee-et-al substring dedup, exact stride-1 form
     "dedup_substring_winnow" -> (Dedup.substringWinnowQuery _), // MOSS winnowing: the ~2/(w+1)-density scale path
     "dedup_substring_cut" -> (Dedup.substringCutQuery _), // span EXCISION: first occurrence kept, rest cut, text reassembled
@@ -1065,6 +1066,30 @@ object SparkEntry {
             JOIN eb ea ON ea.vec_id = c.vec_a
             JOIN eb eb2 ON eb2.vec_id = c.vec_b) t
           WHERE cos >= 0.4""",
+    "dedup_contam_semantic" ->
+      // the dedup_embedding_lsh sig CTEs restricted to CROSS-FOLD pairs:
+      // folds by the md5-bucket split (the prepSurvCtes formula over
+      // vec_id), candidates = train×eval band collisions, verified by the
+      // same exact 4-dp cosine
+      s"""WITH ${lshSigCtes()},
+          folds AS (SELECT vec_id,
+                      CASE WHEN (('0x'||substr(md5(vec_id::VARCHAR),1,15))::UBIGINT::BIGINT % 1000) < 800 THEN 'train'
+                           WHEN (('0x'||substr(md5(vec_id::VARCHAR),1,15))::UBIGINT::BIGINT % 1000) < 900 THEN 'val'
+                           ELSE 'test' END AS fold
+                    FROM eb),
+          cand AS (SELECT DISTINCT t.vec_id AS train_doc, e2.vec_id AS eval_doc,
+                          f2.fold AS eval_fold
+                   FROM sig t
+                   JOIN folds f ON f.vec_id = t.vec_id AND f.fold = 'train'
+                   JOIN sig e2 ON e2.band = t.band AND e2.bucket = t.bucket
+                   JOIN folds f2 ON f2.vec_id = e2.vec_id AND f2.fold <> 'train')
+          SELECT train_doc, eval_doc, eval_fold, cos FROM (
+            SELECT c.train_doc, c.eval_doc, c.eval_fold,
+                   round(list_cosine_similarity(ea.e, eb2.e), 4) AS cos
+            FROM cand c
+            JOIN eb ea ON ea.vec_id = c.train_doc
+            JOIN eb eb2 ON eb2.vec_id = c.eval_doc) t
+          WHERE cos >= 0.4 ORDER BY train_doc, eval_doc""",
     "dedup_embedding_clusters" ->
       // same LSH pair generation as dedup_embedding_lsh, then connected
       // components as a recursive CTE (the same fixpoint the path-halving

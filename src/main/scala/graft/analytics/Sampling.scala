@@ -29,6 +29,19 @@ object Sampling {
   def hashBucket(key: Column, buckets: Int): Column =
     pmod(Hashes.md5Long60(key.cast("string")), lit(buckets.toLong))
 
+  /** Row-local JVM mirror of [[split]]'s fold assignment for a long key —
+    * one formula with the column form (md5 of the decimal string, first
+    * 15 hex digits, mod 1000), shared by the streaming faces and the
+    * spec replays so the two sides cannot drift. */
+  def localFold(key: Long, pTrain: Double = 0.8, pVal: Double = 0.1): String = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+    val b = java.lang.Long.parseLong(hex, 16) % 1000
+    if (b < (pTrain * 1000).toLong) "train"
+    else if (b < ((pTrain + pVal) * 1000).toLong) "val"
+    else "test"
+  }
+
   /** Train/val/test assignment by hashed key: `pTrain`/`pVal` in
     * percent-of-1000 granularity via bucket 0..999. Keying by `doc_id`
     * gives a row split; keying by an author/user column gives a

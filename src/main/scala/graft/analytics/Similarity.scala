@@ -109,6 +109,54 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
+  /** `dedup_contam_semantic` — SEMANTIC eval-set decontamination, the
+    * leakage 13-gram decontamination ([[Dedup.contaminationPairs]])
+    * cannot see: a paraphrased eval question in the train fold shares no
+    * 13-gram with the eval doc but sits next to it in embedding space.
+    * Folds come from the SAME deterministic hash split the flagship
+    * chain uses ([[Sampling.split]] over vec_id = doc_id); candidates
+    * are hyperplane-LSH band collisions BETWEEN the folds (the
+    * [[embeddingDupLsh]] machinery restricted to cross-split pairs),
+    * each verified by exact cosine ≥ τ. One row per leaking
+    * (train_doc, eval_doc) pair with the eval fold and the verdict
+    * cosine.
+    *
+    * Scale shape: never all-pairs — candidacy keys on (band, bucket),
+    * and the EVAL side of both the bucket join and the verify fetch is
+    * eval-set-sized (the premise of any eval set), so it broadcasts and
+    * the train embeddings never shuffle. Recall is the documented
+    * [[embeddingDupLsh]] trade; the streaming face
+    * ([[graft.streaming.StreamingContam]]) is exact against the frozen
+    * eval matrix, so the two bracket the true leak set from below and
+    * above (spec-pinned). */
+  def semanticContamination(spark: SparkSession, dir: String,
+                            threshold: Double = 0.4): DataFrame = {
+    val emb = embeddingsD(spark, dir)
+    val folds = Sampling.split(emb.select("vec_id"), col("vec_id"))
+      .select("vec_id", "fold")
+    val banded = bandedSignatures(emb, dims = 64, bands = 8, rowsPerBand = 4,
+        materialize = true)
+      .join(folds, "vec_id")
+    val tIds = banded.where(col("fold") === "train")
+      .select(col("vec_id").as("train_doc"), col("band"), col("bucket"))
+    val eIds = banded.where(col("fold") =!= "train")
+      .select(col("vec_id").as("eval_doc"), col("fold").as("eval_fold"),
+        col("band"), col("bucket"))
+    val cand = tIds.join(broadcast(eIds), Seq("band", "bucket"))
+      .select("train_doc", "eval_doc", "eval_fold").distinct()
+    val embT = emb.select(col("vec_id").as("train_doc"), col("e").as("et"))
+    val embE = emb.select(col("vec_id").as("eval_doc"), col("e").as("ee"))
+    cand.join(embT, "train_doc")
+      .join(broadcast(embE), "eval_doc")
+      .select(col("train_doc"), col("eval_doc"), col("eval_fold"),
+        round(cosine(col("et"), col("ee")), 4).as("cos"))
+      .where(col("cos") >= threshold)
+      .orderBy("train_doc", "eval_doc")
+  }
+
+  def semanticContaminationQuery(spark: SparkSession, dir: String): DataFrame =
+    semanticContamination(spark, dir)
+
   /** Embedding-cosine near-dup pairs via hyperplane LSH: candidates share
     * a full band bucket (quadratic only within buckets), verified by exact
     * cosine — precision 1, recall tested vs [[embeddingDupExact]] in
