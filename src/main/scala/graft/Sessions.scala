@@ -28,8 +28,11 @@ object Sessions {
     // (PrepPipeline.prepSession reads `graft.prep.adaptive`): lets the
     // contention-robustness demos flip the config per PROCESS without
     // code edits — exactly how a cluster deployment would set it
+    // normalized: the consumer matches the exact string "true", so "1",
+    // "TRUE", "True" must not silently select the clone config
     sys.env.get("SPARK_GRAFT_PREP_ADAPTIVE").foreach { v =>
-      builder.config("graft.prep.adaptive", if (v == "1") "true" else v); ()
+      val norm = if (v == "1") "true" else v.toLowerCase(java.util.Locale.ROOT)
+      builder.config("graft.prep.adaptive", norm); ()
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

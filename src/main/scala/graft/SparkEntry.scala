@@ -4105,19 +4105,13 @@ object SparkEntry {
             WHERE v1d.doc_id IS NULL),
           ${mmHvCtes("v1", "r")},
           ${mmHvCtes("inc", "i")},
-          rb AS (SELECT doc_id, h0, h1, b.b AS band,
-                   CASE b.b WHEN 0 THEN h0 % 65536 WHEN 1 THEN h0 // 65536
-                            WHEN 2 THEN h1 % 65536 ELSE h1 // 65536 END AS bv
-                 FROM rhv CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
-          ib AS (SELECT doc_id, h0, h1, b.b AS band,
-                   CASE b.b WHEN 0 THEN h0 % 65536 WHEN 1 THEN h0 // 65536
-                            WHEN 2 THEN h1 % 65536 ELSE h1 // 65536 END AS bv
-                 FROM ihv CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
+          ${mmBandCtes("rhv", "r")},
+          ${mmBandCtes("ihv", "i")},
           best AS (
             SELECT i.doc_id AS iid, min(
                 (bit_count(xor(i.h0, r.h0)) + bit_count(xor(i.h1, r.h1)))::BIGINT
                   * 1099511627776 + r.doc_id) AS hr
-            FROM ib i JOIN rb r ON i.band = r.band AND i.bv = r.bv
+            FROM ibanded i JOIN rbanded r ON i.band = r.band AND i.bv = r.bv
             WHERE bit_count(xor(i.h0, r.h0)) + bit_count(xor(i.h1, r.h1)) <= 3
             GROUP BY i.doc_id)
           SELECT inc.doc_id,
@@ -4186,9 +4180,6 @@ object SparkEntry {
     * `phpairs(doc_a, doc_b, hamming)`. */
   private def mmPhashCtes: String = mmPhashCtesOver("documents")
 
-  /** [[mmPhashCtes]] over an arbitrary (doc_id, text) relation — the
-    * pipe_prep_mm chain fingerprints the GATED corpus (`k`), documents
-    * everywhere else; one SQL body so the dHash mirror cannot drift. */
   /** The dHash HASH stage alone — `${p}d … ${p}hv(doc_id, h0, h1)` over
     * an arbitrary (doc_id, text) relation, name-prefixed so a query can
     * hash TWO relations (mm_phash_incr hashes the resident snapshot and
@@ -4219,12 +4210,24 @@ object SparkEntry {
                    sum(CASE WHEN cr >= 4 THEN bit * (1::BIGINT << (((cr-4)*8 + cc))::INT) ELSE 0 END)::BIGINT AS h1
                  FROM ${p}bits GROUP BY doc_id)"""
 
-  private def mmPhashCtesOver(src: String): String =
-    s"""${mmHvCtes(src)},
-          banded AS (SELECT doc_id, h0, h1, b.b AS band,
+  /** The 4×16-bit band CTE over a `(doc_id, h0, h1)` hash CTE — ONE SQL
+    * body for every consumer of the banding geometry (the phpairs
+    * self-join via [[mmPhashCtesOver]], mm_phash_incr's two sides),
+    * mirroring `Dedup.banded16` on the Spark side. Yields
+    * `${p}banded(doc_id, h0, h1, band, bv)`. */
+  private def mmBandCtes(hvRel: String, p: String = ""): String =
+    s"""${p}banded AS (SELECT doc_id, h0, h1, b.b AS band,
                        CASE b.b WHEN 0 THEN h0 % 65536 WHEN 1 THEN h0 // 65536
                                 WHEN 2 THEN h1 % 65536 ELSE h1 // 65536 END AS bv
-                     FROM hv CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
+                     FROM $hvRel CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b)"""
+
+  /** [[mmPhashCtes]] over an arbitrary (doc_id, text) relation — the
+    * pipe_prep_mm chain fingerprints the GATED corpus (`k`), documents
+    * everywhere else; one SQL body so the dHash mirror cannot drift.
+    * Ends with `phpairs(doc_a, doc_b, hamming)`. */
+  private def mmPhashCtesOver(src: String): String =
+    s"""${mmHvCtes(src)},
+          ${mmBandCtes("hv")},
           phpairs AS MATERIALIZED (SELECT doc_a, doc_b, hamming FROM (
             SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
               (bit_count(xor(a.h0, b2.h0)) + bit_count(xor(a.h1, b2.h1)))::BIGINT AS hamming

@@ -352,18 +352,24 @@ object Dedup {
     * all-pairs. Two positive 32-bit halves instead of one signed 64-bit
     * value so the oracle's integer arithmetic (`xor`/`bit_count` on
     * BIGINT) never touches the sign bit. */
+  /** The 4×16-bit band fan-out over a `(doc_id, h0, h1)` fingerprint
+    * frame — ONE body shared by [[hash64Pairs]]' bucket self-join and
+    * the incremental face's resident×increment join
+    * ([[Multimodal.phashIncrQuery]]), so the band geometry cannot drift
+    * between consumers (their oracles share `mmBandCtes` the same way). */
+  private[analytics] def banded16(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), col("h0"), col("h1"),
+      explode(array(
+        struct(lit(0).as("band"), col("h0").bitwiseAND(lit(0xFFFFL)).as("bv")),
+        struct(lit(1).as("band"), shiftright(col("h0"), 16).as("bv")),
+        struct(lit(2).as("band"), col("h1").bitwiseAND(lit(0xFFFFL)).as("bv")),
+        struct(lit(3).as("band"), shiftright(col("h1"), 16).as("bv")))).as("bb"))
+      .select(col("doc_id"), col("h0"), col("h1"), col("bb.band"), col("bb.bv"))
+
   def hash64Pairs(sig: DataFrame, maxHamming: Int = 3,
                   maxBucket: Long = 100000L): DataFrame = {
     val sh = materialized(sig) // self-joined below: hash once, read twice
-    val banded = capBuckets(
-      sh.select(col("doc_id"), col("h0"), col("h1"),
-        explode(array(
-          struct(lit(0).as("band"), col("h0").bitwiseAND(lit(0xFFFFL)).as("bv")),
-          struct(lit(1).as("band"), shiftright(col("h0"), 16).as("bv")),
-          struct(lit(2).as("band"), col("h1").bitwiseAND(lit(0xFFFFL)).as("bv")),
-          struct(lit(3).as("band"), shiftright(col("h1"), 16).as("bv")))).as("bb"))
-        .select(col("doc_id"), col("h0"), col("h1"), col("bb.band"), col("bb.bv")),
-      Seq("band", "bv"), maxBucket)
+    val banded = capBuckets(banded16(sh), Seq("band", "bv"), maxBucket)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))

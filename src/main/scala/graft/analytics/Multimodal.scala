@@ -308,23 +308,33 @@ object Multimodal {
     * (16-bit × 4, pigeonhole-exact at ≤3) — never all-pairs. */
   def phashIncrQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = asciiParityGuard(Tables.documents(spark, dir))
+    // oracle-parity guard (the asciiParityGuard pattern): the DuckDB
+    // mirror encodes the verdict neighbor as hamming·2^40 + resident_id,
+    // so a resident id ≥ 2^40 would corrupt the min ordering and the
+    // decode — fail loudly instead of silently diverging (the fixture
+    // ids are tiny; a snowflake-id corpus needs a wider encode on BOTH
+    // sides). One codegen'd comparison per resident row.
     val v1 = CurationAudit.snapshotV1(docs).select("doc_id", "text")
+      .withColumn("doc_id",
+        when(col("doc_id") < lit(1L << 40), col("doc_id"))
+          .otherwise(raise_error(concat(
+            lit("mm_phash_incr oracle-encode overflow: resident doc_id="),
+            col("doc_id")))))
     val v2 = CurationAudit.snapshotV2(docs).select("doc_id", "text")
     val v1dig = v1.select(col("doc_id"), md5(col("text")).as("dig"))
-    val inc = v2.withColumn("dig", md5(col("text")))
-      .join(v1dig, Seq("doc_id", "dig"), "left_anti")
-      .select("doc_id", "text")
-    def banded(df: DataFrame, p: String) = {
-      val sig = dHash(spark, df).toDF(s"${p}id", s"${p}h0", s"${p}h1")
-      sig.select(col(s"${p}id"), col(s"${p}h0"), col(s"${p}h1"),
-        explode(array(
-          struct(lit(0).as("band"), col(s"${p}h0").bitwiseAND(lit(0xFFFFL)).as("bv")),
-          struct(lit(1).as("band"), shiftright(col(s"${p}h0"), 16).as("bv")),
-          struct(lit(2).as("band"), col(s"${p}h1").bitwiseAND(lit(0xFFFFL)).as("bv")),
-          struct(lit(3).as("band"), shiftright(col(s"${p}h1"), 16).as("bv")))).as("bb"))
-        .select(col(s"${p}id"), col(s"${p}h0"), col(s"${p}h1"),
-          col("bb.band").as("band"), col("bb.bv").as("bv"))
-    }
+    // materialized: the increment feeds BOTH the fingerprint side and
+    // the final verdict join — un-materialized, the digest anti-join
+    // replays per consumer (in production both inputs are persisted
+    // artifacts: the crawl increment and the fingerprint index)
+    val inc = Dedup.materialized(
+      v2.withColumn("dig", md5(col("text")))
+        .join(v1dig, Seq("doc_id", "dig"), "left_anti")
+        .select("doc_id", "text"))
+    // band fan-out via the ONE shared body (Dedup.banded16 — the
+    // hash64Pairs geometry; the oracles share mmBandCtes the same way)
+    def banded(df: DataFrame, p: String) =
+      Dedup.banded16(dHash(spark, df))
+        .toDF(s"${p}id", s"${p}h0", s"${p}h1", "band", "bv")
     // the increment side broadcasts: the nightly premise is increment ≪
     // resident, so the resident fingerprint index (the big side — the
     // whole corpus's 3 longs/doc) must never shuffle; with RDD-backed

@@ -121,11 +121,14 @@ object Similarity {
     * (train_doc, eval_doc) pair with the eval fold and the verdict
     * cosine.
     *
-    * Scale shape: never all-pairs — candidacy keys on (band, bucket),
-    * and the EVAL side of both the bucket join and the verify fetch is
-    * eval-set-sized (the premise of any eval set), so it broadcasts and
-    * the train embeddings never shuffle. Recall is the documented
-    * [[embeddingDupLsh]] trade; the streaming face
+    * Scale shape: never all-pairs — candidacy keys on (band, bucket)
+    * and the verify fetches embeddings by id, so every join is an
+    * equi-join Catalyst can BROADCAST when the eval side is genuinely
+    * small (the deployment premise: a labeled eval set, not a split
+    * share) and fall back to shuffle when it is not — the fixture's
+    * hash split makes the eval side 20% of the corpus, so the hint is
+    * deliberately left to the optimizer rather than forced. Recall is
+    * the documented [[embeddingDupLsh]] trade; the streaming face
     * ([[graft.streaming.StreamingContam]]) is exact against the frozen
     * eval matrix, so the two bracket the true leak set from below and
     * above (spec-pinned). */
@@ -142,12 +145,12 @@ object Similarity {
     val eIds = banded.where(col("fold") =!= "train")
       .select(col("vec_id").as("eval_doc"), col("fold").as("eval_fold"),
         col("band"), col("bucket"))
-    val cand = tIds.join(broadcast(eIds), Seq("band", "bucket"))
+    val cand = tIds.join(eIds, Seq("band", "bucket"))
       .select("train_doc", "eval_doc", "eval_fold").distinct()
     val embT = emb.select(col("vec_id").as("train_doc"), col("e").as("et"))
     val embE = emb.select(col("vec_id").as("eval_doc"), col("e").as("ee"))
     cand.join(embT, "train_doc")
-      .join(broadcast(embE), "eval_doc")
+      .join(embE, "eval_doc")
       .select(col("train_doc"), col("eval_doc"), col("eval_fold"),
         round(cosine(col("et"), col("ee")), 4).as("cos"))
       .where(col("cos") >= threshold)

@@ -42,12 +42,15 @@ object StreamingReservoir {
         (group: String, it: Iterator[(String, Long, Long)],
          state: GroupState[(Vector[(Double, Long, Long)], Long)]) =>
           val (prev, seq0) = state.getOption.getOrElse((Vector.empty, 0L))
-          // merge-by-key (a re-arrival of the same key is the same draw),
-          // then keep the k best by (es desc, key asc) — the batch
-          // window's exact ordering
+          // the group iterator arrives UNORDERED; sort by (key, weight)
+          // before the keep-first dedup so a same-key re-arrival with a
+          // different weight resolves deterministically (smallest weight
+          // wins) instead of by shuffle order — the StreamingLsh
+          // in-batch-determinism convention. Then keep the k best by
+          // (es desc, key asc) — the batch window's exact ordering.
           val merged = (prev ++ it.map { case (_, key, w) =>
               (Sampling.localGroupEsKey(key, w), key, w)
-            }).distinctBy(_._2)
+            }.toSeq.sortBy(r => (r._2, r._3))).distinctBy(_._2)
             .sortBy { case (es, key, _) => (-es, key) }
             .take(k)
           state.update((merged, seq0 + 1))

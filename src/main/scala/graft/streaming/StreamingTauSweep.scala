@@ -62,10 +62,17 @@ object StreamingTauSweep {
 
   /** Text face: sign + band + bucket-check arriving documents at the
     * sweep FLOOR (the batch sweep's one-pass-at-min-τ design), then
-    * gauge every notch from the one candidate stream. */
+    * gauge every notch from the one candidate stream. The LSH filter
+    * runs HALF A GRID UNIT below the floor notch: the candidate stage
+    * compares the raw agreement fraction while the gauge counts on the
+    * rint·e4 grid, so a fraction that ROUNDS UP to the floor (possible
+    * whenever bands·rowsPerBand does not divide 10000, e.g. 15
+    * components at τ 4667) must still reach the gauge — at the default
+    * 16-component geometry every estimate is an exact multiple of 625
+    * and the two cutoffs coincide. */
   def gaugeOverText(docs: Dataset[(Long, String)], tausE4: Seq[Long],
                     n: Int = 5, bands: Int = 4, rowsPerBand: Int = 4,
                     capacity: Int = 256): Dataset[TauGauge] =
     gauge(StreamingLsh.candidates(docs, n, bands, rowsPerBand,
-      threshold = tausE4.min / 10000.0, capacity), tausE4)
+      threshold = (tausE4.min - 0.5) / 10000.0, capacity), tausE4)
 }
