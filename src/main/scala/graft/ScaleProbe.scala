@@ -1618,6 +1618,58 @@ object ScaleProbe {
     ok
   }
 
+  /** Semantic eval-decontamination probe ([[graft.analytics.Similarity
+    * .semanticContaminationOf]], the `dedup_contam_semantic` chain) at
+    * synthetic volume: n 64-dim md5-closed-form vectors, every 100th id
+    * an EXACT copy of its predecessor (the classic leak — a verbatim
+    * eval question in the train fold; identical vectors collide in
+    * every LSH band, so recovery of the cross-fold planted pairs must
+    * be exact). τ = 0.9 keeps random 64-dim cosines (σ ≈ 0.125, so
+    * 0.9 ≈ 7σ) out of the verdict; bucket geometry widened to 16-bit
+    * bands per the Of-form's scale note. Reports non-planted survivors
+    * (near-τ coincidences) rather than gating on them. */
+  private def probeContam(spark: org.apache.spark.sql.SparkSession, n: Long): Boolean = {
+    import graft.analytics.{Dedup, Similarity}
+    def md5unit(tag: String) =
+      s"((cast(conv(substring(md5(concat('$tag', cast(bid as string), ':', cast(d as string))), 1, 15), 16, 10) as long) % 2001) - 1000) / 1000.0D"
+    val emb = spark.range(n)
+      .withColumn("bid", expr("CASE WHEN id % 100 = 1 THEN id - 1 ELSE id END"))
+      .select(col("id").as("vec_id"),
+        expr(s"transform(sequence(0, 63), d -> ${md5unit("v:")})").as("e"))
+    emb.cache().count()
+    val t0 = System.nanoTime()
+    val out = Similarity.semanticContaminationOf(emb, threshold = 0.9,
+      dims = 64, bands = 8, rowsPerBand = 16)
+    val outM = Dedup.materialized(out)
+    val nLeaks = outM.count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    // ground truth: planted (a, a+1) pairs that cross the fold boundary,
+    // oriented (train_doc, eval_doc)
+    val folds = graft.analytics.Sampling.split(
+      emb.select("vec_id"), col("vec_id")).select("vec_id", "fold")
+    val planted = spark.range(n).where(col("id") % 100 === 1 && col("id") < n)
+      .select((col("id") - 1).as("a"), col("id").as("b"))
+      .join(folds.toDF("a", "fa"), "a").join(folds.toDF("b", "fb"), "b")
+      .select(
+        when(col("fa") === "train" && col("fb") =!= "train",
+          struct(col("a").as("train_doc"), col("b").as("eval_doc")))
+          .when(col("fb") === "train" && col("fa") =!= "train",
+            struct(col("b").as("train_doc"), col("a").as("eval_doc")))
+          .as("p"))
+      .where(col("p").isNotNull).select("p.train_doc", "p.eval_doc")
+    val plantedN = planted.count()
+    val recovered = planted
+      .join(outM, Seq("train_doc", "eval_doc"), "left_semi").count()
+    val extras = nLeaks - recovered
+    val ok = recovered == plantedN
+    println(s"""{"probe":"contam","n_vecs":$n,"wall_sec":${f"$wall%.1f"},""" +
+      s""""planted_crossfold":$plantedN,"recovered":$recovered,""" +
+      s""""extra_pairs":$extras,"ok":$ok}""")
+    if (!ok) System.err.println(
+      s"[scaleprobe] contam NOT ok: recovered=$recovered/$plantedN")
+    ok
+  }
+
   def main(args: Array[String]): Unit = {
     val (which, nOpt) = args.toList match {
       case name :: num :: _ => (name, Some(num.toLong))
@@ -1653,6 +1705,7 @@ object ScaleProbe {
       case "dsir" => probeDsir(spark, size)
       case "curation" => probeCuration(spark, size)
       case "phash" => probePhash(spark, size)
+      case "contam" => probeContam(spark, size)
       case other =>
         System.err.println(
           s"unknown arm '$other'; known arms: ${defaults.keysIterator.toSeq.sorted.mkString(", ")} (or 'all')")

@@ -133,11 +133,21 @@ object Similarity {
     * eval matrix, so the two bracket the true leak set from below and
     * above (spec-pinned). */
   def semanticContamination(spark: SparkSession, dir: String,
-                            threshold: Double = 0.4): DataFrame = {
-    val emb = embeddingsD(spark, dir)
+                            threshold: Double = 0.4): DataFrame =
+    semanticContaminationOf(embeddingsD(spark, dir), threshold)
+
+  /** Core over any (vec_id, e) frame — the probe feeds this synthetic
+    * volume ([[graft.ScaleProbe]] `contam` arm) with a WIDER bucket
+    * geometry: at corpus scale `rowsPerBand` must keep 2^rowsPerBand
+    * comparable to corpus/bands (the oracle face's 4-bit buckets are
+    * sized for the fixture; 16-bit buckets hold ~12 residents each at
+    * 1M vectors — the probe-measured shape). */
+  def semanticContaminationOf(emb: DataFrame, threshold: Double = 0.4,
+                              dims: Int = 64, bands: Int = 8,
+                              rowsPerBand: Int = 4): DataFrame = {
     val folds = Sampling.split(emb.select("vec_id"), col("vec_id"))
       .select("vec_id", "fold")
-    val banded = bandedSignatures(emb, dims = 64, bands = 8, rowsPerBand = 4,
+    val banded = bandedSignatures(emb, dims, bands, rowsPerBand,
         materialize = true)
       .join(folds, "vec_id")
     val tIds = banded.where(col("fold") === "train")
