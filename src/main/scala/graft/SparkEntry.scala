@@ -250,6 +250,7 @@ object SparkEntry {
     "mm_phash_dedup" -> (Multimodal.phashDedupQuery _), // perceptual dHash over the decoded BMP grid -> banded-Hamming near-dup pairs (never all-pairs)
     "mm_phash_clusters" -> (Multimodal.phashClustersQuery _), // cluster resolution over the perceptual pairs: min-reachable-id keeper per image, the post-pair decision stage
     "mm_phash_incr" -> (Multimodal.phashIncrQuery _), // incremental perceptual dedup: the crawl increment against the RESIDENT fingerprint index (banded, never all-pairs)
+    "mm_ahash_dedup" -> (Multimodal.ahashDedupQuery _), // AUDIO near-dup pairs: windowed PCM energy-envelope fingerprint through the same banded-Hamming machinery
     "txt_html_extract" -> (TextAnalysis.htmlExtractQuery _), // HTML -> text boilerplate extraction (tag strip + text-density + link-density block gates), chained into the c4 gate
   )
 
@@ -4083,6 +4084,44 @@ object SparkEntry {
             md5(substring(text, (k*128 + 1)::INT, 32)) AS frame_md5
           FROM s""",
     "mm_phash_dedup" -> s"WITH $mmPhashCtes\n          SELECT doc_a, doc_b, hamming FROM phpairs",
+    "mm_ahash_dedup" ->
+      // replays localAHash's decoded-WAV arithmetic from first principles
+      // on the text side (ascii parity: byte == char): toWav appends the
+      // payload verbatim after the 44-byte header, so sample k = byte 2k
+      // + 256·byte 2k+1 (zero-padded past len; the signed-16-bit CASE is
+      // the identity for ASCII but rides along for faithfulness), pooled
+      // into 65 equal windows of absolute-amplitude energy, bit j =
+      // energy(j) > energy(j+1); pairs via the SHARED band CTE + the
+      // phpairs join shape
+      s"""WITH ad AS (SELECT doc_id, text, length(text)::BIGINT AS len,
+                        ((length(text) + 1) // 2)::BIGINT AS ns
+                      FROM documents),
+          asmp AS (SELECT doc_id, ns, k.k,
+                     (CASE WHEN 2*k.k < len THEN ascii(substr(text, (2*k.k+1)::INT, 1)) ELSE 0 END
+                      + 256 * CASE WHEN 2*k.k+1 < len THEN ascii(substr(text, (2*k.k+2)::INT, 1)) ELSE 0 END) AS v
+                   FROM ad, LATERAL (SELECT unnest(range(0, ns)) AS k) k),
+          aen AS (SELECT doc_id, ((k * 65) // ns)::BIGINT AS w,
+                    sum(abs(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END))::BIGINT AS e
+                  FROM asmp GROUP BY doc_id, w),
+          agrid AS (SELECT dd.doc_id, w.w, coalesce(a.e, 0)::BIGINT AS e
+                    FROM (SELECT doc_id FROM ad) dd
+                    CROSS JOIN (SELECT unnest(range(0, 65)) AS w) w
+                    LEFT JOIN aen a ON a.doc_id = dd.doc_id AND a.w = w.w),
+          abits AS (SELECT l.doc_id, l.w AS j,
+                      CASE WHEN l.e > r.e THEN 1 ELSE 0 END AS bit
+                    FROM agrid l JOIN agrid r ON r.doc_id = l.doc_id AND r.w = l.w + 1
+                    WHERE l.w < 64),
+          hv AS (SELECT doc_id,
+                   sum(CASE WHEN j < 32 THEN bit * (1::BIGINT << j::INT) ELSE 0 END)::BIGINT AS h0,
+                   sum(CASE WHEN j >= 32 THEN bit * (1::BIGINT << (j - 32)::INT) ELSE 0 END)::BIGINT AS h1
+                 FROM abits GROUP BY doc_id),
+          ${mmBandCtes("hv")}
+          SELECT doc_a, doc_b, hamming FROM (
+            SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+              (bit_count(xor(a.h0, b2.h0)) + bit_count(xor(a.h1, b2.h1)))::BIGINT AS hamming
+            FROM banded a JOIN banded b2
+              ON a.band = b2.band AND a.bv = b2.bv AND a.doc_id < b2.doc_id) t
+          WHERE hamming <= 3 ORDER BY doc_a, doc_b""",
     "mm_phash_incr" ->
       // the v8 snapshot/increment CTEs (one SQL body with pipe_prep_incr's
       // stage 0a), the SHARED dHash hash stage instantiated twice (resident

@@ -239,6 +239,56 @@ object Multimodal {
     (h0, h1)
   }
 
+  /** Energy-difference AUDIO fingerprint over the decoded PCM stream —
+    * the WAV counterpart of [[localDHash]] (images dedup by pooled
+    * luminance differences; audio dedups by windowed energy-envelope
+    * differences, the Chromaprint-family shape reduced to the engine's
+    * 64-bit banded machinery): the payload is containerized as a real
+    * PCM WAV ([[MediaCodec.toWav]]), the header parsed BACK (sample
+    * count from the container, not the input), the samples pooled into
+    * 65 equal windows of integer absolute-amplitude energy, and each of
+    * the 64 bits compares adjacent windows — robust to uniform gain the
+    * way dHash is to brightness. Two 32-bit halves like every 64-bit
+    * fingerprint here, so downstream arithmetic never touches a sign
+    * bit; pairs ride [[Dedup.hash64Pairs]] unchanged. */
+  def localAHash(data: Array[Byte]): (Long, Long) = {
+    val wav = MediaCodec.toWav(data)
+    val info = MediaCodec.probe(wav).getOrElse(
+      sys.error("self-built WAV failed its own probe"))
+    val n = info.nSamples.toInt
+    val sums = new Array[Long](65)
+    var k = 0
+    while (k < n) {
+      val v = (wav(44 + 2 * k) & 0xFF) | ((wav(44 + 2 * k + 1) & 0xFF) << 8)
+      val s = if (v >= 32768) v - 65536 else v
+      sums((k.toLong * 65 / n).toInt) += math.abs(s)
+      k += 1
+    }
+    var h0 = 0L; var h1 = 0L
+    var j = 0
+    while (j < 64) {
+      if (sums(j) > sums(j + 1)) {
+        if (j < 32) h0 |= 1L << j else h1 |= 1L << (j - 32)
+      }
+      j += 1
+    }
+    (h0, h1)
+  }
+
+  /** Batch audio-fingerprint pass — same partition-wise shape as
+    * [[dHash]]: payload bytes never shuffle, 3 longs per document out. */
+  def aHash(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val payloads = docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val rdd = payloads.rdd.mapPartitions { it =>
+      it.map { r =>
+        val data = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        val (h0, h1) = localAHash(data)
+        Row(r.getLong(0), h0, h1)
+      }
+    }
+    spark.createDataFrame(rdd, phashSchema)
+  }
+
   // -- query entry points --
 
   /** The DuckDB oracles for these queries replay the BINARY-side digests
@@ -277,6 +327,17 @@ object Multimodal {
     * replay equal, exactly like every multimodal oracle face. */
   def phashDedupQuery(spark: SparkSession, dir: String): DataFrame =
     Dedup.hash64Pairs(dHash(spark, asciiParityGuard(Tables.documents(spark, dir))))
+      .orderBy("doc_a", "doc_b")
+
+  /** `mm_ahash_dedup` — audio near-dup pairs over the PCM payload:
+    * [[aHash]] fingerprints through the SAME banded-Hamming machinery
+    * as the image pairs ([[Dedup.hash64Pairs]] verbatim). The ascii
+    * guard keeps the byte-side decode and the oracle's text-side replay
+    * equal (ASCII samples are < 32768, so the mirror's signed-16-bit
+    * CASE is provably the identity under the guard — it rides along for
+    * faithfulness to the engine's general-byte arithmetic). */
+  def ahashDedupQuery(spark: SparkSession, dir: String): DataFrame =
+    Dedup.hash64Pairs(aHash(spark, asciiParityGuard(Tables.documents(spark, dir))))
       .orderBy("doc_a", "doc_b")
 
   /** `mm_phash_clusters` — cluster resolution over the perceptual pairs:

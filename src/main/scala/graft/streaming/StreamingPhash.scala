@@ -26,17 +26,20 @@ import graft.analytics.Multimodal
   */
 object StreamingPhash {
 
-  /** Image near-dup at ingest. docs: (doc_id, text-as-payload, exactly
-    * the batch face's stand-in payload); emits Append-mode candidates
-    * with bit-agreement ≥ (64 − maxHamming)/64. */
-  def candidates(docs: Dataset[(Long, String)], maxHamming: Int = 3,
-                 capacity: Int = 256): Dataset[StreamDupCandidate] = {
+  /** Shared 64-bit-fingerprint ingest core: row-local hash, the batch
+    * join's 4×16-bit bands, the FIFO bucket check — parameterized by
+    * the fingerprint function so the image (dHash) and audio (aHash)
+    * faces are ONE body differing only in the hash, like their batch
+    * queries. */
+  private def fingerprintCandidates(docs: Dataset[(Long, String)],
+      fp: Array[Byte] => (Long, Long), maxHamming: Int,
+      capacity: Int): Dataset[StreamDupCandidate] = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4x16-bit banding is pigeonhole-complete only for maxHamming <= 3")
     import docs.sparkSession.implicits._
     val banded = docs.flatMap { case (id, text) =>
       val data = Option(text).map(_.getBytes("UTF-8")).getOrElse(Array.emptyByteArray)
-      val (h0, h1) = Multimodal.localDHash(data)
+      val (h0, h1) = fp(data)
       val bits: Seq[Long] = ((0 until 32).map(j => (h0 >> j) & 1L) ++
         (0 until 32).map(j => (h1 >> j) & 1L)).toList
       val bands = Seq(h0 & 0xFFFFL, h0 >> 16, h1 & 0xFFFFL, h1 >> 16)
@@ -45,4 +48,17 @@ object StreamingPhash {
     StreamingLsh.candidatesFromBanded(banded,
       threshold = (64 - maxHamming) / 64.0, capacity)
   }
+
+  /** Image near-dup at ingest. docs: (doc_id, text-as-payload, exactly
+    * the batch face's stand-in payload); emits Append-mode candidates
+    * with bit-agreement ≥ (64 − maxHamming)/64. */
+  def candidates(docs: Dataset[(Long, String)], maxHamming: Int = 3,
+                 capacity: Int = 256): Dataset[StreamDupCandidate] =
+    fingerprintCandidates(docs, Multimodal.localDHash, maxHamming, capacity)
+
+  /** Audio near-dup at ingest — the `mm_ahash_dedup` mirror: the SAME
+    * core over [[Multimodal.localAHash]]'s energy-envelope fingerprint. */
+  def ahashCandidates(docs: Dataset[(Long, String)], maxHamming: Int = 3,
+                      capacity: Int = 256): Dataset[StreamDupCandidate] =
+    fingerprintCandidates(docs, Multimodal.localAHash, maxHamming, capacity)
 }

@@ -58,6 +58,36 @@ class StreamingPhashSpec extends SparkSpec {
       s"stream/batch divergence: ${streamed.diff(batchPairs)} / ${batchPairs.diff(streamed)}")
   }
 
+  test("audio face: local aHash == batch column; streamed candidates == batch pairs") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .where(col("text").isNotNull).select("doc_id", "text")
+    // parity root: one shared function
+    val batch = Multimodal.aHash(spark, docs.limit(40)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    docs.limit(40).as[(Long, String)].collect().foreach { case (id, text) =>
+      assert(Multimodal.localAHash(text.getBytes("UTF-8")) === batch(id),
+        s"aHash mismatch for doc $id")
+    }
+    // stream ≡ batch pair set through the SAME shared core
+    val batchPairs = Dedup.hash64Pairs(Multimodal.aHash(spark, docs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rows = docs.as[(Long, String)].collect().toSeq.sortBy(_._1)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val name = s"ahash_stream_${System.nanoTime()}"
+    val q = StreamingPhash.ahashCandidates(ms.toDS(), capacity = 2048)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try Seq(rows.take(rows.size / 2), rows.drop(rows.size / 2))
+      .foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    val streamed = spark.table(name).as[StreamDupCandidate].collect()
+      .map(c => (c.doc_a, c.doc_b, 64L - math.round(c.est_jaccard * 64))).toSet
+    assert(batchPairs.nonEmpty, "corpus must produce audio pairs")
+    assert(streamed === batchPairs,
+      s"audio stream/batch divergence: ${streamed.diff(batchPairs)} / ${batchPairs.diff(streamed)}")
+  }
+
   test("identical payloads collide at full agreement; hamming gate excludes past the bound") {
     val a = "the quick brown fox jumps over the lazy dog " * 6
     val out = runBatches(Seq(Seq(1L -> a), Seq(2L -> a)))
