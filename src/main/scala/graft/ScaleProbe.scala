@@ -1308,7 +1308,13 @@ object ScaleProbe {
     // bpe: n docs × 40 words over a 200k-word vocabulary; the ×10
     // replicated arm pushes the word-count aggregation to 10× the
     // instances while the merge rounds stay vocabulary-bounded
-    "bpe" -> 250000L)
+    "bpe" -> 250000L,
+    // phash: 1M BMP payloads, 1% planted near-dup pairs through the
+    // full decode → dHash → banded-Hamming chain (SCALING.md r16 run)
+    "phash" -> 1000000L,
+    // contam: 1M train vectors vs a 4k eval fold through the
+    // hyperplane-LSH candidate pass + exact verify (SCALING.md r16 run)
+    "contam" -> 1000000L)
 
   /** Projection-assisted coarse assignment —
     * [[graft.analytics.Similarity.annIvfProjected]]'s scale claim,
@@ -1717,7 +1723,15 @@ object ScaleProbe {
         // mis-size one family or the other)
         defaults.keysIterator.toSeq.sorted
           .map(a => arm(a, defaults(a))).forall(identity)
-      case name => arm(name, nOpt.orElse(defaults.get(name)).getOrElse(0L))
+      case name =>
+        val n = nOpt.orElse(defaults.get(name)).getOrElse(0L)
+        // "hybridreal" is the only legitimately size-less arm (it reads
+        // the real corpus); everywhere else n == 0 means a vacuous run
+        // (0 planted / 0 recovered prints "ok") — fail loud instead.
+        if (n == 0L && name != "hybridreal") {
+          System.err.println(s"[scaleprobe] arm '$name' resolved to n=0 (no default, no explicit n) — refusing a vacuous run")
+          false
+        } else arm(name, n)
     }
     spark.stop()
     if (!ok) sys.exit(1)

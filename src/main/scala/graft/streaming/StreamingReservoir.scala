@@ -29,10 +29,15 @@ final case class ReservoirRow(group: String, seq: Long, rank: Long,
   * group and each arriving record costs one bounded merge. Each batch
   * emits the group's CURRENT reservoir with a bumped `seq` (a gauge,
   * like [[StreamingKmv]]): the latest `seq` per group is the live
-  * sample. A re-arrival of an already-held key is dropped (first weight
-  * wins — the feed contract is one weight per key, the batch frame's
-  * one-row-per-key shape), so re-crawled rows cannot double-fill a
-  * reservoir slot. */
+  * sample. A re-arrival of an already-held key is dropped, so
+  * re-crawled rows cannot double-fill a reservoir slot; if the
+  * re-arrival carries a DIFFERENT weight (the one-weight-per-key feed
+  * contract violated), the smallest weight wins whether the conflict is
+  * in-batch or against held state — held entries compete in the same
+  * (key, weight) sort as arriving ones, so the resolution is
+  * batch-split-invariant (ADVICE r16). Entries already EVICTED (past
+  * rank k) are gone — that loss is inherent to O(k) state and outside
+  * the contract. */
 object StreamingReservoir {
 
   def snapshots(rows: Dataset[(String, Long, Long)], k: Int = 10): Dataset[ReservoirRow] = {
@@ -42,15 +47,17 @@ object StreamingReservoir {
         (group: String, it: Iterator[(String, Long, Long)],
          state: GroupState[(Vector[(Double, Long, Long)], Long)]) =>
           val (prev, seq0) = state.getOption.getOrElse((Vector.empty, 0L))
-          // the group iterator arrives UNORDERED; sort by (key, weight)
-          // before the keep-first dedup so a same-key re-arrival with a
-          // different weight resolves deterministically (smallest weight
-          // wins) instead of by shuffle order — the StreamingLsh
-          // in-batch-determinism convention. Then keep the k best by
-          // (es desc, key asc) — the batch window's exact ordering.
+          // the group iterator arrives UNORDERED; pool held entries WITH
+          // the arrivals and sort by (key, weight) before the keep-first
+          // dedup, so a same-key conflict resolves to the smallest weight
+          // whether it is in-batch or against state — one rule, batch-
+          // split-invariant (ADVICE r16; was keep-first-arrival across
+          // batches). Then keep the k best by (es desc, key asc) — the
+          // batch window's exact ordering. ES is a pure (key, weight)
+          // function, so held entries' stored es stays valid in the pool.
           val merged = (prev ++ it.map { case (_, key, w) =>
               (Sampling.localGroupEsKey(key, w), key, w)
-            }.toSeq.sortBy(r => (r._2, r._3))).distinctBy(_._2)
+            }.toSeq).sortBy(r => (r._2, r._3)).distinctBy(_._2)
             .sortBy { case (es, key, _) => (-es, key) }
             .take(k)
           state.update((merged, seq0 + 1))

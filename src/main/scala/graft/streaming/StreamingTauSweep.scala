@@ -29,34 +29,53 @@ final case class TauGauge(tau_e4: Long, seq: Long, n_pairs: Long, n_docs: Long)
   * arbitrary batch splits, plus τ-monotonicity.
   *
   * Scale shape: input is the PAIR stream (dup-mass-sized — the LSH
-  * premise is that pairs are rare relative to the corpus), exploded to
-  * the notches it clears, grouped BY NOTCH so the notches gauge in
-  * parallel; per-notch state is the distinct pair set (dup-mass-sized,
-  * the same order as the LSH buckets' FIFO state), never corpus-sized. */
+  * premise is that pairs are rare relative to the corpus); ONE state
+  * holds each distinct pair ONCE with its e4 estimate, keyed at the
+  * sweep floor, and every notch's cumulative counts are DERIVED from
+  * that single set at emission (ADVICE r16: the previous per-notch
+  * grouping duplicated the pair set into every notch a pair cleared —
+  * an O(notches × pairs) state bound for an O(pairs) fact). The
+  * derivation is O(pairs × notches) compute per batch over a
+  * dup-mass-sized map — arithmetic, not state. The single state group
+  * serializes the gauge's merge step, which is the right trade: the
+  * pair stream is the rare-event residue of the banded stage (the
+  * parallel part), and the per-notch doc-distinct counts could not be
+  * sharded without double-counting docs across shards anyway. */
 object StreamingTauSweep {
 
   def gauge(cands: Dataset[StreamDupCandidate], tausE4: Seq[Long]): Dataset[TauGauge] = {
     require(tausE4.nonEmpty && tausE4.forall(t => t > 0 && t <= 10000))
     import cands.sparkSession.implicits._
     val notches = tausE4.distinct.sorted
+    val floor = notches.head
     cands.flatMap { c =>
         // the candidate's 4-dp estimate back on the e4 integer grid the
-        // batch sweep's notches live on
+        // batch sweep's notches live on; only floor-clearing pairs enter
         val j4 = math.rint(c.est_jaccard * 10000).toLong
-        notches.withFilter(j4 >= _).map(t => (t, c.doc_a, c.doc_b))
+        if (j4 >= floor) Iterator.single((c.doc_a, c.doc_b, j4)) else Iterator.empty
       }
-      .groupByKey(_._1)
+      .groupByKey(_ => 0)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (tau: Long, rows: Iterator[(Long, Long, Long)],
-         state: GroupState[(Set[(Long, Long)], Long)]) =>
-          val (prev, seq0) = state.getOption.getOrElse((Set.empty[(Long, Long)], 0L))
+        (_: Int, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[(Map[(Long, Long), Long], Long)]) =>
+          val (prev, seq0) = state.getOption.getOrElse((Map.empty[(Long, Long), Long], 0L))
           // distinct pairs: the same pair can surface from several bands
           // (and re-surface across batches) — the gauge counts it once,
-          // like the batch sweep's verified-pair input
-          val pairs = prev ++ rows.map(r => (r._2, r._3))
+          // like the batch sweep's verified-pair input. A re-surfacing
+          // pair's estimate is signature-determined, so held == arriving;
+          // keep the held entry.
+          val pairs = rows.foldLeft(prev) { case (acc, (a, b, j4)) =>
+            if (acc.contains((a, b))) acc else acc.updated((a, b), j4)
+          }
           state.update((pairs, seq0 + 1))
-          val docs = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
-          Iterator.single(TauGauge(tau, seq0 + 1, pairs.size.toLong, docs.size.toLong))
+          notches.iterator.map { t =>
+            var nPairs = 0L
+            val docs = scala.collection.mutable.LongMap.empty[Unit]
+            pairs.foreach { case ((a, b), j4) =>
+              if (j4 >= t) { nPairs += 1; docs.update(a, ()); docs.update(b, ()) }
+            }
+            TauGauge(t, seq0 + 1, nPairs, docs.size.toLong)
+          }
       }
   }
 

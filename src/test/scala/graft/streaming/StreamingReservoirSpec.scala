@@ -83,4 +83,21 @@ class StreamingReservoirSpec extends SparkSpec {
       .sortBy { case (es, id) => (-es, id) }.take(3).map(_._2)
     assert(keeperKeys == want)
   }
+
+  test("same-key weight conflict resolves smallest-weight-wins, batch-split-invariant") {
+    // key 1 arrives at weight 9 and again at weight 2 (feed contract
+    // violated); the resolution must be the SAME whether the conflict is
+    // in one micro-batch or across two in either order (ADVICE r16: the
+    // old keep-first rule made the reservoir batch-split-dependent)
+    val a = ("s", 1L, 9L); val b = ("s", 1L, 2L); val c = ("s", 2L, 5L)
+    val together = latest(run(Seq(Seq(a, b, c))))
+    val heavyFirst = latest(run(Seq(Seq(a, c), Seq(b))))
+    val lightFirst = latest(run(Seq(Seq(b, c), Seq(a))))
+    assert(together == heavyFirst && together == lightFirst,
+      s"split-dependent: $together / $heavyFirst / $lightFirst")
+    // and the surviving weight for key 1 is the smallest one
+    val w1 = run(Seq(Seq(a, c), Seq(b))).groupBy(_.seq).maxBy(_._1)._2
+      .find(_.key == 1L).map(_.weight)
+    assert(w1.contains(2L), s"held weight for key 1: $w1")
+  }
 }
