@@ -51,6 +51,49 @@ class BenchGuardSpec extends AnyFunSuite {
       "every would-be regr entry with one attempt gets a solo re-measure, worst first")
   }
 
+  test("calibration factor: identity on a fast host, ratio on a slow one, clamped at 2x") {
+    val ref = Bench.Calib.calRefSec
+    // faster-than-reference or exactly-reference windows never TIGHTEN
+    // thresholds (factor floors at 1.0 — the guard can only relax)
+    assert(Bench.Calib.factorOf(ref * 0.5) == 1.0)
+    assert(Bench.Calib.factorOf(ref) == 1.0)
+    // a uniformly-1.9x window scales thresholds by 1.9
+    assert(math.abs(Bench.Calib.factorOf(ref * 1.9) - 1.9) < 1e-9)
+    // past 2x the clamp holds: the guard must not wave real regressions
+    // through on a catastrophically degraded host
+    assert(Bench.Calib.factorOf(ref * 7.0) == 2.0)
+  }
+
+  test("calibration scaling turns a uniformly-slow window's flags into ~none") {
+    // the r16 shape: every query ~1.9x its warm ref on a co-loaded host.
+    // refs here are the spec's thr map minus the +1s JIT allowance — use
+    // values where thr = 2x ref so the arithmetic is transparent.
+    val results = scala.collection.mutable.LinkedHashMap(
+      "a" -> 7.6,  // thr 8.0 at factor 1 -> under either way
+      "b" -> 9.0,  // over thr 8.0 at factor 1, under 8.0*1.9 with cal
+      "c" -> 21.0) // over thr 8.0 even at the 2.0 clamp: a REAL regression
+    val base: String => Double = _ => 8.0
+    assert(Bench.retryOrder(results, base) == Seq("c", "b"))
+    val f = Bench.Calib.factorOf(Bench.Calib.calRefSec * 1.9)
+    val scaled: String => Double = n => base(n) * f
+    assert(Bench.retryOrder(results, scaled) == Seq("c"),
+      "only the genuine excess survives host-speed normalization")
+  }
+
+  test("calibration reference matches this host (re-baseline CalibProbe on drift)") {
+    // a LIVE warmed observation on the build host must land within sane
+    // bounds of the checked-in constant: an idle host prices ~1.0x, a
+    // co-loaded build host higher, but >6x means the constant is stale
+    // (container CPU allocation changed) and the guard would mis-scale.
+    // Lower bound 0.55x: the kernel is fixed work, so a future host
+    // can't legitimately halve it without a re-baseline.
+    val s = Bench.Calib.warmedSample()
+    assert(s > Bench.Calib.calRefSec * 0.55,
+      f"calibration kernel ran $s%.3f s — far below calRefSec; re-baseline with CalibProbe")
+    assert(s < Bench.Calib.calRefSec * 6.0,
+      f"calibration kernel ran $s%.3f s — far above calRefSec even allowing co-load; re-baseline")
+  }
+
   test("scheduler run-delay per-mille: arithmetic and sentinels") {
     // 1 s wall on an N-core host with N×0.2 s of summed run-delay => 200 pm
     val n = Runtime.getRuntime.availableProcessors()
