@@ -251,6 +251,8 @@ object SparkEntry {
     "mm_phash_clusters" -> (Multimodal.phashClustersQuery _), // cluster resolution over the perceptual pairs: min-reachable-id keeper per image, the post-pair decision stage
     "mm_phash_incr" -> (Multimodal.phashIncrQuery _), // incremental perceptual dedup: the crawl increment against the RESIDENT fingerprint index (banded, never all-pairs)
     "mm_ahash_dedup" -> (Multimodal.ahashDedupQuery _), // AUDIO near-dup pairs: windowed PCM energy-envelope fingerprint through the same banded-Hamming machinery
+    "mm_ahash_clusters" -> (Multimodal.ahashClustersQuery _), // cluster resolution over the audio pairs: min-reachable-id keeper per recording (the mm_phash_clusters shape)
+    "mm_ahash_incr" -> (Multimodal.ahashIncrQuery _), // incremental audio dedup: the crawl increment against the RESIDENT audio-fingerprint index (one body with mm_phash_incr)
     "txt_html_extract" -> (TextAnalysis.htmlExtractQuery _), // HTML -> text boilerplate extraction (tag strip + text-density + link-density block gates), chained into the c4 gate
   )
 
@@ -3056,13 +3058,15 @@ object SparkEntry {
           dd AS MATERIALIZED (SELECT k.doc_id, k.text FROM k JOIN keepers USING (doc_id)),
           $prepTailSql""",
     "pipe_prep_mm" ->
-      // v9: the shared gate CTEs, the shared dHash chain OVER THE GATED
-      // corpus (mmPhashCtesOver("k") — one SQL body with mm_phash_dedup),
-      // the mm_phash_clusters components fixpoint, and keepers = exact
-      // text keepers ∩ image-cluster keepers (min reachable id == self)
-      // feeding the unchanged tail
+      // v10: the shared gate CTEs, the shared dHash AND aHash chains
+      // OVER THE GATED corpus (mmPhashCtesOver("k")/mmAhashCtesOver("k")
+      // — one SQL body each with mm_phash_dedup/mm_ahash_dedup), both
+      // media's cluster-components fixpoints, and keepers = exact text
+      // keepers ∩ image-cluster keepers ∩ audio-cluster keepers (min
+      // reachable id == self on each axis) feeding the unchanged tail
       s"""WITH RECURSIVE $prepGateCtes,
           ${mmPhashCtesOver("k")},
+          ${mmAhashCtesOver("k")},
           edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM phpairs
                     UNION ALL SELECT doc_b, doc_a FROM phpairs),
           reach(id, lbl) AS (
@@ -3071,11 +3075,20 @@ object SparkEntry {
             SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.id),
           imgkeep AS MATERIALIZED (
             SELECT id AS doc_id FROM reach GROUP BY id HAVING min(lbl) = id),
+          aedges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM ahpairs
+                    UNION ALL SELECT doc_b, doc_a FROM ahpairs),
+          areach(id, lbl) AS (
+            SELECT doc_id, doc_id FROM k
+            UNION
+            SELECT e.src, r.lbl FROM areach r JOIN aedges e ON e.dst = r.id),
+          audkeep AS MATERIALIZED (
+            SELECT id AS doc_id FROM areach GROUP BY id HAVING min(lbl) = id),
           keepers AS MATERIALIZED (
             SELECT tk.doc_id FROM (
               SELECT min(doc_id) AS doc_id FROM (
                 SELECT doc_id, md5($normSql) AS h FROM k) t0 GROUP BY h) tk
-            JOIN imgkeep USING (doc_id)),
+            JOIN imgkeep USING (doc_id)
+            JOIN audkeep USING (doc_id)),
           dd AS MATERIALIZED (SELECT k.doc_id, k.text FROM k JOIN keepers USING (doc_id)),
           $prepTailSql""",
     "pipe_prep" ->
@@ -4085,43 +4098,57 @@ object SparkEntry {
           FROM s""",
     "mm_phash_dedup" -> s"WITH $mmPhashCtes\n          SELECT doc_a, doc_b, hamming FROM phpairs",
     "mm_ahash_dedup" ->
-      // replays localAHash's decoded-WAV arithmetic from first principles
-      // on the text side (ascii parity: byte == char): toWav appends the
-      // payload verbatim after the 44-byte header, so sample k = byte 2k
-      // + 256·byte 2k+1 (zero-padded past len; the signed-16-bit CASE is
-      // the identity for ASCII but rides along for faithfulness), pooled
-      // into 65 equal windows of absolute-amplitude energy, bit j =
-      // energy(j) > energy(j+1); pairs via the SHARED band CTE + the
-      // phpairs join shape
-      s"""WITH ad AS (SELECT doc_id, text, length(text)::BIGINT AS len,
-                        ((length(text) + 1) // 2)::BIGINT AS ns
-                      FROM documents),
-          asmp AS (SELECT doc_id, ns, k.k,
-                     (CASE WHEN 2*k.k < len THEN ascii(substr(text, (2*k.k+1)::INT, 1)) ELSE 0 END
-                      + 256 * CASE WHEN 2*k.k+1 < len THEN ascii(substr(text, (2*k.k+2)::INT, 1)) ELSE 0 END) AS v
-                   FROM ad, LATERAL (SELECT unnest(range(0, ns)) AS k) k),
-          aen AS (SELECT doc_id, ((k * 65) // ns)::BIGINT AS w,
-                    sum(abs(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END))::BIGINT AS e
-                  FROM asmp GROUP BY doc_id, w),
-          agrid AS (SELECT dd.doc_id, w.w, coalesce(a.e, 0)::BIGINT AS e
-                    FROM (SELECT doc_id FROM ad) dd
-                    CROSS JOIN (SELECT unnest(range(0, 65)) AS w) w
-                    LEFT JOIN aen a ON a.doc_id = dd.doc_id AND a.w = w.w),
-          abits AS (SELECT l.doc_id, l.w AS j,
-                      CASE WHEN l.e > r.e THEN 1 ELSE 0 END AS bit
-                    FROM agrid l JOIN agrid r ON r.doc_id = l.doc_id AND r.w = l.w + 1
-                    WHERE l.w < 64),
-          hv AS (SELECT doc_id,
-                   sum(CASE WHEN j < 32 THEN bit * (1::BIGINT << j::INT) ELSE 0 END)::BIGINT AS h0,
-                   sum(CASE WHEN j >= 32 THEN bit * (1::BIGINT << (j - 32)::INT) ELSE 0 END)::BIGINT AS h1
-                 FROM abits GROUP BY doc_id),
-          ${mmBandCtes("hv")}
-          SELECT doc_a, doc_b, hamming FROM (
-            SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
-              (bit_count(xor(a.h0, b2.h0)) + bit_count(xor(a.h1, b2.h1)))::BIGINT AS hamming
-            FROM banded a JOIN banded b2
-              ON a.band = b2.band AND a.bv = b2.bv AND a.doc_id < b2.doc_id) t
-          WHERE hamming <= 3 ORDER BY doc_a, doc_b""",
+      // the SHARED ahash CTE chain (mmAhashCtesOver — one SQL body with
+      // mm_ahash_clusters and pipe_prep_mm's audio stage)
+      s"""WITH ${mmAhashCtesOver("documents")}
+          SELECT doc_a, doc_b, hamming FROM ahpairs ORDER BY doc_a, doc_b""",
+    "mm_ahash_clusters" ->
+      // the audio pairs' components fixpoint — the identical
+      // recursive-CTE shape every cluster family replays
+      s"""WITH RECURSIVE ${mmAhashCtesOver("documents")},
+          aedges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM ahpairs
+                    UNION ALL SELECT doc_b, doc_a FROM ahpairs),
+          areach(id, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.src, r.lbl FROM areach r JOIN aedges e ON e.dst = r.id)
+          SELECT id AS doc_id, min(lbl) AS keeper FROM areach GROUP BY id""",
+    "mm_ahash_incr" ->
+      // mm_phash_incr's snapshot/increment/verdict body with the SHARED
+      // aHash hash stage instantiated twice (resident prefix r,
+      // increment prefix i) — one set of CTEs per medium, same verdict
+      // encode (hamming·2^40 + rid)
+      s"""WITH v1 AS MATERIALIZED (
+            SELECT doc_id, text FROM documents
+            WHERE (('0x'||substr(md5('v1:'||doc_id::VARCHAR),1,15))::UBIGINT::BIGINT % 1000) >= 50),
+          v2 AS MATERIALIZED (
+            SELECT doc_id,
+                   CASE WHEN (('0x'||substr(md5('chg:'||doc_id::VARCHAR),1,15))::UBIGINT::BIGINT % 1000) < 100
+                        THEN substr(text, 1, 100) ELSE text END AS text
+            FROM documents
+            WHERE NOT ((('0x'||substr(md5('v2:'||doc_id::VARCHAR),1,15))::UBIGINT::BIGINT % 1000) >= 950)),
+          v1d AS (SELECT doc_id, md5(text) AS dig FROM v1),
+          inc AS MATERIALIZED (
+            SELECT v2.doc_id, v2.text FROM v2 LEFT JOIN v1d
+              ON v2.doc_id = v1d.doc_id AND md5(v2.text) = v1d.dig
+            WHERE v1d.doc_id IS NULL),
+          ${mmAhashHvCtes("v1", "r")},
+          ${mmAhashHvCtes("inc", "i")},
+          ${mmBandCtes("rahv", "ra")},
+          ${mmBandCtes("iahv", "ia")},
+          best AS (
+            SELECT i.doc_id AS iid, min(
+                (bit_count(xor(i.h0, r.h0)) + bit_count(xor(i.h1, r.h1)))::BIGINT
+                  * 1099511627776 + r.doc_id) AS hr
+            FROM iabanded i JOIN rabanded r ON i.band = r.band AND i.bv = r.bv
+            WHERE bit_count(xor(i.h0, r.h0)) + bit_count(xor(i.h1, r.h1)) <= 3
+            GROUP BY i.doc_id)
+          SELECT inc.doc_id,
+                 CASE WHEN b.hr IS NOT NULL THEN b.hr % 1099511627776 END AS dup_of,
+                 CASE WHEN b.hr IS NOT NULL THEN b.hr // 1099511627776 END AS hamming,
+                 b.hr IS NULL AS kept
+          FROM inc LEFT JOIN best b ON b.iid = inc.doc_id
+          ORDER BY inc.doc_id""",
     "mm_phash_incr" ->
       // the v8 snapshot/increment CTEs (one SQL body with pipe_prep_incr's
       // stage 0a), the SHARED dHash hash stage instantiated twice (resident
@@ -4271,6 +4298,56 @@ object SparkEntry {
             SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
               (bit_count(xor(a.h0, b2.h0)) + bit_count(xor(a.h1, b2.h1)))::BIGINT AS hamming
             FROM banded a JOIN banded b2
+              ON a.band = b2.band AND a.bv = b2.bv AND a.doc_id < b2.doc_id) t
+          WHERE hamming <= 3)"""
+
+  /** The aHash HASH stage alone — replays [[graft.analytics.Multimodal
+    * .localAHash]]'s decoded-WAV arithmetic from first principles on the
+    * text side (ascii parity: byte == char): toWav appends the payload
+    * verbatim after the 44-byte header, so sample k = byte 2k +
+    * 256·byte 2k+1 (zero-padded past len; the signed-16-bit CASE is the
+    * identity for ASCII but rides along for faithfulness to the
+    * engine's general-byte arithmetic), pooled into 65 equal windows of
+    * absolute-amplitude energy, bit j = energy(j) > energy(j+1). Name-
+    * prefixed so a query can hash TWO relations (mm_ahash_incr —
+    * the [[mmHvCtes]] precedent); ends `${p}ahv(doc_id, h0, h1)`. */
+  private def mmAhashHvCtes(src: String, p: String = ""): String =
+    s"""${p}ad AS (SELECT doc_id, text, length(text)::BIGINT AS len,
+                        ((length(text) + 1) // 2)::BIGINT AS ns
+                      FROM $src),
+          ${p}asmp AS (SELECT doc_id, ns, k.k,
+                     (CASE WHEN 2*k.k < len THEN ascii(substr(text, (2*k.k+1)::INT, 1)) ELSE 0 END
+                      + 256 * CASE WHEN 2*k.k+1 < len THEN ascii(substr(text, (2*k.k+2)::INT, 1)) ELSE 0 END) AS v
+                   FROM ${p}ad, LATERAL (SELECT unnest(range(0, ns)) AS k) k),
+          ${p}aen AS (SELECT doc_id, ((k * 65) // ns)::BIGINT AS w,
+                    sum(abs(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END))::BIGINT AS e
+                  FROM ${p}asmp GROUP BY doc_id, w),
+          ${p}agrid AS (SELECT dd.doc_id, w.w, coalesce(a.e, 0)::BIGINT AS e
+                    FROM (SELECT doc_id FROM ${p}ad) dd
+                    CROSS JOIN (SELECT unnest(range(0, 65)) AS w) w
+                    LEFT JOIN ${p}aen a ON a.doc_id = dd.doc_id AND a.w = w.w),
+          ${p}abits AS (SELECT l.doc_id, l.w AS j,
+                      CASE WHEN l.e > r.e THEN 1 ELSE 0 END AS bit
+                    FROM ${p}agrid l JOIN ${p}agrid r ON r.doc_id = l.doc_id AND r.w = l.w + 1
+                    WHERE l.w < 64),
+          ${p}ahv AS (SELECT doc_id,
+                   sum(CASE WHEN j < 32 THEN bit * (1::BIGINT << j::INT) ELSE 0 END)::BIGINT AS h0,
+                   sum(CASE WHEN j >= 32 THEN bit * (1::BIGINT << (j - 32)::INT) ELSE 0 END)::BIGINT AS h1
+                 FROM ${p}abits GROUP BY doc_id)"""
+
+  /** The full aHash pair chain over an arbitrary (doc_id, text) relation
+    * — hash stage + the SHARED band CTE + the phpairs join shape; one
+    * SQL body for `mm_ahash_dedup`, `mm_ahash_clusters`, and
+    * pipe_prep_mm's audio stage. CTE names are disjoint from
+    * [[mmPhashCtesOver]]'s so both media can ride one WITH clause.
+    * Ends with `ahpairs(doc_a, doc_b, hamming)`. */
+  private def mmAhashCtesOver(src: String): String =
+    s"""${mmAhashHvCtes(src)},
+          ${mmBandCtes("ahv", "a")},
+          ahpairs AS MATERIALIZED (SELECT doc_a, doc_b, hamming FROM (
+            SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+              (bit_count(xor(a.h0, b2.h0)) + bit_count(xor(a.h1, b2.h1)))::BIGINT AS hamming
+            FROM abanded a JOIN abanded b2
               ON a.band = b2.band AND a.bv = b2.bv AND a.doc_id < b2.doc_id) t
           WHERE hamming <= 3)"""
 }

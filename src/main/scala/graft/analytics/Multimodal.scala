@@ -354,6 +354,17 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** `mm_ahash_clusters` — cluster resolution over the AUDIO pairs: the
+    * [[phashClustersQuery]] shape with [[aHash]] fingerprints (VERDICT
+    * r16 #4 — the audio column gets the same post-pair decision stage
+    * the image column has; [[Dedup.dupClusters]] verbatim). */
+  def ahashClustersQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = asciiParityGuard(Tables.documents(spark, dir))
+    Dedup.dupClusters(docs,
+        Dedup.hash64Pairs(aHash(spark, docs)).select("doc_a", "doc_b"))
+      .orderBy("doc_id")
+  }
+
   /** `mm_phash_incr` — INCREMENTAL perceptual dedup, the image
     * counterpart of `dedup_incremental` (and the multimodal face of the
     * v8 nightly shape): the crawl increment (v2 docs new or changed vs
@@ -367,7 +378,19 @@ object Multimodal {
     * fingerprint index a production pipeline maintains), the increment
     * side one row-local dHash scan, and the join is banded
     * (16-bit × 4, pigeonhole-exact at ≤3) — never all-pairs. */
-  def phashIncrQuery(spark: SparkSession, dir: String): DataFrame = {
+  def phashIncrQuery(spark: SparkSession, dir: String): DataFrame =
+    hashIncrQuery(spark, dir, dHash, "mm_phash_incr")
+
+  /** `mm_ahash_incr` — INCREMENTAL audio dedup: the [[phashIncrQuery]]
+    * machinery (snapshot diff → banded fingerprint join against the
+    * resident index → verdict neighbor) with [[aHash]] fingerprints;
+    * ONE body ([[hashIncrQuery]]) so the two media's nightly ingest
+    * faces cannot drift (VERDICT r16 #4). */
+  def ahashIncrQuery(spark: SparkSession, dir: String): DataFrame =
+    hashIncrQuery(spark, dir, aHash, "mm_ahash_incr")
+
+  private def hashIncrQuery(spark: SparkSession, dir: String,
+      hasher: (SparkSession, DataFrame) => DataFrame, tag: String): DataFrame = {
     val docs = asciiParityGuard(Tables.documents(spark, dir))
     // oracle-parity guard (the asciiParityGuard pattern): the DuckDB
     // mirror encodes the verdict neighbor as hamming·2^40 + resident_id,
@@ -379,7 +402,7 @@ object Multimodal {
       .withColumn("doc_id",
         when(col("doc_id") < lit(1L << 40), col("doc_id"))
           .otherwise(raise_error(concat(
-            lit("mm_phash_incr oracle-encode overflow: resident doc_id="),
+            lit(s"$tag oracle-encode overflow: resident doc_id="),
             col("doc_id")))))
     val v2 = CurationAudit.snapshotV2(docs).select("doc_id", "text")
     val v1dig = v1.select(col("doc_id"), md5(col("text")).as("dig"))
@@ -394,7 +417,7 @@ object Multimodal {
     // band fan-out via the ONE shared body (Dedup.banded16 — the
     // hash64Pairs geometry; the oracles share mmBandCtes the same way)
     def banded(df: DataFrame, p: String) =
-      Dedup.banded16(dHash(spark, df))
+      Dedup.banded16(hasher(spark, df))
         .toDF(s"${p}id", s"${p}h0", s"${p}h1", "band", "bv")
     // the increment side broadcasts: the nightly premise is increment ≪
     // resident, so the resident fingerprint index (the big side — the

@@ -342,38 +342,45 @@ object PrepPipeline {
     manifestMmOf(s, Multimodal.asciiParityGuard(Tables.documents(s, dir)))
   }
 
-  /** The v9 composition — MULTIMODAL curation (`pipe_prep_mm`, VERDICT
-    * r15 #4): the image column's perceptual near-dup machinery graduates
-    * into the flagship chain the way every text signal did. Stage 2
-    * gates on BOTH columns: exact text dedup (keeper = min doc_id per
-    * normalized digest, the pipe_prep policy) AND perceptual image dedup
-    * — [[Multimodal.dHash]] fingerprints over the payloads of the GATED
-    * corpus, banded-Hamming pairs ([[Dedup.hash64Pairs]]), cluster
-    * resolution ([[Dedup.dupClusters]] verbatim), keeper = the
+  /** The v9→v10 composition — MULTIMODAL curation (`pipe_prep_mm`,
+    * VERDICT r15 #4, audio graduated r17 per VERDICT r16 #4): the
+    * perceptual near-dup machinery of BOTH media columns runs inside
+    * the flagship chain the way every text signal did. Stage 2 gates on
+    * all three axes: exact text dedup (keeper = min doc_id per
+    * normalized digest, the pipe_prep policy), perceptual IMAGE dedup
+    * ([[Multimodal.dHash]] over the gated payloads), and AUDIO
+    * fingerprint dedup ([[Multimodal.aHash]] — the energy-envelope
+    * fingerprint over the same payloads' PCM containerization). Each
+    * media axis is banded-Hamming pairs ([[Dedup.hash64Pairs]]) +
+    * cluster resolution ([[Dedup.dupClusters]] verbatim), keeper = the
     * min-reachable-id member per cluster (singletons keep themselves).
-    * A document survives only if it is its text keeper AND its image
-    * cluster's keeper — a row whose text is unique but whose image is a
-    * near-copy of an earlier row drops, exactly the multimodal-corpus
-    * rule (one canonical row per distinct (text, image) content pair,
-    * canonical = smallest id on both axes). Pairs are generated among
-    * the gated docs, the [[manifestQualityOf]] precedent.
+    * A document survives only if it is its text keeper AND both media
+    * clusters' keeper — a row whose text is unique but whose image OR
+    * audio is a near-copy of an earlier row drops, the multimodal-corpus
+    * rule (one canonical row per distinct (text, image, audio) content
+    * triple, canonical = smallest id on every axis). Pairs are generated
+    * among the gated docs, the [[manifestQualityOf]] precedent.
     *
-    * Scale: the dHash pass is row-local payload work (bytes never
-    * shuffle — 3 longs per doc leave the scan), pairs are banded (never
-    * all-pairs), the cluster fixpoint moves (id, label) longs, and the
-    * keeper intersection is an id-only join; everything downstream is
-    * the unchanged digest/id-shuffling pipe_prep tail. */
+    * Scale: both fingerprint passes are row-local payload work (bytes
+    * never shuffle — 3 longs per doc per medium leave the scan), pairs
+    * are banded (never all-pairs), the cluster fixpoints move
+    * (id, label) longs, and the keeper intersection is an id-only join;
+    * everything downstream is the unchanged digest/id-shuffling
+    * pipe_prep tail. */
   def manifestMmOf(spark: SparkSession, docs: DataFrame): DataFrame = {
     // materialized like manifestQualityOf: the pair + cluster machinery
     // runs several eager actions, and the regex-heavy gate would replay
     // inside each one from a raw plan
     val kept = materialized(gated(docs))
     val textKeepers = Dedup.exact(kept).select(col("keep_doc_id").as("doc_id"))
-    val imgKeepers = Dedup.dupClusters(kept,
-        Dedup.hash64Pairs(Multimodal.dHash(spark, kept)).select("doc_a", "doc_b"))
-      .where(col("doc_id") === col("keeper"))
-      .select("doc_id")
-    assemble(kept, textKeepers.join(imgKeepers, "doc_id"))
+    def mediaKeepers(hasher: (SparkSession, DataFrame) => DataFrame) =
+      Dedup.dupClusters(kept,
+          Dedup.hash64Pairs(hasher(spark, kept)).select("doc_a", "doc_b"))
+        .where(col("doc_id") === col("keeper"))
+        .select("doc_id")
+    assemble(kept, textKeepers
+      .join(mediaKeepers(Multimodal.dHash), "doc_id")
+      .join(mediaKeepers(Multimodal.aHash), "doc_id"))
   }
 
   def manifestIncr(spark: SparkSession, dir: String): DataFrame =

@@ -157,7 +157,13 @@ class MultimodalSpec extends SparkSpec {
       "4x16-bit banding must be recall-exact for hamming <= 3 (pigeonhole)")
   }
 
-  test("phash_incr: verdicts equal the brute-force increment×resident sweep") {
+  /** The incr law, one body per medium (the engine shares hashIncrQuery
+    * the same way): banded verdicts equal the brute-force
+    * increment×resident sweep, and the increment exercises both
+    * outcomes. */
+  private def incrBruteForceLaw(
+      hasher: (org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame,
+      query: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sfDir)
     val v1 = CurationAudit.snapshotV1(docs).select("doc_id", "text")
@@ -166,7 +172,7 @@ class MultimodalSpec extends SparkSpec {
     val inc = v2.withColumn("dig", md5(col("text")))
       .join(v1dig, Seq("doc_id", "dig"), "left_anti").select("doc_id", "text")
     def sigs(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
-      Multimodal.dHash(spark, df).collect()
+      hasher(spark, df).collect()
         .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val (rs, is) = (sigs(v1), sigs(inc))
     def ham(a: (Long, Long), b: (Long, Long)): Long =
@@ -178,7 +184,7 @@ class MultimodalSpec extends SparkSpec {
         .filter(_._1 <= 3L).minOption
       id -> best
     }
-    val got = Multimodal.phashIncrQuery(spark, sfDir).collect().map { r =>
+    val got = query(spark, sfDir).collect().map { r =>
       r.getLong(0) -> (if (r.isNullAt(1)) None
                        else Some((r.getLong(2), r.getLong(1))))
     }.toMap
@@ -187,5 +193,37 @@ class MultimodalSpec extends SparkSpec {
       "banded verdicts must equal the brute-force sweep")
     // the increment must contain both outcomes for the law to bite
     assert(want.values.exists(_.isDefined) && want.values.exists(_.isEmpty))
+  }
+
+  test("phash_incr: verdicts equal the brute-force increment×resident sweep") {
+    incrBruteForceLaw(Multimodal.dHash, Multimodal.phashIncrQuery)
+  }
+
+  test("ahash_incr: verdicts equal the brute-force increment×resident sweep") {
+    incrBruteForceLaw(Multimodal.aHash, Multimodal.ahashIncrQuery)
+  }
+
+  test("ahash_clusters: keepers are the min-reachable-id member of each audio pair component") {
+    // local union-find over the engine's own pairs — an independent
+    // fixpoint the cluster query must agree with (the dupClusters law,
+    // re-pinned on the audio face)
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val pairs = graft.analytics.Dedup.hash64Pairs(Multimodal.aHash(spark, docs))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "corpus must surface at least one audio near-dup pair")
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val got = Multimodal.ahashClustersQuery(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    assert(got.keySet == ids.toSet, "one keeper row per document")
+    ids.foreach { id => assert(got(id) == find(id), s"doc $id keeper") }
   }
 }

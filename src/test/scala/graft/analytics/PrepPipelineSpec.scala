@@ -347,6 +347,96 @@ class PrepPipelineSpec extends SparkSpec {
         Dedup.hash64Pairs(Multimodal.dHash(spark, kept)).select("doc_a", "doc_b"))
       .where($"doc_id" === $"keeper").select("doc_id").as[Long].collect().toSet
     val textKeepers = Dedup.exact(kept).select("keep_doc_id").as[Long].collect().toSet
-    assert(mm.forall(id => textKeepers(id) && imgKeepers(id)))
+    val audKeepers = Dedup.dupClusters(kept,
+        Dedup.hash64Pairs(Multimodal.aHash(spark, kept)).select("doc_a", "doc_b"))
+      .where($"doc_id" === $"keeper").select("doc_id").as[Long].collect().toSet
+    assert(mm.forall(id => textKeepers(id) && imgKeepers(id) && audKeepers(id)))
+  }
+
+  /** Audio-preserving scramble: inside every plain all-letter word that
+    * no gate/marker regex counts, swap character pairs whose byte
+    * offsets share PARITY and lie inside ONE aHash energy window.
+    * Window energy = Σ even-position bytes + 256·Σ odd-position bytes
+    * over the window's span (ASCII ⇒ abs is the identity), so such a
+    * swap permutes bytes within the (parity, window) classes and every
+    * window's energy — hence the whole aHash — is EXACTLY unchanged.
+    * The gate is exactly unchanged too: token count and punctuation are
+    * untouched (letters only), and every gate/marker regex is a
+    * \b-anchored whole word — counted words are skipped, and a scramble
+    * cannot create a boundary inside a token. Pixel bytes DO move (the
+    * dHash grid has no parity structure), so the luminance grid
+    * reshuffles at every swapped word. */
+  private def audioPreservingScramble(text: String): String = {
+    val ns = (text.length + 1) / 2
+    def window(c: Int): Long = (c / 2).toLong * 65 / ns
+    // every word some c4Filter / langMarkers regex counts
+    val counted = Set("the", "a", "of", "and", "to", "in", "is",
+      "order", "fast", "scan", "stream", "merge", "window",
+      "table", "query", "group", "join", "filter", "sort")
+    val chars = text.toCharArray
+    var off = 0
+    for (w <- text.split(" ", -1)) {
+      if (w.length >= 4 && w.forall(c => c >= 'a' && c <= 'z') && !counted(w)) {
+        val used = scala.collection.mutable.Set[Int]()
+        for (a <- off until (off + w.length); b <- (a + 2) until (off + w.length) by 2
+             if !used(a) && !used(b) && window(a) == window(b) && chars(a) != chars(b)) {
+          val t = chars(a); chars(a) = chars(b); chars(b) = t
+          used += a; used += b
+        }
+      }
+      off += w.length + 1
+    }
+    new String(chars)
+  }
+
+  test("pipe_prep_mm: an audio near-dup with distinct text and distinct image drops at the audio stage") {
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val gatedIds = TextAnalysis.c4Filter(docs).where($"keep")
+      .select("doc_id").as[Long].collect().toSet
+    val maxId = docs.agg(max($"doc_id")).as[Long].head()
+    val byId = docs.as[(Long, String)].collect().toMap
+    def bytes(s: String) = s.getBytes("UTF-8")
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    // all corpus fingerprints, locally — the search must pick a clone
+    // that is an IMAGE keeper (no dHash neighbor within 3 anywhere in
+    // the corpus) so the drop is attributable to the audio stage alone
+    val allD = byId.map { case (id, t) => id -> Multimodal.localDHash(bytes(t)) }
+    val pick = gatedIds.toSeq.sorted.iterator.map { id =>
+      val t = byId(id)
+      val clone = audioPreservingScramble(t)
+      (id, t, clone)
+    }.find { case (_, t, clone) =>
+      clone != t &&
+        ham(Multimodal.localAHash(bytes(t)), Multimodal.localAHash(bytes(clone))) == 0 &&
+        allD.values.forall(d => ham(d, Multimodal.localDHash(bytes(clone))) > 3)
+    }
+    assert(pick.isDefined, "corpus must contain a scramblable gated doc " +
+      "whose scramble is audio-exact and image-novel")
+    val (srcId, srcText, mutated) = pick.get
+    // the construction's own laws, pinned before the pipeline runs
+    assert(mutated.length == srcText.length && mutated != srcText)
+    assert(Multimodal.localAHash(bytes(mutated)) == Multimodal.localAHash(bytes(srcText)),
+      "the scramble must preserve the audio fingerprint EXACTLY")
+    val cloneId = maxId + 1
+    val corpus = docs.unionByName(Seq((cloneId, mutated)).toDF("doc_id", "text"))
+    // gate invariance: the clone reaches stage 2 with the same verdict
+    assert(TextAnalysis.c4Filter(corpus)
+      .where($"keep" && $"doc_id" === cloneId).count() == 1)
+    val mm = PrepPipeline.manifestMmOf(spark, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    val base = PrepPipeline.manifestOf(corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(base(cloneId), "text-only pipeline keeps the clone (distinct digest)")
+    // attribution: the clone IS an image-cluster keeper but NOT an
+    // audio-cluster keeper — only the audio stage can have dropped it
+    val kept = corpus.join(TextAnalysis.c4Filter(corpus).where($"keep")
+      .select("doc_id"), "doc_id")
+    val imgKeepers = Dedup.dupClusters(kept,
+        Dedup.hash64Pairs(Multimodal.dHash(spark, kept)).select("doc_a", "doc_b"))
+      .where($"doc_id" === $"keeper").select("doc_id").as[Long].collect().toSet
+    assert(imgKeepers(cloneId), "the clone must survive the image stage")
+    assert(!mm(cloneId), "the audio stage must drop the clone (exact audio dup, higher id)")
+    assert(mm(srcId) == base(srcId), "the canonical member's fate is unchanged")
   }
 }
