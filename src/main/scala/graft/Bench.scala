@@ -271,7 +271,12 @@ object Bench {
       // round-14: artifact-served sibling — same serve machinery as the
       // benched knn_ann_ivf_pq_served with a lighter decode; the new
       // serving-lifecycle plans keep knn_ann_ivf_ins_served benched
-      "knn_ann_ivf_sq8_served"
+      "knn_ann_ivf_sq8_served",
+      // round-17 strict sibling: same serve machinery as the benched
+      // knn_ann_ivf_pq_served plus one stored-permutation projection;
+      // the inline knn_ann_ivf_opq (training incl. the variance fit)
+      // stays benched
+      "knn_ann_ivf_opq_served"
     )
 
   /** Warm sf0.1 per-query reference minima — the contention guard's

@@ -206,6 +206,8 @@ object SparkEntry {
     "knn_ann_ivf_sq8" -> (Similarity.annIvfSq8Query _), // IVF probing over SQ8-coded residents: the compressed-index serving path
     "knn_ann_ivf_pq" -> (Similarity.annIvfPqQuery _), // IVF + product quantization, ADC lookup-table scoring: the 64x-compressed serving path
     "knn_ann_ivf_pq_served" -> (Similarity.annIvfPqServedQuery _), // the PQ rung through the persisted-artifact lifecycle: codebooks/codes/centroids/assign from files, no training in-plan
+    "knn_ann_ivf_opq" -> (Similarity.annIvfOpqQuery _), // OPQ: variance-balancing permutation rotation (parametric OPQ) before the identical IVF-PQ chain
+    "knn_ann_ivf_opq_served" -> (Similarity.annIvfOpqServedQuery _), // the OPQ rung served from files incl. the stored rotation; queries rotate by the artifact, never refit
     "knn_ann_ivf_sq8_served" -> (Similarity.annIvfSq8ServedQuery _), // the SQ8 rung served from its persisted codes/centroids/assign artifacts: no quantize pass in-plan
     "knn_ann_ivf_ins_served" -> (Similarity.annIvfInsertServedQuery _), // the ingest lifecycle: base build + incremental insert by the stored rule + compaction, served; must equal the fresh full index
     "knn_ann_ivf_del_served" -> (Similarity.annIvfDeleteServedQuery _), // the delete lifecycle: full build + tombstoned high-hash tenth, served through the live anti-join path
@@ -902,6 +904,7 @@ object SparkEntry {
     // EXACTLY — same oracle by construction (the round trip changes the
     // plan, never a row; IndexArtifactsSpec pins row equality too)
     "knn_ann_ivf_pq_served" -> oracleSqlBase("knn_ann_ivf_pq"),
+    "knn_ann_ivf_opq_served" -> oracleSqlBase("knn_ann_ivf_opq"),
     "knn_ann_ivf_sq8_served" -> oracleSqlBase("knn_ann_ivf_sq8"),
     // the ingest lifecycle (base build -> insert by the stored rule ->
     // compact) must reproduce the fresh full-corpus index exactly: the
@@ -1003,10 +1006,12 @@ object SparkEntry {
           WHERE rank <= 5),
         r_ivf AS (${oracleSqlBase("knn_ann_ivf")}),
         r_pq AS (${oracleSqlBase("knn_ann_ivf_pq")}),
+        r_opq AS (${oracleSqlBase("knn_ann_ivf_opq")}),
         r_proj AS (${oracleSqlBase("knn_ann_ivf_proj")}),
         r_del AS (${ivfFlatOracleSql(survF)}),
         ev AS (SELECT 'ivf' AS rung, q_id, rank, n_id FROM r_ivf
                UNION ALL SELECT 'pq' AS rung, q_id, rank, n_id FROM r_pq
+               UNION ALL SELECT 'opq' AS rung, q_id, rank, n_id FROM r_opq
                UNION ALL SELECT 'proj' AS rung, q_id, rank, n_id FROM r_proj
                -- the ingest lifecycle reproduces the fresh index
                -- row-for-row (the knn_ann_ivf_ins_served law), so its
@@ -3925,118 +3930,37 @@ object SparkEntry {
                 ORDER BY round(list_cosine_similarity(qe, v), 4) DESC, n_id)::BIGINT AS rank
             FROM cand) t
           WHERE rank <= 5 ORDER BY q_id, rank""",
-    "knn_ann_ivf_pq" -> {
-      // mirror of Similarity.annIvfPq. Every float sum is replayed in the
-      // same association order as the Spark side: per-subspace folds are
-      // DuckDB's list_reduce (sequential left fold — bit-identical to the
-      // Scala/Catalyst seed-0.0 left folds), and cross-subspace sums are
-      // explicit left-associated + chains mirroring reduceLeft. The
-      // codebook CTE is the subspace-salted hash sample, codes come from
-      // the same argmin-of-dists (list_position finds the FIRST min), the
-      // reconstruction is list concat of selected codewords, and ADC
-      // scoring joins the per-(query, subspace) table rows — so the final
-      // rounded cosine hashes identically.
-      val M = 16; val dsub = 4; val ks = 16; val lloyd = 3; val grid = 1L << 20
-      def sumsqChain(v: String) = (0 until M).map(m =>
-        s"list_reduce(list_transform(range(1, ${dsub + 1}), d -> $v[${m * dsub}+d] * $v[${m * dsub}+d]), (a, b) -> a + b)")
-        .mkString("(", "\n                 + ", ")")
-      val codesPivot = (0 until M).map(m =>
-        s"max(CASE WHEN m = $m THEN cw END) AS c$m").mkString(",\n                  ")
-      val reconJoins = (0 until M).map(m =>
-        s"JOIN cb cb$m ON cb$m.m = $m AND cb$m.j = codes.c$m").mkString("\n                 ")
-      val tJoins = (0 until M).map(m =>
-        s"JOIN tq t$m ON t$m.q_id = c.q_id AND t$m.m = $m AND t$m.j = x.c$m").mkString("\n                 ")
-      val nJoins = (0 until M).map(m =>
-        s"JOIN cb n$m ON n$m.m = $m AND n$m.j = x.c$m").mkString("\n                 ")
-      // distance-list lambda against a codeword list column (shared by
-      // the Lloyd assignment rounds and the final encode)
-      def distsOver(cblCte: String) =
-        s"""list_transform($cblCte.subs, c -> list_reduce(list_transform(range(1, ${dsub + 1}),
-           |                       d -> (sub.sv[d] - c[d]) * (sub.sv[d] - c[d])), (a, b) -> a + b))""".stripMargin
-      // one bounded Lloyd round (mirror of Similarity.pqLloydRefine):
-      // assign to the nearest previous-round codeword, then the
-      // fixed-point member mean — floor to the 2^-20 grid, exact BIGINT
-      // sums, one double division back; empty codewords keep their value
-      def lloydRound(r: Int): String = {
-        val prev = s"cb$r"; val cur = s"cb${r + 1}"
-        val newSv = (0 until dsub).map(d =>
-          s"u.s${d + 1}::DOUBLE / (u.n * $grid)::DOUBLE").mkString("[", ", ", "]")
-        s"""cbl$r AS MATERIALIZED (SELECT m, list(sv ORDER BY j) AS subs FROM $prev GROUP BY m),
-           |          asg$r AS MATERIALIZED (SELECT sub.vec_id, sub.m,
-           |                     list_position(${distsOver(s"cbl$r")}, list_min(${distsOver(s"cbl$r")})) - 1 AS j
-           |                   FROM sub JOIN cbl$r USING (m)),
-           |          upd$r AS MATERIALIZED (SELECT a.m, a.j, count(*) AS n, ${(1 to dsub).map(d => s"s$d").zipWithIndex.map { case (nm, d) => s"sum(floor(sub.sv[${d + 1}] * $grid)::BIGINT) AS $nm" }.mkString(", ")}
-           |                   FROM asg$r a JOIN sub ON sub.vec_id = a.vec_id AND sub.m = a.m
-           |                   GROUP BY a.m, a.j),
-           |          $cur AS MATERIALIZED (SELECT c.m, c.j,
-           |                     CASE WHEN u.n IS NULL THEN c.sv ELSE $newSv END AS sv
-           |                   FROM $prev c LEFT JOIN upd$r u ON u.m = c.m AND u.j = c.j)""".stripMargin
-      }
-      s"""WITH d AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-          sub AS MATERIALIZED (SELECT vec_id, m.m AS m, e[(m.m*$dsub+1):(m.m*$dsub+$dsub)] AS sv
-                  FROM d, LATERAL (SELECT unnest(range($M)) AS m) m),
-          seed AS MATERIALIZED (SELECT e, row_number() OVER (ORDER BY
-                    ('0x'||substr(md5('pq:'||vec_id::VARCHAR),1,15))::UBIGINT::BIGINT, vec_id) AS rk
-                 FROM d QUALIFY rk <= $ks),
-          cb0 AS MATERIALIZED (SELECT m.m AS m, rk - 1 AS j,
-                   e[(m.m*$dsub+1):(m.m*$dsub+$dsub)] AS sv
-                 FROM seed, LATERAL (SELECT unnest(range($M)) AS m) m),
-          ${(0 until lloyd).map(lloydRound).mkString(",\n          ")},
-          cb AS MATERIALIZED (SELECT m, j, sv,
-                   list_reduce(list_transform(range(1, ${dsub + 1}), d -> sv[d] * sv[d]), (a, b) -> a + b) AS nn
-                 FROM cb$lloyd),
-          cbl AS MATERIALIZED (SELECT m, list(sv ORDER BY j) AS subs FROM cb GROUP BY m),
-          dist AS (SELECT sub.vec_id, sub.m,
-                     list_transform(cbl.subs, c -> list_reduce(list_transform(range(1, ${dsub + 1}),
-                       d -> (sub.sv[d] - c[d]) * (sub.sv[d] - c[d])), (a, b) -> a + b)) AS dists
-                   FROM sub JOIN cbl USING (m)),
-          code AS (SELECT vec_id, m, list_position(dists, list_min(dists)) - 1 AS cw FROM dist),
-          codes AS MATERIALIZED (SELECT vec_id,
-                  $codesPivot
-                FROM code GROUP BY vec_id),
-          recon AS MATERIALIZED (SELECT codes.vec_id, ${(0 until M).map(m => s"cb$m.sv").mkString(" || ")} AS v
-                 FROM codes
-                 $reconJoins),
-          cent AS MATERIALIZED (SELECT vec_id AS c_id, v AS ce FROM recon
-                   ORDER BY ${md5L60("vec_id::VARCHAR")}, vec_id LIMIT 16),
-          lists AS MATERIALIZED (SELECT vec_id, c_id AS list_id FROM (
-                      SELECT r.vec_id, c.c_id,
-                        row_number() OVER (PARTITION BY r.vec_id
-                          ORDER BY round(list_cosine_similarity(r.v, c.ce), 4) DESC,
-                                   c.c_id) AS rk
-                      FROM recon r, cent c) t WHERE rk <= 1),
-          probes AS MATERIALIZED (SELECT q_id, c_id AS list_id FROM (
-                      SELECT q.vec_id AS q_id, c.c_id,
-                        row_number() OVER (PARTITION BY q.vec_id
-                          ORDER BY round(list_cosine_similarity(q.e, c.ce), 4) DESC,
-                                   c.c_id) AS rk
-                      FROM d q, cent c WHERE q.vec_id < 10) t WHERE rk <= 4),
-          cand AS MATERIALIZED (SELECT DISTINCT p.q_id, l.vec_id AS n_id
-                   FROM lists l JOIN probes p ON p.list_id = l.list_id
-                                             AND l.vec_id <> p.q_id),
-          tq AS MATERIALIZED (SELECT q.vec_id AS q_id, cb.m, cb.j,
-                   list_reduce(list_transform(range(1, ${dsub + 1}),
-                     d -> q.e[cb.m*$dsub+d] * cb.sv[d]), (a, b) -> a + b) AS t
-                 FROM d q, cb WHERE q.vec_id < 10),
-          qn AS MATERIALIZED (SELECT vec_id AS q_id,
-                 ${sumsqChain("e")} AS qn2
-                 FROM d WHERE vec_id < 10),
-          scored AS (SELECT c.q_id, c.n_id,
-                       round((${(0 until M).map(m => s"t$m.t").mkString(" + ")})
-                         / (sqrt(qn.qn2) * sqrt(${(0 until M).map(m => s"n$m.nn").mkString(" + ")})), 4) AS cos
-                     FROM cand c
-                     JOIN codes x ON x.vec_id = c.n_id
-                     $tJoins
-                     $nJoins
-                     JOIN qn ON qn.q_id = c.q_id)
-          SELECT q_id, n_id, rank, cos FROM (
-            SELECT q_id, n_id, cos,
-              row_number() OVER (PARTITION BY q_id
-                ORDER BY cos DESC, n_id)::BIGINT AS rank
-            FROM scored) t
-          WHERE rank <= 5 ORDER BY q_id, rank"""
-    },
-    // --- multimodal payload plumbing (documents; payload = UTF-8 bytes) ---
+    "knn_ann_ivf_pq" -> pqOracleSqlOver(
+      "d AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)"),
+    "knn_ann_ivf_opq" ->
+      // the IDENTICAL PQ chain over the rotated corpus: per-dim variance
+      // statistic n*sum(q^2) - sum(q)^2 on the 1e4 grid (exact BIGINTs,
+      // the Spark fold's twin), rank by variance DESC (ties to the
+      // smaller dim), snake-deal rank r into subspace s (row t = r//M,
+      // left-to-right on even rows), slot = s*dsub + t — the closed-form
+      // OPQ-P allocation Similarity.opqPermutation computes; queries and
+      // corpus both read the permuted view so every float fold runs in
+      // the permuted order on both engines
+      pqOracleSqlOver(
+        s"""raw AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          vstat AS MATERIALIZED (
+            SELECT j, count(*)::BIGINT * sum(q*q)::BIGINT - sum(q)::BIGINT * sum(q)::BIGINT AS v
+            FROM (SELECT j.j AS j, round(r.e[j.j+1] * 10000, 0)::BIGINT AS q
+                  FROM raw r, LATERAL (SELECT unnest(range(64)) AS j) j) t
+            GROUP BY j),
+          eng AS (SELECT max(sv) * 100 > min(sv) * 115 AS e
+                  FROM (SELECT j // 4 AS s, sum(v) AS sv FROM vstat GROUP BY s) g),
+          alloc AS MATERIALIZED (
+            SELECT j AS dim,
+              CASE WHEN (SELECT e FROM eng)
+                THEN (CASE WHEN ((rk-1) // 16) % 2 = 0 THEN (rk-1) % 16
+                      ELSE 15 - ((rk-1) % 16) END) * 4 + (rk-1) // 16
+                ELSE j END AS slot
+            FROM (SELECT j, row_number() OVER (ORDER BY v DESC, j) AS rk FROM vstat) u),
+          d AS MATERIALIZED (
+            SELECT r.vec_id, list(r.e[p.dim+1] ORDER BY p.slot) AS e
+            FROM raw r CROSS JOIN alloc p GROUP BY r.vec_id)"""),
+        // --- multimodal payload plumbing (documents; payload = UTF-8 bytes) ---
     "mm_payload_stats" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
          ('0x'||substr(md5(text),1,4))::UBIGINT::BIGINT % 1920 AS width,
@@ -4300,6 +4224,123 @@ object SparkEntry {
             FROM banded a JOIN banded b2
               ON a.band = b2.band AND a.bv = b2.bv AND a.doc_id < b2.doc_id) t
           WHERE hamming <= 3)"""
+
+  /** The full IVF-PQ oracle chain over a caller-supplied `d` CTE chunk
+    * (the `(vec_id, e)` relation, optionally preceded by rotation CTEs)
+    * — ONE SQL body for `knn_ann_ivf_pq`, `knn_ann_ivf_opq`, and their
+    * served twins, mirroring [[graft.analytics.Similarity
+    * .annIvfPqOver]]'s one-body-per-rotation structure. */
+  private def pqOracleSqlOver(dChain: String): String = {
+      // mirror of Similarity.annIvfPq. Every float sum is replayed in the
+      // same association order as the Spark side: per-subspace folds are
+      // DuckDB's list_reduce (sequential left fold — bit-identical to the
+      // Scala/Catalyst seed-0.0 left folds), and cross-subspace sums are
+      // explicit left-associated + chains mirroring reduceLeft. The
+      // codebook CTE is the subspace-salted hash sample, codes come from
+      // the same argmin-of-dists (list_position finds the FIRST min), the
+      // reconstruction is list concat of selected codewords, and ADC
+      // scoring joins the per-(query, subspace) table rows — so the final
+      // rounded cosine hashes identically.
+      val M = 16; val dsub = 4; val ks = 16; val lloyd = 3; val grid = 1L << 20
+      def sumsqChain(v: String) = (0 until M).map(m =>
+        s"list_reduce(list_transform(range(1, ${dsub + 1}), d -> $v[${m * dsub}+d] * $v[${m * dsub}+d]), (a, b) -> a + b)")
+        .mkString("(", "\n                 + ", ")")
+      val codesPivot = (0 until M).map(m =>
+        s"max(CASE WHEN m = $m THEN cw END) AS c$m").mkString(",\n                  ")
+      val reconJoins = (0 until M).map(m =>
+        s"JOIN cb cb$m ON cb$m.m = $m AND cb$m.j = codes.c$m").mkString("\n                 ")
+      val tJoins = (0 until M).map(m =>
+        s"JOIN tq t$m ON t$m.q_id = c.q_id AND t$m.m = $m AND t$m.j = x.c$m").mkString("\n                 ")
+      val nJoins = (0 until M).map(m =>
+        s"JOIN cb n$m ON n$m.m = $m AND n$m.j = x.c$m").mkString("\n                 ")
+      // distance-list lambda against a codeword list column (shared by
+      // the Lloyd assignment rounds and the final encode)
+      def distsOver(cblCte: String) =
+        s"""list_transform($cblCte.subs, c -> list_reduce(list_transform(range(1, ${dsub + 1}),
+           |                       d -> (sub.sv[d] - c[d]) * (sub.sv[d] - c[d])), (a, b) -> a + b))""".stripMargin
+      // one bounded Lloyd round (mirror of Similarity.pqLloydRefine):
+      // assign to the nearest previous-round codeword, then the
+      // fixed-point member mean — floor to the 2^-20 grid, exact BIGINT
+      // sums, one double division back; empty codewords keep their value
+      def lloydRound(r: Int): String = {
+        val prev = s"cb$r"; val cur = s"cb${r + 1}"
+        val newSv = (0 until dsub).map(d =>
+          s"u.s${d + 1}::DOUBLE / (u.n * $grid)::DOUBLE").mkString("[", ", ", "]")
+        s"""cbl$r AS MATERIALIZED (SELECT m, list(sv ORDER BY j) AS subs FROM $prev GROUP BY m),
+           |          asg$r AS MATERIALIZED (SELECT sub.vec_id, sub.m,
+           |                     list_position(${distsOver(s"cbl$r")}, list_min(${distsOver(s"cbl$r")})) - 1 AS j
+           |                   FROM sub JOIN cbl$r USING (m)),
+           |          upd$r AS MATERIALIZED (SELECT a.m, a.j, count(*) AS n, ${(1 to dsub).map(d => s"s$d").zipWithIndex.map { case (nm, d) => s"sum(floor(sub.sv[${d + 1}] * $grid)::BIGINT) AS $nm" }.mkString(", ")}
+           |                   FROM asg$r a JOIN sub ON sub.vec_id = a.vec_id AND sub.m = a.m
+           |                   GROUP BY a.m, a.j),
+           |          $cur AS MATERIALIZED (SELECT c.m, c.j,
+           |                     CASE WHEN u.n IS NULL THEN c.sv ELSE $newSv END AS sv
+           |                   FROM $prev c LEFT JOIN upd$r u ON u.m = c.m AND u.j = c.j)""".stripMargin
+      }
+      s"""WITH $dChain,
+          sub AS MATERIALIZED (SELECT vec_id, m.m AS m, e[(m.m*$dsub+1):(m.m*$dsub+$dsub)] AS sv
+                  FROM d, LATERAL (SELECT unnest(range($M)) AS m) m),
+          seed AS MATERIALIZED (SELECT e, row_number() OVER (ORDER BY
+                    ('0x'||substr(md5('pq:'||vec_id::VARCHAR),1,15))::UBIGINT::BIGINT, vec_id) AS rk
+                 FROM d QUALIFY rk <= $ks),
+          cb0 AS MATERIALIZED (SELECT m.m AS m, rk - 1 AS j,
+                   e[(m.m*$dsub+1):(m.m*$dsub+$dsub)] AS sv
+                 FROM seed, LATERAL (SELECT unnest(range($M)) AS m) m),
+          ${(0 until lloyd).map(lloydRound).mkString(",\n          ")},
+          cb AS MATERIALIZED (SELECT m, j, sv,
+                   list_reduce(list_transform(range(1, ${dsub + 1}), d -> sv[d] * sv[d]), (a, b) -> a + b) AS nn
+                 FROM cb$lloyd),
+          cbl AS MATERIALIZED (SELECT m, list(sv ORDER BY j) AS subs FROM cb GROUP BY m),
+          dist AS (SELECT sub.vec_id, sub.m,
+                     list_transform(cbl.subs, c -> list_reduce(list_transform(range(1, ${dsub + 1}),
+                       d -> (sub.sv[d] - c[d]) * (sub.sv[d] - c[d])), (a, b) -> a + b)) AS dists
+                   FROM sub JOIN cbl USING (m)),
+          code AS (SELECT vec_id, m, list_position(dists, list_min(dists)) - 1 AS cw FROM dist),
+          codes AS MATERIALIZED (SELECT vec_id,
+                  $codesPivot
+                FROM code GROUP BY vec_id),
+          recon AS MATERIALIZED (SELECT codes.vec_id, ${(0 until M).map(m => s"cb$m.sv").mkString(" || ")} AS v
+                 FROM codes
+                 $reconJoins),
+          cent AS MATERIALIZED (SELECT vec_id AS c_id, v AS ce FROM recon
+                   ORDER BY ${md5L60("vec_id::VARCHAR")}, vec_id LIMIT 16),
+          lists AS MATERIALIZED (SELECT vec_id, c_id AS list_id FROM (
+                      SELECT r.vec_id, c.c_id,
+                        row_number() OVER (PARTITION BY r.vec_id
+                          ORDER BY round(list_cosine_similarity(r.v, c.ce), 4) DESC,
+                                   c.c_id) AS rk
+                      FROM recon r, cent c) t WHERE rk <= 1),
+          probes AS MATERIALIZED (SELECT q_id, c_id AS list_id FROM (
+                      SELECT q.vec_id AS q_id, c.c_id,
+                        row_number() OVER (PARTITION BY q.vec_id
+                          ORDER BY round(list_cosine_similarity(q.e, c.ce), 4) DESC,
+                                   c.c_id) AS rk
+                      FROM d q, cent c WHERE q.vec_id < 10) t WHERE rk <= 4),
+          cand AS MATERIALIZED (SELECT DISTINCT p.q_id, l.vec_id AS n_id
+                   FROM lists l JOIN probes p ON p.list_id = l.list_id
+                                             AND l.vec_id <> p.q_id),
+          tq AS MATERIALIZED (SELECT q.vec_id AS q_id, cb.m, cb.j,
+                   list_reduce(list_transform(range(1, ${dsub + 1}),
+                     d -> q.e[cb.m*$dsub+d] * cb.sv[d]), (a, b) -> a + b) AS t
+                 FROM d q, cb WHERE q.vec_id < 10),
+          qn AS MATERIALIZED (SELECT vec_id AS q_id,
+                 ${sumsqChain("e")} AS qn2
+                 FROM d WHERE vec_id < 10),
+          scored AS (SELECT c.q_id, c.n_id,
+                       round((${(0 until M).map(m => s"t$m.t").mkString(" + ")})
+                         / (sqrt(qn.qn2) * sqrt(${(0 until M).map(m => s"n$m.nn").mkString(" + ")})), 4) AS cos
+                     FROM cand c
+                     JOIN codes x ON x.vec_id = c.n_id
+                     $tJoins
+                     $nJoins
+                     JOIN qn ON qn.q_id = c.q_id)
+          SELECT q_id, n_id, rank, cos FROM (
+            SELECT q_id, n_id, cos,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY cos DESC, n_id)::BIGINT AS rank
+            FROM scored) t
+          WHERE rank <= 5 ORDER BY q_id, rank"""
+    }
 
   /** The aHash HASH stage alone — replays [[graft.analytics.Multimodal
     * .localAHash]]'s decoded-WAV arithmetic from first principles on the

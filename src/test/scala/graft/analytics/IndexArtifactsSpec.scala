@@ -65,6 +65,35 @@ class IndexArtifactsSpec extends SparkSpec {
       "marker: inline encodes in-plan (or reads its own eager cache)")
   }
 
+  // -- OPQ --
+
+  private lazy val opqPath: String = {
+    val p = tmp("opq"); Similarity.buildOpqIndex(spark, sfDir, p); p
+  }
+
+  test("OPQ rotation artifact round-trips as a bijection and rebuilds identically") {
+    val perm = Similarity.loadOpqPerm(spark, opqPath)
+    assert(perm.length === 64 && perm.toSet === (0 until 64).toSet,
+      "the stored rotation must be a permutation of the 64 dims")
+    val p2 = tmp("opq2"); Similarity.buildOpqIndex(spark, sfDir, p2)
+    assert(java.util.Arrays.equals(perm, Similarity.loadOpqPerm(spark, p2)),
+      "the fit is deterministic in its inputs")
+  }
+
+  test("OPQ serving from the artifact == inline annIvfOpq, row for row") {
+    val served = rows4(Similarity.annIvfOpqServe(spark, sfDir, opqPath))
+    val inline = rows4(Similarity.annIvfOpq(spark, sfDir))
+    assert(served.nonEmpty && served === inline)
+    // the gate law on THIS corpus: subspace variances are balanced
+    // within the 15% engagement bar, so the rotation is the identity
+    // and the rung is bit-identical to plain PQ (the knn_eval rows are
+    // equal by construction, not by luck)
+    val perm = Similarity.loadOpqPerm(spark, opqPath)
+    if (perm.zipWithIndex.forall { case (d, i) => d == i })
+      assert(served === rows4(Similarity.annIvfPq(spark, sfDir)),
+        "identity rotation must reproduce the PQ rung exactly")
+  }
+
   // -- SQ8 --
 
   private lazy val sq8Path: String = {

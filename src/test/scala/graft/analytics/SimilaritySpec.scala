@@ -610,4 +610,53 @@ class SimilaritySpec extends SparkSpec {
     val r = cov / (sx * sy)
     assert(r > 0.35, s"projected inner products decorrelated from originals: r=$r")
   }
+
+  test("OPQ: gate engages on a planted anisotropic corpus, allocation spreads the signal, recall beats natural PQ") {
+    import spark.implicits._
+    // plant: natural subspace 0 (dims 0-3) carries ALL the signal, the
+    // other 60 dims are 5%-amplitude noise — the worst case for natural
+    // contiguous allocation (16 codewords must cover a rich 4-D signal
+    // while 15 subspaces quantize noise) and exactly the case OPQ-P's
+    // allocation exists for (one signal dim per subspace ⇒ each is an
+    // effectively-1-D quantization problem at 16 levels)
+    val rnd = new scala.util.Random(42)
+    val rows = (0L until 400L).map { i =>
+      val e = Array.tabulate(64) { j =>
+        val u = rnd.nextDouble() * 2 - 1
+        if (j < 4) u else u * 0.05
+      }
+      (i, e.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "e")
+    val perm = Similarity.opqPermutation(emb)
+    assert(!perm.zipWithIndex.forall { case (d, i) => d == i },
+      "the 15% imbalance gate must engage on this corpus")
+    assert(perm.toSet == (0 until 64).toSet, "rotation is a permutation")
+    // the four signal dims land in four DIFFERENT subspaces (slot/dsub)
+    val sigSubs = (0 until 4).map(j => perm.indexOf(j) / 4)
+    assert(sigSubs.distinct.size == 4,
+      s"balanced allocation must spread the signal dims: $sigSubs")
+    // exact local ground truth (same 4-dp rounding + id tie order as the
+    // engine's ranking), then recall@5 over the 10 query ids
+    val raw = rows.toMap.map { case (id, e) => id -> e.toArray }
+    def cos4(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(d / (na * nb)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val exact = (0L until 10L).flatMap { q =>
+      raw.keys.filter(_ != q).toSeq
+        .map(n => (n, cos4(raw(q), raw(n))))
+        .sortBy { case (n, c) => (-c, n) }.take(5).map { case (n, _) => (q, n) }
+    }.toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val pqR = recallOf(Similarity.annIvfPqOver(spark, emb, 10, 5, 16, 4))
+    val opqR = recallOf(Similarity.annIvfPqOver(spark,
+      Similarity.withOpqPerm(emb, perm), 10, 5, 16, 4))
+    assert(opqR > pqR,
+      s"balanced allocation must beat natural PQ on the anisotropic plant: opq=$opqR pq=$pqR")
+  }
 }
