@@ -1314,7 +1314,12 @@ object ScaleProbe {
     "phash" -> 1000000L,
     // contam: 1M train vectors vs a 4k eval fold through the
     // hyperplane-LSH candidate pass + exact verify (SCALING.md r16 run)
-    "contam" -> 1000000L)
+    "contam" -> 1000000L,
+    // opq: 400k planted-anisotropic vectors through the variance fit
+    // (the hash-sample overflow guard ENGAGES past 3e5) + both full PQ
+    // trains + the recall comparison against a brute-force ground truth
+    // (the Lloyd rounds dominate — ~2.5 min per train at this n)
+    "opq" -> 400000L)
 
   /** Projection-assisted coarse assignment —
     * [[graft.analytics.Similarity.annIvfProjected]]'s scale claim,
@@ -1634,6 +1639,65 @@ object ScaleProbe {
     * 0.9 ≈ 7σ) out of the verdict; bucket geometry widened to 16-bit
     * bands per the Of-form's scale note. Reports non-planted survivors
     * (near-τ coincidences) rather than gating on them. */
+  /** OPQ fit + win at scale — [[graft.analytics.Similarity
+    * .opqPermutation]]'s two scale claims, measured: (1) past the
+    * OpqFitCap the variance fit runs on the deterministic hash sample
+    * instead of overflowing the integer grid (this probe's n=1M ENGAGES
+    * that guard — the oracle corpora never do); (2) on an anisotropic
+    * corpus (dims 0-3 carry a 32-cluster signal, dims 4-63 are
+    * 5%-amplitude noise — the natural-subspace-0-hoards-the-signal
+    * worst case) the gate engages, the allocation spreads the signal
+    * one dim per subspace, and the rotated rung's recall@5 against a
+    * brute-force exact ground truth beats natural PQ. */
+  private def probeOpq(spark: org.apache.spark.sql.SparkSession, n: Long): Boolean = {
+    import graft.analytics.Similarity
+    // CONTINUOUS per-vector signal (the SimilaritySpec plant at scale —
+    // a clustered plant is degenerate here: same-cluster members
+    // quantize to identical codes, every rotation ties, and top-k falls
+    // to id order for PQ and OPQ alike)
+    val emb = spark.range(n)
+      .select(col("id").as("vec_id"), expr(
+        """transform(sequence(0, 63), d ->
+          |  ((cast(conv(substring(md5(concat('s:', cast(id as string), ':', cast(d as string))), 1, 15), 16, 10) as long) % 2001) - 1000)
+          |  / CASE WHEN d < 4 THEN 1000.0D ELSE 20000.0D END)""".stripMargin).as("e"))
+    emb.cache().count()
+    val (perm, tFit) = timed { Similarity.opqPermutation(emb) }
+    val engaged = !perm.zipWithIndex.forall { case (d, i) => d == i }
+    val bijection = perm.toSet == (0 until 64).toSet
+    val spread = (0 until 4).map(j => perm.indexOf(j) / 4).distinct.size == 4
+    // brute-force exact ground truth for the 10 probe queries — the
+    // documented quadratic baseline, bounded to nQueries x corpus
+    val q = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    val exact = emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(Similarity.cosine(col("qe"), col("e")), 4).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5).select("q_id", "n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: DataFrame): Double = {
+      val got = df.select("q_id", "n_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val (rPq, tPq) = timed {
+      recallOf(Similarity.annIvfPqOver(spark, emb, 10, 5, 16, 4)) }
+    val (rOpq, tOpq) = timed {
+      recallOf(Similarity.annIvfPqOver(spark,
+        Similarity.withOpqPerm(emb, perm), 10, 5, 16, 4)) }
+    emb.unpersist()
+    val ok = engaged && bijection && spread && rOpq > rPq
+    println(s"""{"probe":"opq","n_vecs":$n,"fit_sec":${f"$tFit%.1f"},""" +
+      s""""engaged":$engaged,"spread":$spread,""" +
+      s""""recall_pq_pm":${(rPq * 1000).round},"recall_opq_pm":${(rOpq * 1000).round},""" +
+      s""""pq_sec":${f"$tPq%.1f"},"opq_sec":${f"$tOpq%.1f"},"ok":$ok}""")
+    if (!ok) System.err.println(
+      s"[scaleprobe] opq NOT ok: engaged=$engaged bij=$bijection spread=$spread rPq=$rPq rOpq=$rOpq")
+    ok
+  }
+
   private def probeContam(spark: org.apache.spark.sql.SparkSession, n: Long): Boolean = {
     import graft.analytics.{Dedup, Similarity}
     def md5unit(tag: String) =
@@ -1712,6 +1776,7 @@ object ScaleProbe {
       case "curation" => probeCuration(spark, size)
       case "phash" => probePhash(spark, size)
       case "contam" => probeContam(spark, size)
+      case "opq" => probeOpq(spark, size)
       case other =>
         System.err.println(
           s"unknown arm '$other'; known arms: ${defaults.keysIterator.toSeq.sorted.mkString(", ")} (or 'all')")

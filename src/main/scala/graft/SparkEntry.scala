@@ -3943,10 +3943,18 @@ object SparkEntry {
       // the permuted order on both engines
       pqOracleSqlOver(
         s"""raw AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          fitsrc AS MATERIALIZED (
+            -- the grid-overflow sample guard (Similarity.OpqFitCap):
+            -- inactive at every oracle SF (corpus <= 5000 vectors), but
+            -- mirrored so the contract stays total on both engines
+            SELECT vec_id, e FROM raw
+            WHERE (SELECT count(*) FROM raw) <= 300000
+               OR ('0x'||substr(md5('opqfit:'||vec_id::VARCHAR),1,15))::UBIGINT::BIGINT <
+                  (1152921504606846976::HUGEINT * 300000 // (SELECT count(*) FROM raw))),
           vstat AS MATERIALIZED (
             SELECT j, count(*)::BIGINT * sum(q*q)::BIGINT - sum(q)::BIGINT * sum(q)::BIGINT AS v
             FROM (SELECT j.j AS j, round(r.e[j.j+1] * 10000, 0)::BIGINT AS q
-                  FROM raw r, LATERAL (SELECT unnest(range(64)) AS j) j) t
+                  FROM fitsrc r, LATERAL (SELECT unnest(range(64)) AS j) j) t
             GROUP BY j),
           eng AS (SELECT max(sv) * 100 > min(sv) * 115 AS e
                   FROM (SELECT j // 4 AS s, sum(v) AS sv FROM vstat GROUP BY s) g),

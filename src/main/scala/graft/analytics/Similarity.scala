@@ -1900,6 +1900,10 @@ object Similarity {
     * convergence test, so the oracle replays it as a fixed CTE chain. */
   private[analytics] val PqLloyd = 3
 
+  /** OPQ variance-fit sample cap: (OpqFitCap·10⁴)² must stay under 2⁶³
+    * (see [[opqPermutation]]); 3·10⁵ leaves 10% headroom. */
+  private[analytics] val OpqFitCap = 300000L
+
   /** Fixed-point grid for the deterministic k-means means: coordinates
     * floor to 2^-20 before summing, so the per-cluster sums are exact
     * BIGINTs (order-free) on every engine and partitioning. Sums stay
@@ -2052,7 +2056,7 @@ object Similarity {
     * shared body of the PQ rung and the OPQ rung (which feeds it the
     * ROTATED corpus; cosine is rotation-invariant, so the rung outputs
     * stay directly comparable). */
-  private[analytics] def annIvfPqOver(spark: SparkSession, emb: DataFrame, nQueries: Int, k: Int,
+  private[graft] def annIvfPqOver(spark: SparkSession, emb: DataFrame, nQueries: Int, k: Int,
                                       nLists: Int, nProbe: Int): DataFrame = {
     val cb = pqCodebooks(emb)
     // eager cache (see Dedup.materialized): the decoded view feeds the
@@ -2159,17 +2163,35 @@ object Similarity {
     * SimilaritySpec plant: one dominant block of dims) the gate engages
     * and the balanced allocation's recall win is real and pinned.
     * Returns perm(slot) = source dim. */
-  private[analytics] def opqPermutation(emb: DataFrame, m: Int = PqM,
+  private[graft] def opqPermutation(emb: DataFrame, m: Int = PqM,
                                         dsub: Int = PqDsub): Array[Int] = {
     val dims = m * dsub
+    // grid-overflow guard, made total instead of a hard failure: past
+    // OpqFitCap vectors the statistic (n·10⁴)² would overflow int64, so
+    // the fit runs on the deterministic salted-md5 sample whose EXPECTED
+    // size is the cap (hash < cap/n of the 2⁶⁰ space — the
+    // Sampling.hashBucket recipe; the oracle mirrors the same predicate,
+    // so the two engines rank the same sample). Sampling the variance
+    // RANKING is standard model-fit practice: it can only perturb the
+    // allocation, never the serving math, and at 10⁵+ samples per 64
+    // dims the rank flips are confined to statistical ties the snake
+    // deal treats symmetrically anyway. Never engages at the test SFs
+    // (≤ 5000 vectors) — the probe arm exercises it at 1M.
+    val fitSrc = {
+      val n0 = emb.count()
+      if (n0 <= OpqFitCap) emb
+      else emb.where(graft.functions.Hashes.md5Long60(
+        concat(lit("opqfit:"), col("vec_id").cast("string"))) <
+        lit(((BigInt(1) << 60) * OpqFitCap / n0).toLong))
+    }
     val q = transform(col("e"), x => round(x * 1e4, 0).cast("long"))
     val aggs = (0 until dims).flatMap(j => Seq(
       sum(element_at(col("q"), j + 1)).as(s"s1_$j"),
       sum(element_at(col("q"), j + 1) * element_at(col("q"), j + 1)).as(s"s2_$j")))
-    val h = emb.withColumn("q", q).agg(count(lit(1)).as("n"), aggs: _*).head()
+    val h = fitSrc.withColumn("q", q).agg(count(lit(1)).as("n"), aggs: _*).head()
     val n = h.getAs[Long]("n")
-    require(n <= 300000L,
-      s"opqPermutation variance grid overflows past ~3e5 vectors (n=$n); fit on a sample")
+    require(n <= 2 * OpqFitCap,
+      s"opqPermutation: hash sample came back implausibly large (n=$n) — grid overflow risk")
     val vars = (0 until dims).map { j =>
       val s1 = h.getAs[Long](s"s1_$j")
       n * h.getAs[Long](s"s2_$j") - s1 * s1
@@ -2195,7 +2217,7 @@ object Similarity {
   /** Apply the OPQ permutation: a pure projection (out slot i reads
     * source dim perm(i)) — the "rotation" costs one array rebuild at
     * scan speed, nothing shuffles. */
-  private[analytics] def withOpqPerm(emb: DataFrame, perm: Array[Int]): DataFrame =
+  private[graft] def withOpqPerm(emb: DataFrame, perm: Array[Int]): DataFrame =
     emb.select(col("vec_id"),
       array(perm.toSeq.map(d => element_at(col("e"), d + 1)): _*).as("e"))
 
