@@ -1007,11 +1007,13 @@ object SparkEntry {
         r_ivf AS (${oracleSqlBase("knn_ann_ivf")}),
         r_pq AS (${oracleSqlBase("knn_ann_ivf_pq")}),
         r_opq AS (${oracleSqlBase("knn_ann_ivf_opq")}),
+        r_sq8 AS (${oracleSqlBase("knn_ann_ivf_sq8")}),
         r_proj AS (${oracleSqlBase("knn_ann_ivf_proj")}),
         r_del AS (${ivfFlatOracleSql(survF)}),
         ev AS (SELECT 'ivf' AS rung, q_id, rank, n_id FROM r_ivf
                UNION ALL SELECT 'pq' AS rung, q_id, rank, n_id FROM r_pq
                UNION ALL SELECT 'opq' AS rung, q_id, rank, n_id FROM r_opq
+               UNION ALL SELECT 'sq8' AS rung, q_id, rank, n_id FROM r_sq8
                UNION ALL SELECT 'proj' AS rung, q_id, rank, n_id FROM r_proj
                -- the ingest lifecycle reproduces the fresh index
                -- row-for-row (the knn_ann_ivf_ins_served law), so its

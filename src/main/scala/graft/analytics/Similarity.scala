@@ -2692,6 +2692,11 @@ object Similarity {
         annIvfPqServe(spark, dir, servingPqPath(spark, dir), nQueries, k)))
       .unionByName(tagged("opq",
         annIvfOpqServe(spark, dir, servingOpqPath(spark, dir), nQueries, k)))
+      // r17: the SQ8 rung — the one compression rung the eval was
+      // missing (its recall floor lived only in SimilaritySpec; now the
+      // whole Flat/SQ8/PQ/OPQ/proj ladder is one oracled row set)
+      .unionByName(tagged("sq8",
+        annIvfSq8Serve(spark, dir, servingSq8Path(spark, dir), nQueries, k)))
       .unionByName(tagged("proj",
         annIvfProjServe(spark, dir, servingProjPath(spark, dir), nQueries, k)))
       // the CRUD lifecycle faces (r14 VERDICT #4): an ingest cycle that
