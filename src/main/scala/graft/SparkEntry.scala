@@ -211,6 +211,9 @@ object SparkEntry {
     "knn_ann_ivf_sq8_served" -> (Similarity.annIvfSq8ServedQuery _), // the SQ8 rung served from its persisted codes/centroids/assign artifacts: no quantize pass in-plan
     "knn_ann_ivf_ins_served" -> (Similarity.annIvfInsertServedQuery _), // the ingest lifecycle: base build + incremental insert by the stored rule + compaction, served; must equal the fresh full index
     "knn_ann_ivf_del_served" -> (Similarity.annIvfDeleteServedQuery _), // the delete lifecycle: full build + tombstoned high-hash tenth, served through the live anti-join path
+    "knn_ann_ivf_pq_ins_served" -> (Similarity.annIvfPqInsServedQuery _), // CODED ingest lifecycle (r17 #1): codebooks/centroids trained on the base, arrivals encoded at INSERT against the frozen model, compacted, served
+    "knn_ann_ivf_sq8_ins_served" -> (Similarity.annIvfSq8InsServedQuery _), // SQ8 ingest lifecycle: per-vector coding is model-free, centroid seeding base-scoped; arrivals quantize at insert exactly as a build pass would
+    "knn_ann_ivf_opq_ins_served" -> (Similarity.annIvfOpqInsServedQuery _), // OPQ ingest lifecycle: rotation FIT on the base and frozen; arrivals and queries rotate by the STORED perm, never refit
     "knn_ann_ivf_proj_served" -> (Similarity.annIvfProjServedQuery _), // the projected rung served from its persisted transform/centroids/assign artifacts: stored sign matrix projects the queries, no corpus projection in-plan
     "q_ivf_list_stats" -> (Similarity.ivfListStatsQuery _), // index ops audit: per-list resident histogram from the persisted membership; oracle replays the rule from scratch = artifact-integrity gate
     "knn_eval" -> (Similarity.knnEvalQuery _), // retrieval-quality eval table: recall@k / MRR@k / NDCG@k per ANN rung vs the exact ground truth, all-integer metrics
@@ -916,6 +919,19 @@ object SparkEntry {
     // set is all low-hash, so it survives the delete by construction)
     "knn_ann_ivf_del_served" -> ivfFlatOracleSql(
       s"WHERE ${md5L60("v.vec_id::VARCHAR")} < ${graft.analytics.Similarity.InsertHashThreshold}"),
+    // the CODED ingest lifecycles (r17 VERDICT #1): the oracle replays
+    // train-on-base / encode-everything from first principles — a
+    // hash-match proves the INSERT-time encode against the frozen model
+    // equals the build-time encode (the FAISS add contract at the query
+    // surface). PQ/OPQ: codebook seeds + Lloyd corpus + centroid seeds
+    // base-scoped; OPQ additionally fits the rotation on the base.
+    // SQ8: only the centroid seeding is base-scoped (per-vector codes).
+    "knn_ann_ivf_pq_ins_served" -> pqOracleSqlOver(
+      "d AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+      Some(insBasePred)),
+    "knn_ann_ivf_sq8_ins_served" -> sq8OracleSqlOver(Some(insBasePred)),
+    "knn_ann_ivf_opq_ins_served" -> pqOracleSqlOver(
+      opqDChainSql(Some(insBasePred)), Some(insBasePred)),
     // the projected rung's artifact round trip must change nothing: the
     // stored sign matrix IS the build matrix, centroids/membership are
     // the inline chain's — same oracle as the inline twin
@@ -1006,6 +1022,9 @@ object SparkEntry {
           WHERE rank <= 5),
         r_ivf AS (${oracleSqlBase("knn_ann_ivf")}),
         r_pq AS (${oracleSqlBase("knn_ann_ivf_pq")}),
+        r_pq_ins AS (${pqOracleSqlOver(
+          "d AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+          Some(insBasePred))}),
         r_opq AS (${oracleSqlBase("knn_ann_ivf_opq")}),
         r_sq8 AS (${oracleSqlBase("knn_ann_ivf_sq8")}),
         r_proj AS (${oracleSqlBase("knn_ann_ivf_proj")}),
@@ -1018,7 +1037,10 @@ object SparkEntry {
                -- the ingest lifecycle reproduces the fresh index
                -- row-for-row (the knn_ann_ivf_ins_served law), so its
                -- eval rung replays from the same fresh-IVF SQL
-               UNION ALL SELECT 'ivf_ins' AS rung, q_id, rank, n_id FROM r_ivf),
+               UNION ALL SELECT 'ivf_ins' AS rung, q_id, rank, n_id FROM r_ivf
+               -- the CODED ingest lifecycle (r18): train-on-base /
+               -- encode-everything, replayed from first principles
+               UNION ALL SELECT 'pq_ins' AS rung, q_id, rank, n_id FROM r_pq_ins),
         hits AS (SELECT ev.rung, ev.q_id, ev.rank,
                    CASE WHEN e.n_id IS NOT NULL THEN 1 ELSE 0 END AS hit
                  FROM ev LEFT JOIN exact_gt e
@@ -3896,42 +3918,7 @@ object SparkEntry {
             FROM cand) t
           WHERE rank <= 5 ORDER BY q_id, rank"""
     },
-    "knn_ann_ivf_sq8" ->
-      // IVF probing over SQ8-decoded residents (mirror of
-      // Similarity.annIvfSq8): centroids and list assignment derive from
-      // the DEQUANTIZED corpus — the index stores codes only — while
-      // probes stay exact (queries arrive fresh). Same SQ8 reconstruction
-      // as knn_quantized, same round-to-4-before-rank tie discipline as
-      // knn_ann_ivf.
-      s"""WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-          b AS (SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx FROM d),
-          dq AS (SELECT vec_id, list_transform(e, x -> CASE WHEN mx = mn THEN mn
-                   ELSE mn + round((x - mn) * 255 / (mx - mn))::BIGINT
-                        * (mx - mn) / 255 END) AS v
-                 FROM b),
-          cent AS (SELECT vec_id AS c_id, v AS ce FROM dq
-                   ORDER BY ${md5L60("vec_id::VARCHAR")}, vec_id LIMIT 16),
-          lists AS (SELECT vec_id, v, c_id AS list_id FROM (
-                      SELECT r.vec_id, r.v, c.c_id,
-                        row_number() OVER (PARTITION BY r.vec_id
-                          ORDER BY round(list_cosine_similarity(r.v, c.ce), 4) DESC,
-                                   c.c_id) AS rk
-                      FROM dq r, cent c) t WHERE rk <= 1),
-          probes AS (SELECT q_id, qe, c_id AS list_id FROM (
-                      SELECT q.vec_id AS q_id, q.e AS qe, c.c_id,
-                        row_number() OVER (PARTITION BY q.vec_id
-                          ORDER BY round(list_cosine_similarity(q.e, c.ce), 4) DESC,
-                                   c.c_id) AS rk
-                      FROM d q, cent c WHERE q.vec_id < 10) t WHERE rk <= 4),
-          cand AS (SELECT DISTINCT p.q_id, p.qe, l.vec_id AS n_id, l.v
-                   FROM lists l JOIN probes p ON p.list_id = l.list_id
-                                             AND l.vec_id <> p.q_id)
-          SELECT q_id, n_id, rank, cos FROM (
-            SELECT q_id, n_id, round(list_cosine_similarity(qe, v), 4) AS cos,
-              row_number() OVER (PARTITION BY q_id
-                ORDER BY round(list_cosine_similarity(qe, v), 4) DESC, n_id)::BIGINT AS rank
-            FROM cand) t
-          WHERE rank <= 5 ORDER BY q_id, rank""",
+    "knn_ann_ivf_sq8" -> sq8OracleSqlOver(None),
     "knn_ann_ivf_pq" -> pqOracleSqlOver(
       "d AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)"),
     "knn_ann_ivf_opq" ->
@@ -3943,33 +3930,7 @@ object SparkEntry {
       // OPQ-P allocation Similarity.opqPermutation computes; queries and
       // corpus both read the permuted view so every float fold runs in
       // the permuted order on both engines
-      pqOracleSqlOver(
-        s"""raw AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-          fitsrc AS MATERIALIZED (
-            -- the grid-overflow sample guard (Similarity.OpqFitCap):
-            -- inactive at every oracle SF (corpus <= 5000 vectors), but
-            -- mirrored so the contract stays total on both engines
-            SELECT vec_id, e FROM raw
-            WHERE (SELECT count(*) FROM raw) <= 300000
-               OR ('0x'||substr(md5('opqfit:'||vec_id::VARCHAR),1,15))::UBIGINT::BIGINT <
-                  (1152921504606846976::HUGEINT * 300000 // (SELECT count(*) FROM raw))),
-          vstat AS MATERIALIZED (
-            SELECT j, count(*)::BIGINT * sum(q*q)::BIGINT - sum(q)::BIGINT * sum(q)::BIGINT AS v
-            FROM (SELECT j.j AS j, round(r.e[j.j+1] * 10000, 0)::BIGINT AS q
-                  FROM fitsrc r, LATERAL (SELECT unnest(range(64)) AS j) j) t
-            GROUP BY j),
-          eng AS (SELECT max(sv) * 100 > min(sv) * 115 AS e
-                  FROM (SELECT j // 4 AS s, sum(v) AS sv FROM vstat GROUP BY s) g),
-          alloc AS MATERIALIZED (
-            SELECT j AS dim,
-              CASE WHEN (SELECT e FROM eng)
-                THEN (CASE WHEN ((rk-1) // 16) % 2 = 0 THEN (rk-1) % 16
-                      ELSE 15 - ((rk-1) % 16) END) * 4 + (rk-1) // 16
-                ELSE j END AS slot
-            FROM (SELECT j, row_number() OVER (ORDER BY v DESC, j) AS rk FROM vstat) u),
-          d AS MATERIALIZED (
-            SELECT r.vec_id, list(r.e[p.dim+1] ORDER BY p.slot) AS e
-            FROM raw r CROSS JOIN alloc p GROUP BY r.vec_id)"""),
+      pqOracleSqlOver(opqDChainSql(None)),
         // --- multimodal payload plumbing (documents; payload = UTF-8 bytes) ---
     "mm_payload_stats" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
@@ -4235,12 +4196,115 @@ object SparkEntry {
               ON a.band = b2.band AND a.bv = b2.bv AND a.doc_id < b2.doc_id) t
           WHERE hamming <= 3)"""
 
+  /** The ingest lifecycles' base-split predicate over a bare `vec_id`
+    * column — the low-hash ~90% every `*_ins_served` build TRAINS on
+    * ([[graft.analytics.Similarity.InsertHashThreshold]]). */
+  private def insBasePred: String =
+    s"${md5L60("vec_id::VARCHAR")} < ${graft.analytics.Similarity.InsertHashThreshold}"
+
+  /** IVF probing over SQ8-decoded residents (mirror of
+    * `Similarity.annIvfSq8`): centroids and list assignment derive from
+    * the DEQUANTIZED corpus — the index stores codes only — while
+    * probes stay exact (queries arrive fresh). Same SQ8 reconstruction
+    * as knn_quantized, same round-to-4-before-rank tie discipline as
+    * knn_ann_ivf. `centPred` (bare boolean over `vec_id`) scopes the
+    * centroid seeding to the ingest base split for the
+    * `knn_ann_ivf_sq8_ins_served` twin — the ONLY frozen-model stage
+    * SQ8 has (the coding itself is per-vector, so build-time and
+    * insert-time encodes are the same expression). */
+  private def sq8OracleSqlOver(centPred: Option[String]): String = {
+    val w = centPred.map(p => s"WHERE $p").getOrElse("")
+    s"""WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          b AS (SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx FROM d),
+          dq AS (SELECT vec_id, list_transform(e, x -> CASE WHEN mx = mn THEN mn
+                   ELSE mn + round((x - mn) * 255 / (mx - mn))::BIGINT
+                        * (mx - mn) / 255 END) AS v
+                 FROM b),
+          cent AS (SELECT vec_id AS c_id, v AS ce FROM dq $w
+                   ORDER BY ${md5L60("vec_id::VARCHAR")}, vec_id LIMIT 16),
+          lists AS (SELECT vec_id, v, c_id AS list_id FROM (
+                      SELECT r.vec_id, r.v, c.c_id,
+                        row_number() OVER (PARTITION BY r.vec_id
+                          ORDER BY round(list_cosine_similarity(r.v, c.ce), 4) DESC,
+                                   c.c_id) AS rk
+                      FROM dq r, cent c) t WHERE rk <= 1),
+          probes AS (SELECT q_id, qe, c_id AS list_id FROM (
+                      SELECT q.vec_id AS q_id, q.e AS qe, c.c_id,
+                        row_number() OVER (PARTITION BY q.vec_id
+                          ORDER BY round(list_cosine_similarity(q.e, c.ce), 4) DESC,
+                                   c.c_id) AS rk
+                      FROM d q, cent c WHERE q.vec_id < 10) t WHERE rk <= 4),
+          cand AS (SELECT DISTINCT p.q_id, p.qe, l.vec_id AS n_id, l.v
+                   FROM lists l JOIN probes p ON p.list_id = l.list_id
+                                             AND l.vec_id <> p.q_id)
+          SELECT q_id, n_id, rank, cos FROM (
+            SELECT q_id, n_id, round(list_cosine_similarity(qe, v), 4) AS cos,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY round(list_cosine_similarity(qe, v), 4) DESC, n_id)::BIGINT AS rank
+            FROM cand) t
+          WHERE rank <= 5 ORDER BY q_id, rank"""
+  }
+
+  /** The OPQ rotation CTE chain feeding [[pqOracleSqlOver]]'s `d`:
+    * per-dim variance statistic n·Σq² − (Σq)² on the 1e4 grid (exact —
+    * DuckDB's BIGINT sums auto-promote, the Spark fold is BigInt), dims
+    * ranked variance-DESC (ties to the smaller dim), snake-deal rank r
+    * into subspace s — the closed-form OPQ-P allocation
+    * `Similarity.opqPermutation` computes; queries and corpus both read
+    * the permuted view so every float fold runs in the permuted order
+    * on both engines. `trainPred` scopes the FIT (fitsrc and its
+    * sample-guard count) to the ingest base split — the stored-perm
+    * contract: arrivals and queries rotate by the base-fit permutation,
+    * never refit. */
+  private def opqDChainSql(trainPred: Option[String]): String = {
+    val fitRel = trainPred.map(_ => "trbase").getOrElse("raw")
+    val trbase = trainPred.map(p =>
+      s"""trbase AS MATERIALIZED (SELECT vec_id, e FROM raw WHERE $p),
+          """).getOrElse("")
+    s"""raw AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          ${trbase}fitsrc AS MATERIALIZED (
+            -- the sum-overflow sample guard (Similarity.OpqFitCap):
+            -- inactive at every oracle SF (corpus <= 5000 vectors), but
+            -- mirrored so the contract stays total on both engines
+            SELECT vec_id, e FROM $fitRel
+            WHERE (SELECT count(*) FROM $fitRel) <= 300000
+               OR ('0x'||substr(md5('opqfit:'||vec_id::VARCHAR),1,15))::UBIGINT::BIGINT <
+                  (1152921504606846976::HUGEINT * 300000 // (SELECT count(*) FROM $fitRel))),
+          vstat AS MATERIALIZED (
+            SELECT j, count(*)::BIGINT * sum(q*q)::BIGINT - sum(q)::BIGINT * sum(q)::BIGINT AS v
+            FROM (SELECT j.j AS j, round(r.e[j.j+1] * 10000, 0)::BIGINT AS q
+                  FROM fitsrc r, LATERAL (SELECT unnest(range(64)) AS j) j) t
+            GROUP BY j),
+          eng AS (SELECT max(sv) * 100 > min(sv) * 115 AS e
+                  FROM (SELECT j // 4 AS s, sum(v) AS sv FROM vstat GROUP BY s) g),
+          alloc AS MATERIALIZED (
+            SELECT j AS dim,
+              CASE WHEN (SELECT e FROM eng)
+                THEN (CASE WHEN ((rk-1) // 16) % 2 = 0 THEN (rk-1) % 16
+                      ELSE 15 - ((rk-1) % 16) END) * 4 + (rk-1) // 16
+                ELSE j END AS slot
+            FROM (SELECT j, row_number() OVER (ORDER BY v DESC, j) AS rk FROM vstat) u),
+          d AS MATERIALIZED (
+            SELECT r.vec_id, list(r.e[p.dim+1] ORDER BY p.slot) AS e
+            FROM raw r CROSS JOIN alloc p GROUP BY r.vec_id)"""
+  }
+
   /** The full IVF-PQ oracle chain over a caller-supplied `d` CTE chunk
     * (the `(vec_id, e)` relation, optionally preceded by rotation CTEs)
-    * — ONE SQL body for `knn_ann_ivf_pq`, `knn_ann_ivf_opq`, and their
-    * served twins, mirroring [[graft.analytics.Similarity
-    * .annIvfPqOver]]'s one-body-per-rotation structure. */
-  private def pqOracleSqlOver(dChain: String): String = {
+    * — ONE SQL body for `knn_ann_ivf_pq`, `knn_ann_ivf_opq`, their
+    * served twins, AND (r18) their coded-INGEST twins, mirroring
+    * [[graft.analytics.Similarity.annIvfPqOver]]'s
+    * one-body-per-rotation structure.
+    *
+    * `trainPred` (a bare boolean over an unqualified `vec_id` column)
+    * scopes every FROZEN-model stage — codebook seeds, the Lloyd
+    * refinement corpus, and the IVF centroid seeds — to the ingest
+    * lifecycle's base split, while the ENCODE (codes/recon/lists) and
+    * the query side stay full-corpus: exactly the train-once/add-forever
+    * contract [[graft.analytics.Similarity.ivfInsert]] implements for
+    * coded indexes, replayed from first principles. None = train on
+    * everything (the plain rungs). */
+  private def pqOracleSqlOver(dChain: String, trainPred: Option[String] = None): String = {
       // mirror of Similarity.annIvfPq. Every float sum is replayed in the
       // same association order as the Spark side: per-subspace folds are
       // DuckDB's list_reduce (sequential left fold — bit-identical to the
@@ -4252,6 +4316,9 @@ object SparkEntry {
       // scoring joins the per-(query, subspace) table rows — so the final
       // rounded cosine hashes identically.
       val M = 16; val dsub = 4; val ks = 16; val lloyd = 3; val grid = 1L << 20
+      // the training scope: empty for the plain rungs, the ingest base
+      // split for the coded-ins twins (tsub/seed/cent below)
+      val w = trainPred.map(p => s"WHERE $p").getOrElse("")
       def sumsqChain(v: String) = (0 until M).map(m =>
         s"list_reduce(list_transform(range(1, ${dsub + 1}), d -> $v[${m * dsub}+d] * $v[${m * dsub}+d]), (a, b) -> a + b)")
         .mkString("(", "\n                 + ", ")")
@@ -4279,9 +4346,9 @@ object SparkEntry {
         s"""cbl$r AS MATERIALIZED (SELECT m, list(sv ORDER BY j) AS subs FROM $prev GROUP BY m),
            |          asg$r AS MATERIALIZED (SELECT sub.vec_id, sub.m,
            |                     list_position(${distsOver(s"cbl$r")}, list_min(${distsOver(s"cbl$r")})) - 1 AS j
-           |                   FROM sub JOIN cbl$r USING (m)),
+           |                   FROM tsub sub JOIN cbl$r USING (m)),
            |          upd$r AS MATERIALIZED (SELECT a.m, a.j, count(*) AS n, ${(1 to dsub).map(d => s"s$d").zipWithIndex.map { case (nm, d) => s"sum(floor(sub.sv[${d + 1}] * $grid)::BIGINT) AS $nm" }.mkString(", ")}
-           |                   FROM asg$r a JOIN sub ON sub.vec_id = a.vec_id AND sub.m = a.m
+           |                   FROM asg$r a JOIN tsub sub ON sub.vec_id = a.vec_id AND sub.m = a.m
            |                   GROUP BY a.m, a.j),
            |          $cur AS MATERIALIZED (SELECT c.m, c.j,
            |                     CASE WHEN u.n IS NULL THEN c.sv ELSE $newSv END AS sv
@@ -4290,9 +4357,10 @@ object SparkEntry {
       s"""WITH $dChain,
           sub AS MATERIALIZED (SELECT vec_id, m.m AS m, e[(m.m*$dsub+1):(m.m*$dsub+$dsub)] AS sv
                   FROM d, LATERAL (SELECT unnest(range($M)) AS m) m),
+          tsub AS (SELECT * FROM sub $w),
           seed AS MATERIALIZED (SELECT e, row_number() OVER (ORDER BY
                     ('0x'||substr(md5('pq:'||vec_id::VARCHAR),1,15))::UBIGINT::BIGINT, vec_id) AS rk
-                 FROM d QUALIFY rk <= $ks),
+                 FROM d $w QUALIFY rk <= $ks),
           cb0 AS MATERIALIZED (SELECT m.m AS m, rk - 1 AS j,
                    e[(m.m*$dsub+1):(m.m*$dsub+$dsub)] AS sv
                  FROM seed, LATERAL (SELECT unnest(range($M)) AS m) m),
@@ -4312,7 +4380,7 @@ object SparkEntry {
           recon AS MATERIALIZED (SELECT codes.vec_id, ${(0 until M).map(m => s"cb$m.sv").mkString(" || ")} AS v
                  FROM codes
                  $reconJoins),
-          cent AS MATERIALIZED (SELECT vec_id AS c_id, v AS ce FROM recon
+          cent AS MATERIALIZED (SELECT vec_id AS c_id, v AS ce FROM recon $w
                    ORDER BY ${md5L60("vec_id::VARCHAR")}, vec_id LIMIT 16),
           lists AS MATERIALIZED (SELECT vec_id, c_id AS list_id FROM (
                       SELECT r.vec_id, c.c_id,

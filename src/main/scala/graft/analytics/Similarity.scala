@@ -1809,7 +1809,14 @@ object Similarity {
     * residents, keep exact re-rank on the short candidate list). The
     * degenerate constant vector (mx = mn) quantizes to all-zeros. */
   def quantizeEmbeddings(spark: SparkSession, dir: String): DataFrame =
-    embeddingsD(spark, dir)
+    quantizeOf(embeddingsD(spark, dir))
+
+  /** The SQ8 encode over an arbitrary `(vec_id, e)` frame — shared by
+    * the corpus build and the incremental-insert path (the coding is
+    * PER-VECTOR: each row carries its own (mn, mx) codebook, so an
+    * arrival batch encodes exactly as a build-time pass would). */
+  private[analytics] def quantizeOf(emb: DataFrame): DataFrame =
+    emb
       .select(col("vec_id"), col("e"),
         array_min(col("e")).as("mn"), array_max(col("e")).as("mx"))
       .select(col("vec_id"), col("mn"), col("mx"),
@@ -1900,8 +1907,16 @@ object Similarity {
     * convergence test, so the oracle replays it as a fixed CTE chain. */
   private[analytics] val PqLloyd = 3
 
-  /** OPQ variance-fit sample cap: (OpqFitCap·10⁴)² must stay under 2⁶³
-    * (see [[opqPermutation]]); 3·10⁵ leaves 10% headroom. */
+  /** OPQ variance-fit sample cap. The variance statistic itself is
+    * BigInt (never wraps); the cap bounds the int64 SUMS Σq, Σq² the
+    * engine aggregates: at |q| ≤ 10⁴ (a normalized corpus on the 1e4
+    * grid), Σq² ≤ n·10⁸ stays far inside 2⁶³ for any plausible sample,
+    * and [[opqPermutation]] verifies the actual n·qmax² bound post-hoc
+    * from exact quantities — so the cap's real job is keeping the fit
+    * aggregation sample-sized. (The r17 comment claiming "(n·10⁴)²
+    * < 2⁶³ with 10% headroom" described the OLD int64 statistic, whose
+    * true bound was n ≤ ~3.037·10⁵ — ~1.2% headroom; ADVICE r17 fixed
+    * the arithmetic by moving the statistic to BigInt.) */
   private[analytics] val OpqFitCap = 300000L
 
   /** Fixed-point grid for the deterministic k-means means: coordinates
@@ -2025,7 +2040,7 @@ object Similarity {
   /** Reconstruction x̂ = the concatenation of each subspace's selected
     * codeword — a pure projection over the code columns with the
     * codebooks as plan literals. */
-  private def pqReconCol(cb: Array[Array[Array[Double]]]): Column =
+  private[analytics] def pqReconCol(cb: Array[Array[Array[Double]]]): Column =
     concat(cb.indices.map { mi =>
       element_at(typedLit(cb(mi).map(_.toSeq).toSeq), col(s"c$mi") + 1)
     }: _*)
@@ -2143,10 +2158,13 @@ object Similarity {
     * even, right-to-left when odd) — the closed-form balanced
     * allocation, chosen over greedy bin-packing because the oracle
     * replays it as one CASE expression instead of a 64-step recursive
-    * CTE. Overflow bound: (n·10⁴)² < 2⁶³ ⇒ n ≤ ~3·10⁵ vectors; past
-    * that the fit side samples (the model is 64 ints — sampling the
-    * variance ranking is standard practice and only perturbs
-    * allocation, never correctness of the serving math).
+    * CTE. The statistic is exact BigInt (ADVICE r17); past
+    * [[OpqFitCap]] vectors the fit side samples to keep the int64 sums
+    * Σq/Σq² representable and the aggregation sample-sized (the model
+    * is 64 ints — sampling the variance ranking is standard practice
+    * and only perturbs allocation, never correctness of the serving
+    * math), and a post-hoc n·qmax² check fails loudly on the
+    * un-normalized corpora the sums cannot represent.
     *
     * ENGAGEMENT GATE — the model's own applicability test: the
     * allocation exists to balance per-subspace variance, so if the
@@ -2166,8 +2184,8 @@ object Similarity {
   private[graft] def opqPermutation(emb: DataFrame, m: Int = PqM,
                                         dsub: Int = PqDsub): Array[Int] = {
     val dims = m * dsub
-    // grid-overflow guard, made total instead of a hard failure: past
-    // OpqFitCap vectors the statistic (n·10⁴)² would overflow int64, so
+    // sum-overflow guard, made total instead of a hard failure: past
+    // OpqFitCap vectors the int64 sums Σq/Σq² approach their bound, so
     // the fit runs on the deterministic salted-md5 sample whose EXPECTED
     // size is the cap (hash < cap/n of the 2⁶⁰ space — the
     // Sampling.hashBucket recipe; the oracle mirrors the same predicate,
@@ -2187,19 +2205,30 @@ object Similarity {
     val q = transform(col("e"), x => round(x * 1e4, 0).cast("long"))
     val aggs = (0 until dims).flatMap(j => Seq(
       sum(element_at(col("q"), j + 1)).as(s"s1_$j"),
-      sum(element_at(col("q"), j + 1) * element_at(col("q"), j + 1)).as(s"s2_$j")))
+      sum(element_at(col("q"), j + 1) * element_at(col("q"), j + 1)).as(s"s2_$j"))) :+
+      max(expr("aggregate(q, 0L, (a, x) -> greatest(a, abs(x)))")).as("qmax")
     val h = fitSrc.withColumn("q", q).agg(count(lit(1)).as("n"), aggs: _*).head()
     val n = h.getAs[Long]("n")
     require(n <= 2 * OpqFitCap,
-      s"opqPermutation: hash sample came back implausibly large (n=$n) — grid overflow risk")
+      s"opqPermutation: hash sample came back implausibly large (n=$n) — sample predicate broken")
+    // overflow safety (ADVICE r17): the VARIANCE statistic n·Σq² − (Σq)²
+    // is computed in BigInt below, so it can never wrap — the only int64
+    // arithmetic left is the engine-side SUMS Σq and Σq², whose worst
+    // case is n·qmax (resp. n·qmax²). qmax and n are exact post-hoc
+    // (max/count never wrap), so verify the sums were representable; an
+    // un-normalized corpus (|e| ≫ 1) fails loudly here instead of
+    // silently producing a garbage permutation.
+    val qmax = if (n == 0) 0L else h.getAs[Long]("qmax")
+    require(n == 0 || (BigInt(n) * BigInt(qmax) * BigInt(qmax)) < (BigInt(1) << 63),
+      s"opqPermutation: n=$n, max|q|=$qmax — Σq² can exceed int64; " +
+        "normalize the embedding corpus (|e| ≤ ~1) or lower OpqFitCap")
     val vars = (0 until dims).map { j =>
-      val s1 = h.getAs[Long](s"s1_$j")
-      n * h.getAs[Long](s"s2_$j") - s1 * s1
+      val s1 = BigInt(h.getAs[Long](s"s1_$j"))
+      BigInt(n) * BigInt(h.getAs[Long](s"s2_$j")) - s1 * s1
     }
-    // natural-subspace balance test (exact BigInt — a subspace sum of
-    // near-bound per-dim stats can exceed int64)
+    // natural-subspace balance test (vars are BigInt end-to-end)
     val svar = (0 until m).map(s =>
-      (s * dsub until (s + 1) * dsub).map(j => BigInt(vars(j))).sum)
+      (s * dsub until (s + 1) * dsub).map(j => vars(j)).sum)
     val engaged = svar.max * 100 > svar.min * 115
     if (!engaged) Array.tabulate(dims)(identity)
     else {
@@ -2256,8 +2285,8 @@ object Similarity {
                    nLists: Int = 16): Unit =
     buildPqIndexOf(spark, embeddingsD(spark, dir), path, nLists)
 
-  private def buildPqIndexOf(spark: SparkSession, emb: DataFrame, path: String,
-                             nLists: Int): Unit = {
+  private[graft] def buildPqIndexOf(spark: SparkSession, emb: DataFrame, path: String,
+                                        nLists: Int): Unit = {
     val cb = pqCodebooks(emb)
     val cbRows = for (mi <- cb.indices; j <- cb(mi).indices)
       yield org.apache.spark.sql.Row(mi, j, cb(mi)(j).toSeq)
@@ -2329,8 +2358,14 @@ object Similarity {
     * STORED perm (never refit): the index derives everything from its
     * files, the build-once/serve-forever contract. */
   def buildOpqIndex(spark: SparkSession, dir: String, path: String,
-                    nLists: Int = 16): Unit = {
-    val emb = embeddingsD(spark, dir)
+                    nLists: Int = 16): Unit =
+    buildOpqIndexOf(spark, embeddingsD(spark, dir), path, nLists)
+
+  /** [[buildOpqIndex]] over a caller-supplied `(vec_id, e)` corpus —
+    * the ingest-lifecycle form: the rotation is FIT on this corpus and
+    * frozen; later [[ivfInsert]] arrivals rotate by the stored perm. */
+  private[graft] def buildOpqIndexOf(spark: SparkSession, emb: DataFrame,
+                                         path: String, nLists: Int): Unit = {
     val perm = opqPermutation(emb)
     spark.createDataFrame(
         spark.sparkContext.parallelize(
@@ -2382,8 +2417,15 @@ object Similarity {
     * the IVF layer (`centroids`, `assign`) over the DECODED view, same
     * derives-from-codes story as [[buildPqIndex]]. */
   def buildSq8Index(spark: SparkSession, dir: String, path: String,
-                    nLists: Int = 16): Unit = {
-    quantizeEmbeddings(spark, dir).write.mode("overwrite").parquet(path + "/codes")
+                    nLists: Int = 16): Unit =
+    buildSq8IndexOf(spark, embeddingsD(spark, dir), path, nLists)
+
+  /** [[buildSq8Index]] over a caller-supplied `(vec_id, e)` corpus —
+    * the form the ingest lifecycle starts from (build the base,
+    * [[ivfInsert]] the rest by the stored rule). */
+  private[graft] def buildSq8IndexOf(spark: SparkSession, emb: DataFrame,
+                                         path: String, nLists: Int): Unit = {
+    quantizeOf(emb).write.mode("overwrite").parquet(path + "/codes")
     val dq = dequantizedFrom(spark.read.parquet(path + "/codes"))
     val cents = hashCentroids(dq, nLists)
     spark.createDataFrame(
@@ -2449,109 +2491,169 @@ object Similarity {
     * hash-match the plain `knn_ann_ivf` oracle); balanced inserts follow
     * the stored penalty map. The streaming ingest guards (`StreamingLsh`)
     * compute the same row-local assignment to feed this at arrival
-    * time. */
+    * time.
+    *
+    * CODED indexes (SQ8/PQ/OPQ — r17 VERDICT #1, previously refused):
+    * arrivals are ENCODED against the frozen model first (stored perm →
+    * stored codebooks; SQ8's per-vector codebook needs no model at all),
+    * the codes appended to the `codes` artifact, and the RECONSTRUCTION
+    * assigned by the stored centroid rule — exactly what the build-time
+    * encode of those rows would have produced, so base+insert serving is
+    * bit-identical to a build whose TRAINING saw the base and whose
+    * ENCODE saw everything (the oracled `knn_ann_ivf_pq_ins_served` /
+    * `_sq8_ins_` / `_opq_ins_` split replays that contract in SQL from
+    * first principles). At 100 TB this is the difference between a
+    * batch-sized encode per arrival and a full index rebuild. */
   def ivfInsert(spark: SparkSession, path: String, newVectors: DataFrame): Unit = {
-    val cents = loadIvfCentroids(spark, path)
-    val penPath = new org.apache.hadoop.fs.Path(path + "/penalties")
-    val fs = penPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // r14 ADVICE guard: an SQ8/PQ index serves through an inner join on
-    // its codes artifact — a membership-only insert would leave the new
-    // vectors code-less and they would silently vanish from serving.
-    // Insert currently supports the flat/refined/balanced families only;
-    // fail loudly instead of corrupting a coded index.
-    Seq("codes", "codebooks").foreach { art =>
-      require(!fs.exists(new org.apache.hadoop.fs.Path(path + "/" + art)),
-        s"ivfInsert into $path: index carries a '$art' artifact (SQ8/PQ family) — " +
-          "membership-only insert would drop the new vectors from coded serving; " +
-          "rebuild the coded index instead")
-    }
-    // same class of hazard for the PROJECTED family (r15): its stored
-    // centroids live in the 16-dim projected space, so assigning raw
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def has(art: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(path + "/" + art))
+    // the PROJECTED family stays refused (r15): its stored centroids
+    // live in the 16-dim projected space, so assigning raw
     // full-dimension arrivals against them would SILENTLY mis-assign
     // (the cosine would compare mismatched spaces); a projected insert
     // must project with the stored sign matrix first — not wired yet,
     // so refuse rather than corrupt.
-    require(!fs.exists(new org.apache.hadoop.fs.Path(path + "/proj")),
+    require(!has("proj"),
       s"ivfInsert into $path: index carries a 'proj' transform artifact — " +
         "raw vectors must be projected with the stored matrix before assignment; " +
         "rebuild the projected index instead")
+    val arrivals = newVectors.select(col("vec_id"), col("e"))
+    if (has("codebooks")) {
+      // PQ / OPQ family (r17 VERDICT #1 — the CRUD asymmetry this used
+      // to refuse): the FAISS `add` contract. Every model artifact is
+      // FROZEN at build — the rotation (`perm`, OPQ only), the codebooks,
+      // the centroids — so encoding an arrival batch is one
+      // deterministic batch-sized pass against plan literals: rotate by
+      // the STORED perm, encode against the STORED codebooks (append to
+      // `codes` — without this the serving inner-join would drop the
+      // arrivals, the r14 hazard), then assign the RECONSTRUCTION by the
+      // stored centroid rule (the build's own decoded-view assignment).
+      // The corpus-scale codes/membership are never read or shuffled.
+      val cb = loadPqCodebooks(spark, path)
+      val rotated =
+        if (has("perm")) withOpqPerm(arrivals, loadOpqPerm(spark, path)) else arrivals
+      // two consumers (codes append + recon assignment) — pin the small
+      // encode result instead of re-running its shuffle (see
+      // PrepPipeline.materialized for why localCheckpoint over cache)
+      val codes = pqCodes(rotated, cb).localCheckpoint(false)
+      codes.count()
+      codes.write.mode("append").parquet(path + "/codes")
+      appendAssign(spark, path, codes.withColumn("e", pqReconCol(cb)))
+    } else if (has("codes")) {
+      // SQ8 family: the coding is per-vector (each row ships its own
+      // (mn, mx) codebook), so the encode is model-free and an arrival
+      // batch codes exactly as the build pass would.
+      val codes = quantizeOf(arrivals).localCheckpoint(false)
+      codes.count()
+      codes.write.mode("append").parquet(path + "/codes")
+      appendAssign(spark, path, dequantizedFrom(codes))
+    } else appendAssign(spark, path, arrivals)
+  }
+
+  /** The membership append shared by every insert family: assign
+    * `(vec_id, e)` rows by the STORED rule — loaded centroids, and the
+    * stored penalty map when the index ships one (the balanced family) —
+    * and append to the membership artifact. Centroids never move on
+    * insert (train once, add forever), so serving stays bit-stable for
+    * existing members. */
+  private def appendAssign(spark: SparkSession, path: String, vecs: DataFrame): Unit = {
+    val cents = loadIvfCentroids(spark, path)
+    val penPath = new org.apache.hadoop.fs.Path(path + "/penalties")
+    val fs = penPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val assignCol =
       if (fs.exists(penPath)) listIdColPenalized(cents, loadIvfPenalties(spark, path))(col("e"))
       else listIdColFor(cents)(col("e"))
-    newVectors.select(col("vec_id"), assignCol.as("list_id"))
+    vecs.select(col("vec_id"), assignCol.as("list_id"))
       .write.mode("append").parquet(path + "/assign")
   }
 
-  /** OPTIONAL COMPACTION of the membership artifact after a run of
-    * inserts: each [[ivfInsert]] batch appends its own parquet files, and
-    * a long-lived index accumulates small files (the classic streaming-
-    * ingest tax — at scale, file-count growth degrades scan planning
-    * long before data size does). Rewrites `assign` clustered by
-    * `list_id` into `nFiles` files — dropping the exact-duplicate rows an
-    * at-least-once streaming replay can append — and swaps directories
-    * via two FS renames; the membership SET is untouched, so serving is
-    * bit-identical before and after (spec-pinned).
-    *
-    * Crash safety + concurrency contract (r14 ADVICE): every rename's
-    * boolean result is CHECKED — a failed first rename aborts with the
-    * live `assign` untouched (tmp cleaned), a failed second rename rolls
-    * the old dir back before aborting — and a stale `assign_old` left by
-    * an interrupted prior compaction fails fast instead of being
-    * silently deleted. Compaction REQUIRES the ingest to be quiesced:
-    * membership files appended between the snapshot read and the swap
-    * would vanish with the old dir, so the swap re-lists the directory
-    * and aborts if the file set moved under it (best-effort guard — the
-    * authoritative rule is "do not compact under live ingest";
-    * [[StreamingIvfIngest]] documents the same exclusion). */
+  /** OPTIONAL COMPACTION of the index's append-accumulating artifacts
+    * after a run of inserts: each [[ivfInsert]] batch appends its own
+    * parquet files, and a long-lived index accumulates small files (the
+    * classic streaming-ingest tax — at scale, file-count growth degrades
+    * scan planning long before data size does). Rewrites `assign`
+    * clustered by `list_id` — and, for a coded index (r18), `codes`
+    * clustered by `vec_id`, the serving join key — into `nFiles` files
+    * each, applying tombstones physically and clearing them; the row
+    * SETS are untouched, so serving is bit-identical before and after
+    * (spec-pinned). Crash-safety/concurrency contract per artifact:
+    * [[compactArtifact]]. */
   def ivfCompact(spark: SparkSession, path: String, nFiles: Int = 1): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val assign = new org.apache.hadoop.fs.Path(path + "/assign")
-    val tmp = new org.apache.hadoop.fs.Path(path + "/assign_compact_tmp")
-    val old = new org.apache.hadoop.fs.Path(path + "/assign_old")
-    val fs = assign.getFileSystem(conf)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val tombP = new org.apache.hadoop.fs.Path(path + "/tombstones")
+    // coded families (r18): every [[ivfInsert]] batch appends its own
+    // `codes` files too, with the same replay-duplicate story as the
+    // membership; rewrite codes FIRST (tombstones are still live here —
+    // they clear with the assign pass below), clustered by vec_id (the
+    // serving join key against the membership).
+    if (fs.exists(new org.apache.hadoop.fs.Path(path + "/codes")))
+      compactArtifact(spark, fs, path, "codes", nFiles, "vec_id", tombP)
+    compactArtifact(spark, fs, path, "assign", nFiles, "list_id", tombP)
+    fs.delete(tombP, true)
+    ()
+  }
+
+  /** One artifact directory's compaction pass — the rewrite-and-swap
+    * shared by the membership and (for coded indexes) the codes
+    * artifact: full-row dedup (an at-least-once ingest replay appends
+    * bit-identical rows — the stored-rule encode/assignment is
+    * deterministic; they are invisible to serving, which dedups
+    * candidates on (q_id, n_id), and compaction is where they physically
+    * disappear), tombstone anti-join ([[ivfDelete]] — the rewrite drops
+    * deleted residents so the anti-join moves from query time into the
+    * layout; serving is identical before and after), then `nFiles`
+    * files clustered by `clusterCol` swapped in via two CHECKED FS
+    * renames. Crash safety + concurrency contract (r14 ADVICE): a
+    * failed first rename aborts with the live dir untouched (tmp
+    * cleaned), a failed second rename rolls the old dir back before
+    * aborting, a stale `<sub>_old` from an interrupted prior compaction
+    * fails fast, and the swap re-lists the directory and aborts if the
+    * file set moved under it (best-effort — the authoritative rule is
+    * "do not compact under live ingest"; [[StreamingIvfIngest]]
+    * documents the same exclusion). */
+  private def compactArtifact(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+                              path: String, sub: String, nFiles: Int,
+                              clusterCol: String,
+                              tombP: org.apache.hadoop.fs.Path): Unit = {
+    val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/${sub}_compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(s"$path/${sub}_old")
     require(!fs.exists(old),
       s"stale $old from an interrupted compaction — resolve it (restore or delete) first")
-    // snapshot of the membership file set: the swap below re-checks it so
+    // snapshot of the artifact file set: the swap below re-checks it so
     // rows appended by a concurrent ingest micro-batch are never dropped
-    def assignFiles(): Set[String] =
-      fs.listStatus(assign).map(_.getPath.getName).toSet
-    val snapshotFiles = assignFiles()
-    // dropDuplicates: an at-least-once ingest replay ([[StreamingIvfIngest]])
-    // appends bit-identical rows (the stored-rule assignment is
-    // deterministic); they are invisible to serving (probes dedup on
-    // (q_id, n_id)) and compaction is where they physically disappear.
-    // Tombstones ([[ivfDelete]]) are applied here too: the rewrite drops
-    // the deleted residents and clears the tombstone artifact — serving
-    // is identical before and after (the anti-join moves from query time
-    // into the layout).
-    val tombP = new org.apache.hadoop.fs.Path(path + "/tombstones")
-    val base = spark.read.parquet(assign.toString).dropDuplicates("vec_id", "list_id")
+    def liveFiles(): Set[String] =
+      fs.listStatus(live).map(_.getPath.getName).toSet
+    val snapshotFiles = liveFiles()
+    val base = spark.read.parquet(live.toString).dropDuplicates()
     val applied =
       if (fs.exists(tombP))
         base.join(spark.read.parquet(tombP.toString), Seq("vec_id"), "left_anti")
       else base
     applied
-      .repartition(nFiles, col("list_id"))
+      .repartition(nFiles, col(clusterCol))
       .write.mode("overwrite").parquet(tmp.toString)
-    if (assignFiles() != snapshotFiles) {
+    if (liveFiles() != snapshotFiles) {
       fs.delete(tmp, true)
-      sys.error(s"membership files changed under compaction of $path " +
+      sys.error(s"$sub files changed under compaction of $path " +
         "(live ingest?) — aborted; quiesce the ingest and retry")
     }
-    if (!fs.rename(assign, old)) {
+    if (!fs.rename(live, old)) {
       fs.delete(tmp, true)
-      sys.error(s"compaction of $path aborted: rename($assign, $old) failed; index untouched")
+      sys.error(s"compaction of $path aborted: rename($live, $old) failed; index untouched")
     }
-    if (!fs.rename(tmp, assign)) {
-      // roll back so the index never loses its assign dir
-      if (!fs.rename(old, assign))
+    if (!fs.rename(tmp, live)) {
+      // roll back so the index never loses the artifact dir
+      if (!fs.rename(old, live))
         sys.error(s"compaction of $path failed AND rollback failed: " +
-          s"membership is at $old — restore it manually")
+          s"$sub is at $old — restore it manually")
       fs.delete(tmp, true)
-      sys.error(s"compaction of $path aborted: rename($tmp, $assign) failed; index rolled back")
+      sys.error(s"compaction of $path aborted: rename($tmp, $live) failed; index rolled back")
     }
     fs.delete(old, true)
-    fs.delete(tombP, true)
     ()
   }
 
@@ -2624,6 +2726,90 @@ object Similarity {
     * plain IVF SQL with the resident set filtered to the survivors. */
   def annIvfDeleteServedQuery(spark: SparkSession, dir: String): DataFrame =
     annIvfServe(spark, dir, servingIvfDelPath(spark, dir)).orderBy("q_id", "rank")
+
+  // -- incremental insert into CODED indexes (VERDICT r17 #1) --
+
+  /** The coded-family ingest lifecycle, one body for all three coded
+    * builds: TRAIN on the low-hash ~90% (the [[InsertHashThreshold]]
+    * split the flat lifecycle already uses), [[ivfInsert]] the high-hash
+    * tenth — encoded against the frozen model, assigned by the stored
+    * rule — then [[ivfCompact]] (which now rewrites `codes` too). The
+    * served result is bit-identical to a build whose training saw the
+    * base and whose encode saw everything; the oracle replays exactly
+    * that split in SQL from first principles, so a hash-match proves the
+    * insert encode equals the build encode — the FAISS add contract
+    * (train once, add forever) at the query surface. */
+  private def codedInsLifecycle(spark: SparkSession, dir: String,
+                                build: (DataFrame, String) => Unit): String => Unit = { p =>
+    val emb = embeddingsD(spark, dir)
+    val h = graft.functions.Hashes.md5Long60(col("vec_id").cast("string"))
+    build(emb.where(h < lit(InsertHashThreshold)), p)
+    ivfInsert(spark, p, emb.where(h >= lit(InsertHashThreshold)))
+    ivfCompact(spark, p)
+  }
+
+  private[analytics] def servingPqInsPath(spark: SparkSession, dir: String): String =
+    ArtifactCache.path(s"pqins:$dir")(
+      codedInsLifecycle(spark, dir, (b, p) => buildPqIndexOf(spark, b, p, nLists = 16)))
+
+  private[analytics] def servingSq8InsPath(spark: SparkSession, dir: String): String =
+    ArtifactCache.path(s"sq8ins:$dir")(
+      codedInsLifecycle(spark, dir, (b, p) => buildSq8IndexOf(spark, b, p, nLists = 16)))
+
+  private[analytics] def servingOpqInsPath(spark: SparkSession, dir: String): String =
+    ArtifactCache.path(s"opqins:$dir")(
+      codedInsLifecycle(spark, dir, (b, p) => buildOpqIndexOf(spark, b, p, nLists = 16)))
+
+  /** `knn_ann_ivf_pq_ins_served` — the PQ rung served from an index that
+    * took incremental inserts: codebooks/centroids trained on the
+    * low-hash base, the high-hash tenth encoded at INSERT time against
+    * the frozen model, compacted, served through the identical PQ
+    * serving tail. The oracle replays train-on-base/encode-everything
+    * from scratch. */
+  def annIvfPqInsServedQuery(spark: SparkSession, dir: String): DataFrame =
+    annIvfPqServe(spark, dir, servingPqInsPath(spark, dir)).orderBy("q_id", "rank")
+
+  /** `knn_ann_ivf_sq8_ins_served` — the SQ8 twin: the coding is
+    * per-vector (model-free), so only the centroid seeding is
+    * base-scoped; arrivals quantize at insert time exactly as a build
+    * pass would. */
+  def annIvfSq8InsServedQuery(spark: SparkSession, dir: String): DataFrame =
+    annIvfSq8Serve(spark, dir, servingSq8InsPath(spark, dir)).orderBy("q_id", "rank")
+
+  /** `knn_ann_ivf_opq_ins_served` — the OPQ twin: the rotation is FIT on
+    * the base and frozen; arrivals rotate by the STORED perm before
+    * encoding (never refit), queries rotate by the same artifact at
+    * serve time. */
+  def annIvfOpqInsServedQuery(spark: SparkSession, dir: String): DataFrame =
+    annIvfOpqServe(spark, dir, servingOpqInsPath(spark, dir)).orderBy("q_id", "rank")
+
+  /** Serve a CODED index for a caller-supplied `(vec_id, e)` query
+    * frame, dispatching on the stored artifacts exactly like
+    * [[ivfInsert]] does — stored perm rotates the queries (OPQ), stored
+    * codebooks drive the ADC tail (PQ/OPQ), persisted per-vector codes
+    * decode in-scan (SQ8). The ingest-gauge face
+    * ([[graft.streaming.StreamingKnnServeGauge]]) drives this between
+    * insert batches: the index derives everything from its files, so
+    * the serve needs NO corpus frame — only arrived (coded) members can
+    * be candidates. */
+  def annIvfCodedServeOf(spark: SparkSession, path: String, queriesE: DataFrame,
+                         k: Int = 5, nProbe: Int = 4): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def has(art: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(path + "/" + art))
+    require(has("codes"), s"annIvfCodedServeOf($path): no codes artifact — not a coded index")
+    if (has("codebooks")) {
+      val q = if (has("perm")) withOpqPerm(queriesE.select(col("vec_id"), col("e")),
+                                           loadOpqPerm(spark, path))
+              else queriesE
+      pqServeCore(spark, path, q, k, nProbe)
+    } else {
+      val dq = dequantizedFrom(spark.read.parquet(path + "/codes"))
+      rankCandidates(ivfServedCandidates(spark, dq, path,
+        queriesE.select(col("vec_id").as("q_id"), col("e").as("qe")), nProbe), k)
+    }
+  }
 
   /** `q_ivf_list_stats` — the index OPERATIONS audit table a serving
     * stack monitors: per-list resident counts and per-mille share of the
@@ -2707,6 +2893,12 @@ object Similarity {
       // lifecycle reproduces the fresh index row-for-row)...
       .unionByName(tagged("ivf_ins",
         annIvfServe(spark, dir, servingIvfInsPath(spark, dir), nQueries, k)))
+      // r18: the CODED ingest lifecycle's recall — an insert path that
+      // encoded arrivals against the wrong (or stale) frozen model
+      // would still pass same-session row-equality specs; here its
+      // quality is an oracled row, scored like every other rung
+      .unionByName(tagged("pq_ins",
+        annIvfPqServe(spark, dir, servingPqInsPath(spark, dir), nQueries, k)))
     // ...while ivf_del serves with live tombstones and is judged against
     // the exact ground truth OVER THE SURVIVORS — the best answer the
     // post-delete corpus can give — so its metrics equal a fresh index

@@ -61,13 +61,76 @@ object StreamingKnnServeGauge {
         val served = Similarity.annIvfServeOf(spark, corpus, path, nQueries, k, nProbe)
           .select(lit(batchId.toString).as("rung"),
             col("q_id"), col("rank"), col("n_id"))
-        val nMembers = spark.read.parquet(path + "/assign")
-          .select("vec_id").distinct().count()
-        Similarity.evalRungs(gt, served, nQueries, k)
-          .select(lit(batchId).as("seq"), lit(nMembers).as("n_members"),
-            col("recall_pm"), col("mrr_ppm"), col("ndcg_pm"))
-          .write.mode("append").parquet(gaugePath)
+        gaugeRow(spark, path, gt, served, gaugePath, batchId, nQueries, k)
       }
       .start()
+  }
+
+  /** The gauge over a CODED index (r17 VERDICT #1 — the face a 100 TB
+    * deployment actually serves): every micro-batch goes through the
+    * same [[graft.analytics.Similarity.ivfInsert]] front door, which now
+    * ENCODES arrivals against the index's frozen model (stored perm →
+    * stored codebooks; SQ8 codes per-vector) before appending codes +
+    * membership; the serve is the coded serving plan itself
+    * ([[graft.analytics.Similarity.annIvfCodedServeOf]] — ADC for
+    * PQ/OPQ, in-scan decode for SQ8), reading everything from the
+    * index's files, so NO corpus frame exists here at all: only arrived
+    * (coded) members can be candidates, by construction.
+    *
+    * The monotone-recall law TRANSFERS with one re-statement
+    * (StreamingKnnServeGaugeSpec re-proves it): coded serving ranks by
+    * the RECONSTRUCTION's (cos, id) key, so the ground truth must be the
+    * exact top-k over the DECODED corpus — the best answer the coded
+    * index can ever give (the ivf_del precedent: judge against the
+    * servable universe). Under that ground truth the flat argument is
+    * verbatim: candidates only accumulate (centroids, codebooks and perm
+    * are all frozen at build — the FAISS add contract — so an arrived
+    * member's reconstruction, and hence its key, never changes), and a
+    * served recon-GT member can only be displaced by an arrival whose
+    * key precedes it in the full-corpus recon ordering — which makes the
+    * displacer itself a recon-GT member, so per-query hits never
+    * decrease. Against the RAW-exact ground truth the law would be
+    * false: a quantized arrival can outscore a true neighbor's
+    * reconstruction without being a true neighbor.
+    *
+    * `queries` is the frozen (vec_id, e) query batch (exact — queries
+    * arrive fresh; the OPQ face rotates them by the stored perm
+    * internally); `exactGtRecon` the frozen (q_id, n_id) exact top-k
+    * over the decoded full corpus. Replay safety and scale shape as
+    * [[start]]: the coded insert is batch-sized work against plan
+    * literals, the serve is the production plan, the metric join
+    * (nQueries·k)-sized. */
+  def startCoded(vectors: DataFrame, path: String, checkpointDir: String,
+                 queries: DataFrame, exactGtRecon: DataFrame, gaugePath: String,
+                 nQueries: Int = 10, k: Int = 5, nProbe: Int = 4,
+                 trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val gt = exactGtRecon.select(col("q_id"), col("n_id"), lit(1L).as("__hit"))
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        Similarity.ivfInsert(spark, path, batch)
+        val served = Similarity.annIvfCodedServeOf(spark, path, queries, k, nProbe)
+          .select(lit(batchId.toString).as("rung"),
+            col("q_id"), col("rank"), col("n_id"))
+        gaugeRow(spark, path, gt, served, gaugePath, batchId, nQueries, k)
+      }
+      .start()
+  }
+
+  /** Score one serve against the frozen ground truth and append the
+    * gauge row — the shared metric tail of both faces (ONE metric body
+    * with the batch `knn_eval`, through
+    * [[graft.analytics.Similarity.evalRungs]]). */
+  private def gaugeRow(spark: org.apache.spark.sql.SparkSession, path: String,
+                       gt: DataFrame, served: DataFrame, gaugePath: String,
+                       batchId: Long, nQueries: Int, k: Int): Unit = {
+    val nMembers = spark.read.parquet(path + "/assign")
+      .select("vec_id").distinct().count()
+    Similarity.evalRungs(gt, served, nQueries, k)
+      .select(lit(batchId).as("seq"), lit(nMembers).as("n_members"),
+        col("recall_pm"), col("mrr_ppm"), col("ndcg_pm"))
+      .write.mode("append").parquet(gaugePath)
   }
 }

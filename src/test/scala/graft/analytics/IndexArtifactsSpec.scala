@@ -262,20 +262,40 @@ class IndexArtifactsSpec extends SparkSpec {
 
   // -- lifecycle guards (r14 ADVICE) --
 
-  test("ivfInsert refuses a coded (SQ8/PQ) index — new vectors would vanish from coded serving") {
-    import org.apache.spark.sql.functions.col
+  test("ivfInsert accepts coded (SQ8/PQ/OPQ) indexes — arrivals encode against the " +
+      "frozen model and surface in coded serving; proj stays refused (r17 #1)") {
+    import org.apache.spark.sql.functions.{col, lit}
     val embL = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    val e1 = intercept[IllegalArgumentException] {
-      Similarity.ivfInsert(spark, sq8Path, embL.limit(1))
+    // the arrival is a CLONE of corpus vector 0 under a fresh id: its
+    // insert-time encode against the frozen model must equal the donor's
+    // build-time encode, so its reconstruction ties the donor's own and
+    // it must surface as a served neighbor of the donor (the r14 hazard —
+    // membership-only insert leaving arrivals code-less and invisible —
+    // is exactly what this asserts cannot happen anymore)
+    val donor = embL.where(col("vec_id") === 0L)
+    val arrival = donor.select(lit(777777L).as("vec_id"), col("e"))
+    val faces: Seq[(String, String => Unit)] = Seq(
+      "sq8" -> (p => Similarity.buildSq8IndexOf(spark, embL, p, nLists = 16)),
+      "pq" -> (p => Similarity.buildPqIndexOf(spark, embL, p, nLists = 16)),
+      "opq" -> (p => Similarity.buildOpqIndexOf(spark, embL, p, nLists = 16)))
+    faces.foreach { case (name, build) =>
+      val p = tmp(s"codedins_$name")
+      build(p)
+      Similarity.ivfInsert(spark, p, arrival)
+      def servedIds(): Set[Long] = Similarity.annIvfCodedServeOf(spark, p, donor, k = 5)
+        .select("n_id").collect().map(_.getLong(0)).toSet
+      assert(servedIds().contains(777777L),
+        s"$name: the coded-inserted twin must surface in coded serving")
+      // compaction rewrites codes + membership (tombstone-free here) and
+      // must leave serving untouched
+      val before = rows4(Similarity.annIvfCodedServeOf(spark, p, donor, k = 5))
+      Similarity.ivfCompact(spark, p)
+      assert(rows4(Similarity.annIvfCodedServeOf(spark, p, donor, k = 5)) === before,
+        s"$name: compaction must be invisible to coded serving")
     }
-    assert(e1.getMessage.contains("codes"))
-    val e2 = intercept[IllegalArgumentException] {
-      Similarity.ivfInsert(spark, pqPath, embL.limit(1))
-    }
-    assert(e2.getMessage.contains("cod"), s"PQ index must be refused too: ${e2.getMessage}")
     // the projected family's centroids live in projected space — a raw
-    // full-dim insert would silently mis-assign, so it is refused too
+    // full-dim insert would silently mis-assign, so it is refused still
     val pp = tmp("projins")
     Similarity.buildProjIndex(spark, sfDir, pp)
     val e3 = intercept[IllegalArgumentException] {
