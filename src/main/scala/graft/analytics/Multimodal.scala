@@ -289,6 +289,33 @@ object Multimodal {
     spark.createDataFrame(rdd, phashSchema)
   }
 
+  val dualHashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("dh0", LongType), StructField("dh1", LongType),
+    StructField("ah0", LongType), StructField("ah1", LongType)))
+
+  /** FUSED image+audio fingerprint pass (VERDICT r17 #3): one
+    * partition-wise scan of the payload computes [[localDHash]] and
+    * [[localAHash]] together — the payload row is read, encoded and
+    * deserialized ONCE where the flagship previously ran [[dHash]] and
+    * [[aHash]] as two full passes over the same bytes. Per-row output is
+    * 5 longs; each medium's banded pair machinery then reads its own
+    * 3-long view. Bit-identical to the two separate passes by
+    * construction — the same local cores run on the same bytes
+    * (MultimodalSpec pins it on the real corpus). */
+  def dAHash(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val payloads = docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val rdd = payloads.rdd.mapPartitions { it =>
+      it.map { r =>
+        val data = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        val (d0, d1) = localDHash(data)
+        val (a0, a1) = localAHash(data)
+        Row(r.getLong(0), d0, d1, a0, a1)
+      }
+    }
+    spark.createDataFrame(rdd, dualHashSchema)
+  }
+
   // -- query entry points --
 
   /** The DuckDB oracles for these queries replay the BINARY-side digests

@@ -361,8 +361,9 @@ object PrepPipeline {
     * triple, canonical = smallest id on every axis). Pairs are generated
     * among the gated docs, the [[manifestQualityOf]] precedent.
     *
-    * Scale: both fingerprint passes are row-local payload work (bytes
-    * never shuffle — 3 longs per doc per medium leave the scan), pairs
+    * Scale: both fingerprints come from ONE row-local payload pass
+    * ([[Multimodal.dAHash]], fused per VERDICT r17 #3 — bytes never
+    * shuffle and are read once; 5 longs per doc leave the scan), pairs
     * are banded (never all-pairs), the cluster fixpoints move
     * (id, label) longs, and the keeper intersection is an id-only join;
     * everything downstream is the unchanged digest/id-shuffling
@@ -373,14 +374,22 @@ object PrepPipeline {
     // inside each one from a raw plan
     val kept = materialized(gated(docs))
     val textKeepers = Dedup.exact(kept).select(col("keep_doc_id").as("doc_id"))
-    def mediaKeepers(hasher: (SparkSession, DataFrame) => DataFrame) =
+    // ONE payload pass for both media fingerprints (VERDICT r17 #3):
+    // [[Multimodal.dAHash]] reads/encodes each payload once and emits 5
+    // longs per doc; materialized because both banded pair stages below
+    // consume it (re-running the plan would re-scan the payloads —
+    // exactly the double work the fusion removes)
+    val fp = materialized(Multimodal.dAHash(spark, kept))
+    def mediaKeepers(pre: String) =
       Dedup.dupClusters(kept,
-          Dedup.hash64Pairs(hasher(spark, kept)).select("doc_a", "doc_b"))
+          Dedup.hash64Pairs(fp.select(col("doc_id"),
+              col(s"${pre}0").as("h0"), col(s"${pre}1").as("h1")))
+            .select("doc_a", "doc_b"))
         .where(col("doc_id") === col("keeper"))
         .select("doc_id")
     assemble(kept, textKeepers
-      .join(mediaKeepers(Multimodal.dHash), "doc_id")
-      .join(mediaKeepers(Multimodal.aHash), "doc_id"))
+      .join(mediaKeepers("dh"), "doc_id")
+      .join(mediaKeepers("ah"), "doc_id"))
   }
 
   def manifestIncr(spark: SparkSession, dir: String): DataFrame =

@@ -226,4 +226,21 @@ class MultimodalSpec extends SparkSpec {
     assert(got.keySet == ids.toSet, "one keeper row per document")
     ids.foreach { id => assert(got(id) == find(id), s"doc $id keeper") }
   }
+
+  test("dAHash: the fused pass equals dHash + aHash run separately, row for row (r17 #3)") {
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val fused = Multimodal.dAHash(spark, docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val dh = Multimodal.dHash(spark, docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ah = Multimodal.aHash(spark, docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(fused.keySet == dh.keySet && fused.keySet == ah.keySet)
+    assert(fused.nonEmpty)
+    fused.foreach { case (id, (d0, d1, a0, a1)) =>
+      assert((d0, d1) == dh(id), s"doc $id: fused dHash halves must equal the solo pass")
+      assert((a0, a1) == ah(id), s"doc $id: fused aHash halves must equal the solo pass")
+    }
+  }
 }
