@@ -169,7 +169,8 @@ object Bench {
   private[graft] final case class Prov(load1: Double, xcpuPm: Long, jobs: Int,
                                        iowPm: Long = -1L, psiIoPm: Long = -1L,
                                        psiMemPm: Long = -1L, psiCpuPm: Long = -1L,
-                                       schedPm: Long = -1L)
+                                       schedPm: Long = -1L,
+                                       calSec: Double = -1.0)
   /** Full storage isolation between measured queries. `clearCache()` only
     * covers Dataset-level caches (the cacheManager); `localCheckpoint`
     * blocks (dupClusters' iterative rounds) are RDD-level persisted blocks
@@ -321,12 +322,17 @@ object Bench {
     * threads — the same width as the executor pool, so whatever slows a
     * 32-thread Spark stage (quota throttling, run-queue competition,
     * frequency scaling) slows the kernel by the same mechanism. Sampled
-    * UNTIMED once for JIT, then timed at sweep start and again before
-    * the regression list is finalized; the guard scales every threshold
-    * by `calFactor = clamp(maxSample / calRefSec, 1, 2)`. On an idle
-    * window the factor is 1.0 and nothing changes; on a uniformly-1.9×
-    * window the thresholds breathe with the host and the artifact
-    * carries `cal` as the one explaining number instead of ~27
+    * UNTIMED once for JIT, then timed at sweep start, after the sweep,
+    * and after the retry passes; the guard scales every threshold by
+    * `calFactor = clamp(MEDIAN(samples) / calRefSec, 1, 2)` (median per
+    * ADVICE r17 — one burst-overlapped sample must not relax the whole
+    * artifact's bar), and every guard RE-measure additionally takes a
+    * concurrent observation stamped into that attempt's provenance so
+    * the final regression list pairs each recorded min with its
+    * nearest-in-time factor ([[minAttemptFactor]], VERDICT r17 #2). On
+    * an idle window the factor is 1.0 and nothing changes; on a
+    * uniformly-1.9× window the thresholds breathe with the host and the
+    * artifact carries `cal` as the one explaining number instead of ~27
     * per-query adjudications. The clamp at 2× keeps a pathological
     * window from waving real regressions through — past 2× the guard
     * behaves exactly as before (flag + retry + provenance). Recorded
@@ -386,11 +392,47 @@ object Bench {
     def observe(): Double = math.min(sample(), sample())
     /** One untimed run to JIT the loop, then a min-of-2 observation. */
     def warmedSample(): Double = { blackhole ^= kernel(42L, totalIters / 64); observe() }
-    /** The threshold multiplier for a window whose worst calibration
-      * sample took `sampleSec`: 1.0 on an idle host, the slowdown ratio
-      * on a degraded one, clamped to 2× (pure — BenchGuardSpec law). */
+    /** The threshold multiplier for a window whose calibration sample
+      * took `sampleSec`: 1.0 on an idle host, the slowdown ratio on a
+      * degraded one, clamped to 2× (pure — BenchGuardSpec law). */
     def factorOf(sampleSec: Double): Double =
       math.min(2.0, math.max(1.0, sampleSec / calRefSec))
+    /** Median of the sweep-level samples — the GLOBAL factor's input
+      * (ADVICE r17): the r17 code scaled every threshold by the WORST
+      * of ~3 observations, so one transient co-tenant burst overlapping
+      * one kernel sample relaxed the whole artifact's bar up to the 2×
+      * clamp. The median ignores a single outlier sample in either
+      * direction; per-ATTEMPT stamps (below) carry the burst evidence
+      * where it belongs — on the attempt that ran inside it. */
+    def medianOf(xs: Seq[Double]): Double = {
+      require(xs.nonEmpty)
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+  }
+
+  /** The factor adjudicating one query's recorded MIN (VERDICT r17 #2 —
+    * the burst blind spot: the r17 driver artifact read sweep-level
+    * cal 1.0 while its 11 regr survivors carried load1 9-14 in their
+    * attempt arrays, because bursts fell BETWEEN the sweep-level
+    * samples). Every guard RE-measure now takes a concurrent
+    * calibration observation (stamped into that attempt's [[Prov]]);
+    * adjudication pairs the query's minimum attempt with ITS stamp —
+    * nearest-in-time, the ADVICE r17 pairing — so a burst survivor
+    * carries its own exoneration factor in the artifact and a clean
+    * solo re-measure is judged at the clean bar even when the sweep
+    * around it was degraded. Attempts without a stamp (the initial
+    * sweep pass) fall back to the sweep-level `global` factor. Pure —
+    * BenchGuardSpec pins the pairing laws. */
+  private[graft] def minAttemptFactor(attempts: Vector[Double],
+      provs: Vector[Prov], global: Double): Double = {
+    if (attempts.isEmpty) global
+    else {
+      val i = attempts.indexOf(attempts.min)
+      val stamp = if (i >= 0 && i < provs.size) provs(i).calSec else -1.0
+      if (stamp > 0) Calib.factorOf(stamp) else global
+    }
   }
 
   /** Short query aliases for the tail line (VERDICT r12 #3): the full
@@ -545,7 +587,9 @@ object Bench {
         jobCounter.incrementAndGet(); ()
       }
     })
-    def measure(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def measure(name: String,
+                fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+                calSec: Double = -1.0): Double = {
       val s0 = HostLoad.snap()
       val j0 = jobCounter.get()
       val t0 = System.nanoTime()
@@ -564,7 +608,7 @@ object Bench {
         prov(name) = prov.getOrElse(name, Vector.empty) :+
           Prov(s0.load1, HostLoad.xcpuPm(s0, s1), dJobs,
             HostLoad.iowPm(s0, s1), HostLoad.psiIoPm(s0, s1), HostLoad.psiMemPm(s0, s1),
-            HostLoad.psiCpuPm(s0, s1), HostLoad.schedPm(s0, s1))
+            HostLoad.psiCpuPm(s0, s1), HostLoad.schedPm(s0, s1), calSec)
         dt
       }
       else -1.0
@@ -573,11 +617,14 @@ object Bench {
     selected.foreach { case (name, fn) => results(name) = measure(name, fn) }
     // second calibration sample: together with the pre-sweep one it
     // brackets the main measurement window. The guard's thresholds scale
-    // by the WORST sample seen so far — on a uniformly-slow window the
-    // flag set shrinks to ~nothing and `cal` explains why; on an idle
-    // window the factor is 1.0 and the guard is byte-identical to r16.
+    // by the MEDIAN of the sweep-level samples (ADVICE r17 — the worst-of
+    // policy let one transient burst overlapping one kernel sample relax
+    // every threshold for the whole artifact); on a uniformly-slow window
+    // the flag set still shrinks to ~nothing and `cal` explains why, on
+    // an idle window the factor is 1.0 and the guard is unchanged.
     if (calEnabled) calSamples += Calib.observe()
-    def calF: Double = if (calSamples.isEmpty) 1.0 else Calib.factorOf(calSamples.max)
+    def calF: Double =
+      if (calSamples.isEmpty) 1.0 else Calib.factorOf(Calib.medianOf(calSamples.toSeq))
     def thrNow(n: String): Double = threshold(n) * calF
     System.err.println(f"[bench] calibration factor after sweep: $calF%.2f " +
       s"(samples ${calSamples.map(s => f"$s%.3f").mkString(", ")})")
@@ -603,7 +650,14 @@ object Bench {
       var improved = 0
       names.foreach { name =>
         val before = results(name)
-        val again = measure(name, selected(name))
+        // per-retry calibration stamp (VERDICT r17 #2): one concurrent
+        // observation immediately before the re-measure, embedded in the
+        // attempt's provenance — bursts that fall BETWEEN the sweep-level
+        // samples land on exactly the attempts that ran inside them, so a
+        // regr survivor carries its own exoneration factor in the
+        // artifact (cost: ~0.8 s per retried query, zero on clean sweeps)
+        val stamp = if (calEnabled) Calib.observe() else -1.0
+        val again = measure(name, selected(name), stamp)
         // the first run succeeded; a transient retry failure must not fail
         // the bench — keep the original measurement and clear the error
         if (again < 0) errors.remove(name)
@@ -650,27 +704,39 @@ object Bench {
       Thread.sleep(20000)
       retryPass(finalFlags, 3)
     }
+    // final calibration sample — taken BEFORE the regr-guarantee pass so
+    // the guarantee is selected on the SAME bar adjudication will use:
+    // with only the pre/post samples, a burst overlapping the post sample
+    // inflates the flag-time median, un-flags small genuine excesses, and
+    // they reappear at render time as single-attempt regr entries (the
+    // exact r15 shape, re-opened by the median policy — caught live by
+    // the r18 short-burst demo arm). The sweep-level median now brackets
+    // the whole run, and every retried attempt carries its own concurrent
+    // stamp, so the render-time selection below is reproducible here.
+    if (calEnabled) calSamples += Calib.observe()
     // regr-guarantee pass (VERDICT r15 #1): no query may be recorded as a
     // regression from a SINGLE attempt. The capped passes above can still
     // leave flagged queries un-retried when a contended window flags more
     // than the caps cover (13 of r15's 21 regr survivors carried
-    // single-element attempt arrays); whatever is still over threshold
-    // with only one attempt gets exactly one solo re-measure here, worst
-    // excess first — bounded (≤1 extra measurement per query, only for
-    // queries every earlier pass missed), and it converts "unadjudicable
-    // single sample" into either a cleared minimum or a genuinely
-    // repeated excess with two provenance samples. BenchGuardSpec pins
-    // the selection laws; renderFull keeps every attempt it produces.
-    val unretried = unretriedFlagged(flaggedNow, attempts)
+    // single-element attempt arrays); whatever is still over the
+    // ADJUDICATION threshold — the final median factor, with each query's
+    // min paired to its nearest-in-time stamp exactly as renderFull will
+    // pair it — with only one attempt gets exactly one solo re-measure
+    // here, worst excess first — bounded (≤1 extra measurement per query,
+    // only for queries every earlier pass missed), and it converts
+    // "unadjudicable single sample" into either a cleared minimum or a
+    // genuinely repeated excess with two provenance samples (the second
+    // carrying its calibration stamp). BenchGuardSpec pins the selection
+    // laws; renderFull keeps every attempt it produces.
+    def adjThr(n: String): Double =
+      threshold(n) * minAttemptFactor(attempts.getOrElse(n, Vector.empty),
+        prov.getOrElse(n, Vector.empty), calF)
+    val unretried = unretriedFlagged(retryOrder(results, adjThr), attempts)
     if (unretried.nonEmpty) {
       System.err.println(s"[bench] regr guarantee: ${unretried.size} flagged queries " +
         "still carry a single attempt; one solo re-measure each before recording")
       retryPass(unretried, 4)
     }
-    // final calibration sample: the regression list is adjudicated with
-    // the worst factor observed across the WHOLE run, so a window that
-    // degraded only during the retry passes still scales the bar
-    if (calEnabled) calSamples += Calib.observe()
     // reference-map regeneration (VERDICT r6 #6): with SPARK_GRAFT_EMIT_REF
     // set, write the sweep's per-query minima (post retry passes) as the
     // generated properties resource the guard loads. Meant to run as a
@@ -784,8 +850,14 @@ object Bench {
     // per-attempt provenance arrays (VERDICT r14 #1): a judge must be
     // able to adjudicate CPU- and I/O/memory-shaped contention for the
     // flagged queries from this block alone.
-    val calFactor = if (cal.isEmpty) 1.0 else Calib.factorOf(cal.max)
-    val regressed = all.filter { case (k, v) => v >= 0 && v > threshold(k) * calFactor }
+    val calFactor = if (cal.isEmpty) 1.0 else Calib.factorOf(Calib.medianOf(cal))
+    // per-query adjudication factor (VERDICT r17 #2): the stamp taken
+    // concurrently with the recorded-min attempt when one exists,
+    // else the sweep-level (median) factor
+    def effF(k: String): Double =
+      minAttemptFactor(attempts.getOrElse(k, Vector.empty),
+        prov.getOrElse(k, Vector.empty), calFactor)
+    val regressed = all.filter { case (k, v) => v >= 0 && v > threshold(k) * effF(k) }
       .sortBy { case (k, v) => -(v - refSf01.getOrElse(k, 1.5)) }
     def provArrays(k: String): String = {
       val ps = prov.getOrElse(k, Vector.empty)
@@ -796,12 +868,13 @@ object Bench {
         s""", "psi_io": [${ps.map(_.psiIoPm).mkString(", ")}]""" +
         s""", "psi_mem": [${ps.map(_.psiMemPm).mkString(", ")}]""" +
         s""", "psi_cpu": [${ps.map(_.psiCpuPm).mkString(", ")}]""" +
-        s""", "sched_pm": [${ps.map(_.schedPm).mkString(", ")}]"""
+        s""", "sched_pm": [${ps.map(_.schedPm).mkString(", ")}]""" +
+        s""", "cal_s": [${ps.map(p => r3(p.calSec)).mkString(", ")}]"""
     }
     // "thr" is the EFFECTIVE bar the entry survived (warm threshold ×
     // calibration factor) — the number the value must be read against
     val regrJson = regressed.map { case (k, v) =>
-      s"  ${q(k)}: {${'"'}value${'"'}: ${r3(v)}, ${'"'}thr${'"'}: ${r3(threshold(k) * calFactor)}" +
+      s"  ${q(k)}: {${'"'}value${'"'}: ${r3(v)}, ${'"'}thr${'"'}: ${r3(threshold(k) * effF(k))}" +
         s"${provArrays(k)}}"
     }.mkString("{\n", ",\n", "\n}")
     // per-attempt host-load + job provenance (VERDICT r13 #1a/#2, r14 #1):
@@ -818,6 +891,7 @@ object Bench {
         s"${'"'}psi_mem${'"'}: [${ps.map(_.psiMemPm).mkString(", ")}], " +
         s"${'"'}psi_cpu${'"'}: [${ps.map(_.psiCpuPm).mkString(", ")}], " +
         s"${'"'}sched_pm${'"'}: [${ps.map(_.schedPm).mkString(", ")}], " +
+        s"${'"'}cal_s${'"'}: [${ps.map(p => r3(p.calSec)).mkString(", ")}], " +
         s"${'"'}jobs${'"'}: ${ps.headOption.map(_.jobs).getOrElse(-1)}}"
     }.mkString("{\n", ",\n", "\n}")
     val xs = prov.values.flatMap(_.map(_.xcpuPm)).filter(_ >= 0)
@@ -865,7 +939,7 @@ object Bench {
       sfDir: String, budget: Int,
       provMap: collection.Map[String, Vector[Prov]] = Map.empty,
       cal: Seq[Double] = Nil): String = {
-    val calFactor = if (cal.isEmpty) 1.0 else Calib.factorOf(cal.max)
+    val calFactor = if (cal.isEmpty) 1.0 else Calib.factorOf(Calib.medianOf(cal))
     // full control-char escape: a multi-line AnalysisException message
     // would otherwise break the one-JSON-line contract exactly when a
     // query fails (same escaper as Verify's oracle_sql.json)
@@ -926,11 +1000,14 @@ object Bench {
     // regression in the artifact itself. A query whose RECORDED value —
     // already the MIN across guard attempts — still exceeds its warm
     // threshold survived the retries: that is the regression signal a
-    // judge should chase ("regr", largest absolute excess first).
-    // "reftot" is Σ warm references over the measured set, so
-    // value/reftot is the contention-corrected total ratio even when the
-    // per-query maps are capped.
-    val regressed = all.filter { case (k, v) => v >= 0 && v > threshold(k) * calFactor }
+    // judge should chase ("regr", largest absolute excess first). The
+    // bar pairs each min with its nearest-in-time calibration stamp
+    // ([[minAttemptFactor]], r17 #2). "reftot" is Σ warm references
+    // over the measured set, so value/reftot is the contention-corrected
+    // total ratio even when the per-query maps are capped.
+    val regressed = all.filter { case (k, v) =>
+        v >= 0 && v > threshold(k) * minAttemptFactor(
+          attempts.getOrElse(k, Vector.empty), provMap.getOrElse(k, Vector.empty), calFactor) }
       .sortBy { case (k, v) => -(v - refSf01.getOrElse(k, 1.5)) }
     def regrJson(cap: Int, aliased: Boolean): String =
       if (regressed.isEmpty) ""
