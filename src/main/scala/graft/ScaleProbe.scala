@@ -1312,6 +1312,9 @@ object ScaleProbe {
     // phash: 1M BMP payloads, 1% planted near-dup pairs through the
     // full decode → dHash → banded-Hamming chain (SCALING.md r16 run)
     "phash" -> 1000000L,
+    // ahash: 1M WAV payloads, 1% planted one-window near-dup pairs
+    // through the PCM energy-envelope -> banded-Hamming chain (r18)
+    "ahash" -> 1000000L,
     // contam: 1M train vectors vs a 4k eval fold through the
     // hyperplane-LSH candidate pass + exact verify (SCALING.md r16 run)
     "contam" -> 1000000L,
@@ -1629,6 +1632,58 @@ object ScaleProbe {
     ok
   }
 
+  /** Audio-fingerprint dedup probe (VERDICT r17 #4 — the one fingerprint
+    * family without 1M-payload evidence): the [[graft.analytics
+    * .Multimodal.aHash]] 65-window energy-envelope chain at synthetic
+    * volume, through the SAME banded pair + cluster machinery as the
+    * image twin. Every 100th doc is its successor's text with ONE
+    * character substituted at a fixed position: the change lands in
+    * exactly one of the 65 PCM energy windows, so at most the two
+    * adjacent-window comparisons flip — a guaranteed hamming-≤2 audio
+    * near-dup pair (inside [[graft.analytics.Dedup.hash64Pairs]]'
+    * pigeonhole band, which recovers hamming ≤3 exactly), while the
+    * texts stay distinct. Recovery of every planted pair is therefore a
+    * correctness gate, not a statistic; extra pairs (random window-
+    * envelope collisions) are reported, not failed. Timings split the
+    * row-local fingerprint pass from the banded pair join and the
+    * cluster fixpoint, mirroring [[probePhash]]. */
+  private def probeAhash(spark: org.apache.spark.sql.SparkSession, n: Long): Boolean = {
+    import graft.analytics.{Dedup, Multimodal}
+    val base = """concat_ws(' ', transform(sequence(0, 23), j ->
+        substring(md5(concat(cast(%ID% AS STRING), ':', cast(j AS STRING))), 1, 16)))"""
+    val docs = spark.range(n).selectExpr("id AS doc_id",
+      s"""CASE WHEN id % 100 = 0 AND id + 1 < $n
+           THEN concat(substring(${base.replace("%ID%", "id + 1")}, 1, 50), 'x',
+                       substring(${base.replace("%ID%", "id + 1")}, 52))
+           ELSE ${base.replace("%ID%", "id")}
+         END AS text""")
+    val t0 = System.nanoTime()
+    val sig = Dedup.materialized(Multimodal.aHash(spark, docs))
+    val tSig = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val pairs = Dedup.materialized(
+      Dedup.hash64Pairs(sig).select("doc_a", "doc_b"))
+    val nPairs = pairs.count()
+    val tPairs = (System.nanoTime() - t1) / 1e9
+    val t2 = System.nanoTime()
+    val keepers = Dedup.dupClusters(docs, pairs)
+      .where(col("doc_id") === col("keeper")).count()
+    val tClusters = (System.nanoTime() - t2) / 1e9
+    val planted = docs.where(col("doc_id") % 100 === 0 && col("doc_id") + 1 < n)
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+    val plantedN = planted.count()
+    val recovered = planted.join(pairs, Seq("doc_a", "doc_b"), "left_semi").count()
+    val extras = nPairs - recovered
+    val ok = recovered == plantedN && keepers <= n - plantedN
+    println(s"""{"probe":"ahash","n_docs":$n,"sig_sec":${f"$tSig%.1f"},""" +
+      s""""pairs_sec":${f"$tPairs%.1f"},"clusters_sec":${f"$tClusters%.1f"},""" +
+      s""""planted":$plantedN,"recovered":$recovered,"extra_pairs":$extras,""" +
+      s""""keepers":$keepers,"ok":$ok}""")
+    if (!ok) System.err.println(
+      s"[scaleprobe] ahash NOT ok: recovered=$recovered/$plantedN keepers=$keepers")
+    ok
+  }
+
   /** Semantic eval-decontamination probe ([[graft.analytics.Similarity
     * .semanticContaminationOf]], the `dedup_contam_semantic` chain) at
     * synthetic volume: n 64-dim md5-closed-form vectors, every 100th id
@@ -1775,6 +1830,7 @@ object ScaleProbe {
       case "dsir" => probeDsir(spark, size)
       case "curation" => probeCuration(spark, size)
       case "phash" => probePhash(spark, size)
+      case "ahash" => probeAhash(spark, size)
       case "contam" => probeContam(spark, size)
       case "opq" => probeOpq(spark, size)
       case other =>
