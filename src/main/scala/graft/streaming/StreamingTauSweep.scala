@@ -40,11 +40,26 @@ final case class TauGauge(tau_e4: Long, seq: Long, n_pairs: Long, n_docs: Long)
   * serializes the gauge's merge step, which is the right trade: the
   * pair stream is the rare-event residue of the banded stage (the
   * parallel part), and the per-notch doc-distinct counts could not be
-  * sharded without double-counting docs across shards anyway. */
+  * sharded without double-counting docs across shards anyway.
+  *
+  * STATE CEILING (ADVICE r17): the O(pairs) bound above is the
+  * dup-mass PREMISE, not a mechanism — a pathological feed (every doc
+  * a near-dup of every other) would grow the single pair map without
+  * bound inside one state task. `maxPairs` makes the ceiling explicit:
+  * the map holds at most that many distinct pairs (~40 bytes/entry in
+  * the state store — the 4M default is ~160 MB, comfortably inside one
+  * executor), and the floor-clearing pair that would EXCEED it fails
+  * the query LOUDLY instead of silently evicting — an evicted pair
+  * would undercount every notch invisibly, which is worse than a page;
+  * the operator answer to a legitimate overflow is raising the sweep
+  * floor (fewer floor-clearing pairs) or re-running the batch sweep,
+  * both of which the error message states. */
 object StreamingTauSweep {
 
-  def gauge(cands: Dataset[StreamDupCandidate], tausE4: Seq[Long]): Dataset[TauGauge] = {
+  def gauge(cands: Dataset[StreamDupCandidate], tausE4: Seq[Long],
+            maxPairs: Long = 4000000L): Dataset[TauGauge] = {
     require(tausE4.nonEmpty && tausE4.forall(t => t > 0 && t <= 10000))
+    require(maxPairs > 0)
     import cands.sparkSession.implicits._
     val notches = tausE4.distinct.sorted
     val floor = notches.head
@@ -65,7 +80,13 @@ object StreamingTauSweep {
           // pair's estimate is signature-determined, so held == arriving;
           // keep the held entry.
           val pairs = rows.foldLeft(prev) { case (acc, (a, b, j4)) =>
-            if (acc.contains((a, b))) acc else acc.updated((a, b), j4)
+            if (acc.contains((a, b))) acc
+            else if (acc.size >= maxPairs)
+              sys.error(s"StreamingTauSweep: distinct floor-clearing pairs exceeded " +
+                s"maxPairs=$maxPairs — the dup-mass premise does not hold for this " +
+                "feed; raise the sweep floor (fewer floor-clearing pairs), raise " +
+                "maxPairs, or fall back to the batch dedup_threshold_sweep")
+            else acc.updated((a, b), j4)
           }
           state.update((pairs, seq0 + 1))
           notches.iterator.map { t =>

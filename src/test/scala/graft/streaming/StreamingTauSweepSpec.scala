@@ -83,4 +83,40 @@ class StreamingTauSweepSpec extends SparkSpec {
       assert(got(tau) == ((1L, 2L)), s"tau $tau: ${got(tau)}")
     }
   }
+
+  test("state ceiling: exceeding maxPairs fails the query loudly, never evicts (ADVICE r17)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val t = (1 to 40).map(i => s"w$i").mkString(" ")
+    // 4 identical docs → 6 distinct floor-clearing pairs; cap at 2
+    // (gaugeOverText exposes no cap param — build the candidate stream
+    // directly and plumb through gauge() with the tiny cap)
+    val ms = MemoryStream[(Long, String)]
+    val cands = StreamingLsh.candidates(ms.toDS(), 5, 4, 4,
+      threshold = (taus.min - 0.5) / 10000.0, capacity = 1 << 20)
+    val name = s"taucap_${System.nanoTime()}"
+    val sq = StreamingTauSweep.gauge(cands, taus, maxPairs = 2L)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      ms.addData((1L, t), (2L, t), (3L, t), (4L, t))
+      sq.processAllAvailable()
+    }
+    sq.stop()
+    def messages(x: Throwable): Seq[String] =
+      if (x == null) Nil else String.valueOf(x.getMessage) +: messages(x.getCause)
+    assert(messages(e).exists(_.contains("maxPairs")),
+      s"overflow must name the ceiling: ${messages(e)}")
+    // and a cap ABOVE the pair mass is invisible: same corpus, cap 6
+    val ms2 = MemoryStream[(Long, String)]
+    val cands2 = StreamingLsh.candidates(ms2.toDS(), 5, 4, 4,
+      threshold = (taus.min - 0.5) / 10000.0, capacity = 1 << 20)
+    val name2 = s"taucap2_${System.nanoTime()}"
+    val sq2 = StreamingTauSweep.gauge(cands2, taus, maxPairs = 6L)
+      .writeStream.format("memory").queryName(name2).outputMode("append").start()
+    try { ms2.addData((1L, t), (2L, t), (3L, t), (4L, t)); sq2.processAllAvailable() }
+    finally sq2.stop()
+    import spark.implicits._
+    val rows = spark.table(name2).as[TauGauge].collect()
+    assert(rows.map(_.n_pairs).max == 6L, "cap at the exact pair mass must not trip")
+  }
 }
