@@ -211,6 +211,9 @@ object SparkEntry {
     "knn_ann_ivf_sq8_served" -> (Similarity.annIvfSq8ServedQuery _), // the SQ8 rung served from its persisted codes/centroids/assign artifacts: no quantize pass in-plan
     "knn_ann_ivf_ins_served" -> (Similarity.annIvfInsertServedQuery _), // the ingest lifecycle: base build + incremental insert by the stored rule + compaction, served; must equal the fresh full index
     "knn_ann_ivf_del_served" -> (Similarity.annIvfDeleteServedQuery _), // the delete lifecycle: full build + tombstoned high-hash tenth, served through the live anti-join path
+    "knn_ann_ivf_opq_pca" -> (Similarity.annIvfOpqPcaQuery _), // the PCA cascade rung (r17 #5): natural gate -> Householder-rotate by the integer-grid top PC and re-fit the allocation on the rotated basis -> identity; catches the oblique anisotropy no natural-dim permutation can
+    "knn_ann_ivf_opq_pca_served" -> (Similarity.annIvfOpqPcaServedQuery _), // the cascade through the persisted lifecycle: stored hw/perm artifacts transform queries (and ivfInsert arrivals), identical serving tail
+    "emb_householder" -> (Similarity.embHouseholderQuery _), // the rotation's exact-integer diagnostic: rs = q*den - w*num per (vector, dim) — hash-pins the PCA fit + Householder model cross-engine even where the cascade's gates refuse
     "knn_ann_ivf_pq_ins_served" -> (Similarity.annIvfPqInsServedQuery _), // CODED ingest lifecycle (r17 #1): codebooks/centroids trained on the base, arrivals encoded at INSERT against the frozen model, compacted, served
     "knn_ann_ivf_sq8_ins_served" -> (Similarity.annIvfSq8InsServedQuery _), // SQ8 ingest lifecycle: per-vector coding is model-free, centroid seeding base-scoped; arrivals quantize at insert exactly as a build pass would
     "knn_ann_ivf_opq_ins_served" -> (Similarity.annIvfOpqInsServedQuery _), // OPQ ingest lifecycle: rotation FIT on the base and frozen; arrivals and queries rotate by the STORED perm, never refit
@@ -3919,6 +3922,29 @@ object SparkEntry {
           WHERE rank <= 5 ORDER BY q_id, rank"""
     },
     "knn_ann_ivf_sq8" -> sq8OracleSqlOver(None),
+    "knn_ann_ivf_opq_pca" ->
+      // the PCA-OPQ cascade (r17 #5): the whole decision chain — natural
+      // variance gate, 12 integer power rounds, Householder rotation,
+      // rotated-basis gate + snake — replays from first principles; the
+      // oracle-data branch is the double-refusal one (near-isotropic
+      // corpus), so the rung hashes as plain PQ exactly like the
+      // never-a-loss opq law, while the spec plants the oblique corpus
+      // where stage 2 engages and wins
+      pqOracleSqlOver(opqPcaDChainSql),
+    // the served twin's artifact round trip must change nothing: stored
+    // hw/perm ARE the build's transforms — same oracle as the inline rung
+    "knn_ann_ivf_opq_pca_served" -> pqOracleSqlOver(opqPcaDChainSql),
+    "emb_householder" ->
+      // the exact scaled rotated coordinate, all-integer: replays the
+      // power rounds + sign choice + den + per-vector numerators and
+      // hash-compares the int64 results — no rounding anywhere
+      s"""WITH RECURSIVE raw AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          $pcaHouseholderCtes
+          SELECT t.vec_id, h.j::BIGINT AS dim,
+            t.q[h.j] * (SELECT den FROM hden) - h.w * n.num AS rs
+          FROM q4 t JOIN hnum n ON n.vec_id = t.vec_id, hw h
+          ORDER BY t.vec_id, dim""",
     "knn_ann_ivf_pq" -> pqOracleSqlOver(
       "d AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)"),
     "knn_ann_ivf_opq" ->
@@ -4288,6 +4314,132 @@ object SparkEntry {
             SELECT r.vec_id, list(r.e[p.dim+1] ORDER BY p.slot) AS e
             FROM raw r CROSS JOIN alloc p GROUP BY r.vec_id)"""
   }
+
+  /** The PCA-OPQ cascade CTE chain feeding [[pqOracleSqlOver]]'s `d`
+    * (VERDICT r17 #5 — mirror of `Similarity.opqPcaView`): natural
+    * variance gate first; when it refuses, the 12-round integer power
+    * iteration (the `emb_pca_power` recursive CTE, verbatim) recovers
+    * the top PC, the Householder reflection w = v + sign(v₁)·e₁ (1e6
+    * grid) axis-aligns it — each rotated coordinate is exact int64
+    * arithmetic with ONE cast-to-double and ONE division,
+    * `(qⱼ·den − wⱼ·num)::DOUBLE / (den·1e4)::DOUBLE`, bit-identical to
+    * the Spark scan — and the variance/snake allocation re-fits on the
+    * ROTATED view; when that gate also refuses, d = raw (the rung
+    * hashes as plain PQ — the never-a-loss law). The three branches
+    * union under mutually exclusive scalar-subquery gates, exactly the
+    * booleans `Similarity.opqPermutationEngaged` returns. Leads with
+    * the RECURSIVE keyword so the splice `WITH <chain>, sub AS ...`
+    * legalizes the recursive `it`. */
+  /** The shared PCA + Householder CTE run (over a `raw (vec_id, e)`
+    * relation): 12-round integer power iteration (the `emb_pca_power`
+    * chain verbatim) → top PC → w = v + sign(v₁)·e₁ on the 1e6 grid →
+    * den = Σw² → per-vector num = 2Σwⱼqⱼ on the 1e4 q-grid. Consumed
+    * by [[opqPcaDChainSql]] (which divides down to the rotated double
+    * view) and by the `emb_householder` diagnostic oracle (which
+    * hash-pins the EXACT scaled integers cross-engine). */
+  private def pcaHouseholderCtes: String =
+    """-- 12-round integer power iteration (the emb_pca_power chain)
+          xq AS (SELECT vec_id, list_transform(e, x -> cast(round(x*1e6) AS BIGINT)) AS q
+                 FROM raw),
+          mu AS (SELECT j, CASE WHEN sum(q[j]) >= 0 THEN sum(q[j]) // count(*)
+                                ELSE -((-sum(q[j])) // count(*)) END AS m
+                 FROM xq, range(1, 65) t(j) GROUP BY j),
+          cvec AS (SELECT vec_id,
+                   (SELECT list(q[j] - m ORDER BY j) FROM mu) AS c
+                 FROM xq),
+          it(r, j, vj) AS (
+            SELECT 0, j::BIGINT, 1000000::BIGINT FROM range(1, 65) t(j)
+            UNION ALL
+            SELECT r, j,
+              (CASE WHEN u >= 0 THEN (u::HUGEINT * 1000000) // mx
+                    ELSE -(((-u)::HUGEINT * 1000000) // mx) END)::BIGINT
+            FROM (
+              SELECT uu.r, uu.j, uu.u, max(abs(uu.u)) OVER (PARTITION BY uu.r) AS mx
+              FROM (
+                SELECT sp.r + 1 AS r, t.j,
+                  sum(CASE WHEN sp.s >= 0 THEN sp.s // 10000000000
+                           ELSE -((-sp.s) // 10000000000) END * sp.c[t.j]) AS u
+                FROM (
+                  SELECT cvec.vec_id, cvec.c, p.r, sum(cvec.c[p.j] * p.vj) AS s
+                  FROM cvec, it p
+                  WHERE p.r < 12
+                  GROUP BY cvec.vec_id, cvec.c, p.r
+                ) sp, range(1, 65) t(j)
+                GROUP BY sp.r, t.j
+              ) uu
+            ) nn),
+          pc AS MATERIALIZED (SELECT j, vj FROM it WHERE r = 12),
+          -- Householder w = v + sign(v1)*e1 on the 1e6 grid; den exact
+          hw AS MATERIALIZED (SELECT j,
+                 vj + CASE WHEN j = 1 THEN
+                   (CASE WHEN (SELECT vj FROM pc WHERE j = 1) >= 0
+                         THEN 1000000 ELSE -1000000 END)
+                 ELSE 0 END AS w
+               FROM pc),
+          hden AS (SELECT sum(w*w)::BIGINT AS den FROM hw),
+          q4 AS MATERIALIZED (SELECT vec_id,
+                 list_transform(e, x -> round(x * 10000, 0)::BIGINT) AS q FROM raw),
+          hnum AS MATERIALIZED (SELECT t.vec_id, 2 * sum(t.q[h.j] * h.w)::BIGINT AS num
+                 FROM q4 t, hw h GROUP BY t.vec_id)"""
+
+  private def opqPcaDChainSql: String =
+    s"""RECURSIVE raw AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          nfit AS MATERIALIZED (
+            -- natural-axis fit sample (Similarity.OpqFitCap guard,
+            -- inactive at oracle SFs but mirrored for totality)
+            SELECT vec_id, e FROM raw
+            WHERE (SELECT count(*) FROM raw) <= 300000
+               OR ('0x'||substr(md5('opqfit:'||vec_id::VARCHAR),1,15))::UBIGINT::BIGINT <
+                  (1152921504606846976::HUGEINT * 300000 // (SELECT count(*) FROM raw))),
+          nvstat AS MATERIALIZED (
+            SELECT j, count(*)::BIGINT * sum(q*q)::BIGINT - sum(q)::BIGINT * sum(q)::BIGINT AS v
+            FROM (SELECT j.j AS j, round(r.e[j.j+1] * 10000, 0)::BIGINT AS q
+                  FROM nfit r, LATERAL (SELECT unnest(range(64)) AS j) j) t
+            GROUP BY j),
+          neng AS (SELECT max(sv) * 100 > min(sv) * 115 AS e
+                  FROM (SELECT j // 4 AS s, sum(v) AS sv FROM nvstat GROUP BY s) g),
+          nalloc AS MATERIALIZED (
+            SELECT j AS dim,
+              (CASE WHEN ((rk-1) // 16) % 2 = 0 THEN (rk-1) % 16
+                    ELSE 15 - ((rk-1) % 16) END) * 4 + (rk-1) // 16 AS slot
+            FROM (SELECT j, row_number() OVER (ORDER BY v DESC, j) AS rk FROM nvstat) u),
+          $pcaHouseholderCtes,
+          rot AS MATERIALIZED (SELECT t.vec_id,
+                   list((t.q[h.j] * (SELECT den FROM hden) - h.w * n.num)::DOUBLE
+                        / ((SELECT den FROM hden) * 10000)::DOUBLE ORDER BY h.j) AS e
+                 FROM q4 t JOIN hnum n ON n.vec_id = t.vec_id, hw h
+                 GROUP BY t.vec_id),
+          -- rotated-basis fit: same sample guard, same stat, same snake
+          rfit AS MATERIALIZED (
+            SELECT vec_id, e FROM rot
+            WHERE (SELECT count(*) FROM rot) <= 300000
+               OR ('0x'||substr(md5('opqfit:'||vec_id::VARCHAR),1,15))::UBIGINT::BIGINT <
+                  (1152921504606846976::HUGEINT * 300000 // (SELECT count(*) FROM rot))),
+          rvstat AS MATERIALIZED (
+            SELECT j, count(*)::BIGINT * sum(q*q)::BIGINT - sum(q)::BIGINT * sum(q)::BIGINT AS v
+            FROM (SELECT j.j AS j, round(r.e[j.j+1] * 10000, 0)::BIGINT AS q
+                  FROM rfit r, LATERAL (SELECT unnest(range(64)) AS j) j) t
+            GROUP BY j),
+          reng AS (SELECT max(sv) * 100 > min(sv) * 115 AS e
+                  FROM (SELECT j // 4 AS s, sum(v) AS sv FROM rvstat GROUP BY s) g),
+          ralloc AS MATERIALIZED (
+            SELECT j AS dim,
+              (CASE WHEN ((rk-1) // 16) % 2 = 0 THEN (rk-1) % 16
+                    ELSE 15 - ((rk-1) % 16) END) * 4 + (rk-1) // 16 AS slot
+            FROM (SELECT j, row_number() OVER (ORDER BY v DESC, j) AS rk FROM rvstat) u),
+          d AS MATERIALIZED (
+            SELECT vec_id, e FROM (
+              SELECT r.vec_id, list(r.e[p.dim+1] ORDER BY p.slot) AS e
+              FROM raw r CROSS JOIN nalloc p GROUP BY r.vec_id) nb
+            WHERE (SELECT e FROM neng)
+            UNION ALL
+            SELECT vec_id, e FROM (
+              SELECT r.vec_id, list(r.e[p.dim+1] ORDER BY p.slot) AS e
+              FROM rot r CROSS JOIN ralloc p GROUP BY r.vec_id) rb
+            WHERE NOT (SELECT e FROM neng) AND (SELECT e FROM reng)
+            UNION ALL
+            SELECT vec_id, e FROM raw
+            WHERE NOT (SELECT e FROM neng) AND NOT (SELECT e FROM reng))"""
 
   /** The full IVF-PQ oracle chain over a caller-supplied `d` CTE chunk
     * (the `(vec_id, e)` relation, optionally preceded by rotation CTEs)

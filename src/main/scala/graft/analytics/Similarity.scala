@@ -925,6 +925,11 @@ object Similarity {
     servingProjPath(spark, dir)
     // r17: the OPQ rung's artifact (knn_eval reads it too)
     servingOpqPath(spark, dir)
+    // r18: the coded ingest lifecycles + the PCA-OPQ cascade artifact
+    servingPqInsPath(spark, dir)
+    servingSq8InsPath(spark, dir)
+    servingOpqInsPath(spark, dir)
+    servingOpqPcaPath(spark, dir)
   }
 
   // -- query entry points --
@@ -2182,7 +2187,19 @@ object Similarity {
     * and the balanced allocation's recall win is real and pinned.
     * Returns perm(slot) = source dim. */
   private[graft] def opqPermutation(emb: DataFrame, m: Int = PqM,
-                                        dsub: Int = PqDsub): Array[Int] = {
+                                        dsub: Int = PqDsub): Array[Int] =
+    opqPermutationEngaged(emb, m, dsub)
+      .getOrElse(Array.tabulate(m * dsub)(identity))
+
+  /** [[opqPermutation]] with the GATE exposed: `Some(perm)` iff the 15%
+    * subspace-imbalance test engaged (the allocation exists), `None` on
+    * a balanced profile (identity — the permutation would be noise).
+    * The PCA cascade ([[opqPcaView]], VERDICT r17 #5) needs the gate
+    * verdict itself, not the identity-array encoding of it: a snake
+    * allocation can in principle BE the identity, and the oracle gates
+    * on the boolean, so the Scala side must too. */
+  private[graft] def opqPermutationEngaged(emb: DataFrame, m: Int = PqM,
+                                               dsub: Int = PqDsub): Option[Array[Int]] = {
     val dims = m * dsub
     // sum-overflow guard, made total instead of a hard failure: past
     // OpqFitCap vectors the int64 sums Σq/Σq² approach their bound, so
@@ -2230,7 +2247,7 @@ object Similarity {
     val svar = (0 until m).map(s =>
       (s * dsub until (s + 1) * dsub).map(j => vars(j)).sum)
     val engaged = svar.max * 100 > svar.min * 115
-    if (!engaged) Array.tabulate(dims)(identity)
+    if (!engaged) None
     else {
       val ranked = vars.zipWithIndex.sortBy { case (v, j) => (-v, j) }
       val perm = new Array[Int](dims)
@@ -2239,7 +2256,7 @@ object Similarity {
         val s = if (t % 2 == 0) r % m else m - 1 - (r % m)
         perm(s * dsub + t) = dim
       }
-      perm
+      Some(perm)
     }
   }
 
@@ -2267,6 +2284,216 @@ object Similarity {
 
   def annIvfOpqQuery(spark: SparkSession, dir: String): DataFrame =
     annIvfOpq(spark, dir).orderBy("q_id", "rank")
+
+  // -- OPQ over the PCA basis (VERDICT r17 #5) --
+
+  /** Householder fit: the reflection that maps the corpus's top
+    * principal component onto ±axis 1, as integer model parameters.
+    * [[pcaFit]] recovers v̂ on the exact 1e6 grid (12 deterministic
+    * power rounds — the `emb_pca_power` machinery, already
+    * oracle-replayed as a recursive CTE); the classical
+    * numerically-stable sign choice `w = v + sign(v₁)·e₁` keeps
+    * ‖w‖ bounded away from zero for every spectrum (v₁ ≥ 0 and v₁ < 0
+    * both give |w₁| ≥ 1e6). Returns (w on the 1e6 grid, den = Σw² —
+    * exact; the power renormalization pins max|v| = 1e6, so
+    * den ≤ (2e6)² + 63·(1e6)² ≈ 6.7e13 and Σ|w| ≤ 6.5e7). */
+  private[graft] def householderFit(emb: DataFrame): (Array[Long], Long) = {
+    val (_, v) = pcaFit(emb, rounds = 12, dims = 64)
+    val w = v.clone()
+    w(0) = w(0) + (if (v(0) >= 0) 1000000L else -1000000L)
+    (w, w.map(x => x * x).sum)
+  }
+
+  /** Apply the Householder reflection Hx = x − w·(2⟨w,x⟩/⟨w,w⟩) as one
+    * scan against the (w, den) plan literals, in EXACT integer form up
+    * to a single final division: q = round(x·1e4) (the opq grid); with
+    * |q| ≤ 1.2e4 ([[opqPcaView]]'s guard), den ≤ 6.7e13 and
+    * Σ|w| ≤ 6.5e7, every product stays inside int64 with ≥2× margin
+    * (|q·den| ≤ 8.1e17, num = 2Σwⱼqⱼ ≤ 1.6e12, |w·num| ≤ 3.2e18),
+    * and the rotated coordinate is ONE int64→double conversion and ONE
+    * division, `(qⱼ·den − wⱼ·num)::double / (den·1e4)::double` — both
+    * engines convert the same exact integers to the same nearest
+    * doubles and divide once, so the rotated view is bit-identical
+    * (the oracle-parity rule for divide chains). Orthogonal ⇒ cosine
+    * is preserved up to the 1e-4 quantization, exactly the error class
+    * the rung's 4-dp rounding already absorbs. */
+  private[graft] def householderView(emb: DataFrame, w: Array[Long], den: Long): DataFrame = {
+    val denD = (den * 10000L).toDouble
+    emb
+      .withColumn("hq", transform(col("e"), x => round(x * 1e4, 0).cast("long")))
+      .withColumn("hnum",
+        aggregate(zip_with(col("hq"), typedLit(w.toSeq), (x, y) => x * y),
+          lit(0L), (a, b) => a + b) * 2)
+      .select(col("vec_id"),
+        zip_with(col("hq"), typedLit(w.toSeq),
+          (qj, wj) => (qj * lit(den) - wj * col("hnum")).cast("double") / lit(denD))
+          .as("e"))
+  }
+
+  /** The PCA-OPQ cascade view (VERDICT r17 #5 — the gate's honest next
+    * rung): the parametric permutation balances PER-DIM variance, so a
+    * corpus whose dominant direction is ROTATED off the natural axes
+    * shows a BALANCED natural profile (every dim carries an equal slice
+    * of the oblique signal) and defeats any permutation of natural dims
+    * — the natural gate correctly refuses, and plain OPQ degenerates to
+    * PQ exactly where rotation would help most. The cascade:
+    *
+    *  1. natural gate engaged → permute natural dims (≡ the opq rung);
+    *  2. else: Householder-rotate by the top PC (axis-aligning the
+    *     dominant direction), re-fit the variance allocation on the
+    *     ROTATED view; rotated gate engaged → permuted rotated view;
+    *  3. else → raw view (isotropic corpus: the rung serves
+    *     bit-identically to PQ, the opq precedent's never-a-loss law).
+    *
+    * Each stage is deterministic closed-form (integer-grid power
+    * rounds, integer Householder, integer variance snake), so the
+    * oracle replays the whole cascade from first principles; the gate
+    * BOOLEANS drive the branch on both engines ([[opqPermutationEngaged]]).
+    * Scale: the fits are sampled aggregates (the OpqFitCap guard
+    * applies to both fit passes), the rotation is one scan against 65
+    * integer literals — nothing shuffles that the PQ chain below would
+    * not shuffle anyway. */
+  private[graft] def opqPcaView(emb: DataFrame): DataFrame =
+    opqPermutationEngaged(emb) match {
+      case Some(permNat) => withOpqPerm(emb, permNat)
+      case None =>
+        // int64 bound for the rotation arithmetic: |q·den| and |w·num|
+        // must stay inside 2⁶³ — at den ≤ 6.7e13 and Σ|w| ≤ 6.5e7 the
+        // bound holds to max|q| ≤ ~1.2e4 with ≥2× margin, i.e. a
+        // normalized corpus (the same contract opqPermutation's qmax
+        // guard enforces; re-checked here because the rotation
+        // multiplies by den, a harder bound than the variance sums)
+        val qmax = emb.agg(max(expr(
+          "aggregate(transform(e, x -> abs(cast(round(x * 10000, 0) as long))), 0L, (a, b) -> greatest(a, b))")))
+          .head().getLong(0)
+        require(qmax <= 12000L,
+          s"opqPcaView: max|q|=$qmax exceeds the int64 rotation bound (~1.2e4) — " +
+            "normalize the embedding corpus (|e| <= ~1)")
+        val (w, den) = householderFit(emb)
+        val rot = householderView(emb, w, den)
+        opqPermutationEngaged(rot) match {
+          case Some(permRot) => withOpqPerm(rot, permRot)
+          case None => emb
+        }
+    }
+
+  /** `knn_ann_ivf_opq_pca` — the cascade through the identical IVF-PQ
+    * chain (one body with the PQ/OPQ rungs). On the driver corpus both
+    * gates refuse (near-isotropic, λ₂/λ₁ ≈ 0.93 — the `emb_pca_power`
+    * note) and the rung hashes identically to `knn_ann_ivf_pq`;
+    * SimilaritySpec plants the oblique-anisotropy corpus where stage 2
+    * engages and pins the recall win over both PQ and natural OPQ. */
+  def annIvfOpqPca(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+                   nLists: Int = 16, nProbe: Int = 4): DataFrame =
+    annIvfPqOver(spark, opqPcaView(embeddingsD(spark, dir)), nQueries, k, nLists, nProbe)
+
+  def annIvfOpqPcaQuery(spark: SparkSession, dir: String): DataFrame =
+    annIvfOpqPca(spark, dir).orderBy("q_id", "rank")
+
+  /** `emb_householder` — the rotation's EXACT-integer diagnostic face:
+    * per (vector, dim) the scaled rotated coordinate
+    * rs = qⱼ·den − wⱼ·num (int64, before the one division that makes
+    * the double view). The oracle replays the whole power-iteration +
+    * Householder chain from first principles, so a hash match pins the
+    * PCA fit, the sign choice, den and every per-vector numerator
+    * cross-engine bit-for-bit — the rotated branch of
+    * [[annIvfOpqPca]]'s cascade stays oracle-proven even on corpora
+    * where its gates refuse (the oracle corpus is near-isotropic, so
+    * the cascade's own oracle exercises the raw branch). Also the ops
+    * face a deployment inspects when a served PCA-OPQ index looks
+    * wrong: the stored model is (w, den), and this is its apply. */
+  def embHouseholderQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddingsD(spark, dir)
+    val (w, den) = householderFit(emb)
+    emb
+      .withColumn("hq", transform(col("e"), x => round(x * 1e4, 0).cast("long")))
+      .withColumn("hnum",
+        aggregate(zip_with(col("hq"), typedLit(w.toSeq), (x, y) => x * y),
+          lit(0L), (a, b) => a + b) * 2)
+      .select(col("vec_id"),
+        posexplode(zip_with(col("hq"), typedLit(w.toSeq),
+          (qj, wj) => qj * lit(den) - wj * col("hnum"))))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"), col("col").as("rs"))
+      .orderBy("vec_id", "dim")
+  }
+
+  /** Build the PCA-OPQ index: [[opqPcaView]]'s cascade with the chosen
+    * transform PERSISTED — `<path>/hw` (dim → w on the 1e6 grid; den is
+    * Σw², recomputed exactly on load) when the Householder stage won,
+    * `<path>/perm` whenever a permutation engaged, then the PQ build
+    * over the transformed view. A serving session (and [[ivfInsert]]
+    * arrivals) replays transform-by-the-STORED-model only — never
+    * refits — the same build-once contract as every coded family. */
+  def buildOpqPcaIndex(spark: SparkSession, dir: String, path: String,
+                       nLists: Int = 16): Unit =
+    buildOpqPcaIndexOf(spark, embeddingsD(spark, dir), path, nLists)
+
+  private[graft] def buildOpqPcaIndexOf(spark: SparkSession, emb: DataFrame,
+                                            path: String, nLists: Int): Unit =
+    opqPermutationEngaged(emb) match {
+      case Some(perm) =>
+        writeOpqPerm(spark, path, perm)
+        buildPqIndexOf(spark, withOpqPerm(emb, perm), path, nLists)
+      case None =>
+        val (w, den) = householderFit(emb)
+        val rot = householderView(emb, w, den)
+        opqPermutationEngaged(rot) match {
+          case Some(perm) =>
+            spark.createDataFrame(
+                spark.sparkContext.parallelize(
+                  w.toSeq.zipWithIndex.map { case (x, j) =>
+                    org.apache.spark.sql.Row(j, x) }, 1),
+                new org.apache.spark.sql.types.StructType()
+                  .add("dim", "int", nullable = false)
+                  .add("w", "long", nullable = false))
+              .write.mode("overwrite").parquet(path + "/hw")
+            writeOpqPerm(spark, path, perm)
+            buildPqIndexOf(spark, withOpqPerm(rot, perm), path, nLists)
+          case None =>
+            buildPqIndexOf(spark, emb, path, nLists)
+        }
+    }
+
+  /** Load the stored Householder model back as (w, den). */
+  def loadHouseholder(spark: SparkSession, path: String): (Array[Long], Long) = {
+    val w = spark.read.parquet(path + "/hw").orderBy("dim").collect().map(_.getLong(1))
+    (w, w.map(x => x * x).sum)
+  }
+
+  /** Apply a coded index's STORED query-side transform chain — the
+    * Householder rotation when the index carries `hw`, then the
+    * permutation when it carries `perm`. Shared by serving and the
+    * insert-time arrival encode so the two faces can never skew. */
+  private[analytics] def withStoredTransforms(spark: SparkSession, path: String,
+                                              frame: DataFrame): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def has(art: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(path + "/" + art))
+    val rotated =
+      if (has("hw")) {
+        val (w, den) = loadHouseholder(spark, path)
+        householderView(frame, w, den)
+      } else frame
+    if (has("perm")) withOpqPerm(rotated, loadOpqPerm(spark, path)) else rotated
+  }
+
+  /** `knn_ann_ivf_opq_pca_served` — the cascade through the persisted-
+    * artifact lifecycle: queries transform by the STORED model (hw →
+    * perm, whichever the build froze), then the identical PQ serving
+    * tail. Oracle: identical SQL to `knn_ann_ivf_opq_pca` — the
+    * artifact round trip must change nothing. */
+  def annIvfOpqPcaServe(spark: SparkSession, dir: String, path: String,
+                        nQueries: Int = 10, k: Int = 5, nProbe: Int = 4): DataFrame =
+    pqServeCore(spark, path,
+      withStoredTransforms(spark, path,
+        embeddingsD(spark, dir).where(col("vec_id") < nQueries)), k, nProbe)
+
+  private[analytics] def servingOpqPcaPath(spark: SparkSession, dir: String): String =
+    ArtifactCache.path(s"opqpca:$dir")(p => buildOpqPcaIndex(spark, dir, p))
+
+  def annIvfOpqPcaServedQuery(spark: SparkSession, dir: String): DataFrame =
+    annIvfOpqPcaServe(spark, dir, servingOpqPcaPath(spark, dir)).orderBy("q_id", "rank")
 
   // -- persisted PQ / SQ8 index artifacts (VERDICT r12 #4) --
 
@@ -2367,6 +2594,11 @@ object Similarity {
   private[graft] def buildOpqIndexOf(spark: SparkSession, emb: DataFrame,
                                          path: String, nLists: Int): Unit = {
     val perm = opqPermutation(emb)
+    writeOpqPerm(spark, path, perm)
+    buildPqIndexOf(spark, withOpqPerm(emb, perm), path, nLists)
+  }
+
+  private def writeOpqPerm(spark: SparkSession, path: String, perm: Array[Int]): Unit =
     spark.createDataFrame(
         spark.sparkContext.parallelize(
           perm.toSeq.zipWithIndex.map { case (d, slot) =>
@@ -2375,8 +2607,6 @@ object Similarity {
           .add("slot", "int", nullable = false)
           .add("dim", "int", nullable = false))
       .write.mode("overwrite").parquet(path + "/perm")
-    buildPqIndexOf(spark, withOpqPerm(emb, perm), path, nLists)
-  }
 
   /** Load the stored rotation back as perm(slot) = dim. */
   def loadOpqPerm(spark: SparkSession, path: String): Array[Int] = {
@@ -2532,8 +2762,9 @@ object Similarity {
       // stored centroid rule (the build's own decoded-view assignment).
       // The corpus-scale codes/membership are never read or shuffled.
       val cb = loadPqCodebooks(spark, path)
-      val rotated =
-        if (has("perm")) withOpqPerm(arrivals, loadOpqPerm(spark, path)) else arrivals
+      // stored transform chain: Householder (PCA-OPQ family) then perm
+      // (OPQ/PCA-OPQ) — the same chain serving applies to queries
+      val rotated = withStoredTransforms(spark, path, arrivals)
       // two consumers (codes append + recon assignment) — pin the small
       // encode result instead of re-running its shuffle (see
       // PrepPipeline.materialized for why localCheckpoint over cache)
@@ -2800,10 +3031,9 @@ object Similarity {
       fs.exists(new org.apache.hadoop.fs.Path(path + "/" + art))
     require(has("codes"), s"annIvfCodedServeOf($path): no codes artifact — not a coded index")
     if (has("codebooks")) {
-      val q = if (has("perm")) withOpqPerm(queriesE.select(col("vec_id"), col("e")),
-                                           loadOpqPerm(spark, path))
-              else queriesE
-      pqServeCore(spark, path, q, k, nProbe)
+      pqServeCore(spark, path,
+        withStoredTransforms(spark, path, queriesE.select(col("vec_id"), col("e"))),
+        k, nProbe)
     } else {
       val dq = dequantizedFrom(spark.read.parquet(path + "/codes"))
       rankCandidates(ivfServedCandidates(spark, dq, path,

@@ -29,7 +29,7 @@ class SurfaceContractSpec extends SparkSpec {
   test("surface size matches the documented contract (README / SCALING.md)") {
     // the count the docs state; drifting docs broke round 5's VERDICT
     // bookkeeping, so the number lives HERE and the docs must follow it
-    assert(SparkEntry.queries.size == 202,
+    assert(SparkEntry.queries.size == 205,
       s"surface is ${SparkEntry.queries.size} queries — update this spec AND " +
         "README.md / docs/SCALING.md / SURVEY.md §8 together (tools/presnapshot.sh checks)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size)

@@ -294,6 +294,57 @@ class IndexArtifactsSpec extends SparkSpec {
       assert(rows4(Similarity.annIvfCodedServeOf(spark, p, donor, k = 5)) === before,
         s"$name: compaction must be invisible to coded serving")
     }
+    // the PCA-OPQ face with a LIVE Householder artifact: the real corpus
+    // never engages the rotation (gates refuse), so build over the
+    // oblique plant (two strong off-axis directions, flat per-dim
+    // variance — the SimilaritySpec r17 #5 fixture) where the stored
+    // model is hw + perm, and the insert path must rotate-then-permute
+    // arrivals by the STORED chain before encoding
+    locally {
+      import spark.implicits._
+      val rnd = new scala.util.Random(7)
+      val oblique = (0L until 400L).map { i =>
+        val g = rnd.nextDouble() * 2 - 1; val h = rnd.nextDouble() * 2 - 1
+        (i, Array.tabulate(64) { j =>
+          g / 8.0 + (if (j % 2 == 0) 0.7 else -0.7) * h / 8.0 +
+            (rnd.nextDouble() * 2 - 1) * 0.05
+        }.toSeq)
+      }.toDF("vec_id", "e")
+      val p = tmp("codedins_opqpca")
+      Similarity.buildOpqPcaIndexOf(spark, oblique, p, nLists = 16)
+      val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(p + "/hw")),
+        "the oblique plant must engage the Householder stage")
+      val donor = oblique.where(org.apache.spark.sql.functions.col("vec_id") === 0L)
+      val arrival = donor.select(
+        org.apache.spark.sql.functions.lit(777777L).as("vec_id"),
+        org.apache.spark.sql.functions.col("e"))
+      Similarity.ivfInsert(spark, p, arrival)
+      // the FAISS add contract, asserted directly: the twin's insert-time
+      // encode through the STORED hw→perm chain must equal the donor's
+      // build-time encode — identical code word in every subspace and the
+      // identical list assignment. (Top-5 membership — the proxy the real-
+      // corpus faces use above — does not transfer here: the plant's 2-D
+      // signal quantizes so coarsely that many vectors share a recon and
+      // the donor's own recon ranks ~29th for its exact query.)
+      def rowOf(id: Long, art: String) = spark.read.parquet(s"$p/$art")
+        .where(org.apache.spark.sql.functions.col("vec_id") === id)
+        .collect().map(_.toSeq.tail).toSeq
+      assert(rowOf(777777L, "codes") == rowOf(0L, "codes"),
+        "opq_pca: insert-time encode must equal the donor's build-time codes")
+      assert(rowOf(777777L, "assign") == rowOf(0L, "assign"),
+        "opq_pca: the twin must assign to the donor's list by the stored rule")
+      // and the twin is genuinely SERVABLE (the r14 hazard was arrivals
+      // silently vanishing from coded serving)
+      val full = Similarity.annIvfCodedServeOf(spark, p, donor, k = 400)
+        .select("n_id").collect().map(_.getLong(0)).toSet
+      assert(full.contains(777777L), "opq_pca: the twin must be a serving candidate")
+      val before = rows4(Similarity.annIvfCodedServeOf(spark, p, donor, k = 5))
+      Similarity.ivfCompact(spark, p)
+      assert(rows4(Similarity.annIvfCodedServeOf(spark, p, donor, k = 5)) === before,
+        "opq_pca: compaction must be invisible to coded serving")
+    }
     // the projected family's centroids live in projected space — a raw
     // full-dim insert would silently mis-assign, so it is refused still
     val pp = tmp("projins")

@@ -659,4 +659,71 @@ class SimilaritySpec extends SparkSpec {
     assert(opqR > pqR,
       s"balanced allocation must beat natural PQ on the anisotropic plant: opq=$opqR pq=$pqR")
   }
+
+  test("PCA-OPQ cascade: natural gate refuses on an OBLIQUE anisotropic corpus, " +
+      "the rotated gate engages, recall beats PQ and natural OPQ (r17 #5)") {
+    import spark.implicits._
+    // plant: TWO strong oblique directions, u = 1/8·(1,…,1) and the
+    // alternating v = 1/8·(1,−1,1,−1,…) at 0.7 amplitude. Every natural
+    // dim carries the same 1/64 slice of each, so the per-dim variance
+    // profile is FLAT — the natural 15% gate must refuse (and with it
+    // plain OPQ degenerates to PQ) — but every natural subspace sees
+    // BOTH directions ((1,1,1,1) and (1,−1,1,−1) restricted to it are
+    // orthogonal), so its 16 codewords split into a ~4×4 grid over a
+    // genuinely 2-D signal: the off-axis case no natural-dim
+    // permutation can fix. The Householder reflection from the
+    // integer-grid top PC axis-aligns u (the all-ones power seed has
+    // cos 1 with u and cos 0 with v, and λ₂/λ₁ = 0.49 gives 12 rounds
+    // ~2e-4 residual); in the rotated basis dim 1 carries the whole
+    // g-signal (16 codeword levels instead of ~4), v stays spread with
+    // ~one strong slice per subspace (16 levels each), the rotated gate
+    // engages, and the reconstruction error drops ~4× — the recall win.
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 400L).map { i =>
+      val g = rnd.nextDouble() * 2 - 1 // coefficient along u
+      val h = rnd.nextDouble() * 2 - 1 // coefficient along v
+      val e = Array.tabulate(64) { j =>
+        g / 8.0 + (if (j % 2 == 0) 0.7 else -0.7) * h / 8.0 +
+          (rnd.nextDouble() * 2 - 1) * 0.05
+      }
+      (i, e.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "e")
+    // stage-1 verdict: the natural gate must refuse (flat profile)
+    assert(Similarity.opqPermutationEngaged(emb).isEmpty,
+      "the natural-axis gate must refuse on the oblique plant")
+    // stage-2 verdict: the rotated gate must engage
+    val (w, den) = Similarity.householderFit(emb)
+    assert(den > 0L)
+    val rot = Similarity.householderView(emb, w, den)
+    val permRot = Similarity.opqPermutationEngaged(rot)
+    assert(permRot.isDefined,
+      "the rotated-basis gate must engage once the signal is axis-aligned")
+    // the rotation really axis-aligned the signal: rotated dim variances
+    // concentrate in ONE dim (the Householder image of u)
+    // exact ground truth in the RAW space (the same 4-dp + id tie order
+    // as every rung's ranking)
+    val raw = rows.toMap.map { case (id, e) => id -> e.toArray }
+    def cos4(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(d / (na * nb)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val exact = (0L until 10L).flatMap { q =>
+      raw.keys.filter(_ != q).toSeq
+        .map(n => (n, cos4(raw(q), raw(n))))
+        .sortBy { case (n, c) => (-c, n) }.take(5).map { case (n, _) => (q, n) }
+    }.toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val pqR = recallOf(Similarity.annIvfPqOver(spark, emb, 10, 5, 16, 4))
+    // natural OPQ on this corpus IS PQ (gate refused ⇒ identity view)
+    val pcaR = recallOf(Similarity.annIvfPqOver(spark,
+      Similarity.opqPcaView(emb), 10, 5, 16, 4))
+    assert(pcaR > pqR,
+      s"the PCA-basis allocation must beat PQ (== gated-off OPQ) on the oblique plant: " +
+        s"pca=$pcaR pq=$pqR")
+  }
 }
