@@ -1029,12 +1029,17 @@ object SparkEntry {
           "d AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
           Some(insBasePred))}),
         r_opq AS (${oracleSqlBase("knn_ann_ivf_opq")}),
+        r_pca AS (${pqOracleSqlOver(opqPcaDChainSql)}),
         r_sq8 AS (${oracleSqlBase("knn_ann_ivf_sq8")}),
         r_proj AS (${oracleSqlBase("knn_ann_ivf_proj")}),
         r_del AS (${ivfFlatOracleSql(survF)}),
         ev AS (SELECT 'ivf' AS rung, q_id, rank, n_id FROM r_ivf
                UNION ALL SELECT 'pq' AS rung, q_id, rank, n_id FROM r_pq
                UNION ALL SELECT 'opq' AS rung, q_id, rank, n_id FROM r_opq
+               -- the PCA cascade (r18), replayed from first principles —
+               -- on this corpus its gates refuse and the row must EQUAL
+               -- the pq row (the never-a-loss law as an oracled equality)
+               UNION ALL SELECT 'pca' AS rung, q_id, rank, n_id FROM r_pca
                UNION ALL SELECT 'sq8' AS rung, q_id, rank, n_id FROM r_sq8
                UNION ALL SELECT 'proj' AS rung, q_id, rank, n_id FROM r_proj
                -- the ingest lifecycle reproduces the fresh index

@@ -3129,6 +3129,12 @@ object Similarity {
       // quality is an oracled row, scored like every other rung
       .unionByName(tagged("pq_ins",
         annIvfPqServe(spark, dir, servingPqInsPath(spark, dir), nQueries, k)))
+      // r18: the PCA-cascade rung — on this near-isotropic corpus both
+      // gates refuse and it must score EXACTLY like pq (the never-a-loss
+      // law, now an oracled equality); on an oblique corpus it wins
+      // (SimilaritySpec pins the plant)
+      .unionByName(tagged("pca",
+        annIvfOpqPcaServe(spark, dir, servingOpqPcaPath(spark, dir), nQueries, k)))
     // ...while ivf_del serves with live tombstones and is judged against
     // the exact ground truth OVER THE SURVIVORS — the best answer the
     // post-delete corpus can give — so its metrics equal a fresh index

@@ -71,10 +71,10 @@ class KnnEvalSpec extends SparkSpec {
     assert(metrics(half)("h") === ((1000L / 2, 1000000L / 2, 1000L / 2)))
   }
 
-  test("the registered query's eight rungs stay within metric ranges on real data") {
+  test("the registered query's nine rungs stay within metric ranges on real data") {
     val rows = Similarity.knnEval(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSeq ===
-      Seq("ivf", "ivf_del", "ivf_ins", "opq", "pq", "pq_ins", "proj", "sq8"))
+      Seq("ivf", "ivf_del", "ivf_ins", "opq", "pca", "pq", "pq_ins", "proj", "sq8"))
     rows.foreach { r =>
       assert(r.getLong(1) >= 0 && r.getLong(1) <= 1000, s"recall_pm out of range: $r")
       assert(r.getLong(2) >= 0 && r.getLong(2) <= 1000000, s"mrr_ppm out of range: $r")
