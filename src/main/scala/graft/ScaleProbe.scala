@@ -1322,7 +1322,11 @@ object ScaleProbe {
     // (the hash-sample overflow guard ENGAGES past 3e5) + both full PQ
     // trains + the recall comparison against a brute-force ground truth
     // (the Lloyd rounds dominate — ~2.5 min per train at this n)
-    "opq" -> 400000L)
+    "opq" -> 400000L,
+    // opqpca: 400k oblique-anisotropy vectors through the full cascade
+    // (natural refusal via the hash-sampled fit, 12 full-corpus power
+    // rounds, Householder, rotated engagement, recall win) (r18)
+    "opqpca" -> 400000L)
 
   /** Projection-assisted coarse assignment —
     * [[graft.analytics.Similarity.annIvfProjected]]'s scale claim,
@@ -1632,6 +1636,77 @@ object ScaleProbe {
     ok
   }
 
+  /** PCA-cascade probe ([[graft.analytics.Similarity.opqPcaView]] — the
+    * r17 #5 rung) at synthetic volume: the SimilaritySpec oblique plant
+    * scaled up via md5 closed forms — two strong off-axis directions
+    * (u = all-ones, v = alternating at 0.7 amplitude) give a FLAT
+    * per-dim variance profile (the natural gate must refuse — and at
+    * 400k vectors its fit runs through the OpqFitCap hash sample, so
+    * the guard is exercised where the test SFs cannot) while every
+    * natural subspace sees a 2-D signal; the 12-round integer power
+    * iteration then runs on the FULL corpus (no sampling — the probe's
+    * real scale question: 12 sequential whole-corpus aggregates), the
+    * Householder rotation axis-aligns u, the rotated gate must engage,
+    * and the cascade's view must cut the PQ model's total quantization
+    * error vs the natural view by ≥5% (it cuts far more — the
+    * per-subspace codeword budget stops splitting across two strong
+    * directions). Quantization error — Σ‖x − x̂‖² over the corpus — is
+    * the quantity the allocation optimizes AND the right scale gauge:
+    * at 400k vectors the 2-D signal manifold collapses thousands of
+    * vectors onto identical codes, so a top-k recall comparison
+    * degenerates into rounded-cosine tie-break noise for every rung
+    * alike (measured: recall ~0–2% for pq AND pca — pure id-order
+    * ties); the recall WIN is pinned where the geometry is
+    * non-degenerate, on the SimilaritySpec plant. */
+  private def probeOpqPca(spark: org.apache.spark.sql.SparkSession, n: Long): Boolean = {
+    import graft.analytics.Similarity
+    def md5unit(tag: String, key: String) =
+      s"((cast(conv(substring(md5(concat('$tag', $key)), 1, 15), 16, 10) as long) % 2001) - 1000) / 1000.0D"
+    val emb = spark.range(n)
+      .select(col("id").as("vec_id"), expr(
+        s"""transform(sequence(0, 63), d ->
+           |  ${md5unit("g:", "cast(id as string)")} / 8.0D
+           |  + (CASE WHEN d % 2 = 0 THEN 0.7D ELSE -0.7D END)
+           |    * ${md5unit("h:", "cast(id as string)")} / 8.0D
+           |  + ${md5unit("n:", "concat(cast(id as string), ':', cast(d as string))")} * 0.01D)""".stripMargin).as("e"))
+    emb.cache().count()
+    val (natEng, tNat) = timed { Similarity.opqPermutationEngaged(emb).isDefined }
+    val ((w, den), tPca) = timed { Similarity.householderFit(emb) }
+    val rot = Similarity.householderView(emb, w, den)
+    val (rotPerm, tRot) = timed { Similarity.opqPermutationEngaged(rot) }
+    val engaged = rotPerm.isDefined
+    // total quantization error of the trained PQ model over each view:
+    // train the codebooks on the view, encode, reconstruct, Σ‖x − x̂‖²
+    def qerrOf(view0: DataFrame): Double = {
+      // pin the computed view: the cascade's rotation is a derived
+      // expression chain, and each Lloyd assignment round would re-run
+      // it over the corpus from a raw plan
+      val view = view0.cache(); view.count()
+      try {
+        val cb = Similarity.pqCodebooks(view)
+        val recon = Similarity.pqCodes(view, cb)
+          .withColumn("r", Similarity.pqReconCol(cb)).select("vec_id", "r")
+        view.join(recon, "vec_id")
+          .select(aggregate(zip_with(col("e"), col("r"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, b) => a + b).as("e2"))
+          .agg(sum("e2")).head().getDouble(0)
+      } finally { view.unpersist(); () }
+    }
+    val (errPq, tPq) = timed { qerrOf(emb) }
+    val (errPca, tPcaTrain) = timed { qerrOf(
+      Similarity.withOpqPerm(rot, rotPerm.getOrElse(Array.tabulate(64)(identity)))) }
+    emb.unpersist()
+    val ok = !natEng && engaged && errPca < errPq * 0.95
+    println(s"""{"probe":"opqpca","n_vecs":$n,"natfit_sec":${f"$tNat%.1f"},""" +
+      s""""pcafit_sec":${f"$tPca%.1f"},"rotfit_sec":${f"$tRot%.1f"},""" +
+      s""""nat_engaged":$natEng,"rot_engaged":$engaged,""" +
+      s""""qerr_pq":${f"$errPq%.1f"},"qerr_pca":${f"$errPca%.1f"},""" +
+      s""""pq_train_sec":${f"$tPq%.1f"},"pca_train_sec":${f"$tPcaTrain%.1f"},"ok":$ok}""")
+    if (!ok) System.err.println(
+      s"[scaleprobe] opqpca NOT ok: natEng=$natEng rotEng=$engaged errPq=$errPq errPca=$errPca")
+    ok
+  }
+
   /** Audio-fingerprint dedup probe (VERDICT r17 #4 — the one fingerprint
     * family without 1M-payload evidence): the [[graft.analytics
     * .Multimodal.aHash]] 65-window energy-envelope chain at synthetic
@@ -1833,6 +1908,7 @@ object ScaleProbe {
       case "ahash" => probeAhash(spark, size)
       case "contam" => probeContam(spark, size)
       case "opq" => probeOpq(spark, size)
+      case "opqpca" => probeOpqPca(spark, size)
       case other =>
         System.err.println(
           s"unknown arm '$other'; known arms: ${defaults.keysIterator.toSeq.sorted.mkString(", ")} (or 'all')")

@@ -4374,13 +4374,21 @@ object SparkEntry {
               ) uu
             ) nn),
           pc AS MATERIALIZED (SELECT j, vj FROM it WHERE r = 12),
-          -- Householder w = v + sign(v1)*e1 on the 1e6 grid; den exact
+          -- Householder w = v + sign(v1)*||v||*e1: ||v|| rounded once
+          -- (sum v^2 < 2^53 converts to double exactly, same IEEE sqrt
+          -- both engines), then w scales down by a truncating //100 to
+          -- the 1e4 grid (H is scale-invariant in w; trunc-toward-zero
+          -- mirrors Java /)
           hw AS MATERIALIZED (SELECT j,
+                 CASE WHEN wraw >= 0 THEN wraw // 100
+                      ELSE -((-wraw) // 100) END AS w
+               FROM (SELECT j,
                  vj + CASE WHEN j = 1 THEN
                    (CASE WHEN (SELECT vj FROM pc WHERE j = 1) >= 0
-                         THEN 1000000 ELSE -1000000 END)
-                 ELSE 0 END AS w
-               FROM pc),
+                         THEN 1 ELSE -1 END)
+                   * (SELECT round(sqrt(sum(vj * vj)))::BIGINT FROM pc)
+                 ELSE 0 END AS wraw
+                 FROM pc) t),
           hden AS (SELECT sum(w*w)::BIGINT AS den FROM hw),
           q4 AS MATERIALIZED (SELECT vec_id,
                  list_transform(e, x -> round(x * 10000, 0)::BIGINT) AS q FROM raw),

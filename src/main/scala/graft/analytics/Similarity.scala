@@ -1946,7 +1946,7 @@ object Similarity {
     * Refinement: [[pqLloydRefine]] — the k-means training FAISS runs,
     * made engine-replayable (measured on the synthetic corpus: brute
     * reconstruction recall@5 0.22 unrefined → 0.42 at 3 rounds). */
-  private[analytics] def pqCodebooks(emb: DataFrame, m: Int = PqM, dsub: Int = PqDsub,
+  private[graft] def pqCodebooks(emb: DataFrame, m: Int = PqM, dsub: Int = PqDsub,
                                      ks: Int = PqKs, rounds: Int = PqLloyd): Array[Array[Array[Double]]] = {
     val seedRows = emb
       .withColumn("__h", graft.functions.Hashes.md5Long60(
@@ -2036,7 +2036,7 @@ object Similarity {
 
   /** PQ-encoded corpus: (vec_id, c0..c{M-1}) — the 8-byte-per-vector
     * state the index stores (one groupBy pivot over [[pqAssigned]]). */
-  private[analytics] def pqCodes(emb: DataFrame, cb: Array[Array[Array[Double]]]): DataFrame = {
+  private[graft] def pqCodes(emb: DataFrame, cb: Array[Array[Array[Double]]]): DataFrame = {
     val aggs = cb.indices.map(mi =>
       max(when(col("m") === mi, col("j"))).cast("int").as(s"c$mi"))
     pqAssigned(emb, cb, PqDsub).groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
@@ -2045,7 +2045,7 @@ object Similarity {
   /** Reconstruction x̂ = the concatenation of each subspace's selected
     * codeword — a pure projection over the code columns with the
     * codebooks as plan literals. */
-  private[analytics] def pqReconCol(cb: Array[Array[Array[Double]]]): Column =
+  private[graft] def pqReconCol(cb: Array[Array[Array[Double]]]): Column =
     concat(cb.indices.map { mi =>
       element_at(typedLit(cb(mi).map(_.toSeq).toSeq), col(s"c$mi") + 1)
     }: _*)
@@ -2289,28 +2289,40 @@ object Similarity {
 
   /** Householder fit: the reflection that maps the corpus's top
     * principal component onto ±axis 1, as integer model parameters.
-    * [[pcaFit]] recovers v̂ on the exact 1e6 grid (12 deterministic
-    * power rounds — the `emb_pca_power` machinery, already
-    * oracle-replayed as a recursive CTE); the classical
-    * numerically-stable sign choice `w = v + sign(v₁)·e₁` keeps
-    * ‖w‖ bounded away from zero for every spectrum (v₁ ≥ 0 and v₁ < 0
-    * both give |w₁| ≥ 1e6). Returns (w on the 1e6 grid, den = Σw² —
-    * exact; the power renormalization pins max|v| = 1e6, so
-    * den ≤ (2e6)² + 63·(1e6)² ≈ 6.7e13 and Σ|w| ≤ 6.5e7). */
+    * [[pcaFit]] recovers v on the exact 1e6 grid renormalized by its
+    * MAX component (12 deterministic power rounds — the
+    * `emb_pca_power` machinery, already oracle-replayed as a recursive
+    * CTE), so ‖v‖ ranges up to 8e6 — the classical reflection vector
+    * is therefore `w = v + sign(v₁)·‖v‖·e₁` (the unit-norm shortcut
+    * w = v + sign·e₁ silently reflects to the WRONG axis for any
+    * non-unit v — caught live in r18 when the rotated dim-1 variance
+    * came back 7× instead of 60×). ‖v‖ is rounded once on the grid:
+    * Σv² ≤ 6.4e13 < 2⁵³ converts to double exactly, both engines take
+    * the same IEEE sqrt of it and round the same irrational, so the
+    * integer model is bit-identical. The stable sign choice keeps
+    * |w₁| ≥ ‖v‖; H is scale-invariant in w, so w then scales DOWN by
+    * a truncating ÷100 (1e4 grid) to widen the int64 margins of the
+    * apply side ~4 orders — the direction perturbation is ≤1e-4
+    * relative, far under the 1e-4 coordinate grid the rotated view is
+    * re-quantized on, and identical cross-engine (trunc-toward-zero
+    * both sides). Returns (w on the 1e4 grid, den = Σw² ≤ ~1.5e10). */
   private[graft] def householderFit(emb: DataFrame): (Array[Long], Long) = {
     val (_, v) = pcaFit(emb, rounds = 12, dims = 64)
-    val w = v.clone()
-    w(0) = w(0) + (if (v(0) >= 0) 1000000L else -1000000L)
+    val nrm = math.round(math.sqrt(v.map(x => x * x).sum.toDouble))
+    val w0 = v.clone()
+    w0(0) = w0(0) + (if (v(0) >= 0) 1L else -1L) * nrm
+    val w = w0.map(_ / 100L) // Java /: truncation toward zero
     (w, w.map(x => x * x).sum)
   }
 
   /** Apply the Householder reflection Hx = x − w·(2⟨w,x⟩/⟨w,w⟩) as one
     * scan against the (w, den) plan literals, in EXACT integer form up
     * to a single final division: q = round(x·1e4) (the opq grid); with
-    * |q| ≤ 1.2e4 ([[opqPcaView]]'s guard), den ≤ 6.7e13 and
-    * Σ|w| ≤ 6.5e7, every product stays inside int64 with ≥2× margin
-    * (|q·den| ≤ 8.1e17, num = 2Σwⱼqⱼ ≤ 1.6e12, |w·num| ≤ 3.2e18),
-    * and the rotated coordinate is ONE int64→double conversion and ONE
+    * |q| ≤ 1.2e4 ([[opqPcaView]]'s guard), the 1e4-grid w gives
+    * den ≤ ~1.5e10 and Σ|w| ≤ 7.2e5, so every product stays inside
+    * int64 with ~5000× margin (|q·den| ≤ 1.8e14, num = 2Σwⱼqⱼ ≤
+    * 1.8e10, |w·num| ≤ 1.6e15), and the rotated coordinate is ONE
+    * int64→double conversion and ONE
     * division, `(qⱼ·den − wⱼ·num)::double / (den·1e4)::double` — both
     * engines convert the same exact integers to the same nearest
     * doubles and divide once, so the rotated view is bit-identical
@@ -2358,11 +2370,12 @@ object Similarity {
       case Some(permNat) => withOpqPerm(emb, permNat)
       case None =>
         // int64 bound for the rotation arithmetic: |q·den| and |w·num|
-        // must stay inside 2⁶³ — at den ≤ 6.7e13 and Σ|w| ≤ 6.5e7 the
-        // bound holds to max|q| ≤ ~1.2e4 with ≥2× margin, i.e. a
-        // normalized corpus (the same contract opqPermutation's qmax
-        // guard enforces; re-checked here because the rotation
-        // multiplies by den, a harder bound than the variance sums)
+        // must stay inside 2⁶³ — at the 1e4-grid w (den ≤ ~1.5e10,
+        // Σ|w| ≤ 7.2e5) the bound holds to max|q| ≤ ~1.2e4 with huge
+        // margin, i.e. a normalized corpus (the same contract
+        // opqPermutation's qmax guard enforces; re-checked here because
+        // the rotation multiplies by den, a harder bound than the
+        // variance sums)
         val qmax = emb.agg(max(expr(
           "aggregate(transform(e, x -> abs(cast(round(x * 10000, 0) as long))), 0L, (a, b) -> greatest(a, b))")))
           .head().getLong(0)

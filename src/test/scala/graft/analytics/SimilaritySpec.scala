@@ -699,8 +699,20 @@ class SimilaritySpec extends SparkSpec {
     val permRot = Similarity.opqPermutationEngaged(rot)
     assert(permRot.isDefined,
       "the rotated-basis gate must engage once the signal is axis-aligned")
-    // the rotation really axis-aligned the signal: rotated dim variances
-    // concentrate in ONE dim (the Householder image of u)
+    // the rotation really axis-aligned the signal: the g-variance
+    // (var ≈ 1/3) concentrates in rotated dim 1, ≥20× any other dim
+    // (this is the assertion that caught the r18 unit-norm-shortcut
+    // bug, where w = v + sign·e₁ on a NON-unit v reflected to the
+    // wrong axis and dim 1 came back at only ~7× the rest)
+    val rotVars = {
+      import org.apache.spark.sql.functions.{element_at, variance => varF}
+      (0 until 64).map(j =>
+        rot.agg(varF(element_at(org.apache.spark.sql.functions.col("e"), j + 1)))
+          .head().getDouble(0))
+    }
+    assert(rotVars.head > 0.25 && rotVars.head > 20 * rotVars.tail.max,
+      s"rotated dim-1 must carry the oblique signal: d1=${rotVars.head}, " +
+        s"max rest=${rotVars.tail.max}")
     // exact ground truth in the RAW space (the same 4-dp + id tie order
     // as every rung's ranking)
     val raw = rows.toMap.map { case (id, e) => id -> e.toArray }
