@@ -28,7 +28,9 @@ object Profile {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val site = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .orElse(js.stageInfos.lastOption.map(_.name))
+          .getOrElse("?")
         jobs.put(js.jobId, (System.nanoTime(), site)); ()
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {

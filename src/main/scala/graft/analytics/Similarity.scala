@@ -506,29 +506,94 @@ object Similarity {
     * so the oracle replays it as a CTE chain. One scan + one
     * (nLists × dims)-cell aggregate per round; the corpus is never
     * shuffled by embedding. */
+  /** Exact Scala replicas of the assignment arithmetic the DataFrame
+    * regimes evaluate, for the RDD-side Lloyd rounds below (OPTIMIZATION
+    * r18): [[graft.functions.CosineSimilarity]]'s left-to-right fold and
+    * Spark's `round(x, s)` on DoubleType, which is
+    * `BigDecimal(x).setScale(s, HALF_UP)` (RoundBase) — both bit-equal
+    * to the codegen'd forms, so a centroid fit by either path is the
+    * same centroid. */
+  private def cosineLocal(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val xi = a(i); val yi = b(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+  private def round4Local(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** One RDD Lloyd round shared by the plain and the penalized refiners:
+    * assigns each vector by `score(centIdx)` (argmax, ties to the SMALLER
+    * centroid id — the struct-max `(score, -cid)` rule both DataFrame
+    * regimes use), and returns (count, Σ floor(e·[[LloydGrid]])) per
+    * centroid index. One scan, map-side combine (treeAggregate),
+    * nLists·(dims+1) longs to the driver — the same shape the DataFrame
+    * aggregation had, minus the per-round Catalyst plan (guide §1.2). */
+  private def lloydRoundLocal(vecs: org.apache.spark.rdd.RDD[Array[Double]],
+                              cents: Array[(Long, Array[Double])], dims: Int)(
+      score: (Array[Double], Int) => Double): (Array[Long], Array[Long]) = {
+    val nc = cents.length
+    val cids = cents.map(_._1)
+    vecs.treeAggregate((new Array[Long](nc), new Array[Long](nc * dims)))(
+      { case ((c, s), e) =>
+        var best = 0
+        var bestScore = score(e, 0)
+        var i = 1
+        while (i < nc) {
+          val sc = score(e, i)
+          if (sc > bestScore || (sc == bestScore && cids(i) < cids(best))) {
+            bestScore = sc; best = i
+          }
+          i += 1
+        }
+        c(best) += 1
+        var d = 0
+        while (d < dims) {
+          s(best * dims + d) += math.floor(e(d) * LloydGrid).toLong; d += 1
+        }
+        (c, s) },
+      { case ((c1, s1), (c2, s2)) =>
+        var i = 0; while (i < c1.length) { c1(i) += c2(i); i += 1 }
+        i = 0; while (i < s1.length) { s1(i) += s2(i); i += 1 }
+        (c1, s1) })
+  }
+
+  private def vecsRdd(emb: DataFrame): org.apache.spark.rdd.RDD[Array[Double]] =
+    emb.select(col("e")).rdd.map { r =>
+      val s = r.getSeq[Double](0); val a = new Array[Double](s.length)
+      var i = 0; while (i < s.length) { a(i) = s(i); i += 1 }; a
+    }
+
   private[graft] def ivfLloydRefine(emb: DataFrame, cent0: Array[(Long, Array[Double])],
                                         rounds: Int): Array[(Long, Array[Double])] = {
+    if (rounds <= 0) return cent0
+    // OPTIMIZATION r18: per-round DataFrame aggregation (Catalyst plan +
+    // collect per round) → treeAggregate over one cached RDD; assignment
+    // arithmetic replicated bit-exactly (see [[cosineLocal]]/
+    // [[round4Local]]; the rounded-cosine argmax with ties to the smaller
+    // c_id is [[assignedLists]]' rule in both its regimes). Empty lists
+    // keep their previous centroid, as before. The QUERY-time assignment
+    // ([[listIdColFor]] / [[assignedLists]]) is untouched — it feeds the
+    // oracled outputs; this only changes how the training rounds are
+    // EXECUTED, not what they compute.
     val dims = cent0.head._2.length
+    val vecs = vecsRdd(emb)
+    vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cent = cent0
-    withAqeOff(emb.sparkSession) {
-      for (_ <- 0 until rounds) {
-        val sums = (1 to dims).map(d =>
-          sum(floor(element_at(col("e"), d) * lit(LloydGrid))).as(s"s$d"))
-        val rows = assignedLists(emb, cent)
-          .groupBy("list_id")
-          .agg(count(lit(1)).as("n"), sums: _*)
-          .collect()
-        val byId = rows.map(r => r.getLong(0) -> r).toMap
-        cent = cent.map { case (cid, ce) =>
-          byId.get(cid) match {
-            case Some(r) =>
-              val n = r.getLong(1)
-              (cid, Array.tabulate(dims)(d => r.getLong(2 + d).toDouble / (n * LloydGrid).toDouble))
-            case None => (cid, ce)
-          }
-        }
+    for (_ <- 0 until rounds) {
+      val cl = cent
+      val (cnt, sums) = lloydRoundLocal(vecs, cl, dims)(
+        (e, i) => round4Local(cosineLocal(e, cl(i)._2)))
+      cent = cent.zipWithIndex.map { case ((cid, ce), i) =>
+        if (cnt(i) > 0)
+          (cid, Array.tabulate(dims)(d =>
+            sums(i * dims + d).toDouble / (cnt(i) * LloydGrid).toDouble))
+        else (cid, ce)
       }
     }
+    vecs.unpersist(false)
     cent
   }
 
@@ -574,31 +639,38 @@ object Similarity {
     * degenerates to [[ivfLloydRefine]] exactly. */
   private[graft] def ivfLloydRefineBalanced(emb: DataFrame, cent0: Array[(Long, Array[Double])],
       rounds: Int, lambdaI: Long): (Array[(Long, Array[Double])], Map[Long, Long]) = {
+    // OPTIMIZATION r18: same treeAggregate rewrite as [[ivfLloydRefine]].
+    // The penalized score is [[listIdColPenalized]]'s integer form
+    // replicated exactly — round(round(cos,4)·1e4, 0) via the same
+    // BigDecimal HALF_UP Spark's Round evaluates, then the long cast
+    // (truncation of an already-integral double), minus the penalty —
+    // compared as a double, which is exact for these ≤1e4-magnitude
+    // integers. Penalty update (`round(λ·share)`) unchanged. The
+    // QUERY-time penalized assignment stays the DataFrame column.
     val dims = cent0.head._2.length
+    val vecs = vecsRdd(emb)
+    vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cent = cent0
     var pen: Map[Long, Long] = cent0.map(_._1 -> 0L).toMap
-    withAqeOff(emb.sparkSession) { for (_ <- 0 until rounds) {
-      val sums = (1 to dims).map(d =>
-        sum(floor(element_at(col("e"), d) * lit(LloydGrid))).as(s"s$d"))
-      val rows = emb.withColumn("list_id", listIdColPenalized(cent, pen)(col("e")))
-        .groupBy("list_id")
-        .agg(count(lit(1)).as("n"), sums: _*)
-        .collect()
-      val byId = rows.map(r => r.getLong(0) -> r).toMap
-      val nTotal = rows.map(_.getLong(1)).sum
-      cent = cent.map { case (cid, ce) =>
-        byId.get(cid) match {
-          case Some(r) =>
-            val n = r.getLong(1)
-            (cid, Array.tabulate(dims)(d => r.getLong(2 + d).toDouble / (n * LloydGrid).toDouble))
-          case None => (cid, ce)
-        }
+    for (_ <- 0 until rounds) {
+      val cl = cent
+      val penArr = cl.map { case (cid, _) => pen.getOrElse(cid, 0L) }
+      val (cnt, sums) = lloydRoundLocal(vecs, cl, dims)((e, i) =>
+        (BigDecimal(round4Local(cosineLocal(e, cl(i)._2)) * 1e4)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble.toLong
+          - penArr(i)).toDouble)
+      val nTotal = cnt.sum
+      cent = cent.zipWithIndex.map { case ((cid, ce), i) =>
+        if (cnt(i) > 0)
+          (cid, Array.tabulate(dims)(d =>
+            sums(i * dims + d).toDouble / (cnt(i) * LloydGrid).toDouble))
+        else (cid, ce)
       }
-      pen = cent.map { case (cid, _) =>
-        cid -> byId.get(cid).map(r =>
-          math.round(lambdaI.toDouble * r.getLong(1) / nTotal)).getOrElse(0L)
+      pen = cent.zipWithIndex.map { case ((cid, _), i) =>
+        cid -> (if (cnt(i) > 0) math.round(lambdaI.toDouble * cnt(i) / nTotal) else 0L)
       }.toMap
-    } }
+    }
+    vecs.unpersist(false)
     (cent, pen)
   }
 
@@ -1199,35 +1271,51 @@ object Similarity {
   private[graft] def pcaFit(emb: DataFrame, rounds: Int,
                             dims: Int): (Array[Long], Array[Long]) = {
     def tdiv(a: Long, b: Long): Long = a / b // Java /: truncation toward zero
-    val qf = emb
-      .withColumn("q", transform(col("e"), x => round(x * 1e6, 0).cast("long")))
-    val sumCols = (0 until dims).map(j => sum(element_at(col("q"), j + 1)).as(s"s$j"))
-    val h = withAqeOff(emb.sparkSession) {
-      qf.agg(count(lit(1)).as("n"), sumCols: _*).head()
-    }
-    val n = h.getAs[Long]("n")
-    val mu = Array.tabulate(dims)(j => tdiv(h.getAs[Long](s"s$j"), n))
-    val cf = qf.select(col("vec_id"),
-      zip_with(col("q"), typedLit(mu.toSeq), (x, m) => x - m).as("c"))
-    // LAZY cache (VERDICT r13 #2): the rounds are strictly sequential
-    // driver actions, so round 1's aggregate populates the cache with no
-    // concurrent-stage race — the eager count was a pure extra action
-    // (at scale the cache itself is optional: the centered projection
-    // recomputes from the scan for free)
-    cf.cache()
+    // OPTIMIZATION r18 (guide §1.2 step 1 + §4: kill per-round overhead,
+    // keep the distributed shape): the previous form ran each of the 12
+    // power rounds as its own DataFrame aggregation — 64 `sum(s·c[j])`
+    // aggregates plus the zip_with dot, each round paying a full Catalyst
+    // analyze/optimize pass and a fresh codegen compile. Profile.scala
+    // measured the fit at ~5 s of DRIVER time against ~10 ms of data at
+    // sf0.1 (emb_pca_power: wall 8.9 s, job sum 3.6 s). The rounds now
+    // run as `treeAggregate`s over ONE cached RDD of the grid-quantized
+    // vectors: the quantization (Spark round = HALF_UP on the 1e-6 grid,
+    // the oracle's arithmetic) still evaluates scan-side through the one
+    // Catalyst plan, and every round after is the IDENTICAL integer
+    // recurrence — dot = Σ(q−µ)·v exact in long, s = dot/1e10 (Java /,
+    // truncation toward zero == Spark `div` == DuckDB integer division),
+    // u[j] += s·(q−µ)[j], BigInt renormalization unchanged — so (µ, v)
+    // are bit-equal (PcaPowerSpec's planted-gap law and the oracle rows
+    // pin it). Scale shape unchanged: one scan per round, map-side
+    // partial aggregation (treeAggregate), d longs to the driver.
+    val qRdd = emb
+      .select(transform(col("e"), x => round(x * 1e6, 0).cast("long")).as("q"))
+      .rdd.map { r =>
+        val s = r.getSeq[Long](0); val a = new Array[Long](dims)
+        var j = 0; while (j < dims) { a(j) = s(j); j += 1 }; a
+      }
+    qRdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (n, sums) = qRdd.treeAggregate((0L, new Array[Long](dims)))(
+      { case ((c, s), q) =>
+        var j = 0; while (j < dims) { s(j) += q(j); j += 1 }; (c + 1, s) },
+      { case ((c1, s1), (c2, s2)) =>
+        var j = 0; while (j < dims) { s1(j) += s2(j); j += 1 }; (c1 + c2, s1) })
+    val mu = Array.tabulate(dims)(j => tdiv(sums(j), n))
     var v = Array.fill(dims)(1000000L)
-    withAqeOff(emb.sparkSession) { for (_ <- 1 to rounds) {
-      val dot = aggregate(zip_with(col("c"), typedLit(v.toSeq), (x, y) => x * y),
-        lit(0L), (a, b) => a + b)
-      val t = cf.withColumn("s0", dot).withColumn("s", expr("s0 div 10000000000"))
-      val uCols = (0 until dims).map(j =>
-        sum(col("s") * element_at(col("c"), j + 1)).as(s"u$j"))
-      val hu = t.agg(uCols.head, uCols.tail: _*).head()
-      val u = Array.tabulate(dims)(j => hu.getLong(j))
+    for (_ <- 1 to rounds) {
+      val vv = v // stable reference for closure capture
+      val u = qRdd.treeAggregate(new Array[Long](dims))(
+        { (acc, q) =>
+          var dot = 0L; var j = 0
+          while (j < dims) { dot += (q(j) - mu(j)) * vv(j); j += 1 }
+          val s = dot / 10000000000L // trunc toward zero, as before
+          j = 0; while (j < dims) { acc(j) += s * (q(j) - mu(j)); j += 1 }
+          acc },
+        { (a, b) => var j = 0; while (j < dims) { a(j) += b(j); j += 1 }; a })
       val m = BigInt(u.map(x => math.abs(x)).max)
       v = u.map(x => ((BigInt(x) * 1000000) / m).toLong) // BigInt /: trunc
-    } }
-    cf.unpersist()
+    }
+    qRdd.unpersist(false)
     (mu, v)
   }
 
@@ -1972,23 +2060,79 @@ object Similarity {
     * never shuffled by embedding. */
   private def pqLloydRefine(emb: DataFrame, cb0: Array[Array[Array[Double]]],
                             rounds: Int, dsub: Int): Array[Array[Array[Double]]] = {
+    if (rounds <= 0) return cb0
+    // OPTIMIZATION r18 (the pcaFit recipe, guide §1.2/§4): each round was
+    // a fresh Catalyst plan over [[pqAssigned]] (explode → broadcast join
+    // → struct-min aggregate → shuffle → collect); Profile.scala measured
+    // the 3 training rounds at ~2.3 s of knn_ann_ivf_pq's 5.8 s wall at
+    // sf0.1 — plan+schedule overhead, not data. The rounds now run as
+    // treeAggregates over ONE cached RDD of the corpus vectors with the
+    // IDENTICAL arithmetic: per (vector, subspace) the nearest codeword
+    // by the same left-to-right squared-L2 fold (loop from +0.0 is
+    // bit-equal to the reduceLeft chain) and the same first-min tie rule
+    // (strict < scanning j ascending == struct-min on (d, j)); the mean
+    // by the same floor-to-[[LloydGrid]] longs (Spark floor(double) is
+    // math.floor(d).toLong), summed exactly, divided back in the one
+    // double division. Codewords with no members keep their previous
+    // value, as before. Scale shape unchanged: one scan per round,
+    // map-side combine, M·ks·dsub longs to the driver. The SERVING
+    // assignment (pqCodes / the probe chain) still runs through the
+    // codegen'd [[pqAssigned]] plan the oracle replays.
+    val m = cb0.length
+    val ks = cb0(0).length
+    val vecs = emb.select(col("e")).rdd.map { r =>
+      val s = r.getSeq[Double](0); val a = new Array[Double](s.length)
+      var i = 0; while (i < s.length) { a(i) = s(i); i += 1 }; a
+    }
+    vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cb = cb0
-    withAqeOff(emb.sparkSession) { for (_ <- 0 until rounds) {
-      val sums = (0 until dsub).map(d =>
-        sum(floor(element_at(col("sv"), d + 1) * lit(LloydGrid))).as(s"s$d"))
-      val rows = pqAssigned(emb, cb, dsub)
-        .groupBy("m", "j")
-        .agg(count(lit(1)).as("n"), sums: _*)
-        .collect()
+    for (_ <- 0 until rounds) {
+      val cbL = cb
+      val z = (new Array[Long](m * ks), new Array[Long](m * ks * dsub))
+      val (cnt, sums) = vecs.treeAggregate(z)(
+        { case ((c, s), e) =>
+          var mi = 0
+          while (mi < m) {
+            val off = mi * dsub
+            val cwm = cbL(mi)
+            var bestJ = 0
+            var bestD = {
+              val cw = cwm(0); var acc = 0.0; var d = 0
+              while (d < dsub) { val x = e(off + d) - cw(d); acc += x * x; d += 1 }
+              acc
+            }
+            var j = 1
+            while (j < ks) {
+              val cw = cwm(j); var acc = 0.0; var d = 0
+              while (d < dsub) { val x = e(off + d) - cw(d); acc += x * x; d += 1 }
+              if (acc < bestD) { bestD = acc; bestJ = j }
+              j += 1
+            }
+            val cell = mi * ks + bestJ
+            c(cell) += 1
+            var d = 0
+            while (d < dsub) {
+              s(cell * dsub + d) += math.floor(e(off + d) * LloydGrid).toLong
+              d += 1
+            }
+            mi += 1
+          }
+          (c, s) },
+        { case ((c1, s1), (c2, s2)) =>
+          var i = 0; while (i < c1.length) { c1(i) += c2(i); i += 1 }
+          i = 0; while (i < s1.length) { s1(i) += s2(i); i += 1 }
+          (c1, s1) })
       val next = cb.map(_.map(_.clone()))
-      rows.foreach { r =>
-        val mi = r.getInt(0); val j = r.getInt(1); val n = r.getLong(2)
-        (0 until dsub).foreach { d =>
-          next(mi)(j)(d) = r.getLong(3 + d).toDouble / (n * LloydGrid).toDouble
+      for (mi <- 0 until m; j <- 0 until ks) {
+        val cell = mi * ks + j
+        val n = cnt(cell)
+        if (n > 0) (0 until dsub).foreach { d =>
+          next(mi)(j)(d) = sums(cell * dsub + d).toDouble / (n * LloydGrid).toDouble
         }
       }
       cb = next
-    } }
+    }
+    vecs.unpersist(false)
     cb
   }
 
@@ -2219,13 +2363,31 @@ object Similarity {
         concat(lit("opqfit:"), col("vec_id").cast("string"))) <
         lit(((BigInt(1) << 60) * OpqFitCap / n0).toLong))
     }
-    val q = transform(col("e"), x => round(x * 1e4, 0).cast("long"))
-    val aggs = (0 until dims).flatMap(j => Seq(
-      sum(element_at(col("q"), j + 1)).as(s"s1_$j"),
-      sum(element_at(col("q"), j + 1) * element_at(col("q"), j + 1)).as(s"s2_$j"))) :+
-      max(expr("aggregate(q, 0L, (a, x) -> greatest(a, abs(x)))")).as("qmax")
-    val h = fitSrc.withColumn("q", q).agg(count(lit(1)).as("n"), aggs: _*).head()
-    val n = h.getAs[Long]("n")
+    // OPTIMIZATION r18 (the pcaFit recipe, guide §1.2): the fit statistic
+    // was one DataFrame aggregation of 129 aggregate expressions (2·dims
+    // sums + qmax) — a Catalyst analyze/codegen pass measurably larger
+    // than the data at bench scale. One treeAggregate over the same
+    // grid-quantized projection computes the identical longs (sums and
+    // max are order-free), through one small fixed-size plan.
+    val fitRdd = fitSrc
+      .select(transform(col("e"), x => round(x * 1e4, 0).cast("long")).as("q"))
+      .rdd
+    // buffer = (n, qmax, s1[dims], s2[dims])
+    val z = (0L, 0L, new Array[Long](dims), new Array[Long](dims))
+    val (n, qmax0, s1a, s2a) = fitRdd.treeAggregate(z)(
+      { case ((c, mx, s1, s2), r) =>
+        val qs = r.getSeq[Long](0); var m2 = mx
+        var j = 0
+        while (j < dims) {
+          val x = qs(j); s1(j) += x; s2(j) += x * x
+          val ax = math.abs(x); if (ax > m2) m2 = ax
+          j += 1
+        }
+        (c + 1, m2, s1, s2) },
+      { case ((c1, m1, a1, b1), (c2, m2, a2, b2)) =>
+        var j = 0
+        while (j < dims) { a1(j) += a2(j); b1(j) += b2(j); j += 1 }
+        (c1 + c2, math.max(m1, m2), a1, b1) })
     require(n <= 2 * OpqFitCap,
       s"opqPermutation: hash sample came back implausibly large (n=$n) — sample predicate broken")
     // overflow safety (ADVICE r17): the VARIANCE statistic n·Σq² − (Σq)²
@@ -2235,13 +2397,13 @@ object Similarity {
     // (max/count never wrap), so verify the sums were representable; an
     // un-normalized corpus (|e| ≫ 1) fails loudly here instead of
     // silently producing a garbage permutation.
-    val qmax = if (n == 0) 0L else h.getAs[Long]("qmax")
+    val qmax = if (n == 0) 0L else qmax0
     require(n == 0 || (BigInt(n) * BigInt(qmax) * BigInt(qmax)) < (BigInt(1) << 63),
       s"opqPermutation: n=$n, max|q|=$qmax — Σq² can exceed int64; " +
         "normalize the embedding corpus (|e| ≤ ~1) or lower OpqFitCap")
     val vars = (0 until dims).map { j =>
-      val s1 = BigInt(h.getAs[Long](s"s1_$j"))
-      BigInt(n) * BigInt(h.getAs[Long](s"s2_$j")) - s1 * s1
+      val s1 = BigInt(s1a(j))
+      BigInt(n) * BigInt(s2a(j)) - s1 * s1
     }
     // natural-subspace balance test (vars are BigInt end-to-end)
     val svar = (0 until m).map(s =>
@@ -2376,9 +2538,18 @@ object Similarity {
         // opqPermutation's qmax guard enforces; re-checked here because
         // the rotation multiplies by den, a harder bound than the
         // variance sums)
-        val qmax = emb.agg(max(expr(
-          "aggregate(transform(e, x -> abs(cast(round(x * 10000, 0) as long))), 0L, (a, b) -> greatest(a, b))")))
-          .head().getLong(0)
+        // same treeAggregate recipe as the fit above: grid-quantize
+        // scan-side, abs-max fold RDD-side (order-free, identical long)
+        val qmax = emb
+          .select(transform(col("e"), x => round(x * 1e4, 0).cast("long")).as("q"))
+          .rdd.treeAggregate(0L)(
+            { (mx, r) =>
+              val qs = r.getSeq[Long](0); var m2 = mx; var j = 0
+              while (j < qs.length) {
+                val ax = math.abs(qs(j)); if (ax > m2) m2 = ax; j += 1
+              }
+              m2 },
+            math.max)
         require(qmax <= 12000L,
           s"opqPcaView: max|q|=$qmax exceeds the int64 rotation bound (~1.2e4) — " +
             "normalize the embedding corpus (|e| <= ~1)")
